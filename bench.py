@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline declared queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() action) after a warm-up of
+the session; per-query wall-clock is reported plus the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_trans_spark.queries import QUERIES  # noqa: E402
+from hadoop_trans_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the plans whose
+# scale behavior matters (joins, aggs, windows, dedup, similarity).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q04_broadcast_join",
+    "q05_revenue_by_nation",
+    "q06_outer_join_order_counts",
+    "q08_semi_anti_customers",
+    "q10_asof_click_to_view",
+    "q11_agg_battery",
+    "q14_cube",
+    "q18_dedup_keep_first",
+    "q20_window_rank",
+    "q21_window_analytic",
+    "q23_topk_per_group",
+    "q27_math_funcs",
+    "q29_array_funcs",
+    "q31_json_funcs",
+    "q32_hash_funcs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="hadoop_trans_spark_bench")
+
+    # Warm up the JVM/codegen paths once (not timed).
+    QUERIES["q01_pricing_summary"](spark, sf_dir).count()
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    extra = [n for n in sorted(QUERIES) if n not in names and n.startswith("q")]
+    timings: dict[str, float] = {}
+    for name in names + extra:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Fixture catalog: schema-checked loading of the test warehouse.
+
+Schemas are declared (schemas-as-code, SURVEY §1.2) rather than inferred;
+``load_tables`` registers each as a temp view so every query is reachable
+from both the DataFrame API and ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (columnar parquet scan — pushdown-friendly)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
+        # (nanosAsLong conf); truncate to µs exactly like DuckDB does.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load tables and register temp views named after each table."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

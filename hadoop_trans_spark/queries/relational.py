@@ -1,0 +1,672 @@
+"""Core relational surface (SURVEY §2B E1, E6–E15, E19–E21, E32).
+
+Every query here is a declarative DataFrame plan — Catalyst handles
+predicate pushdown, column pruning, and join-strategy selection. Scale
+notes are attached per query where the 100 TB plan differs from the
+obvious local plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.asof import asof_join
+from .base import davg, dsum, o_davg, o_dsum, query, ts_micros
+
+
+# --- E1 + E7 + E13 + E18: the flagship (TPC-H Q1 shape) ----------------------
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity')} AS sum_qty,
+           {o_dsum('l_extendedprice')} AS sum_base_price,
+           {o_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {o_davg('l_quantity')} AS avg_qty,
+           {o_davg('l_extendedprice')} AS avg_price,
+           {o_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → filter → hash-aggregate → sort.
+
+    Scale: the filter is pushed to the parquet scan (row-group min/max
+    skipping on l_shipdate); the aggregate is map-side partial (2 grouping
+    keys × few distinct values → tiny shuffle). No plan change at 100 TB.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- E6: projection / rename / cast / literal --------------------------------
+@query(
+    "q02_projection_cast",
+    oracle="""
+    SELECT p_partkey AS part_id,
+           upper(p_brand) AS brand,
+           CAST(p_size AS BIGINT) AS size_l,
+           CAST(ROUND(p_retailprice, 2) AS DOUBLE) AS price2,
+           'catalog' AS src
+    FROM part
+    ORDER BY part_id
+    """,
+)
+def q02_projection_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure projection: column pruning reaches the scan (ReadSchema shrinks)."""
+    return (
+        table(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").alias("part_id"),
+            F.upper("p_brand").alias("brand"),
+            F.col("p_size").cast("long").alias("size_l"),
+            F.round("p_retailprice", 2).cast("double").alias("price2"),
+            F.lit("catalog").alias("src"),
+        )
+        .orderBy("part_id")
+    )
+
+
+# --- E7: filter predicate battery --------------------------------------------
+@query(
+    "q03_filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND o_orderpriority LIKE '1-%'
+      AND o_custkey IS NOT NULL
+      AND NOT (o_orderkey % 7 = 0)
+    ORDER BY o_orderkey
+    """,
+)
+def q03_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / LIKE / null / boolean-compose; all pushdown-eligible."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.where(
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_totalprice").between(1000, 200000)
+            & F.col("o_orderpriority").like("1-%")
+            & F.col("o_custkey").isNotNull()
+            & ~(F.col("o_orderkey") % 7 == 0)
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("total"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --- E8: broadcast hash join ---------------------------------------------------
+@query(
+    "q04_broadcast_join",
+    oracle=f"""
+    SELECT p.p_brand AS brand,
+           {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand
+    ORDER BY brand
+    """,
+)
+def q04_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small dim: explicit broadcast — zero shuffle of the fact table.
+
+    Scale: ``part`` at 100 TB-scale TPC-H is ~GBs; if it outgrows the
+    broadcast threshold AQE falls back to shuffle join automatically.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --- E9: multi-way shuffle join (TPC-H Q5 shape) ------------------------------
+@query(
+    "q05_revenue_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderdate >= DATE '1996-01-01'
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact tables shuffle on keys, dims broadcast.
+
+    Scale: lineitem⋈orders is the only real shuffle (both huge, equi-key);
+    customer/nation/region broadcast. Filter on r_name prunes before the
+    join via dynamic filters. AQE re-plans if a side is small post-filter.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy("nation")
+    )
+
+
+# --- E9: outer joins -----------------------------------------------------------
+@query(
+    "q06_outer_join_order_counts",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE(CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 6) AS DOUBLE), 0.0) AS spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    ORDER BY custkey
+    """,
+)
+def q06_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join preserving customers with zero orders; COALESCE null agg."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("spend"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "q07_full_outer_reconcile",
+    oracle="""
+    WITH s AS (SELECT l_suppkey AS k, COUNT(*) AS n_li FROM lineitem GROUP BY 1),
+         t AS (SELECT s_suppkey AS k, s_name FROM supplier WHERE s_suppkey % 3 <> 0)
+    SELECT COALESCE(s.k, t.k) AS suppkey,
+           COALESCE(n_li, 0) AS n_li,
+           COALESCE(s_name, '<missing>') AS name
+    FROM s FULL OUTER JOIN t ON s.k = t.k
+    ORDER BY suppkey
+    """,
+)
+def q07_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the generalized copy-verification compare shape
+    (reference `CommonUtils.java:99-124` compared src/dst file maps;
+    symmetric diff is the fix for its src-only iteration quirk)."""
+    li = table(spark, sf_dir, "lineitem")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 3 != 0)
+        .select(F.col("s_suppkey").alias("k"), "s_name")
+    )
+    agg = li.groupBy(F.col("l_suppkey").alias("k")).agg(F.count("*").alias("n_li"))
+    return (
+        agg.join(s, "k", "full_outer")
+        .select(
+            F.col("k").alias("suppkey"),
+            F.coalesce("n_li", F.lit(0)).alias("n_li"),
+            F.coalesce("s_name", F.lit("<missing>")).alias("name"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+# --- E10: semi / anti joins (the reference's existence & conflict checks) -----
+@query(
+    "q08_semi_anti_customers",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name,
+           CASE WHEN c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+                THEN 'big_spender' ELSE 'no_big_order' END AS bucket
+    FROM customer
+    ORDER BY custkey
+    """,
+)
+def q08_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence predicate as semi/anti join (reference R8/R10: skip missing
+    source partitions / conflict-skip on destination, `TransTablePartition.
+    java:119,126` — re-expressed as metadata anti-joins)."""
+    c = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").withColumn(
+        "bucket", F.lit("big_spender")
+    )
+    anti = c.join(big, c.c_custkey == big.o_custkey, "left_anti").withColumn(
+        "bucket", F.lit("no_big_order")
+    )
+    return (
+        semi.unionByName(anti)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            "bucket",
+        )
+        .orderBy("custkey")
+    )
+
+
+# --- E11: theta join -----------------------------------------------------------
+@query(
+    "q09_theta_size_bucket",
+    oracle="""
+    WITH buckets AS (
+      SELECT * FROM (VALUES ('tiny', 0, 10), ('small', 11, 25), ('large', 26, 50))
+        AS t(bucket, lo, hi)
+    )
+    SELECT b.bucket AS bucket, COUNT(*) AS n_parts,
+           CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(38,6))), 6) AS DOUBLE) AS price_sum
+    FROM part p JOIN buckets b ON p.p_size BETWEEN b.lo AND b.hi
+    GROUP BY b.bucket
+    ORDER BY bucket
+    """,
+)
+def q09_theta_size_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a tiny literal dimension.
+
+    Scale: the bucket table is literal → broadcast nested-loop with a cheap
+    range predicate; never a cross shuffle. (The reference's analogous
+    operation is the day-substring containment join, `CommonUtils.java:
+    192-208` — O(days×files) driver-side; here it's a broadcast BNLJ.)
+    """
+    p = table(spark, sf_dir, "part")
+    buckets = spark.createDataFrame(
+        [("tiny", 0, 10), ("small", 11, 25), ("large", 26, 50)],
+        "bucket string, lo int, hi int",
+    )
+    return (
+        p.join(
+            F.broadcast(buckets),
+            (p.p_size >= buckets.lo) & (p.p_size <= buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_parts"),
+            dsum("p_retailprice").alias("price_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- E12: as-of join -----------------------------------------------------------
+@query(
+    "q10_asof_click_to_view",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id AS user_id,
+           epoch_us(c.ts) AS click_us,
+           v.event_id AS view_id,
+           epoch_us(v.ts) AS view_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    ORDER BY click_id
+    """,
+)
+def q10_asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's latest view at-or-before.
+
+    Spark has no native ASOF; `operators.asof.asof_join` implements it as a
+    union + ordered-window `last(ignorenulls)` — a single shuffle on
+    (user_id), no row explosion. DuckDB oracle uses its native ASOF JOIN.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    joined = asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="c_ts",
+        right_ts="v_ts",
+        value_cols=["view_id", "v_ts"],
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        ts_micros("c_ts").alias("click_us"),
+        "view_id",
+        ts_micros("v_ts").alias("view_us"),
+    ).orderBy("click_id")
+
+
+# --- E13: aggregate battery ----------------------------------------------------
+@query(
+    "q11_agg_battery",
+    oracle=f"""
+    SELECT l_returnflag AS flag,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           {o_dsum('l_quantity')} AS sum_qty,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           {o_davg('l_discount')} AS avg_disc,
+           MIN(l_linenumber) AS min_line,
+           MAX(l_linenumber) AS max_line
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY flag
+    """,
+)
+def q11_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count / count distinct / sum / min / max / avg in one hash aggregate.
+
+    Scale: count(distinct) expands to a two-phase aggregate; min/max/sum
+    stay map-side partial. Single shuffle on l_returnflag.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.min("l_extendedprice").cast("double").alias("min_price"),
+            F.max("l_extendedprice").cast("double").alias("max_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.min("l_linenumber").alias("min_line"),
+            F.max("l_linenumber").alias("max_line"),
+        )
+        .orderBy("flag")
+    )
+
+
+# --- E13 approx: checked rows-only (no hash-exact oracle possible) -------------
+@query("q12_approx_distinct")
+def q12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct — the 100 TB substitute for exact countDistinct
+    (single pass, bounded sketch memory, no distinct-expansion shuffle).
+    Rows-only driver check; the pytest suite bounds its relative error."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .orderBy("flag")
+    )
+
+
+# --- E14: rollup / cube / grouping sets -----------------------------------------
+@query(
+    "q13_rollup",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           {o_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+)
+def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping-id disambiguation of the <all> rows.
+
+    Note: Spark's grouping_id() bit order is reversed vs position, so the
+    gid is reconstructed from per-column grouping() bits to match DuckDB.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("o_totalprice").alias("total"),
+            (
+                F.grouping("o_orderstatus").cast("long")
+                + 2 * F.grouping("o_orderpriority").cast("long")
+            ).alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+            "total",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+@query(
+    "q14_cube",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, '<all>') AS flag,
+           COALESCE(l_linestatus, '<all>') AS status,
+           GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n,
+           {o_dsum('l_quantity')} AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, flag, status
+    """,
+)
+def q14_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 4 grouping-set combinations in one pass (expand + agg)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("l_quantity").alias("qty"),
+            (
+                F.grouping("l_returnflag").cast("long")
+                + 2 * F.grouping("l_linestatus").cast("long")
+            ).alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+            "gid",
+            "n",
+            "qty",
+        )
+        .orderBy("gid", "flag", "status")
+    )
+
+
+# --- E15: collect_list / collect_set --------------------------------------------
+@query(
+    "q15_collect_nations",
+    oracle="""
+    SELECT r.r_name AS region,
+           array_to_string(list_sort(list(DISTINCT n.n_name)), ',') AS nations,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+    """,
+)
+def q15_collect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set sorted then joined to a string — deterministic across
+    engines and partition orders (raw collect_list order is not).
+    (Reference analogue: grouping files by day into a multimap,
+    `HDFSMerge.java:161-173`.)"""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("region")
+    )
+
+
+# --- E19/E20: set operations ------------------------------------------------------
+@query(
+    "q16_union_distinct",
+    oracle="""
+    SELECT k, src FROM (
+      SELECT DISTINCT c_nationkey AS k, 'c' AS src FROM customer
+      UNION ALL
+      SELECT DISTINCT s_nationkey AS k, 's' AS src FROM supplier
+    ) ORDER BY k, src
+    """,
+)
+def q16_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two distinct projections, by name."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("k"))
+        .distinct()
+        .withColumn("src", F.lit("c"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("k"))
+        .distinct()
+        .withColumn("src", F.lit("s"))
+    )
+    return c.unionByName(s).orderBy("k", "src")
+
+
+@query(
+    "q17_intersect_except",
+    oracle="""
+    SELECT k, op FROM (
+      SELECT k, 'both' AS op FROM
+        (SELECT DISTINCT c_nationkey AS k FROM customer
+         INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT k, 'cust_only' AS op FROM
+        (SELECT DISTINCT c_nationkey AS k FROM customer
+         EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    ) ORDER BY op, k
+    """,
+)
+def q17_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT — the verification-diff primitives (reference
+    R11 generalizes to `src EXCEPT dst`, SURVEY §2A)."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    both = c.intersect(s).withColumn("op", F.lit("both"))
+    only = c.distinct().exceptAll(s.distinct()).withColumn("op", F.lit("cust_only"))
+    return both.unionByName(only).orderBy("op", "k")
+
+
+# --- E21: deterministic keyed dedup ----------------------------------------------
+@query(
+    "q18_dedup_keep_first",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS first_order,
+           epoch_us(o_orderdate) AS order_us
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) = 1
+    ORDER BY custkey
+    """,
+)
+def q18_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup with a deterministic keep rule (earliest order, orderkey
+    tiebreak) — `dropDuplicates` alone keeps an arbitrary row; row_number=1
+    is the reproducible form. Single shuffle on the key."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("first_order"),
+            ts_micros("o_orderdate").alias("order_us"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# --- E32: table-equivalence fingerprint --------------------------------------------
+@query(
+    "q19_verify_fingerprint",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey * 8 + l_linenumber) AS n_keys,
+           {o_dsum('l_quantity')} AS qty_sum,
+           {o_dsum('l_extendedprice')} AS price_sum,
+           SUM(length(l_returnflag) + length(l_linestatus)) AS str_bytes,
+           MIN(epoch_us(l_shipdate)) AS min_ship_us,
+           MAX(epoch_us(l_shipdate)) AS max_ship_us
+    FROM lineitem
+    """,
+)
+def q19_verify_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table content fingerprint: the engine's generalization of the
+    reference's post-copy verification (count + per-file size compare,
+    `CommonUtils.java:99-124`) to row-level content — one scan, no shuffle
+    beyond the final single-row aggregate. Used by pipelines.verify."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(
+            F.col("l_orderkey") * 8 + F.col("l_linenumber")
+        ).alias("n_keys"),
+        dsum("l_quantity").alias("qty_sum"),
+        dsum("l_extendedprice").alias("price_sum"),
+        F.sum(
+            F.length("l_returnflag") + F.length("l_linestatus")
+        ).alias("str_bytes"),
+        F.min(ts_micros("l_shipdate")).alias("min_ship_us"),
+        F.max(ts_micros("l_shipdate")).alias("max_ship_us"),
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+One session per process; all engine defaults live here so no operator
+hard-codes cluster constants (the reference hard-coded its warehouse root
+and HDFS users in ``KeyConstant.java:21-27`` — we deliberately don't).
+
+Scale notes (100 TB target):
+  * AQE on: runtime shuffle-partition coalescing + skew-join splitting
+    replaces hand-tuned ``spark.sql.shuffle.partitions`` on a real cluster.
+  * ``shuffle.partitions`` here is a local-mode default; AQE coalesces it
+    down, and on a 1000-executor cluster you'd raise the initial value
+    (AQE's ``initialPartitionNum``) instead of this.
+  * Arrow enabled so the few pandas-UDF operators exchange columnar
+    batches, not pickled rows.
+  * Session timezone pinned UTC: required for DuckDB-oracle determinism
+    and the only sane choice for a multi-tenant warehouse.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hadoop_trans_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession with engine defaults."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # Local mode: generous driver memory (single JVM holds everything).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet TIMESTAMP(NANOS) (events.ts) has no native Spark type;
+        # read as long and convert in the catalog (DuckDB truncates to µs —
+        # we match that exactly via integer division).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
