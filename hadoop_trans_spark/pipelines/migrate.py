@@ -1,0 +1,173 @@
+"""Partition migration (reference parity: TransTablePartition +
+TransWholeTablePartition, `/root/reference/src/main/java/cn/dianhun/hadoop/
+TransTablePartition.java:43-166`, `TransWholeTablePartition.java:40-133`).
+
+Behavioral contract preserved (SURVEY §2A semantics):
+  1. date ranges inclusive of both endpoints,
+  2. partition keys deduplicated and sorted ascending,
+  3. destination conflicts skip (default) and processing continues,
+  4. post-copy verification (upgraded: row-content, symmetric),
+plus structured alerts instead of SMTP.
+
+Architectural upgrade over the reference: the copy is ONE distributed
+scan→sink job with partition pruning — no per-partition driver loop, no
+local staging of bytes (`TransTablePartition.java:124,132` pumped every
+byte through the driver's /data/tmp). At 100 TB: executors stream
+partition files cluster-to-cluster; the only driver work is metadata
+(key enumeration + FS listings).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fs
+from .alerts import Alert, AlertSink
+from .verify import VerifyReport, verify
+
+# Joda → java.time pattern compatibility: the reference's `-pp` patterns
+# (yyyyMM, yyyyMMdd) are valid Spark date_format patterns unchanged.
+
+
+def enumerate_partition_keys(
+    spark: SparkSession, start: str, end: str, pattern: str = "yyyyMM"
+) -> list[str]:
+    """R3 (`CommonUtils.java:151-163`): expand the inclusive [start, end]
+    day range, format each day with the partition pattern, dedup + sort
+    (the reference's TreeSet). Computed with Spark date functions so the
+    pattern semantics are identical to what partition writers produce."""
+    from datetime import date
+
+    if date.fromisoformat(start) > date.fromisoformat(end):
+        return []  # empty range → no work (Spark sequence would reject it)
+    rows = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(start).cast("date"),
+                    F.lit(end).cast("date"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("d")
+        )
+        .select(F.date_format("d", pattern).alias("k"))
+        .distinct()
+        .orderBy("k")
+        .collect()
+    )
+    return [r["k"] for r in rows]
+
+
+def discover_partitions(spark: SparkSession, table_path: str, partition_name: str) -> list[str]:
+    """R6 (`TransWholeTablePartition.java:158-165`): list `pn=value` child
+    dirs of a table path; returns the values, sorted."""
+    prefix = f"{partition_name}="
+    return sorted(
+        d[len(prefix):] for d in fs.list_dirs(spark, table_path) if d.startswith(prefix)
+    )
+
+
+@dataclass(frozen=True)
+class MigrateJob:
+    src_root: str  # source warehouse root (…/db)
+    dst_root: str  # destination warehouse root
+    table: str
+    partition_name: str = "par_dt"  # reference `-pn`
+    pattern: str = "yyyyMM"  # reference `-pp`
+    start: str | None = None  # reference `-s` (None+None → whole table)
+    end: str | None = None  # reference `-e`
+    mode: str = "skip"  # conflict policy: skip | overwrite | fail
+    verify_after: bool = True
+
+    @property
+    def src_path(self) -> str:
+        return f"{self.src_root}/{self.table}"
+
+    @property
+    def dst_path(self) -> str:
+        return f"{self.dst_root}/{self.table}"
+
+
+@dataclass
+class MigrateReport:
+    copied: list[str] = field(default_factory=list)
+    skipped_missing: list[str] = field(default_factory=list)
+    conflicts: list[str] = field(default_factory=list)
+    verify: dict[str, VerifyReport] = field(default_factory=dict)
+    alerts: list[Alert] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return all(v.equal for v in self.verify.values())
+
+
+def migrate(spark: SparkSession, job: MigrateJob, sink: AlertSink | None = None) -> MigrateReport:
+    sink = sink or AlertSink()
+    report = MigrateReport()
+    pn = job.partition_name
+
+    # 1. Work set: date-range enumeration (TransTablePartition) or full
+    #    discovery (TransWholeTablePartition).
+    src_existing = discover_partitions(spark, job.src_path, pn)
+    if job.start and job.end:
+        requested = enumerate_partition_keys(spark, job.start, job.end, job.pattern)
+    else:
+        requested = list(src_existing)
+
+    # 2. Existence short-circuit (R8): requested keys missing at source are
+    #    skipped with an alert (`TransTablePartition.java:119`).
+    src_set = set(src_existing)
+    for k in requested:
+        if k not in src_set:
+            report.skipped_missing.append(k)
+            sink.emit(Alert("warning", "missing_source", job.table, k, "not present at source"))
+    present = [k for k in requested if k in src_set]
+
+    # 3. Conflict policy (R10, `TransTablePartition.java:126-131`): the
+    #    reference skips + emails + continues. Metadata-only anti-join.
+    dst_existing = set(discover_partitions(spark, job.dst_path, pn))
+    conflicts = [k for k in present if k in dst_existing]
+    if conflicts:
+        report.conflicts = conflicts
+        if job.mode == "fail":
+            raise FileExistsError(
+                f"{job.table}: destination partitions exist: {conflicts}"
+            )
+        if job.mode == "skip":
+            for k in conflicts:
+                sink.emit(Alert("error", "conflict", job.table, k, "exists at destination; skipped"))
+
+    to_copy = present if job.mode == "overwrite" else [k for k in present if k not in dst_existing]
+    if to_copy:
+        # 4. ONE distributed copy job. The isin filter prunes source
+        #    partitions at planning time (PartitionFilters in the scan);
+        #    dynamic partition overwrite keeps idempotent re-runs safe.
+        src_df = spark.read.parquet(job.src_path).where(F.col(pn).isin(to_copy))
+        writer = src_df.write.partitionBy(pn)
+        if job.mode == "overwrite":
+            writer = writer.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        else:
+            writer = writer.mode("append")
+        writer.parquet(job.dst_path)
+        report.copied = sorted(to_copy)
+
+    # 5. Post-copy verification (R11) per copied partition — row-content,
+    #    both directions (upgrade over file-size compare).
+    if job.verify_after and report.copied:
+        src_df = spark.read.parquet(job.src_path)
+        dst_df = spark.read.parquet(job.dst_path)
+        for k in report.copied:
+            rep = verify(
+                src_df.where(F.col(pn) == k),
+                dst_df.where(F.col(pn) == k),
+            )
+            report.verify[k] = rep
+            if not rep.equal:
+                sink.emit(Alert("error", "verify_mismatch", job.table, k, rep.render()))
+
+    report.alerts = list(sink.alerts)
+    return report

@@ -1,1 +1,106 @@
-"""Placeholder — populated in a later phase."""
+"""Pipeline fidelity queries (E3/E4/E5): run the migrate/compact pipelines
+for real inside the query, then emit a content fingerprint from the
+DESTINATION that the DuckDB oracle reproduces from the SOURCE tables —
+proving copy fidelity end-to-end through the driver's hash gate.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..pipelines import MigrateJob, compact_table, migrate
+from .base import dsum, o_dsum, query, ts_micros
+
+
+@query(
+    "q33_migrate_fidelity",
+    oracle=f"""
+    SELECT strftime(l_shipdate, '%Y%m') AS par_dt,
+           COUNT(*) AS n_rows,
+           {o_dsum('l_quantity')} AS qty_sum,
+           {o_dsum('l_extendedprice')} AS price_sum,
+           MIN(epoch_us(l_shipdate)) AS min_ship_us
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q33_migrate_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a Hive-partitioned warehouse copy of lineitem
+    (par_dt=yyyyMM of l_shipdate), migrate the 1996 partitions to a second
+    warehouse root with the full pipeline (enumeration → conflict check →
+    distributed copy → verify), then fingerprint the DESTINATION per
+    partition. Matching the source-side oracle proves byte-faithful
+    migration (reference R9+R11 end-to-end)."""
+    base = tempfile.mkdtemp(prefix="htspark_migrate_")
+    src_root, dst_root = f"{base}/src", f"{base}/dst"
+
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "par_dt", F.date_format("l_shipdate", "yyyyMM")
+    )
+    li.write.mode("overwrite").partitionBy("par_dt").parquet(f"{src_root}/lineitem")
+
+    report = migrate(
+        spark,
+        MigrateJob(src_root, dst_root, "lineitem", start="1996-01-01", end="1996-12-31"),
+    )
+    assert report.ok, f"migrate verification failed: {report.verify}"
+
+    dst = spark.read.parquet(f"{dst_root}/lineitem")
+    return (
+        dst.groupBy(F.col("par_dt").cast("string").alias("par_dt"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_quantity").alias("qty_sum"),
+            dsum("l_extendedprice").alias("price_sum"),
+            F.min(ts_micros("l_shipdate")).alias("min_ship_us"),
+        )
+        .orderBy("par_dt")
+    )
+
+
+@query(
+    "q34_compact_fidelity",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT event_id) AS n_ids,
+           {o_dsum('"value"')} AS value_sum,
+           MIN(epoch_us(ts)) AS min_ts_us,
+           MAX(epoch_us(ts)) AS max_ts_us
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q34_compact_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events as many small files per day partition, run compaction
+    (size-aware selection → coalesce → snappy → atomic swap), then
+    fingerprint the compacted table. Matching the oracle computed on the
+    original events proves content-hash invariance (reference R13–R16)."""
+    base = tempfile.mkdtemp(prefix="htspark_compact_")
+    path = f"{base}/events"
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "par_dt", F.date_format("ts", "yyyyMMdd")
+    )
+    ev.repartition(20).write.mode("overwrite").partitionBy("par_dt").parquet(path)
+
+    report = compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert not report.failed, f"compaction failures: {report.failed}"
+
+    compacted = spark.read.parquet(path)
+    return (
+        compacted.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("event_id").alias("n_ids"),
+            dsum("value").alias("value_sum"),
+            F.min(ts_micros("ts")).alias("min_ts_us"),
+            F.max(ts_micros("ts")).alias("max_ts_us"),
+        )
+        .orderBy("event_type")
+    )

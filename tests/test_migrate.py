@@ -1,0 +1,140 @@
+"""Migrate pipeline tests — each named reference semantic (SURVEY §2A)
+gets a dedicated test. Fixture warehouse: lineitem partitioned by
+par_dt=yyyyMM of l_shipdate (FIXTURES.md layout), built once per session.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_trans_spark.catalog import table
+from hadoop_trans_spark.pipelines import MigrateJob, migrate
+from hadoop_trans_spark.pipelines.migrate import (
+    discover_partitions,
+    enumerate_partition_keys,
+)
+from hadoop_trans_spark.pipelines.verify import verify
+
+
+@pytest.fixture(scope="module")
+def src_warehouse(spark, smoke_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("src_wh"))
+    li = table(spark, smoke_dir, "lineitem").withColumn(
+        "par_dt", F.date_format("l_shipdate", "yyyyMM")
+    )
+    li.write.partitionBy("par_dt").parquet(f"{root}/lineitem")
+    return root
+
+
+def test_semantic1_inclusive_date_range(spark):
+    """Both endpoints included (`CommonUtils.java:157` i <= days)."""
+    keys = enumerate_partition_keys(spark, "1996-01-31", "1996-03-01", "yyyyMM")
+    assert keys == ["199601", "199602", "199603"]
+    days = enumerate_partition_keys(spark, "1996-02-27", "1996-03-02", "yyyyMMdd")
+    assert days == ["19960227", "19960228", "19960229", "19960301", "19960302"]
+
+
+def test_semantic2_keys_deduped_sorted(spark):
+    """Coarse pattern over a long range dedups + sorts (TreeSet,
+    `CommonUtils.java:152`)."""
+    keys = enumerate_partition_keys(spark, "1996-12-01", "1996-12-31", "yyyyMM")
+    assert keys == ["199612"]
+    keys = enumerate_partition_keys(spark, "1997-03-15", "1996-11-02", "yyyyMM")
+    assert keys == []  # empty range → no work, no error
+
+
+def test_migrate_copies_range_and_verifies(spark, src_warehouse, tmp_path):
+    dst = str(tmp_path / "dst_wh")
+    job = MigrateJob(
+        src_root=src_warehouse, dst_root=dst, table="lineitem",
+        start="1996-01-01", end="1996-12-31",
+    )
+    report = migrate(spark, job)
+    assert report.copied == [f"1996{m:02d}" for m in range(1, 13)]
+    assert report.ok and all(v.equal for v in report.verify.values())
+    # Partition layout on disk mirrors the reference's pn=value dirs.
+    assert discover_partitions(spark, f"{dst}/lineitem", "par_dt") == report.copied
+    # Row counts match source for the migrated range.
+    src_n = (
+        spark.read.parquet(f"{src_warehouse}/lineitem")
+        .where(F.col("par_dt").between("199601", "199612"))
+        .count()
+    )
+    assert spark.read.parquet(f"{dst}/lineitem").count() == src_n
+
+
+def test_semantic3_conflict_skips_and_continues(spark, src_warehouse, tmp_path):
+    """Dest conflict → skip that partition, alert, continue with the rest
+    (`TransTablePartition.java:126-131`)."""
+    dst = str(tmp_path / "dst_wh")
+    job1 = MigrateJob(src_warehouse, dst, "lineitem", start="1996-03-01", end="1996-03-31")
+    assert migrate(spark, job1).copied == ["199603"]
+
+    job2 = MigrateJob(src_warehouse, dst, "lineitem", start="1996-02-01", end="1996-04-30")
+    report = migrate(spark, job2)
+    assert report.conflicts == ["199603"]
+    assert report.copied == ["199602", "199604"]
+    assert any(a.kind == "conflict" and a.partition == "199603" for a in report.alerts)
+    # No duplication of the conflicting partition.
+    n_03 = spark.read.parquet(f"{dst}/lineitem").where(F.col("par_dt") == "199603").count()
+    src_03 = spark.read.parquet(f"{src_warehouse}/lineitem").where(F.col("par_dt") == "199603").count()
+    assert n_03 == src_03
+
+
+def test_conflict_mode_fail_raises(spark, src_warehouse, tmp_path):
+    dst = str(tmp_path / "dst_wh")
+    migrate(spark, MigrateJob(src_warehouse, dst, "lineitem", start="1996-05-01", end="1996-05-31"))
+    with pytest.raises(FileExistsError):
+        migrate(
+            spark,
+            MigrateJob(src_warehouse, dst, "lineitem", start="1996-05-01", end="1996-05-31", mode="fail"),
+        )
+
+
+def test_conflict_mode_overwrite_replaces(spark, src_warehouse, tmp_path):
+    dst = str(tmp_path / "dst_wh")
+    migrate(spark, MigrateJob(src_warehouse, dst, "lineitem", start="1996-06-01", end="1996-06-30"))
+    report = migrate(
+        spark,
+        MigrateJob(src_warehouse, dst, "lineitem", start="1996-06-01", end="1996-06-30", mode="overwrite"),
+    )
+    assert report.copied == ["199606"]
+    assert report.ok  # overwrite left exactly one copy, verified
+
+
+def test_missing_source_partition_skipped(spark, src_warehouse, tmp_path):
+    """R8: requested-but-absent source partitions are skipped with an alert
+    (`TransTablePartition.java:119`), not errors."""
+    dst = str(tmp_path / "dst_wh")
+    report = migrate(
+        spark,
+        MigrateJob(src_warehouse, dst, "lineitem", start="2030-01-01", end="2030-02-28"),
+    )
+    assert report.copied == []
+    assert report.skipped_missing == ["203001", "203002"]
+    assert all(a.kind == "missing_source" for a in report.alerts)
+
+
+def test_whole_table_migration(spark, src_warehouse, tmp_path):
+    """TransWholeTablePartition: no range → discover + copy everything."""
+    dst = str(tmp_path / "dst_wh")
+    report = migrate(spark, MigrateJob(src_warehouse, dst, "lineitem"))
+    assert report.copied == discover_partitions(spark, f"{src_warehouse}/lineitem", "par_dt")
+    assert report.ok
+
+
+def test_semantic4_verify_symmetric(spark, smoke_dir):
+    """Verification detects src-only AND dst-only rows (the reference only
+    caught src-side, SURVEY §2A note 4)."""
+    li = table(spark, smoke_dir, "lineitem").limit(100).cache()
+    dst_missing = li.where(F.col("l_linenumber") != 1)  # dst lost rows
+    rep = verify(li, dst_missing)
+    assert not rep.equal and rep.src_only > 0 and rep.dst_only == 0
+
+    dst_extra = li.unionAll(li.limit(3))  # dst gained rows
+    rep = verify(li, dst_extra)
+    assert not rep.equal and rep.dst_only == 3
+
+    rep = verify(li, li)
+    assert rep.equal
