@@ -1,0 +1,84 @@
+"""SimHash near-duplicate fingerprints (E34; Charikar '02).
+
+Per document: each distinct token votes ±1 on every bit of a b-bit
+fingerprint (vote = parity of a hex digit of md5(token)); bit = 1 where
+the vote sum is positive. Near-duplicates have small Hamming distance.
+
+b=16 keeps the per-token work bounded and — deliberately — every step
+(md5, hex-digit parity, sum, bit assembly) is reproducible in ANSI SQL,
+so the DuckDB oracle runs the identical pipeline. At 100 TB the explode
+factor is |tokens|×16, all map-side; the only shuffle is the final
+groupBy(doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+N_BITS = 16
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) with a 16-bit fingerprint as bigint."""
+    tokens = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.lower(text_col), " "))).alias("tok"),
+    )
+    bits = tokens.select(
+        "id",
+        "tok",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BITS - 1))).alias("b"),
+    )
+    # Hex digit b of md5(token) → parity → vote ∈ {-1, +1}.
+    digit = F.conv(F.substring(F.md5("tok"), F.col("b") + 1, F.lit(1)), 16, 10).cast("int")
+    vote = (digit % 2) * 2 - 1
+    return (
+        bits.withColumn("vote", vote)
+        .groupBy("id", "b")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, 1).otherwise(0))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.col("bitval").cast("bigint") * F.pow(2, F.col("b")).cast("bigint")
+            ).alias("simhash")
+        )
+    )
+
+
+def hamming_pairs(sim: DataFrame, max_distance: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) for pairs within the distance budget.
+
+    Local/small-N path is a self-join + bit_count(xor). At scale, block
+    first: split the fingerprint into (max_distance+1) segments — by
+    pigeonhole, any pair within the budget shares at least one exact
+    segment — and equi-join on (segment_idx, segment_value) like LSH
+    banding. Implemented with the segment blocking so the plan is the
+    scale plan."""
+    n_seg = max_distance + 1
+    seg_bits = N_BITS // n_seg
+    segs = sim.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_seg - 1))).alias("seg"),
+    ).withColumn(
+        "seg_val",
+        F.shiftrightunsigned("simhash", F.col("seg") * seg_bits).bitwiseAND(
+            (1 << seg_bits) - 1
+        ),
+    )
+    a = segs.select("seg", "seg_val", F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = segs.select("seg", "seg_val", F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.join(b, ["seg", "seg_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_distance)
+    )

@@ -1,0 +1,147 @@
+"""Vector similarity search over embedding columns (E35).
+
+Two paths:
+  * brute-force cosine top-k — broadcast the (small) query set, compute
+    dot products with JVM higher-order functions, window top-k. The
+    correct baseline at any scale where |queries| is broadcastable.
+  * IVF-style two-stage search — assign vectors to coarse cells
+    (here: the existing `label` column or k-means-lite centroids computed
+    as per-cell means), probe only the closest cells per query. This is
+    the 100 TB path: the probe prunes the candidate set by the cell
+    filter (partition pruning if the table is written partitioned by
+    cell), trading recall for a bounded scan.
+
+All vector math is double-precision, elementwise via zip_with/aggregate —
+codegen'd, no Python, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dbl(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k: (q_id, c_id, cos, rank), rank 1..k per query.
+
+    Ranking orders by ROUND(cos, 6) then id so results are reproducible
+    across engines and partitionings (raw float ties are not).
+    """
+    q = queries.select(F.col(query_id), F.col(vec).alias("q_vec"))
+    c = corpus.select(F.col(corpus_id), F.col(vec).alias("c_vec"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col(query_id) != F.col(corpus_id))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos", "rank")
+    )
+
+
+def cell_centroids(corpus: DataFrame, cell: str = "label", vec: str = "embedding") -> DataFrame:
+    """Per-cell mean vector: posexplode → avg per (cell, pos) → re-assemble
+    ordered by position. One shuffle on (cell, pos), one on cell."""
+    exploded = corpus.select(cell, F.posexplode(_dbl(F.col(vec))).alias("pos", "v"))
+    return (
+        exploded.groupBy(cell, "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy(cell)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    cell: str = "label",
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: rank cells by query↔centroid cosine, search only the
+    top ``n_probe`` cells. Returns (q_id, c_id, cos, rank)."""
+    cents = cell_centroids(corpus, cell, vec)
+    q = queries.select(F.col(query_id), F.col(vec).alias("q_vec"))
+
+    cw = W.partitionBy(query_id).orderBy(
+        F.round(F.col("cell_cos"), 6).desc(), F.col(cell)
+    )
+    probed = (
+        q.crossJoin(cents)
+        .withColumn("cell_cos", cosine(F.col("q_vec"), F.col("centroid")))
+        .withColumn("cell_rank", F.row_number().over(cw))
+        .where(F.col("cell_rank") <= n_probe)
+        .select(query_id, "q_vec", cell)
+    )
+
+    c = corpus.select(F.col(corpus_id), F.col(cell), F.col(vec).alias("c_vec"))
+    scored = (
+        probed.join(c, cell)  # cell filter = the IVF prune
+        .where(F.col(query_id) != F.col(corpus_id))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    block: str = "label",
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs by cosine within a blocking key (E34 embedding
+    variant): (id_a, id_b, cos). Blocking bounds the quadratic join the
+    same way LSH banding does for text."""
+    a = corpus.select(F.col(block), F.col(id_col).alias("id_a"), F.col(vec).alias("v_a"))
+    b = corpus.select(F.col(block), F.col(id_col).alias("id_b"), F.col(vec).alias("v_b"))
+    return (
+        a.join(b, block)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -14,7 +14,9 @@ from . import (  # noqa: F401  (import for registration side effects)
     relational,
     scalar_functions,
     similarity,
+    sources_io,
     streaming,
+    udf,
     windows,
 )
 from .base import ORACLE, QUERIES

@@ -1,1 +1,222 @@
-"""Placeholder — populated in a later phase."""
+"""Deduplication query surface (E34): exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup. Oracles re-run the identical
+deterministic pipelines in DuckDB SQL (same md5 seeds, same banding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.minhash import near_duplicates
+from ..operators.simhash import simhash
+from ..operators.similarity import embedding_near_duplicates
+from ..operators.textstats import normalize_text
+from .base import query
+
+
+@query(
+    "q39_exact_dedup",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key
+      FROM documents
+    )
+    SELECT content_key,
+           MIN(doc_id) AS keep_doc,
+           COUNT(*) AS n_copies
+    FROM canon
+    GROUP BY content_key
+    HAVING COUNT(*) >= 1
+    ORDER BY keep_doc
+    """,
+)
+def q39_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash: groupBy(md5(canonical
+    text)), keep lowest doc_id. One shuffle on the 16-byte key — the
+    canonical 100 TB exact-dedup plan (hash, never raw text, crosses the
+    wire)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", F.md5(normalize_text(F.col("text"))).alias("content_key")
+        )
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("keep_doc"), F.count("*").alias("n_copies"))
+        .orderBy("keep_doc")
+    )
+
+
+# Shared CTE prelude for the MinHash oracle — identical pipeline, same
+# hash family (md5(seed:shingle), string-min), same 12 hashes × 4 bands.
+_MINHASH_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+                 i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))
+             )) AS shingle
+      FROM documents
+    ),
+    sigs AS (
+      SELECT id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS minhash
+      FROM sh, generate_series(0, 11) s(seed)
+      GROUP BY id, seed
+    ),
+    bands AS (
+      SELECT id, seed // 3 AS band,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+      FROM sigs GROUP BY id, seed // 3
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.id = c.id_a
+      JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(ROUND(COALESCE(i.n_inter, 0)::DOUBLE
+                      / (sa.n + sb.n - COALESCE(i.n_inter, 0)), 6) AS DOUBLE) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i USING (id_a, id_b)
+    JOIN sizes sa ON sa.id = c.id_a
+    JOIN sizes sb ON sb.id = c.id_b
+    WHERE COALESCE(i.n_inter, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.5
+    ORDER BY id_a, id_b
+"""
+
+
+@query("q40_minhash_lsh_neardup", oracle=_MINHASH_ORACLE)
+def q40_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) + LSH(4 bands × 3 rows) + exact-Jaccard verification,
+    threshold 0.5 (finds the corpus's planted near-duplicates).
+    See operators.minhash for the scale analysis."""
+    d = table(spark, sf_dir, "documents")
+    return near_duplicates(
+        d, shingle_k=3, n_hashes=12, bands=4, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q41_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+      FROM documents
+    ),
+    votes AS (
+      SELECT id, b,
+             SUM(((strpos('0123456789abcdef', substring(md5(tok), b+1, 1)) - 1) % 2) * 2 - 1) AS s
+      FROM toks, generate_series(0, 15) t(b)
+      GROUP BY id, b
+    )
+    SELECT id AS doc_id,
+           SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+    FROM votes
+    GROUP BY id
+    ORDER BY doc_id
+    """,
+)
+def q41_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (operators.simhash); the Hamming-pair
+    stage is exercised by tests (segment-blocked join)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        simhash(d)
+        .select(F.col("id").alias("doc_id"), "simhash")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q42_ngram_jaccard",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars // 200 AS len_bucket,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+             )) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+                / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
+                AS DOUBLE) AS jaccard
+    FROM w a
+    JOIN w b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+            AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct word-3-gram Jaccard with (lang, length-bucket) blocking —
+    the no-LSH variant for modest corpora. Blocking keys bound the
+    quadratic join; at 100 TB you'd use q40's LSH instead (noted in the
+    plan docs), but the blocked shape is still shuffle-safe: the join is
+    an equi-join on the block key."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
+        )
+    )
+    w = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 200).cast("long").alias("len_bucket"),
+        grams.alias("grams"),
+    )
+    a = w.select(
+        F.col("lang"), F.col("len_bucket"),
+        F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"),
+    )
+    b = w.select(
+        F.col("lang"), F.col("len_bucket"),
+        F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"),
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    jac = inter.cast("double") / (F.size("g_a") + F.size("g_b") - inter)
+    return (
+        a.join(b, ["lang", "len_bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(jac >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q43_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+                AS DOUBLE) AS cos
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with label blocking
+    (operators.similarity.embedding_near_duplicates)."""
+    e = table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(e, threshold=0.4).orderBy("id_a", "id_b")

@@ -1,1 +1,133 @@
-"""Placeholder — populated in a later phase."""
+"""Text-analysis queries (E33) over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.textstats import (
+    char_shingle_fingerprint,
+    lang_guess,
+    text_stats,
+)
+from .base import o_davg, query
+
+
+@query(
+    "q35_text_stats",
+    oracle=r"""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(string_split_regex(trim(text), '\s+')) AS n_words,
+           len(string_split(text, chr(10))) AS n_lines,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+           CAST(ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                      / greatest(length(text), 1), 6) AS DOUBLE) AS punct_ratio,
+           CAST(ROUND(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                      w -> w IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+                      / greatest(len(string_split_regex(lower(text), '\s+')), 1), 6) AS DOUBLE)
+             AS stopword_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q35_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char/word/line/token counts + punctuation & stopword ratios —
+    all JVM-side string ops (operators.textstats)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        text_stats(d)
+        .select(
+            "doc_id",
+            "n_chars_calc",
+            "n_words",
+            "n_lines",
+            "n_tokens",
+            "punct_ratio",
+            "stopword_ratio",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q36_corpus_quality_profile",
+    oracle=f"""
+    SELECT lang,
+           source,
+           COUNT(*) AS n_docs,
+           {o_davg('n_chars')} AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def q36_corpus_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: per (lang, source) doc counts + length stats —
+    the filter/profile step before training-data selection."""
+    from .base import davg
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            davg("n_chars").alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "q37_lang_id",
+    oracle="""
+    SELECT doc_id, lang AS lang_label,
+           CASE
+             WHEN length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) > 0 THEN 'zh'
+             WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  w -> w IN ('the','a','and','of'))) > 0 THEN 'en'
+             ELSE 'und'
+           END AS lang_pred
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q37_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword vote + CJK char detection).
+
+    Honest limitation: the fixture text is synthetic English-like for
+    every lang label, so predictions are ~all 'en'; the oracle checks the
+    deterministic heuristic, not linguistic accuracy."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        lang_guess(F.col("text")).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q38_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           min(md5(substring(text, i, 8))) AS fp_min,
+           max(md5(substring(text, i, 8))) AS fp_max
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text)-7, 1) + 1)) AS i
+      FROM documents
+    )
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q38_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 8-char-window hash fingerprint (min/max of window hashes) —
+    compact content signature for incremental-crawl change detection."""
+    d = table(spark, sf_dir, "documents")
+    return char_shingle_fingerprint(d, "doc_id", "text", k=8).orderBy("doc_id")

@@ -1,1 +1,110 @@
-"""Placeholder — populated in a later phase."""
+"""Multimodal-column queries (E36): nested structs, binary payloads, and
+the Arrow-batched feature-extraction plumbing (with stubbed decode)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.multimodal import attach_binary, fake_features
+from .base import query
+
+
+@query(
+    "q46_struct_nested",
+    oracle="""
+    SELECT doc_id,
+           lang AS meta_lang,
+           source AS meta_source,
+           n_chars AS meta_chars,
+           lang || '/' || source AS meta_path,
+           CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS size_class
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q46_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a nested struct column, then access/flatten it — the typed-
+    metadata model for multimodal rows. (Output is flattened scalars;
+    struct JSON text differs between engines so isn't compared.)"""
+    d = table(spark, sf_dir, "documents")
+    nested = d.select(
+        "doc_id",
+        F.struct(
+            F.col("lang"),
+            F.col("source"),
+            F.struct(F.col("n_chars").alias("chars")).alias("size"),
+        ).alias("meta"),
+    )
+    return nested.select(
+        "doc_id",
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.source").alias("meta_source"),
+        F.col("meta.size.chars").alias("meta_chars"),
+        F.concat_ws("/", "meta.lang", "meta.source").alias("meta_path"),
+        F.when(F.col("meta.size.chars") > 300, "long")
+        .otherwise("short")
+        .alias("size_class"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q47_binary_payload",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS checksum,
+           substring(to_base64(encode(text)), 1, 24) AS b64_head
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q47_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary column plumbing: utf-8 payload bytes + length + checksum +
+    base64 head. Parquet stores the payload in its own column chunk, so
+    metadata-only queries never touch the bytes (column pruning)."""
+    d = table(spark, sf_dir, "documents")
+    media = attach_binary(d)
+    return media.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+        F.substring(F.base64("payload"), 1, 24).alias("b64_head"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q48_media_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+           CAST(ROUND(
+             ((octet_length(encode(text)) * 1 + ascii(substring(text,1,1))) % 256
+            + (octet_length(encode(text)) * 2 + ascii(substring(text,1,1))) % 256
+            + (octet_length(encode(text)) * 3 + ascii(substring(text,1,1))) % 256
+            + (octet_length(encode(text)) * 4 + ascii(substring(text,1,1))) % 256)::DOUBLE, 6)
+            AS DOUBLE) AS feat_sum
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q48_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via Arrow-batched
+    mapInPandas — the REAL plumbing for image/audio decode (the decoder
+    itself is a deterministic stand-in; see operators.multimodal —
+    decode libs aren't in this container). Oracle reproduces the fake
+    features arithmetically, proving batch shape + schema fidelity."""
+    d = table(spark, sf_dir, "documents")
+    feats = fake_features(attach_binary(d))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("feat_sum"),
+    ).orderBy("doc_id")

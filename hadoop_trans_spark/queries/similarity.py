@@ -1,1 +1,105 @@
-"""Placeholder — populated in a later phase."""
+"""Similarity-search queries (E35): brute-force cosine top-k and the
+IVF-style two-stage ANN over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.similarity import cosine_topk, ivf_topk
+from .base import query
+
+_COS = (
+    "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))"
+    "    * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))"
+)
+
+
+@query(
+    "q44_cosine_topk",
+    oracle=f"""
+    SELECT q_id, c_id, cos, rank FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             CAST(ROUND({_COS}, 6) AS DOUBLE) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND({_COS}, 6) DESC, c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 8
+    ) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+)
+def q44_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors against the corpus.
+
+    Scale plan: queries broadcast; per-partition dot products (JVM
+    higher-order fns, codegen'd); top-k via per-query window. Ordering on
+    ROUND(cos,6) + id makes ranks engine-reproducible."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return cosine_topk(q, c, k=5, query_id="q_id", corpus_id="c_id").orderBy(
+        "q_id", "rank"
+    )
+
+
+@query(
+    "q45_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT label, list(m ORDER BY pos) AS centroid FROM (
+        SELECT label, pos, avg(embedding[pos]::DOUBLE) AS m
+        FROM (SELECT label, embedding,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM embeddings)
+        GROUP BY label, pos
+      ) GROUP BY label
+    ),
+    qs AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 5),
+    probed AS (
+      SELECT q_id, q_vec, label FROM (
+        SELECT q.q_id, q.q_vec, c.label,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY ROUND(list_dot_product(q.q_vec, c.centroid)
+                       / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                          * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
+                       c.label) AS cell_rank
+        FROM qs q CROSS JOIN cents c
+      ) WHERE cell_rank <= 2
+    )
+    SELECT q_id, c_id, cos, rank FROM (
+      SELECT p.q_id, e.vec_id AS c_id,
+             CAST(ROUND(list_dot_product(p.q_vec, e.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+                     * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6)
+                  AS DOUBLE) AS cos,
+             row_number() OVER (PARTITION BY p.q_id ORDER BY
+               ROUND(list_dot_product(p.q_vec, e.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+                     * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) DESC,
+               e.vec_id) AS rank
+      FROM probed p JOIN embeddings e ON e.label = p.label AND e.vec_id <> p.q_id
+    ) WHERE rank <= 3
+    ORDER BY q_id, rank
+    """,
+)
+def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-cell centroids (cell = label) → probe top-2
+    cells per query → exact top-3 within probed cells.
+
+    Scale plan: centroid build is two shuffles over (cell,pos); the probe
+    joins queries only against 2/|cells| of the corpus — with the corpus
+    written `partitionBy(cell)`, that's real partition pruning."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), "label", "embedding")
+    return ivf_topk(
+        q, corpus, k=3, n_probe=2, cell="label", query_id="q_id", corpus_id="c_id"
+    ).orderBy("q_id", "rank")

@@ -1,0 +1,89 @@
+"""Source/sink queries (E2): CSV and JSON ingest round-trips with explicit
+schemas, fingerprinted against the original table."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..sources import read_csv, read_json
+from .base import dsum, o_dsum, query
+
+
+@query(
+    "q52_csv_roundtrip",
+    oracle=f"""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n,
+           {o_dsum('c_acctbal')} AS bal_sum,
+           min(c_name) AS first_name
+    FROM customer
+    GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def q52_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → CSV (header) → read back with a declared schema →
+    fingerprint. Proves the CSV boundary preserves content (doubles
+    round-trip via their shortest decimal repr)."""
+    base = tempfile.mkdtemp(prefix="htspark_csv_")
+    c = table(spark, sf_dir, "customer")
+    c.write.mode("overwrite").option("header", "true").csv(f"{base}/customer")
+
+    schema = (
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    back = read_csv(spark, f"{base}/customer", schema)
+    return (
+        back.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum("c_acctbal").alias("bal_sum"),
+            F.min("c_name").alias("first_name"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "q53_json_roundtrip",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {o_dsum('"value"')} AS value_sum,
+           MIN(epoch_us(ts)) AS min_ts_us
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q53_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON lines (ts as epoch-micros to sidestep text timestamp
+    formats) → read back with declared schema → fingerprint."""
+    base = tempfile.mkdtemp(prefix="htspark_json_")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    ev.write.mode("overwrite").json(f"{base}/events")
+
+    schema = (
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    back = read_json(spark, f"{base}/events", schema)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("value_sum"),
+            F.min("ts_us").alias("min_ts_us"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,105 @@
+"""UDF surface (E29 pandas scalar UDF, E30 grouped-agg UDF, E31 grouped-map
+applyInPandas). All Arrow-batched — never row-at-a-time Python — and each
+chosen so results are exact (integer / median / rank) rather than
+float-accumulation-order-dependent, keeping the DuckDB oracles bitwise.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import table
+from ..operators.textstats import TOKEN_PATTERN
+from .base import query
+
+
+@query(
+    "q49_pandas_udf_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_udf
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q49_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E29: vectorized (Arrow) pandas UDF — regex token count per row.
+    ~10-100× the throughput of a row-at-a-time Python UDF; still the slow
+    path vs the built-in regexp_extract_all used by q35."""
+
+    @F.pandas_udf(T.LongType())
+    def count_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.count(TOKEN_PATTERN).astype("int64")
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", count_tokens("text").alias("n_tokens_udf")
+    ).orderBy("doc_id")
+
+
+@query(
+    "q50_grouped_agg_median",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           CAST(ROUND(median(o_totalprice), 6) AS DOUBLE) AS median_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY prio
+    """,
+)
+def q50_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E30: grouped-aggregate pandas UDF (median — exact, order-free, so
+    the oracle matches bitwise; a float mean would depend on summation
+    order). Spark has no exact-median aggregate without sort tricks."""
+
+    @F.pandas_udf(T.DoubleType())
+    def median_udf(v: pd.Series) -> float:
+        return float(v.median())
+
+    o = table(spark, sf_dir, "orders")
+    # A grouped-agg pandas UDF cannot share an agg with JVM aggregates —
+    # compute separately and join on the group key.
+    med = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.round(median_udf("o_totalprice"), 6).alias("median_price")
+    )
+    cnt = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count("*").alias("n")
+    )
+    return med.join(cnt, "prio").orderBy("prio")
+
+
+@query(
+    "q51_apply_in_pandas_rank",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           c_mktsegment AS segment,
+           rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS bal_rank
+    FROM customer
+    ORDER BY custkey
+    """,
+)
+def q51_apply_in_pandas_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E31: grouped-map applyInPandas (per-group pandas DataFrame in/out).
+    In-group rank with method='min' ≡ SQL RANK() — ints, exact.
+    One shuffle on the group key; each group must fit a worker's memory
+    (the operator's documented contract)."""
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["bal_rank"] = pdf["c_acctbal"].rank(method="min").astype("int64")
+        return pdf[["c_custkey", "c_mktsegment", "bal_rank"]]
+
+    c = table(spark, sf_dir, "customer")
+    out = c.groupBy("c_mktsegment").applyInPandas(
+        rank_group, "c_custkey long, c_mktsegment string, bal_rank long"
+    )
+    return out.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        "bal_rank",
+    ).orderBy("custkey")

@@ -1,0 +1,38 @@
+"""Schema-checked source readers (E1/E2) and the binary-file source.
+
+Policy (SURVEY §1.2): schemas are declared, never inferred, except at
+explicit ingest boundaries. Inference on 100 TB means a second scan and
+nondeterministic types — both unacceptable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType | str, header: bool = True) -> DataFrame:
+    """CSV ingest with an explicit schema (no inferSchema scan)."""
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
+    """JSON-lines ingest with an explicit schema."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Opaque-blob source (path, modificationTime, length, content) — the
+    Spark equivalent of the reference's byte-stream file model
+    (`HDFSMerge.java:199-210` treated all files as raw bytes)."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
