@@ -1,1 +1,178 @@
-"""Placeholder — populated in a later phase."""
+"""Streaming queries E37–E41 (SURVEY §2B), checked against batch oracles.
+
+Every streaming job runs with ``trigger(availableNow=True)`` over the
+static fixture, so its final sink state is deterministic and equals a
+batch query DuckDB can run — the strategy SURVEY §5.2 commits to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import (
+    late_data_drop,
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    sliding_counts,
+    stream_dedup,
+    stream_migrate,
+    tumbling_counts,
+)
+from .base import dsum, o_dsum, query
+
+
+@query(
+    "q54_stream_tumbling",
+    f"""
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {o_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E37 tumbling window: hourly per-type counts + exact sums."""
+    out = run_to_memory(
+        tumbling_counts(read_events_stream(spark, sf_dir)), "complete"
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "q55_stream_sliding",
+    """
+    SELECT epoch_us(ws) AS window_start, event_type, count(*) AS n_events
+    FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                   - k * INTERVAL '30 minutes' AS ws,
+               event_type
+        FROM events
+        CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E37 sliding window (1h size / 30m slide): each event in 2 windows."""
+    out = run_to_memory(
+        sliding_counts(read_events_stream(spark, sf_dir)), "complete"
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "q56_stream_session",
+    """
+    WITH o AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ), f AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL
+                         OR ts - prev >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS news
+        FROM o
+    ), g AS (
+        SELECT user_id, ts,
+               sum(news) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start,
+           epoch_us(max(ts) + INTERVAL '30 minutes') AS session_end,
+           count(*) AS n_events
+    FROM g
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E38 session windows: 30-minute-gap sessions per user.
+
+    Oracle reproduces Spark's merge rule (windows merge iff they overlap,
+    i.e. next ts strictly < prev ts + gap) with a lag/islands query.
+    """
+    out = run_to_memory(
+        session_windows(read_events_stream(spark, sf_dir)), "complete"
+    )
+    return out.orderBy("user_id", "session_start")
+
+
+@query(
+    "q57_stream_dedup",
+    f"""
+    SELECT event_type, count(*) AS n_events, {o_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E40 stateful stream dedup: doubled input → exactly-once per key."""
+    deduped = run_to_memory(stream_dedup(spark, sf_dir), "append")
+    return (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q58_stream_migrate",
+    f"""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT event_id) AS n_ids,
+           min(event_id) AS min_id,
+           max(event_id) AS max_id,
+           {o_dsum('value')} AS sum_value
+    FROM events
+    """,
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E41 incremental append sink: continuous migrate, fingerprint-checked.
+
+    The streaming re-expression of the reference's partition migrate loop
+    (reference ``TransTablePartition.java:115-140``); exactly-once file
+    tracking replaces its dest-exists conflict check.
+    """
+    dest = stream_migrate(spark, sf_dir)
+    return spark.read.parquet(dest).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+@query(
+    "q59_stream_late_drop",
+    """
+    WITH a AS (SELECT * FROM events WHERE event_id % 997 != 0),
+         wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM a)
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
+           count(*) AS n_events
+    FROM a, wm
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= w
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E39 watermark: late rows (2nd batch, far behind watermark) dropped.
+
+    Append mode emits exactly the windows whose end precedes the final
+    watermark (max on-time ts - 10 min) — reproduced by the oracle's WHERE.
+    """
+    return late_data_drop(spark, sf_dir).orderBy("window_start")

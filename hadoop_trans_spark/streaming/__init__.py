@@ -1,0 +1,28 @@
+"""Structured Streaming surface (SURVEY §2B E37–E41).
+
+Batch tables become streams via the file source; every job runs with
+``trigger(availableNow=True)`` so a finite fixture directory produces a
+deterministic final state that a batch DuckDB oracle can reproduce.
+"""
+
+from .jobs import (
+    late_data_drop,
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    sliding_counts,
+    stream_dedup,
+    stream_migrate,
+    tumbling_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_to_memory",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_windows",
+    "stream_dedup",
+    "stream_migrate",
+    "late_data_drop",
+]

@@ -1,0 +1,255 @@
+"""Streaming jobs over the ``events`` fixture (SURVEY §2B E37–E41).
+
+Reference parity: the reference's only "continuous" behavior is re-running
+``TransTablePartition`` (reference ``TransTablePartition.java:43``) on new
+partitions; ``stream_migrate`` is that loop as a Structured Streaming
+incremental append sink (E41).  The windowed/stateful operators are the
+north-star streaming surface.
+
+Scale notes (100 TB / 1000-executor design):
+
+* File source discovery is incremental and driver-metadata-only; at scale
+  the same jobs point at a Kafka source — nothing below depends on the
+  source being files except ``read_events_stream``.
+* All stateful operators (windows, sessions, dedup) bound their state via
+  watermarks; at scale set the RocksDB state store provider
+  (``spark.sql.streaming.stateStore.providerClass``) so state spills off
+  the executor heap.
+* Aggregations here use ``complete`` output only because the fixture is
+  finite and tiny; production jobs use ``append`` + watermark so state is
+  dropped — ``late_data_drop`` demonstrates exactly those semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet stores TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong=true it reads as long nanos, which we
+# truncate to µs exactly like DuckDB does (see catalog.table).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """events.parquet as a stream (file source needs a dir → glob filter)."""
+    reader = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(
+    sdf: DataFrame, output_mode: str, timeout_sec: int = 300
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink.
+
+    ``availableNow`` processes every currently-available file then stops,
+    so the returned (batch) DataFrame is the deterministic final state.
+    """
+    name = f"sink_{uuid.uuid4().hex}"
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return sdf.sparkSession.table(name)
+
+
+# --- E37: tumbling / sliding windows ----------------------------------------
+
+
+def tumbling_counts(stream: DataFrame, size: str = "1 hour") -> DataFrame:
+    """Per-window, per-type counts + exact value sums (tumbling)."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", size), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 6)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame, size: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Overlapping-window counts; each event lands in size/slide windows."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", size, slide), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+# --- E38: session windows ----------------------------------------------------
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user sessions: events merge while consecutive gaps < gap.
+
+    Spark's ``session_window`` end is ``last event ts + gap``; the DuckDB
+    oracle reproduces that with a lag/cumulative-flag islands query.
+    """
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --- E40: stateful dedup over a stream ---------------------------------------
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate the stream (union of two sources) then drop dups by key.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only for the
+    watermark horizon — bounded state at 100 TB, unlike a global distinct.
+    """
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    return (
+        a.unionByName(b)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+# --- E41: incremental append sink (continuous migrate) ------------------------
+
+
+def stream_migrate(
+    spark: SparkSession, sf_dir: str, dest: str | None = None
+) -> str:
+    """Continuously append new source files into a parquet destination.
+
+    The Structured-Streaming re-expression of the reference's migrate loop
+    (reference ``TransTablePartition.java:115-140``): the file-source log
+    replaces the manual "does dest partition exist" bookkeeping (reference
+    ``TransTablePartition.java:126-131``) — each input file is processed
+    exactly once, restarts resume from the checkpoint.
+    """
+    dest = dest or tempfile.mkdtemp(prefix="stream_migrate_")
+    stream = read_events_stream(spark, sf_dir)
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return dest
+
+
+# --- E39: watermark late-data drop -------------------------------------------
+
+
+def late_data_drop(
+    spark: SparkSession,
+    sf_dir: str,
+    delay: str = "10 minutes",
+    late_mod: int = 997,
+) -> DataFrame:
+    """Append-mode tumbling count demonstrating watermark semantics.
+
+    Stages events into three files processed as separate micro-batches
+    (``maxFilesPerTrigger=1``, mtime-ordered): two on-time files, then the
+    held-back rows (``event_id % late_mod == 0``).  The late-record filter
+    uses the watermark *announced by the previous batch* (measured on
+    Spark 4.1: data from batch N sets the filter watermark of batch N+2),
+    so the middle batch ensures ``max(batch0 ts) - delay`` is in force
+    when the late file arrives — its rows, months older, are dropped, and
+    append mode emits exactly the windows whose end precedes the final
+    watermark ``max(on-time ts) - delay``.  Deterministic → reproducible
+    by a batch oracle over the on-time subset.
+    """
+    from ..catalog import table
+
+    stage = tempfile.mkdtemp(prefix="late_stage_")
+    events = table(spark, sf_dir, "events")
+    ontime = events.where(F.col("event_id") % late_mod != 0)
+    late = events.where(F.col("event_id") % late_mod == 0)
+    # one file each; distinct mtimes fix the file-source processing order
+    ontime.where(F.col("event_id") % 13 != 0).coalesce(1).write.parquet(
+        f"{stage}/batch0"
+    )
+    ontime.where(F.col("event_id") % 13 == 0).coalesce(1).write.parquet(
+        f"{stage}/batch1"
+    )
+    late.coalesce(1).write.parquet(f"{stage}/batch2")
+    t0 = 1_000_000_000
+    for i, sub in enumerate(("batch0", "batch1", "batch2")):
+        for f in os.listdir(f"{stage}/{sub}"):
+            os.utime(f"{stage}/{sub}/{f}", (t0 + i * 100, t0 + i * 100))
+
+    stream = (
+        spark.readStream.schema(
+            StructType([f for f in events.schema.fields])
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "append")
