@@ -10,17 +10,29 @@ DataFrame ops so Catalyst plans it:
     → candidate pairs: self-equi-join on (band, signature)
     → exact Jaccard verification on the shingle sets    [equi-joins]
 
-Hash-family note: the "permutation" for seed j is the lexicographic order
-of md5(j || shingle) hex strings. String-min is engine-portable (DuckDB
-reproduces it exactly — no 64-bit integer hash parity issues), and a
-uniform hash's hex order is as good a random permutation as its integer
-order.
+Hash-family note: hash j (j = 4·m + c) is the c-th 8-hex-char chunk of
+md5(m || ':' || shingle) — md5's diffusion makes the four 32-bit chunks
+of one digest independent hashes, so n hashes cost only n/4 md5
+evaluations (md5 dominates the pipeline). The "permutation" for hash j
+is the lexicographic order of its chunk strings; string-min is
+engine-portable (DuckDB reproduces it exactly — no 64-bit integer hash
+parity issues), and a uniform hash's hex order is as good a random
+permutation as its integer order.
 
-Scale: every step is an equi-shuffle on doc_id / band signature. The
-band join's fan-out is bounded by bucket sizes; hot buckets (boilerplate
-docs) are the classic skew risk — AQE skew-join handles moderate cases,
-and `max_bucket` drops degenerate buckets explicitly (logged), the same
-guardrail production dedup pipelines use.
+Physical strategy: signatures and band hashes are computed entirely with
+nested higher-order functions over the per-doc shingle ARRAY — a single
+narrow projection, no explode, no shuffle, whole-stage codegen end to
+end. The first (and only pre-candidate) shuffle is the band-signature
+self-join. Exact-Jaccard verification intersects the two docs' shingle
+arrays directly (`array_intersect`), so only candidate docs ever
+re-materialize their shingles.
+
+Scale: the band join's fan-out is bounded by bucket sizes; hot buckets
+(boilerplate docs) are the classic skew risk — AQE skew-join handles
+moderate cases, and `max_bucket` drops degenerate buckets explicitly,
+the same guardrail production dedup pipelines use. Signature width is
+n_hashes × 32 hex chars per doc — at 100 TB the shuffled band table is
+~1% of corpus bytes.
 """
 
 from __future__ import annotations
@@ -29,46 +41,80 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def shingle_array(text_col: str = "text", k: int = 3) -> F.Column:
+    """Distinct word k-gram shingles of a text column, as an array."""
+    ws = F.split(F.col(text_col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+        )
+    )
+
+
 def word_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """Distinct word k-gram shingles per doc: (id, shingle)."""
-    ws = F.split(F.col(text_col), " ")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
-    )
+    """Distinct word k-gram shingles per doc: (id, shingle) — exploded
+    form, used where a relational shingle table is genuinely needed."""
     return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle")
+        F.col(id_col).alias("id"),
+        F.explode(shingle_array(text_col, k)).alias("shingle"),
     )
 
 
-def minhash_signatures(shingles: DataFrame, n_hashes: int = 12) -> DataFrame:
-    """(id, seed, minhash): per-seed min over md5(seed:shingle)."""
-    seeded = shingles.select(
-        "id",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-    )
-    h = F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))
-    return (
-        seeded.withColumn("h", h)
-        .groupBy("id", "seed")
-        .agg(F.min("h").alias("minhash"))
+def minhash_array(hcat_col: F.Column, n_hashes: int = 12) -> F.Column:
+    """Per-doc minhash signature array from pre-hashed shingles.
+
+    ``hcat_col`` is an array with one concatenated-digest string per
+    shingle (see ``hashed_shingles``); hash j's value for a shingle is
+    chars [8j, 8j+8) of that string. Nested higher-order functions —
+    everything runs inside whole-stage codegen; no explode, no shuffle."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(hcat_col, lambda h: F.substring(h, j * 8 + 1, 8))
+        ),
     )
 
 
-def band_signatures(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
-    """(id, band, band_sig): md5 over the band's minhashes in seed order."""
+def hashed_shingles(grams: F.Column, n_hashes: int) -> F.Column:
+    """Concatenated md5 digests per shingle: md5('0:'||s) || md5('1:'||s)
+    || … — ⌈n/4⌉ digests give n 8-hex-char chunk hashes."""
+    n_md5 = (n_hashes + 3) // 4
+    return F.transform(
+        grams,
+        lambda s: F.concat(
+            *[F.md5(F.concat_ws(":", F.lit(str(m)), s)) for m in range(n_md5)]
+        ),
+    )
+
+
+def band_signatures(
+    docs: DataFrame, n_hashes: int, bands: int, grams_col: str = "grams"
+) -> DataFrame:
+    """(id, band, band_sig): md5 over each band's r consecutive minhashes.
+
+    Input: (id, grams array). Two narrow projections (the first
+    materializes the per-shingle digests so the n_hashes chunk-mins reuse
+    them — CollapseProject keeps non-cheap aliases un-inlined) → explode
+    of `bands` small structs per doc."""
     r = n_hashes // bands
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-        lambda s: s.getField("minhash"),
+    hashed = docs.select(
+        "id", hashed_shingles(F.col(grams_col), n_hashes).alias("hcat")
     )
-    return (
-        sigs.withColumn("band", (F.col("seed") / r).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.md5(F.array_join(ordered, ",")).alias("band_sig"))
+    mhs = minhash_array(F.col("hcat"), n_hashes)
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(F.array_join(F.slice(mhs, b * r + 1, r), ",")).alias(
+                "band_sig"
+            ),
+        ),
+    )
+    return hashed.select("id", F.explode(band_structs).alias("bs")).select(
+        "id", "bs.band", "bs.band_sig"
     )
 
 
@@ -90,31 +136,29 @@ def candidate_pairs(bands_df: DataFrame, max_bucket: int = 1000) -> DataFrame:
     )
 
 
-def jaccard_verify(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs: |A∩B| / (|A|+|B|−|A∩B|)."""
-    sizes = shingles.groupBy("id").agg(F.count("*").alias("n"))
-    sa = shingles.select(F.col("id").alias("id_a"), "shingle")
-    sb = shingles.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        sa.join(pairs, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+def jaccard_verify(
+    grams_df: DataFrame, pairs: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via direct array intersection.
+
+    Input grams_df: (id, grams). Only candidate docs re-materialize their
+    shingle arrays (two equi-joins keyed on doc id); the intersection is
+    a JVM-side `array_intersect`, computed once per pair."""
+    ga = grams_df.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
+    gb = grams_df.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    joined = pairs.join(ga, "id_a").join(gb, "id_b")
+    scored = joined.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("g_a", "g_b")).alias("n_inter"),
+        F.size("g_a").alias("n_a"),
+        F.size("g_b").alias("n_b"),
     )
-    return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"n_inter": 0})
-        .join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
-        )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return scored.where(jac >= threshold).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -129,11 +173,12 @@ def near_duplicates(
 ) -> DataFrame:
     """End-to-end: shingle → minhash → LSH candidates → verified pairs
     with Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)."""
-    sh = word_shingles(df, id_col, text_col, shingle_k)
-    sigs = minhash_signatures(sh, n_hashes)
-    bandsig = band_signatures(sigs, n_hashes, bands)
+    grams_df = df.select(
+        F.col(id_col).alias("id"), shingle_array(text_col, shingle_k).alias("grams")
+    )
+    bandsig = band_signatures(grams_df, n_hashes, bands)
     cand = candidate_pairs(bandsig)
-    return jaccard_verify(sh, cand).where(F.col("jaccard") >= threshold)
+    return jaccard_verify(grams_df, cand, threshold)
 
 
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -61,70 +61,109 @@ def _leaf_partition_dirs(spark: SparkSession, root: str) -> list[str]:
     return leaves
 
 
+def _compact_partition(
+    spark: SparkSession,
+    table_path: str,
+    part_dir: str,
+    target_file_bytes: int,
+    threshold: float,
+    sink: AlertSink,
+) -> tuple[str, str, int, int]:
+    """Compact one leaf partition; returns (rel, status, before, after).
+
+    status ∈ {empty, skipped, compacted, failed}.  Thread-safe: touches
+    only its own partition directory; sink appends are atomic under the
+    GIL.
+    """
+    rel = part_dir[len(table_path) + 1 :]
+    files = [
+        (p, sz)
+        for p, sz in fs.list_files(spark, part_dir)
+        if not p.rsplit("/", 1)[-1].startswith(("_", "."))
+    ]
+    if not files:
+        return rel, "empty", 0, 0
+    total = sum(sz for _, sz in files)
+    avg = total / len(files)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    # Idempotent/incremental selection (reference semantic 5): already
+    # compacted partitions don't qualify again.
+    if avg >= threshold or len(files) <= n_target:
+        return rel, "skipped", len(files), len(files)
+
+    tmp_dir = f"{part_dir}._compact_tmp"
+    bak_dir = f"{part_dir}._compact_bak"
+    try:
+        (
+            spark.read.parquet(part_dir)
+            .coalesce(n_target)
+            .write.mode("overwrite")
+            .option("compression", "snappy")
+            .parquet(tmp_dir)
+        )
+        # Atomic swap; originals removed ONLY after a successful swap
+        # (reference semantic 7, `HDFSMerge.java:144-148`).
+        if not fs.rename(spark, part_dir, bak_dir):
+            raise OSError(f"rename to backup failed for {part_dir}")
+        if not fs.rename(spark, tmp_dir, part_dir):
+            fs.rename(spark, bak_dir, part_dir)  # roll back
+            raise OSError(f"swap failed for {part_dir}")
+        fs.delete(spark, bak_dir)
+        after = len(
+            [p for p, _ in fs.list_files(spark, part_dir) if not p.endswith("_SUCCESS")]
+        )
+        return rel, "compacted", len(files), after
+    except Exception as exc:  # keep going; sources stay intact
+        sink.emit(Alert("error", "compact_failure", table_path, rel, str(exc)))
+        if fs.exists(spark, tmp_dir):
+            fs.delete(spark, tmp_dir)
+        if fs.exists(spark, bak_dir) and not fs.exists(spark, part_dir):
+            fs.rename(spark, bak_dir, part_dir)
+        return rel, "failed", len(files), len(files)
+
+
 def compact_table(
     spark: SparkSession,
     table_path: str,
     target_file_bytes: int = 512 * 1024 * 1024,
     min_avg_file_bytes: int | None = None,
     sink: AlertSink | None = None,
+    max_concurrency: int = 8,
 ) -> CompactReport:
     """Compact every leaf partition of a Hive-layout parquet table whose
     average data-file size is below the threshold (default: half the
-    target size)."""
+    target size).
+
+    Partitions compact CONCURRENTLY (each rewrite is an independent
+    Spark job; the scheduler interleaves their tasks) — the wall-clock
+    win over the reference's sequential per-day loop grows with
+    partition count, and each partition still commits via its own
+    atomic swap, so a failure never affects neighbors.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     sink = sink or AlertSink()
     report = CompactReport()
     threshold = min_avg_file_bytes or target_file_bytes // 2
+    leaves = _leaf_partition_dirs(spark, table_path)
 
-    for part_dir in _leaf_partition_dirs(spark, table_path):
-        rel = part_dir[len(table_path) + 1 :]
-        files = [
-            (p, sz)
-            for p, sz in fs.list_files(spark, part_dir)
-            if not p.rsplit("/", 1)[-1].startswith(("_", "."))
-        ]
-        if not files:
-            continue
-        total = sum(sz for _, sz in files)
-        avg = total / len(files)
-        n_target = max(1, math.ceil(total / target_file_bytes))
-        # Idempotent/incremental selection (reference semantic 5): already
-        # compacted partitions don't qualify again.
-        if avg >= threshold or len(files) <= n_target:
+    with ThreadPoolExecutor(max_workers=max(1, max_concurrency)) as pool:
+        results = list(
+            pool.map(
+                lambda d: _compact_partition(
+                    spark, table_path, d, target_file_bytes, threshold, sink
+                ),
+                leaves,
+            )
+        )
+    for rel, status, before, after in results:
+        if status == "skipped":
             report.skipped.append(rel)
-            continue
-
-        report.files_before[rel] = len(files)
-        tmp_dir = f"{part_dir}._compact_tmp"
-        bak_dir = f"{part_dir}._compact_bak"
-        try:
-            (
-                spark.read.parquet(part_dir)
-                .coalesce(n_target)
-                .write.mode("overwrite")
-                .option("compression", "snappy")
-                .parquet(tmp_dir)
-            )
-            # Atomic swap; originals removed ONLY after a successful swap
-            # (reference semantic 7, `HDFSMerge.java:144-148`).
-            if not fs.rename(spark, part_dir, bak_dir):
-                raise OSError(f"rename to backup failed for {part_dir}")
-            if not fs.rename(spark, tmp_dir, part_dir):
-                fs.rename(spark, bak_dir, part_dir)  # roll back
-                raise OSError(f"swap failed for {part_dir}")
-            fs.delete(spark, bak_dir)
+        elif status == "compacted":
             report.compacted.append(rel)
-            report.files_after[rel] = len(
-                [
-                    p
-                    for p, _ in fs.list_files(spark, part_dir)
-                    if not p.endswith("_SUCCESS")
-                ]
-            )
-        except Exception as exc:  # keep going; sources stay intact
+            report.files_before[rel] = before
+            report.files_after[rel] = after
+        elif status == "failed":
             report.failed.append(rel)
-            sink.emit(Alert("error", "compact_failure", table_path, rel, str(exc)))
-            if fs.exists(spark, tmp_dir):
-                fs.delete(spark, tmp_dir)
-            if fs.exists(spark, bak_dir) and not fs.exists(spark, part_dir):
-                fs.rename(spark, bak_dir, part_dir)
+            report.files_before[rel] = before
     return report

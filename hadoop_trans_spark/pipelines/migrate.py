@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from . import fs
 from .alerts import Alert, AlertSink
-from .verify import VerifyReport, verify
+from .verify import VerifyReport, verify, verify_partitions
 
 # Joda → java.time pattern compatibility: the reference's `-pp` patterns
 # (yyyyMM, yyyyMMdd) are valid Spark date_format patterns unchanged.
@@ -156,17 +156,20 @@ def migrate(spark: SparkSession, job: MigrateJob, sink: AlertSink | None = None)
         report.copied = sorted(to_copy)
 
     # 5. Post-copy verification (R11) per copied partition — row-content,
-    #    both directions (upgrade over file-size compare).
+    #    both directions (upgrade over file-size compare). Batched: one
+    #    grouped-fingerprint scan per side covers every copied partition;
+    #    only mismatching keys pay for the row-level diff.
     if job.verify_after and report.copied:
         src_df = spark.read.parquet(job.src_path)
         dst_df = spark.read.parquet(job.dst_path)
-        for k in report.copied:
-            rep = verify(
-                src_df.where(F.col(pn) == k),
-                dst_df.where(F.col(pn) == k),
-            )
-            report.verify[k] = rep
+        report.verify = verify_partitions(src_df, dst_df, pn, report.copied)
+        for k, rep in report.verify.items():
             if not rep.equal:
+                rep = verify(
+                    src_df.where(F.col(pn).cast("string") == k),
+                    dst_df.where(F.col(pn).cast("string") == k),
+                )
+                report.verify[k] = rep
                 sink.emit(Alert("error", "verify_mismatch", job.table, k, rep.render()))
 
     report.alerts = list(sink.alerts)

@@ -50,7 +50,8 @@ def q39_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared CTE prelude for the MinHash oracle — identical pipeline, same
-# hash family (md5(seed:shingle), string-min), same 12 hashes × 4 bands.
+# hash family (hash j = chars [8j,8j+8) of md5((j//4)||':'||shingle),
+# string-min), same 12 hashes × 4 bands (operators/minhash.py).
 _MINHASH_ORACLE = """
     WITH sh AS (
       SELECT doc_id AS id, unnest(list_distinct(
@@ -59,15 +60,21 @@ _MINHASH_ORACLE = """
              )) AS shingle
       FROM documents
     ),
+    hashed AS (
+      SELECT id, shingle,
+             md5('0:' || shingle) || md5('1:' || shingle)
+               || md5('2:' || shingle) AS hcat
+      FROM sh
+    ),
     sigs AS (
-      SELECT id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS minhash
-      FROM sh, generate_series(0, 11) s(seed)
-      GROUP BY id, seed
+      SELECT id, j, min(substring(hcat, j*8 + 1, 8)) AS minhash
+      FROM hashed, generate_series(0, 11) s(j)
+      GROUP BY id, j
     ),
     bands AS (
-      SELECT id, seed // 3 AS band,
-             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
-      FROM sigs GROUP BY id, seed // 3
+      SELECT id, j // 3 AS band,
+             md5(string_agg(minhash, ',' ORDER BY j)) AS band_sig
+      FROM sigs GROUP BY id, j // 3
     ),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -179,22 +186,69 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / 200).cast("long").alias("len_bucket"),
         grams.alias("grams"),
     )
-    a = w.select(
-        F.col("lang"), F.col("len_bucket"),
-        F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"),
+    # Physical strategy (exact semantics, staged cost):
+    #   1. the blocked self-join runs on LIGHT rows (ids + gram counts)
+    #      plus the size-ratio prefilter (J ≥ t ⟹ size ratio ≥ t —
+    #      implied by the threshold, so the oracle needs no counterpart);
+    #   2. candidate pairs intersect SORTED 64-BIT HASHES of the grams at
+    #      a safety-margin threshold 0.75 — integer intersection is ~10×
+    #      cheaper than string intersection, and one hash collision among
+    #      a pair's ~10³ grams (P ≈ 2⁻⁴⁴) perturbs Jaccard by ~10⁻³,
+    #      nowhere near the 0.05 margin;
+    #   3. the surviving handful re-verify on the exact string grams at
+    #      the declared 0.8 — output is bit-identical to the naive plan.
+    light = w.select("doc_id", "lang", "len_bucket", F.size("grams").alias("n"))
+    a = light.select(
+        "lang", "len_bucket", F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")
     )
-    b = w.select(
-        F.col("lang"), F.col("len_bucket"),
-        F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"),
+    b = light.select(
+        "lang", "len_bucket", F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")
     )
-    inter = F.size(F.array_intersect("g_a", "g_b"))
-    jac = inter.cast("double") / (F.size("g_a") + F.size("g_b") - inter)
-    return (
+    pairs = (
         a.join(b, ["lang", "len_bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.round(jac, 6))
-        .where(jac >= 0.8)
-        .select("id_a", "id_b", "jaccard")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * 0.8)
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+    )
+    hashed = w.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.transform("grams", lambda s: F.xxhash64(s)))
+        ).alias("hg"),
+    )
+    ha = hashed.select(F.col("doc_id").alias("id_a"), F.col("hg").alias("h_a"))
+    hb = hashed.select(F.col("doc_id").alias("id_b"), F.col("hg").alias("h_b"))
+    est_inter = F.size(F.array_intersect("h_a", "h_b"))
+    est_jac = est_inter.cast("double") / (
+        F.col("n_a") + F.col("n_b") - est_inter
+    )
+    cand = (
+        pairs.join(ha, "id_a")
+        .join(hb, "id_b")
+        .where(est_jac >= 0.75)
+        .select("id_a", "id_b", "n_a", "n_b")
+    )
+    ga = w.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"))
+    gb = w.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))
+    scored = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("g_a", "g_b")).alias("n_inter"),
+            "n_a",
+            "n_b",
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        scored.where(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
 
