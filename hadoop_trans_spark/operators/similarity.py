@@ -13,6 +13,12 @@ Two paths:
 
 All vector math is double-precision, elementwise via zip_with/aggregate —
 codegen'd, no Python, no UDF.
+
+Physical rule: anything that depends on ONE vector (double-cast, norm)
+is computed in a projection BEFORE the pair-producing join, so the
+quadratic stage evaluates exactly one zip_with+aggregate per pair — at
+1M+ pairs the per-pair array allocations of recomputing casts/norms
+inside the join dominate everything else.
 """
 
 from __future__ import annotations
@@ -26,19 +32,26 @@ def _dbl(arr: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
+    """Dot product of two DOUBLE arrays (pre-cast with ``_dbl``;
+    casting inside the pair loop would reallocate both arrays per pair)."""
     return F.aggregate(
-        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+    """L2 norm of a raw (float or double) array column."""
+    d = _dbl(a)
+    return F.sqrt(dot(d, d))
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine of two raw arrays — convenience form for one-off use; hot
+    paths precompute ``_dbl`` arrays + norms before the join instead."""
+    da, db = _dbl(a), _dbl(b)
+    return dot(da, db) / (norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -54,12 +67,27 @@ def cosine_topk(
     Ranking orders by ROUND(cos, 6) then id so results are reproducible
     across engines and partitionings (raw float ties are not).
     """
-    q = queries.select(F.col(query_id), F.col(vec).alias("q_vec"))
-    c = corpus.select(F.col(corpus_id), F.col(vec).alias("c_vec"))
+    q = queries.select(
+        F.col(query_id),
+        _dbl(F.col(vec)).alias("q_vec"),
+        norm(F.col(vec)).alias("q_n"),
+    )
+    c = corpus.select(
+        F.col(corpus_id),
+        _dbl(F.col(vec)).alias("c_vec"),
+        norm(F.col(vec)).alias("c_n"),
+    )
     scored = (
         q.crossJoin(c)
         .where(F.col(query_id) != F.col(corpus_id))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_n") * F.col("c_n")),
+                6,
+            ),
+        )
     )
     w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
     return (
@@ -99,24 +127,43 @@ def ivf_topk(
     """Two-stage ANN: rank cells by query↔centroid cosine, search only the
     top ``n_probe`` cells. Returns (q_id, c_id, cos, rank)."""
     cents = cell_centroids(corpus, cell, vec)
-    q = queries.select(F.col(query_id), F.col(vec).alias("q_vec"))
+    q = queries.select(
+        F.col(query_id),
+        _dbl(F.col(vec)).alias("q_vec"),
+        norm(F.col(vec)).alias("q_n"),
+    )
 
     cw = W.partitionBy(query_id).orderBy(
         F.round(F.col("cell_cos"), 6).desc(), F.col(cell)
     )
+    cent_cos = dot(F.col("q_vec"), F.col("centroid")) / (
+        F.col("q_n") * F.sqrt(dot(F.col("centroid"), F.col("centroid")))
+    )
     probed = (
         q.crossJoin(cents)
-        .withColumn("cell_cos", cosine(F.col("q_vec"), F.col("centroid")))
+        .withColumn("cell_cos", cent_cos)
         .withColumn("cell_rank", F.row_number().over(cw))
         .where(F.col("cell_rank") <= n_probe)
-        .select(query_id, "q_vec", cell)
+        .select(query_id, "q_vec", "q_n", cell)
     )
 
-    c = corpus.select(F.col(corpus_id), F.col(cell), F.col(vec).alias("c_vec"))
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(cell),
+        _dbl(F.col(vec)).alias("c_vec"),
+        norm(F.col(vec)).alias("c_n"),
+    )
     scored = (
         probed.join(c, cell)  # cell filter = the IVF prune
         .where(F.col(query_id) != F.col(corpus_id))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_n") * F.col("c_n")),
+                6,
+            ),
+        )
     )
     w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
     return (
@@ -136,12 +183,25 @@ def embedding_near_duplicates(
     """Near-dup pairs by cosine within a blocking key (E34 embedding
     variant): (id_a, id_b, cos). Blocking bounds the quadratic join the
     same way LSH banding does for text."""
-    a = corpus.select(F.col(block), F.col(id_col).alias("id_a"), F.col(vec).alias("v_a"))
-    b = corpus.select(F.col(block), F.col(id_col).alias("id_b"), F.col(vec).alias("v_b"))
+    pre = corpus.select(
+        F.col(block),
+        F.col(id_col).alias("id"),
+        _dbl(F.col(vec)).alias("v"),
+        norm(F.col(vec)).alias("n"),
+    )
+    a = pre.select(
+        block, F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("n").alias("n_a")
+    )
+    b = pre.select(
+        block, F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("n").alias("n_b")
+    )
+    cos = F.round(
+        dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+    )
     return (
         a.join(b, block)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .withColumn("cos", cos)
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
