@@ -19,6 +19,7 @@ from ..streaming import (
     stream_dedup,
     stream_migrate,
     tumbling_counts,
+    user_streaks,
 )
 from .base import dsum, o_dsum, query
 
@@ -154,6 +155,43 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("max_id"),
         dsum("value").alias("sum_value"),
     )
+
+
+@query(
+    "q60_stream_custom_state",
+    """
+    WITH o AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ), f AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL
+                         OR ts - prev >= INTERVAL '600 seconds'
+                    THEN 1 ELSE 0 END AS news
+        FROM o
+    ), g AS (
+        SELECT user_id,
+               sum(news) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    ), streaks AS (
+        SELECT user_id, sid, count(*) AS streak
+        FROM g GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           sum(streak) AS n_events,
+           max(streak) AS max_streak
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user longest
+    activity streak (runs of events < 10 min apart). Logic Spark's
+    built-in windows can't express; oracle is the islands equivalent."""
+    return user_streaks(spark, sf_dir, gap_seconds=600).orderBy("user_id")
 
 
 @query(

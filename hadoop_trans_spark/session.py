@@ -52,6 +52,12 @@ def get_spark(
         # read as long and convert in the catalog (DuckDB truncates to µs —
         # we match that exactly via integer division).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Catalog tables (bucketed layouts) live outside the source tree;
+        # on a cluster this is the shared warehouse path instead.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/htspark_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -14,6 +14,7 @@ from .jobs import (
     stream_dedup,
     stream_migrate,
     tumbling_counts,
+    user_streaks,
 )
 
 __all__ = [
@@ -25,4 +26,5 @@ __all__ = [
     "stream_dedup",
     "stream_migrate",
     "late_data_drop",
+    "user_streaks",
 ]

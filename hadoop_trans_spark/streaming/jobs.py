@@ -193,6 +193,68 @@ def stream_migrate(
     return dest
 
 
+# --- custom stateful operator: applyInPandasWithState -------------------------
+
+
+def user_streaks(
+    spark: SparkSession, sf_dir: str, gap_seconds: int = 600
+) -> DataFrame:
+    """Per-user activity streaks via a CUSTOM stateful operator.
+
+    A streak is a maximal run of events where each inter-arrival gap is
+    < ``gap_seconds``. This is the `applyInPandasWithState` surface for
+    stateful logic Spark's built-in windows can't express (the operator
+    tracks (event_count, current_streak, longest_streak, last_ts) across
+    micro-batches; state is per-key and watermark/timeout-evictable at
+    scale — here NoTimeout since the fixture is finite).
+
+    Returns the final (user_id, n_events, max_streak) per user.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key: tuple, pdfs, state: GroupState):
+        parts = [pdf[["ts"]] for pdf in pdfs]
+        df = pd.concat(parts).sort_values("ts")
+        if state.exists:
+            n, cur, best, last_us = state.get
+        else:
+            n, cur, best, last_us = 0, 0, 0, None
+        for ts in df["ts"]:
+            us = int(ts.value // 1000)  # pandas ns → µs
+            if last_us is not None and us - last_us < gap_seconds * 1_000_000:
+                cur += 1
+            else:
+                cur = 1
+            best = max(best, cur)
+            last_us = us
+            n += 1
+        state.update((n, cur, best, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_streak": [best],
+            }
+        )
+
+    stream = read_events_stream(spark, sf_dir)
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        track,
+        "user_id long, n_events long, max_streak long",
+        "n long, cur long, best long, last_us long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    final = run_to_memory(updates, "update")
+    # update mode re-emits a key's row each batch it changes; counters are
+    # monotone, so the max per key is the final state.
+    return final.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_streak").alias("max_streak"),
+    )
+
+
 # --- E39: watermark late-data drop -------------------------------------------
 
 
