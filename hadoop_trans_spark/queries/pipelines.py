@@ -42,7 +42,12 @@ def q33_migrate_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").withColumn(
         "par_dt", F.date_format("l_shipdate", "yyyyMM")
     )
-    li.write.mode("overwrite").partitionBy("par_dt").parquet(f"{src_root}/lineitem")
+    # repartition on the partition key: each task writes its own
+    # partition dirs in parallel (one task fanning out 84 dirs serializes
+    # the whole staging write).
+    li.repartition("par_dt").write.mode("overwrite").partitionBy(
+        "par_dt"
+    ).parquet(f"{src_root}/lineitem")
 
     report = migrate(
         spark,

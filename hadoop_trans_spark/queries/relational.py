@@ -670,3 +670,74 @@ def q19_verify_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(ts_micros("l_shipdate")).alias("min_ship_us"),
         F.max(ts_micros("l_shipdate")).alias("max_ship_us"),
     )
+
+
+# --- skew handling: salted join (SCALE.md fallback path) ---------------------
+@query(
+    "q61_salted_join",
+    oracle=f"""
+    SELECT n_name,
+           COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q61_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators.skew): the explicit skew fallback when
+    one key dominates a 100 TB fact table and AQE splitting isn't enough.
+    The oracle is the PLAIN join — hash-matching it proves salting only
+    refines partitioning, never changes the joined row set."""
+    from ..operators.skew import salted_join
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    nation = table(spark, sf_dir, "nation")
+    joined = salted_join(orders, cust, on="o_custkey", n_salt=8)
+    return (
+        joined.join(
+            F.broadcast(nation),
+            joined["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total"))
+        .orderBy("n_name")
+    )
+
+
+# --- E14 completion: GROUPING SETS through the SQL entry surface -------------
+@query(
+    "q62_grouping_sets",
+    oracle=f"""
+    SELECT coalesce(l_returnflag, '<all>') AS rflag,
+           coalesce(l_linestatus, '<all>') AS lstatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n,
+           {o_dsum('l_quantity')} AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY rflag, lstatus, gid
+    """,
+)
+def q62_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the engine's SQL entry surface
+    (SURVEY §3.2: every operator reachable from spark.sql too) — the
+    grouping-id disambiguates NULL-as-value from NULL-as-total."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '<all>') AS rflag,
+               coalesce(l_linestatus, '<all>') AS lstatus,
+               GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(l_quantity AS decimal(38,6))), 6) AS double) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY rflag, lstatus, gid
+        """
+    )

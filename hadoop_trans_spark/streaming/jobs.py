@@ -281,20 +281,24 @@ def late_data_drop(
 
     stage = tempfile.mkdtemp(prefix="late_stage_")
     events = table(spark, sf_dir, "events")
-    ontime = events.where(F.col("event_id") % late_mod != 0)
-    late = events.where(F.col("event_id") % late_mod == 0)
-    # one file each; distinct mtimes fix the file-source processing order
-    ontime.where(F.col("event_id") % 13 != 0).coalesce(1).write.parquet(
-        f"{stage}/batch0"
+    # ONE partitioned write stages all three batch files; distinct mtimes
+    # then fix the file-source processing order.
+    batch = (
+        F.when(F.col("event_id") % late_mod == 0, F.lit(2))
+        .when(F.col("event_id") % 13 == 0, F.lit(1))
+        .otherwise(F.lit(0))
     )
-    ontime.where(F.col("event_id") % 13 == 0).coalesce(1).write.parquet(
-        f"{stage}/batch1"
+    (
+        events.withColumn("batch", batch)
+        .repartition("batch")
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(stage)
     )
-    late.coalesce(1).write.parquet(f"{stage}/batch2")
     t0 = 1_000_000_000
-    for i, sub in enumerate(("batch0", "batch1", "batch2")):
-        for f in os.listdir(f"{stage}/{sub}"):
-            os.utime(f"{stage}/{sub}/{f}", (t0 + i * 100, t0 + i * 100))
+    for i in range(3):
+        for f in os.listdir(f"{stage}/batch={i}"):
+            os.utime(f"{stage}/batch={i}/{f}", (t0 + i * 100, t0 + i * 100))
 
     stream = (
         spark.readStream.schema(
