@@ -5,7 +5,7 @@ deterministic pipelines in DuckDB SQL (same md5 seeds, same banding).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -186,49 +186,51 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / 200).cast("long").alias("len_bucket"),
         grams.alias("grams"),
     )
-    # Physical strategy (exact semantics, staged cost):
-    #   1. the blocked self-join runs on LIGHT rows (ids + gram counts)
-    #      plus the size-ratio prefilter (J ≥ t ⟹ size ratio ≥ t —
-    #      implied by the threshold, so the oracle needs no counterpart);
-    #   2. candidate pairs intersect SORTED 64-BIT HASHES of the grams at
-    #      a safety-margin threshold 0.75 — integer intersection is ~10×
-    #      cheaper than string intersection, and one hash collision among
-    #      a pair's ~10³ grams (P ≈ 2⁻⁴⁴) perturbs Jaccard by ~10⁻³,
-    #      nowhere near the 0.05 margin;
-    #   3. the surviving handful re-verify on the exact string grams at
-    #      the declared 0.8 — output is bit-identical to the naive plan.
+    # Physical strategy (exact semantics, staged cost — the AllPairs/
+    # PPJoin prefix-filter family, Bayardo et al. WWW'07):
+    #   1. candidate generation joins PREFIX TOKENS, not documents: under
+    #      a global token order (ascending document frequency, gram
+    #      tiebreak), two sets with J ≥ t must share a token within their
+    #      first ⌊(1−t)·n⌋+1 tokens — rare-first ordering makes those
+    #      prefix postings short, so the (block key, token) equi-join
+    #      fans out to ~10³ candidates instead of the ~10⁵·⁸ all-pairs
+    #      within blocks;
+    #   2. the size-ratio prefilter (J ≥ t ⟹ size ratio ≥ t) prunes
+    #      further — both filters are implied by the threshold, so the
+    #      oracle needs no counterpart;
+    #   3. survivors verify on the exact string grams at the declared
+    #      0.8 — output is bit-identical to the naive blocked plan.
     light = w.select("doc_id", "lang", "len_bucket", F.size("grams").alias("n"))
-    a = light.select(
-        "lang", "len_bucket", F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")
+    toks = w.select(
+        "doc_id", "lang", "len_bucket", F.explode("grams").alias("g")
     )
-    b = light.select(
-        "lang", "len_bucket", F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")
+    dfreq = toks.groupBy("g").agg(F.count("*").alias("df"))
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy("df", "g")
     )
-    pairs = (
-        a.join(b, ["lang", "len_bucket"])
+    prefix = (
+        toks.join(dfreq, "g")
+        .withColumn("rk", rk)
+        .join(light.select("doc_id", "n"), "doc_id")
+        .where(F.col("rk") <= F.floor((1 - 0.8) * F.col("n")) + 1)
+        .select("doc_id", "lang", "len_bucket", "g", "n")
+    )
+    pa = prefix.select(
+        "lang", "len_bucket", "g",
+        F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"),
+    )
+    pb = prefix.select(
+        "lang", "len_bucket", "g",
+        F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+    )
+    cand = (
+        pa.join(pb, ["lang", "len_bucket", "g"])
         .where(
             (F.col("id_a") < F.col("id_b"))
             & (F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * 0.8)
         )
         .select("id_a", "id_b", "n_a", "n_b")
-    )
-    hashed = w.select(
-        "doc_id",
-        F.array_sort(
-            F.array_distinct(F.transform("grams", lambda s: F.xxhash64(s)))
-        ).alias("hg"),
-    )
-    ha = hashed.select(F.col("doc_id").alias("id_a"), F.col("hg").alias("h_a"))
-    hb = hashed.select(F.col("doc_id").alias("id_b"), F.col("hg").alias("h_b"))
-    est_inter = F.size(F.array_intersect("h_a", "h_b"))
-    est_jac = est_inter.cast("double") / (
-        F.col("n_a") + F.col("n_b") - est_inter
-    )
-    cand = (
-        pairs.join(ha, "id_a")
-        .join(hb, "id_b")
-        .where(est_jac >= 0.75)
-        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
     )
     ga = w.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"))
     gb = w.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))

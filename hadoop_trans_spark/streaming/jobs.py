@@ -72,18 +72,29 @@ def run_to_memory(
 
     ``availableNow`` processes every currently-available file then stops,
     so the returned (batch) DataFrame is the deterministic final state.
+
+    The state-partition count is pinned low for the fixture runs: each
+    stateful operator materializes one state store per shuffle partition
+    per micro-batch, pure overhead at local scale (a cluster job raises
+    it; the value is baked into the checkpoint at first start).
     """
+    spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"sink_{uuid.uuid4().hex}"
-    query = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .start()
-    )
-    query.awaitTermination(timeout_sec)
-    return sdf.sparkSession.table(name)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 # --- E37: tumbling / sliding windows ----------------------------------------
