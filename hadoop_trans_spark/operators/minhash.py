@@ -41,9 +41,12 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def shingle_array(text_col: str = "text", k: int = 3) -> F.Column:
-    """Distinct word k-gram shingles of a text column, as an array."""
-    ws = F.split(F.col(text_col), " ")
+def shingle_array(text_col="text", k: int = 3) -> F.Column:
+    """Distinct word k-gram shingles of a text column (name or Column),
+    as an array."""
+    ws = F.split(
+        text_col if isinstance(text_col, F.Column) else F.col(text_col), " "
+    )
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(1))),

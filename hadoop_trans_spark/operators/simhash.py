@@ -1,14 +1,19 @@
 """SimHash near-duplicate fingerprints (E34; Charikar '02).
 
-Per document: each distinct token votes ±1 on every bit of a b-bit
-fingerprint (vote = parity of a hex digit of md5(token)); bit = 1 where
-the vote sum is positive. Near-duplicates have small Hamming distance.
+Per document: each distinct feature votes ±1 on every bit of a b-bit
+fingerprint (vote = parity of a hex digit of md5(feature)); bit = 1
+where the vote sum is positive. Near-duplicates have small Hamming
+distance.
 
-b=16 keeps the per-token work bounded and — deliberately — every step
-(md5, hex-digit parity, sum, bit assembly) is reproducible in ANSI SQL,
-so the DuckDB oracle runs the identical pipeline. At 100 TB the explode
-factor is |tokens|×16, all map-side; the only shuffle is the final
-groupBy(doc).
+Features are word 3-gram shingles, not unigram tokens: documents drawn
+from a shared vocabulary have near-identical unigram SETS (SimHash sees
+the set, not counts), which collapses fingerprints corpus-wide; shingle
+sets differ wherever word order does, so random pairs sit near Hamming
+b/2 while true near-dups stay ≤3. b=32 (one bit per md5 hex digit) —
+deliberately every step (md5, hex-digit parity, sum, bit assembly) is
+reproducible in ANSI SQL, so the DuckDB oracle runs the identical
+pipeline. At 100 TB the explode factor is |shingles|×32, all map-side;
+the only shuffle is the final groupBy(doc).
 """
 
 from __future__ import annotations
@@ -16,15 +21,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .minhash import shingle_array
+
 HEX = "0123456789abcdef"
-N_BITS = 16
+N_BITS = 32
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash) with a 16-bit fingerprint as bigint."""
+    """(id, simhash) with a 32-bit fingerprint as bigint."""
     tokens = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.split(F.lower(text_col), " "))).alias("tok"),
+        F.explode(shingle_array(F.lower(F.col(text_col)), k=3)).alias("tok"),
     )
     bits = tokens.select(
         "id",
@@ -65,8 +72,8 @@ def hamming_pairs(sim: DataFrame, max_distance: int = 3) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(n_seg - 1))).alias("seg"),
     ).withColumn(
         "seg_val",
-        F.shiftrightunsigned("simhash", F.col("seg") * seg_bits).bitwiseAND(
-            (1 << seg_bits) - 1
+        F.expr(
+            f"shiftrightunsigned(simhash, seg * {seg_bits}) & {(1 << seg_bits) - 1}"
         ),
     )
     a = segs.select("seg", "seg_val", F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))

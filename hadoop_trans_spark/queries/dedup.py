@@ -116,13 +116,15 @@ def q40_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q41_simhash",
     oracle="""
     WITH toks AS (
-      SELECT doc_id AS id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(string_split(lower(text),' '))-2, 1)+1),
+                 i -> array_to_string(list_slice(string_split(lower(text),' '), i, i+2), ' ')))) AS tok
       FROM documents
     ),
     votes AS (
       SELECT id, b,
              SUM(((strpos('0123456789abcdef', substring(md5(tok), b+1, 1)) - 1) % 2) * 2 - 1) AS s
-      FROM toks, generate_series(0, 15) t(b)
+      FROM toks, generate_series(0, 31) t(b)
       GROUP BY id, b
     )
     SELECT id AS doc_id,
@@ -133,13 +135,57 @@ def q40_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q41_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprints (operators.simhash); the Hamming-pair
-    stage is exercised by tests (segment-blocked join)."""
+    """32-bit SimHash fingerprints over word-3-gram shingle features
+    (operators.simhash); the Hamming-pair stage is q63."""
     d = table(spark, sf_dir, "documents")
     return (
         simhash(d)
         .select(F.col("id").alias("doc_id"), "simhash")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q63_simhash_neardup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(string_split(lower(text),' '))-2, 1)+1),
+                 i -> array_to_string(list_slice(string_split(lower(text),' '), i, i+2), ' ')))) AS tok
+      FROM documents
+    ),
+    votes AS (
+      SELECT id, b,
+             SUM(((strpos('0123456789abcdef', substring(md5(tok), b+1, 1)) - 1) % 2) * 2 - 1) AS s
+      FROM toks, generate_series(0, 31) t(b)
+      GROUP BY id, b
+    ),
+    sims AS (
+      SELECT id,
+             SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+      FROM votes GROUP BY id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sims a JOIN sims b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def q63_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 via segment
+    blocking (operators.simhash.hamming_pairs): the fingerprint splits
+    into 4 segments, pigeonhole guarantees any pair within the budget
+    shares one exact segment, so candidates come from an equi-join on
+    (segment, value) — the oracle's naive O(n²) self-join confirms the
+    blocked plan loses nothing."""
+    from ..operators.simhash import hamming_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        hamming_pairs(simhash(d), max_distance=3)
+        .select("id_a", "id_b", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
     )
 
 
