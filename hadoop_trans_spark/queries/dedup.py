@@ -88,20 +88,26 @@ _MINHASH_ORACLE = """
       JOIN sh a ON a.id = c.id_a
       JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
       GROUP BY c.id_a, c.id_b
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             CAST(ROUND(COALESCE(i.n_inter, 0)::DOUBLE
+                        / (sa.n + sb.n - COALESCE(i.n_inter, 0)), 6) AS DOUBLE) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i USING (id_a, id_b)
+      JOIN sizes sa ON sa.id = c.id_a
+      JOIN sizes sb ON sb.id = c.id_b
+      WHERE COALESCE(i.n_inter, 0)::DOUBLE
+            / (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.5
     )
-    SELECT c.id_a, c.id_b,
-           CAST(ROUND(COALESCE(i.n_inter, 0)::DOUBLE
-                      / (sa.n + sb.n - COALESCE(i.n_inter, 0)), 6) AS DOUBLE) AS jaccard
-    FROM cand c
-    LEFT JOIN inter i USING (id_a, id_b)
-    JOIN sizes sa ON sa.id = c.id_a
-    JOIN sizes sb ON sb.id = c.id_b
-    WHERE COALESCE(i.n_inter, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.5
-    ORDER BY id_a, id_b
+"""
+
+_MINHASH_PAIRS = _MINHASH_ORACLE + """
+    SELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b
 """
 
 
-@query("q40_minhash_lsh_neardup", oracle=_MINHASH_ORACLE)
+@query("q40_minhash_lsh_neardup", oracle=_MINHASH_PAIRS)
 def q40_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12) + LSH(4 bands × 3 rows) + exact-Jaccard verification,
     threshold 0.5 (finds the corpus's planted near-duplicates).
@@ -322,3 +328,41 @@ def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.similarity.embedding_near_duplicates)."""
     e = table(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(e, threshold=0.4).orderBy("id_a", "id_b")
+
+
+@query(
+    "q64_dedup_canonical",
+    oracle=_MINHASH_ORACLE
+    + """
+    , losers AS (SELECT DISTINCT id_b FROM verified)
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           SUM(d.doc_id) AS id_sum,
+           SUM(d.n_chars) AS chars_total
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM losers)
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def q64_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL (the training-data deliverable): run
+    the full MinHash/LSH pipeline, drop the higher doc_id of every
+    verified pair (deterministic canonical-keep, operators.minhash.
+    dedup_keep_canonical), and fingerprint the surviving corpus per
+    language. Left-anti join against the loser set — one broadcast-able
+    metadata join at 100 TB, the corpus itself never reshuffles."""
+    from ..operators.minhash import dedup_keep_canonical, near_duplicates
+
+    d = table(spark, sf_dir, "documents")
+    pairs = near_duplicates(d, shingle_k=3, n_hashes=12, bands=4, threshold=0.5)
+    kept = dedup_keep_canonical(d, pairs, id_col="doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("lang")
+    )
