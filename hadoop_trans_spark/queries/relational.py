@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators.asof import asof_join
-from .base import davg, dsum, o_davg, o_dsum, query, ts_micros
+from .base import DEC, davg, dsum, o_davg, o_dsum, query, ts_micros
 
 
 # --- E1 + E7 + E13 + E18: the flagship (TPC-H Q1 shape) ----------------------
@@ -740,4 +740,108 @@ def q62_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY rflag, lstatus, gid
         """
+    )
+
+
+# --- distribution statistics: exact percentiles ------------------------------
+@query(
+    "q65_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.5), 6) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.9), 6) AS DOUBLE) AS p90,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.99), 6) AS DOUBLE) AS p99,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q65_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`, both linear-interpolating). Exact percentile
+    needs the group's values together (one shuffle); at 100 TB swap in
+    `approx_percentile` (mergeable t-digest-style sketch, map-side
+    combine) and check with tolerance instead of hash."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- reshape: pivot ----------------------------------------------------------
+@query(
+    "q66_pivot",
+    oracle=f"""
+    SELECT n_name,
+           {o_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS f_total,
+           {o_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS o_total,
+           {o_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS p_total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q66_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order totals to one column per status (explicit value list —
+    at scale an unlisted pivot triggers a distinct-scan planning job;
+    always enumerate). Equivalent to conditional aggregation, which is
+    exactly what the oracle states."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    joined = o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    ).join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    pivoted = (
+        joined.groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6).cast("double"))
+    )
+    return pivoted.select(
+        "n_name",
+        F.col("F").alias("f_total"),
+        F.col("O").alias("o_total"),
+        F.col("P").alias("p_total"),
+    ).orderBy("n_name")
+
+
+# --- reshape: unpivot (stack) ------------------------------------------------
+@query(
+    "q67_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, CAST(ROUND(val, 6) AS DOUBLE) AS val
+    FROM (
+        SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+        UNION ALL
+        SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    WHERE c_custkey <= 100
+    ORDER BY c_custkey, metric
+    """,
+)
+def q67_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide columns to (key, metric, value) rows via `stack` —
+    the melt operation; narrow-row output shuffles nothing (pure
+    projection + generator)."""
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 100)
+    return (
+        c.select(
+            "c_custkey",
+            F.expr(
+                "stack(2, 'acctbal', c_acctbal,"
+                " 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)"
+            ),
+        )
+        .select("c_custkey", "metric", F.round("val", 6).alias("val"))
+        .orderBy("c_custkey", "metric")
     )
