@@ -51,7 +51,9 @@ def q39_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared CTE prelude for the MinHash oracle — identical pipeline, same
 # hash family (hash j = chars [8j,8j+8) of md5((j//4)||':'||shingle),
-# string-min), same 12 hashes × 4 bands (operators/minhash.py).
+# string-min), same 8 hashes × 4 bands of r=2 (operators/minhash.py):
+# r=2 banding raises candidate recall at J=0.5 to 1-(1-j²)⁴ ≈ 0.68 vs
+# 0.41 for r=3, at 2/3 the md5 cost.
 _MINHASH_ORACLE = """
     WITH sh AS (
       SELECT doc_id AS id, unnest(list_distinct(
@@ -62,19 +64,18 @@ _MINHASH_ORACLE = """
     ),
     hashed AS (
       SELECT id, shingle,
-             md5('0:' || shingle) || md5('1:' || shingle)
-               || md5('2:' || shingle) AS hcat
+             md5('0:' || shingle) || md5('1:' || shingle) AS hcat
       FROM sh
     ),
     sigs AS (
       SELECT id, j, min(substring(hcat, j*8 + 1, 8)) AS minhash
-      FROM hashed, generate_series(0, 11) s(j)
+      FROM hashed, generate_series(0, 7) s(j)
       GROUP BY id, j
     ),
     bands AS (
-      SELECT id, j // 3 AS band,
+      SELECT id, j // 2 AS band,
              md5(string_agg(minhash, ',' ORDER BY j)) AS band_sig
-      FROM sigs GROUP BY id, j // 3
+      FROM sigs GROUP BY id, j // 2
     ),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -109,12 +110,12 @@ _MINHASH_PAIRS = _MINHASH_ORACLE + """
 
 @query("q40_minhash_lsh_neardup", oracle=_MINHASH_PAIRS)
 def q40_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(12) + LSH(4 bands × 3 rows) + exact-Jaccard verification,
+    """MinHash(8) + LSH(4 bands × 2 rows) + exact-Jaccard verification,
     threshold 0.5 (finds the corpus's planted near-duplicates).
     See operators.minhash for the scale analysis."""
     d = table(spark, sf_dir, "documents")
     return near_duplicates(
-        d, shingle_k=3, n_hashes=12, bands=4, threshold=0.5
+        d, shingle_k=3, n_hashes=8, bands=4, threshold=0.5
     ).orderBy("id_a", "id_b")
 
 
@@ -355,7 +356,7 @@ def q64_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.minhash import dedup_keep_canonical, near_duplicates
 
     d = table(spark, sf_dir, "documents")
-    pairs = near_duplicates(d, shingle_k=3, n_hashes=12, bands=4, threshold=0.5)
+    pairs = near_duplicates(d, shingle_k=3, n_hashes=8, bands=4, threshold=0.5)
     kept = dedup_keep_canonical(d, pairs, id_col="doc_id")
     return (
         kept.groupBy("lang")
