@@ -233,12 +233,15 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
         )
     )
+    # Materialized once: the token explode, the light join sides, and
+    # both verification fetches all consume w — without the checkpoint
+    # each branch re-tokenizes the corpus from the scan.
     w = d.select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 200).cast("long").alias("len_bucket"),
         grams.alias("grams"),
-    )
+    ).localCheckpoint()
     # Physical strategy (exact semantics, staged cost — the AllPairs/
     # PPJoin prefix-filter family, Bayardo et al. WWW'07):
     #   1. candidate generation joins PREFIX TOKENS, not documents: under
