@@ -135,7 +135,8 @@ def q40_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY id, b
     )
     SELECT id AS doc_id,
-           SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM votes
     GROUP BY id
     ORDER BY doc_id
@@ -341,8 +342,8 @@ def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     , losers AS (SELECT DISTINCT id_b FROM verified)
     SELECT d.lang,
            COUNT(*) AS n_docs,
-           SUM(d.doc_id) AS id_sum,
-           SUM(d.n_chars) AS chars_total
+           CAST(SUM(d.doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_total
     FROM documents d
     WHERE d.doc_id NOT IN (SELECT id_b FROM losers)
     GROUP BY d.lang

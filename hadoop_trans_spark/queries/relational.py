@@ -645,7 +645,7 @@ def q18_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT l_orderkey * 8 + l_linenumber) AS n_keys,
            {o_dsum('l_quantity')} AS qty_sum,
            {o_dsum('l_extendedprice')} AS price_sum,
-           SUM(length(l_returnflag) + length(l_linestatus)) AS str_bytes,
+           CAST(SUM(length(l_returnflag) + length(l_linestatus)) AS BIGINT) AS str_bytes,
            MIN(epoch_us(l_shipdate)) AS min_ship_us,
            MAX(epoch_us(l_shipdate)) AS max_ship_us
     FROM lineitem

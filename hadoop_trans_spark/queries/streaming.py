@@ -180,7 +180,7 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g GROUP BY user_id, sid
     )
     SELECT user_id,
-           sum(streak) AS n_events,
+           CAST(sum(streak) AS BIGINT) AS n_events,
            max(streak) AS max_streak
     FROM streaks
     GROUP BY user_id
