@@ -27,19 +27,28 @@ from .base import dsum, o_dsum, query
 @query(
     "q54_stream_tumbling",
     f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events)
     SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
            event_type,
            count(*) AS n_events,
            {o_dsum('value')} AS sum_value
-    FROM events
+    FROM events, wm
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= w
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
 )
 def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E37 tumbling window: hourly per-type counts + exact sums."""
+    """E37 tumbling window: hourly per-type counts + exact sums.
+
+    Append mode: a window is emitted once, when the watermark
+    (max event time - 10 min) passes its end, and its state is dropped —
+    bounded state on an infinite stream, unlike complete mode which
+    retains every window ever seen. The oracle keeps exactly the
+    finalized windows via the same watermark WHERE.
+    """
     out = run_to_memory(
-        tumbling_counts(read_events_stream(spark, sf_dir)), "complete"
+        tumbling_counts(read_events_stream(spark, sf_dir)), "append"
     )
     return out.orderBy("window_start", "event_type")
 
@@ -47,6 +56,7 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q55_stream_sliding",
     """
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events)
     SELECT epoch_us(ws) AS window_start, event_type, count(*) AS n_events
     FROM (
         SELECT time_bucket(INTERVAL '30 minutes', ts)
@@ -54,15 +64,20 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_type
         FROM events
         CROSS JOIN (SELECT unnest([0, 1]) AS k)
-    )
+    ), wm
+    WHERE ws + INTERVAL '1 hour' <= w
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
 )
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E37 sliding window (1h size / 30m slide): each event in 2 windows."""
+    """E37 sliding window (1h size / 30m slide): each event in 2 windows.
+
+    Append mode + watermark (see q54): only windows finalized by the
+    final watermark are emitted; state for them is dropped.
+    """
     out = run_to_memory(
-        sliding_counts(read_events_stream(spark, sf_dir)), "complete"
+        sliding_counts(read_events_stream(spark, sf_dir)), "append"
     )
     return out.orderBy("window_start", "event_type")
 
@@ -85,13 +100,14 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(news) OVER (PARTITION BY user_id ORDER BY ts
                                ROWS UNBOUNDED PRECEDING) AS sid
         FROM f
-    )
+    ), wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events)
     SELECT user_id,
            epoch_us(min(ts)) AS session_start,
            epoch_us(max(ts) + INTERVAL '30 minutes') AS session_end,
            count(*) AS n_events
-    FROM g
-    GROUP BY user_id, sid
+    FROM g, wm
+    GROUP BY user_id, sid, w
+    HAVING max(ts) + INTERVAL '30 minutes' <= w
     ORDER BY user_id, session_start
     """,
 )
@@ -100,9 +116,11 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle reproduces Spark's merge rule (windows merge iff they overlap,
     i.e. next ts strictly < prev ts + gap) with a lag/islands query.
+    Append mode (see q54): a session is emitted once its end
+    (last event + gap) is past the final watermark; its state is dropped.
     """
     out = run_to_memory(
-        session_windows(read_events_stream(spark, sf_dir)), "complete"
+        session_windows(read_events_stream(spark, sf_dir)), "append"
     )
     return out.orderBy("user_id", "session_start")
 

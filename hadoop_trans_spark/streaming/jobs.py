@@ -15,9 +15,13 @@ Scale notes (100 TB / 1000-executor design):
   watermarks; at scale set the RocksDB state store provider
   (``spark.sql.streaming.stateStore.providerClass``) so state spills off
   the executor heap.
-* Aggregations here use ``complete`` output only because the fixture is
-  finite and tiny; production jobs use ``append`` + watermark so state is
-  dropped — ``late_data_drop`` demonstrates exactly those semantics.
+* Every windowed aggregation runs in ``append`` mode: a window is emitted
+  exactly once, when the watermark passes its end, and its state is then
+  dropped — bounded state on an infinite stream. (``complete`` mode would
+  retain every window ever seen — a scale-killer.)  Spark's no-data
+  micro-batch (``spark.sql.streaming.noDataMicroBatches.enabled``, default
+  on) runs after the last data batch and flushes the finalized windows, so
+  ``availableNow`` runs still terminate with deterministic append output.
 """
 
 from __future__ import annotations
@@ -91,7 +95,13 @@ def run_to_memory(
             .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
             .start()
         )
-        query.awaitTermination(timeout_sec)
+        finished = query.awaitTermination(timeout_sec)
+        if not finished:
+            # Never return a partially-populated sink: stop and fail loudly.
+            query.stop()
+            raise TimeoutError(
+                f"streaming query {name} did not finish in {timeout_sec}s"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
