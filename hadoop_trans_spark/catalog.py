@@ -47,3 +47,16 @@ def load_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def sql(spark: SparkSession, query: str, sf_dir: str | None = None) -> DataFrame:
+    """The engine's SQL entry surface (SURVEY §3.2 `engine.sql`).
+
+    Registers the warehouse tables as views (when ``sf_dir`` is given)
+    and hands the query to Spark's ANSI SQL parser — same Catalyst
+    analyze/optimize/execute path as the DataFrame API, so every declared
+    operator is reachable from SQL too (q62 exercises this surface).
+    """
+    if sf_dir is not None:
+        load_tables(spark, sf_dir)
+    return spark.sql(query)
