@@ -19,15 +19,17 @@ Scale notes (100 TB): label propagation is the classic BSP formulation
 (Pregel-style); for adversarially long chains use the large-star/
 small-star algorithm (Kiveris et al., "Connected Components in MapReduce
 and Beyond", SoCC'14) which converges in O(log n) rounds with the same
-join/groupBy primitives. Each round materializes its label table
-(checkpoint) to cut lineage growth — locally `localCheckpoint`, on a
-cluster a reliable checkpoint/staged parquet (see SCALE.md).
+join/groupBy primitives. Each round materializes its label table via
+operators.stage.materialize_stage to cut lineage growth (reliable
+checkpoint when a checkpoint dir is configured; see SCALE.md).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .stage import materialize_stage
 
 
 def connected_components(
@@ -42,7 +44,7 @@ def connected_components(
     rows of the original table are their own components by definition and
     never need to shuffle).
     """
-    edges = (
+    edges = materialize_stage(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(
             pairs.select(
@@ -50,13 +52,11 @@ def connected_components(
             )
         )
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = materialize_stage(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         # Min label among neighbors, one hop: join labels onto edge
@@ -71,7 +71,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("nbr_comp").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = materialize_stage(
             labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left")
             .select(
                 "id",
@@ -79,7 +79,6 @@ def connected_components(
                     F.col("comp"), F.coalesce("nbr_min", "comp")
                 ).alias("comp"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

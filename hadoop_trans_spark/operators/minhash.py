@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .stage import materialize_stage
+
 
 def shingle_array(text_col="text", k: int = 3) -> F.Column:
     """Distinct word k-gram shingles of a text column (name or Column),
@@ -183,7 +185,8 @@ def near_duplicates(
     # standard for any multi-consumer pipeline stage.
     grams_df = df.select(
         F.col(id_col).alias("id"), shingle_array(text_col, shingle_k).alias("grams")
-    ).localCheckpoint()
+    )
+    grams_df = materialize_stage(grams_df)
     bandsig = band_signatures(grams_df, n_hashes, bands)
     cand = candidate_pairs(bandsig)
     return jaccard_verify(grams_df, cand, threshold)

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .minhash import shingle_array
+from .stage import materialize_stage
 
 HEX = "0123456789abcdef"
 N_BITS = 32
@@ -81,7 +82,7 @@ def hamming_pairs(sim: DataFrame, max_distance: int = 3) -> DataFrame:
     # otherwise recompute the fingerprint expression — ~10⁴ hash-digit
     # ops per doc — per branch per segment (AQE defeats ReuseExchange
     # here). The checkpointed table is 16 bytes/doc on executor storage.
-    sim = sim.localCheckpoint()
+    sim = materialize_stage(sim)
     segs = sim.select(
         "id",
         "simhash",

@@ -32,7 +32,18 @@ def salted_join(
     discriminator (xxhash64 over all columns) so re-runs and retries
     partition identically; ``small`` is replicated ``n_salt`` times
     (keep it broadcast-sized × n_salt, or use AQE skew-join instead).
+
+    Inner joins only: replication changes outer-join semantics — an
+    unmatched ``small`` row would surface once per salt replica, and an
+    unmatched ``big`` row's null-extension depends on the salt key. For
+    skewed outer joins use AQE skew-join splitting instead.
     """
+    if how != "inner":
+        raise ValueError(
+            f"salted_join supports how='inner' only (got {how!r}); "
+            "small-side replication breaks outer-join semantics — use "
+            "AQE skew-join for skewed outer joins"
+        )
     if SALT in big.columns or SALT in small.columns:
         raise ValueError(f"reserved column {SALT} already present")
     big_s = big.withColumn(

@@ -12,6 +12,7 @@ from ..catalog import table
 from ..operators.minhash import near_duplicates
 from ..operators.simhash import simhash
 from ..operators.similarity import embedding_near_duplicates
+from ..operators.stage import materialize_stage
 from ..operators.textstats import normalize_text
 from .base import query
 
@@ -28,7 +29,7 @@ _STAGE_CACHE: dict[tuple, DataFrame] = {}
 def _memo_stage(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
     key = (tag, spark.sparkContext.applicationId, sf_dir)
     if key not in _STAGE_CACHE:
-        _STAGE_CACHE[key] = build().localCheckpoint()
+        _STAGE_CACHE[key] = materialize_stage(build())
     return _STAGE_CACHE[key]
 
 
@@ -275,12 +276,14 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialized once: the token explode, the light join sides, and
     # both verification fetches all consume w — without the checkpoint
     # each branch re-tokenizes the corpus from the scan.
-    w = d.select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / 200).cast("long").alias("len_bucket"),
-        grams.alias("grams"),
-    ).localCheckpoint()
+    w = materialize_stage(
+        d.select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") / 200).cast("long").alias("len_bucket"),
+            grams.alias("grams"),
+        )
+    )
     # Physical strategy (exact semantics, staged cost — the AllPairs/
     # PPJoin prefix-filter family, Bayardo et al. WWW'07):
     #   1. candidate generation joins PREFIX TOKENS, not documents: under

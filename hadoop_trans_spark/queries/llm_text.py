@@ -85,15 +85,33 @@ def q36_corpus_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q37_lang_id",
+    # Reproduces lang_guess's full five-way vote (operators/textstats.py),
+    # not just the zh/en/und branches the fixture happens to exercise — a
+    # non-English corpus keeps the two pipelines semantically identical.
     oracle="""
+    WITH lw AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS w,
+             length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) > 0 AS has_cjk
+      FROM documents
+    ), v AS (
+      SELECT doc_id, lang, has_cjk,
+             len(list_filter(w, x -> x IN ('the','a','and','of')))   AS v_en,
+             len(list_filter(w, x -> x IN ('el','la','los','de','y'))) AS v_es,
+             len(list_filter(w, x -> x IN ('der','die','das','und'))) AS v_de,
+             len(list_filter(w, x -> x IN ('le','la','les','et')))   AS v_fr
+      FROM lw
+    )
     SELECT doc_id, lang AS lang_label,
            CASE
-             WHEN length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) > 0 THEN 'zh'
-             WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                                  w -> w IN ('the','a','and','of'))) > 0 THEN 'en'
+             WHEN has_cjk THEN 'zh'
+             WHEN v_en >= v_es AND v_en >= v_de AND v_en >= v_fr AND v_en > 0 THEN 'en'
+             WHEN v_es >= v_de AND v_es >= v_fr AND v_es > 0 THEN 'es'
+             WHEN v_de >= v_fr AND v_de > 0 THEN 'de'
+             WHEN v_fr > 0 THEN 'fr'
              ELSE 'und'
            END AS lang_pred
-    FROM documents
+    FROM v
     ORDER BY doc_id
     """,
 )
