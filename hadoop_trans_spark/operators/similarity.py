@@ -173,6 +173,90 @@ def ivf_topk(
     )
 
 
+def random_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: component (p, d) is the parity of the
+    first hex digit of md5(f"{p}:{d}"). Reproducible in any engine — the
+    planes are materialized as LITERALS into both the Spark plan and the
+    DuckDB oracle SQL, so no cross-engine hash parity is needed."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def signlsh_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH (random-hyperplane, Charikar '02) cosine near-dup pairs —
+    the wired ANN fallback for when blocking keys grow quadratically.
+
+    Bit p of a vector's signature is sign(v · h_p); P(bit match) for a
+    pair at angle θ is 1 − θ/π, so banding r = n_planes/bands bits gives
+    candidate recall 1 − (1 − p^r)^bands: ~75% at cos 0.9, ~1.5% of
+    RANDOM pairs (the selectivity that bounds the join) with the default
+    32 planes × 4 bands. Candidates verify with the exact cosine; the
+    rounded cosine is both filtered and returned, so engines agree at
+    the threshold boundary.
+
+    Scale shape: signatures are one narrow projection (32 literal-array
+    dot products, codegen'd); the only pre-verification shuffle is the
+    (band, band_sig) equi-join — identical topology to MinHash banding,
+    so the same hot-bucket/AQE-skew guards apply."""
+    r = n_planes // bands
+    planes = random_hyperplanes(n_planes, dim)
+    pre = corpus.select(
+        F.col(id_col).alias("id"),
+        _dbl(F.col(vec)).alias("v"),
+        norm(F.col(vec)).alias("n"),
+    )
+    bits = [
+        F.when(
+            dot(F.col("v"), F.array(*[F.lit(x) for x in row])) > 0, "1"
+        ).otherwise("0")
+        for row in planes
+    ]
+    sig = pre.withColumn("s", F.concat(*bits))
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.substring(F.col("s"), b * r + 1, r).alias("band_sig"),
+        ),
+    )
+    banded = sig.select("id", F.explode(band_structs).alias("bs")).select(
+        "id", "bs.band", "bs.band_sig"
+    )
+    a = banded.select("band", "band_sig", F.col("id").alias("id_a"))
+    b = banded.select("band", "band_sig", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = pre.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("n").alias("n_a"))
+    vb = pre.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("n").alias("n_b"))
+    cos = F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.4,

@@ -1,5 +1,6 @@
-"""Similarity-search queries (E35): brute-force cosine top-k and the
-IVF-style two-stage ANN over the embeddings table."""
+"""Similarity-search queries (E35): brute-force cosine top-k, the
+IVF-style two-stage ANN, and sign-LSH bucketed near-dup over the
+embeddings table."""
 
 from __future__ import annotations
 
@@ -7,7 +8,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..operators.similarity import cosine_topk, ivf_topk
+from ..operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    random_hyperplanes,
+    signlsh_near_duplicates,
+)
 from .base import query
 
 _COS = (
@@ -45,6 +51,67 @@ def q44_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(q, c, k=5, query_id="q_id", corpus_id="c_id").orderBy(
         "q_id", "rank"
     )
+
+
+def _signlsh_oracle(n_planes: int = 32, bands: int = 4, dim: int = 64, top: int = 20) -> str:
+    """Generate the DuckDB twin of signlsh_near_duplicates: the SAME
+    deterministic hyperplanes are rendered as SQL literals, so both
+    engines compute bit-identical signatures with no shared hash fn."""
+    r = n_planes // bands
+    planes = random_hyperplanes(n_planes, dim)
+    bit_exprs = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ",".join(f"{x:.1f}" for x in row)
+        + "]) > 0 THEN '1' ELSE '0' END)"
+        for row in planes
+    )
+    return f"""
+    WITH pre AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    sig AS (SELECT id, {bit_exprs} AS s FROM pre),
+    banded AS (
+      SELECT id, b, substring(s, b * {r} + 1, {r}) AS band_sig
+      FROM sig, generate_series(0, {bands - 1}) g(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.b = b.b AND a.band_sig = b.band_sig
+      WHERE a.id < b.id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS DOUBLE) AS cos
+      FROM cand c
+      JOIN pre x ON x.id = c.id_a
+      JOIN pre y ON y.id = c.id_b
+    )
+    SELECT id_a, id_b, cos FROM scored
+    ORDER BY cos DESC, id_a, id_b
+    LIMIT {top}
+    """
+
+
+@query("q69_signlsh_neardup", oracle=_signlsh_oracle())
+def q69_signlsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed cosine near-dup: top-20 candidate pairs by exact
+    cosine (operators.similarity.signlsh_near_duplicates with the
+    threshold open, then a global top-k).
+
+    This is the ANN fallback for embedding dedup when blocking keys grow
+    quadratically (q43's documented 100 TB boundary): candidates come
+    from a (band, signature) equi-join — MinHash-banding topology, ~1.5%
+    of random pairs — and only candidates pay the exact-cosine
+    verification. The synthetic fixture has no planted high-cosine dups,
+    so the query reports the strongest candidates rather than filtering
+    at a near-dup threshold; recall at a real threshold t is
+    1-(1-p^8)^4 with p = 1 - acos(t)/pi (~75% at cos 0.9), tuned via
+    (n_planes, bands)."""
+    e = table(spark, sf_dir, "embeddings")
+    pairs = signlsh_near_duplicates(e, threshold=-1.0)
+    return pairs.orderBy(F.col("cos").desc(), "id_a", "id_b").limit(20)
 
 
 @query(
