@@ -61,16 +61,22 @@ def q50_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     def median_udf(v: pd.Series) -> float:
         return float(v.median())
 
+    # Spark rejects mixing a grouped-agg pandas UDF with JVM aggregates in
+    # one agg(), but two pandas UDAFs share one — a single shuffle + one
+    # Arrow pass per group, no join.
+    @F.pandas_udf(T.LongType())
+    def count_udf(v: pd.Series) -> int:
+        return len(v)
+
     o = table(spark, sf_dir, "orders")
-    # A grouped-agg pandas UDF cannot share an agg with JVM aggregates —
-    # compute separately and join on the group key.
-    med = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
-        F.round(median_udf("o_totalprice"), 6).alias("median_price")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.round(median_udf("o_totalprice"), 6).alias("median_price"),
+            count_udf("o_totalprice").alias("n"),
+        )
+        .orderBy("prio")
     )
-    cnt = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
-        F.count("*").alias("n")
-    )
-    return med.join(cnt, "prio").orderBy("prio")
 
 
 @query(
