@@ -151,6 +151,25 @@ _MINHASH_PAIRS = _MINHASH_ORACLE + """
     SELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b
 """
 
+# Shared transitive-closure tail for the cluster-based oracles (q68, q70):
+# edges → reachability (recursive CTE) → per-node component minimum.
+_COMPONENTS_SQL = """
+    , edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS comp
+        FROM reach GROUP BY src
+    )
+"""
+
 
 @query("q40_minhash_lsh_neardup", oracle=_MINHASH_PAIRS)
 def q40_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,21 +401,8 @@ def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB reproduces the component labeling the Spark side computes by
     # iterative min-label propagation.
     oracle=_MINHASH_ORACLE.replace("WITH", "WITH RECURSIVE", 1)
+    + _COMPONENTS_SQL
     + """
-    , edges AS (
-        SELECT id_a AS src, id_b AS dst FROM verified
-        UNION
-        SELECT id_b AS src, id_a AS dst FROM verified
-    ),
-    reach AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    ),
-    comp AS (
-        SELECT src AS id, LEAST(src, MIN(dst)) AS comp
-        FROM reach GROUP BY src
-    )
     SELECT comp AS cluster_id,
            COUNT(*) AS n_members,
            string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
@@ -425,6 +431,92 @@ def q68_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.groupBy(F.col("comp").alias("cluster_id"))
         .agg(F.count("*").alias("n_members"), members.alias("members"))
         .orderBy("cluster_id")
+    )
+
+
+@query(
+    "q70_corpus_curation",
+    # The full curation pipeline, re-run in SQL: same MinHash prelude,
+    # same recursive-CTE clustering, same exact-dedup keep rule, same
+    # rounded quality thresholds.
+    oracle=_MINHASH_ORACLE.replace("WITH", "WITH RECURSIVE", 1)
+    + _COMPONENTS_SQL
+    + """
+    , kept0 AS (
+        SELECT d.* FROM documents d
+        WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)
+    ),
+    exact AS (
+        SELECT * FROM (
+            SELECT k.*,
+                   row_number() OVER (
+                     PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                     ORDER BY doc_id) AS rn
+            FROM kept0 k
+        ) WHERE rn = 1
+    ),
+    quality AS (
+        SELECT * FROM exact
+        WHERE n_chars >= 200
+          AND ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                    / greatest(length(text), 1), 6) <= 0.05
+          AND ROUND(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    w -> w IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+                    / greatest(len(string_split_regex(lower(text), '\\s+')), 1), 6) >= 0.05
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM quality
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q70_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data curation — the pipeline a real corpus
+    actually runs, composed from the engine's own operators:
+
+      1. near-dup CLUSTER removal (MinHash/LSH pairs → connected
+         components → drop non-canonical members, operators.components);
+      2. exact dedup, keep-lowest-id per normalized-content hash;
+      3. quality filter (length >= 200 chars, punct ratio <= 0.05,
+         stopword ratio >= 0.05 — the textstats operators);
+      4. per-language corpus fingerprint.
+
+    Scale shape: step 1 is metadata joins (the corpus never reshuffles);
+    step 2 is one shuffle on the 16-byte content key; step 3 is a
+    codegen'd projection-filter; step 4 a map-side-combined aggregate."""
+    from ..operators.components import connected_components
+    from ..operators.textstats import punct_ratio, stopword_ratio
+
+    d = table(spark, sf_dir, "documents")
+    comp = connected_components(minhash_pairs(spark, sf_dir))
+    losers = comp.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept0 = d.join(losers, "doc_id", "left_anti")
+    exact = (
+        kept0.withColumn("ck", F.md5(normalize_text(F.col("text"))))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("ck").orderBy("doc_id"))
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn", "ck")
+    )
+    quality = exact.where(
+        (F.col("n_chars") >= 200)
+        & (punct_ratio(F.col("text")) <= 0.05)
+        & (stopword_ratio(F.col("text")) >= 0.05)
+    )
+    return (
+        quality.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("lang")
     )
 
 
