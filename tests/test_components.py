@@ -69,3 +69,53 @@ def test_empty_pairs(spark):
     pairs = _pairs(spark, [])
     assert connected_components(pairs).count() == 0
     assert dedup_keep_cluster_canonical(docs, pairs).count() == 5
+
+
+def test_random_graphs_match_union_find(spark):
+    """Fuzz: component labels agree with a driver-side union-find oracle
+    on seeded random graphs (chains, stars, cliques arise naturally)."""
+    import random
+
+    def uf_components(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # fully compress, then label = min member of the set
+        roots = {}
+        for x in range(n_nodes):
+            roots.setdefault(find(x), []).append(x)
+        label = {}
+        for members in roots.values():
+            m = min(members)
+            for x in members:
+                label[x] = m
+        return label
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 30
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(5, 25))
+            }
+        )
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long"
+        )
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components(pairs).collect()
+        }
+        want = uf_components(n, edges)
+        touched = {x for e in edges for x in e}
+        assert got == {x: want[x] for x in touched}, f"seed {seed}"

@@ -69,3 +69,35 @@ def test_relational_hot_path_is_codegen(spark, smoke_dir):
 def test_no_python_udf_in_relational_plans(spark, smoke_dir, name):
     plan = explain_formatted(QUERIES[name](spark, smoke_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_signlsh_band_join_is_equi_not_cartesian(spark, smoke_dir):
+    """q69's candidate stage must be an equi-join on (band, band_sig) —
+    a cartesian/BNL here would be quadratic in the corpus at 100 TB."""
+    from hadoop_trans_spark.catalog import table
+    from hadoop_trans_spark.operators.similarity import signlsh_near_duplicates
+
+    e = table(spark, smoke_dir, "embeddings")
+    plan = explain_formatted(signlsh_near_duplicates(e, threshold=-1.0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_pipeline_no_python_no_cartesian(spark, smoke_dir):
+    from hadoop_trans_spark.catalog import table
+    from hadoop_trans_spark.operators.minhash import near_duplicates
+
+    d = table(spark, smoke_dir, "documents")
+    plan = explain_formatted(near_duplicates(d, n_hashes=8, bands=4))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curation_corpus_never_reshuffles_rows(spark, smoke_dir):
+    """q70's dedup joins must be join-key metadata exchanges only: the
+    anti-join side carries doc ids, never text columns."""
+    from hadoop_trans_spark.queries import QUERIES
+
+    plan = explain_formatted(QUERIES["q70_corpus_curation"](spark, smoke_dir))
+    assert "CartesianProduct" not in plan
