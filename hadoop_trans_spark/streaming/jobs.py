@@ -86,7 +86,7 @@ def run_to_memory(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"sink_{uuid.uuid4().hex}"
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         query = (
             sdf.writeStream.format("memory")
             .queryName(name)
