@@ -63,6 +63,11 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("-q", "--query", required=True)
     s.add_argument("-data", default=None, dest="data_dir", help="dir of <table>.parquet files to register as views")
     s.add_argument("-n", type=int, default=20, help="max rows to print")
+
+    d = sub.add_parser("query", help="run a declared engine query by name (or list them)")
+    d.add_argument("name", nargs="?", default=None, help="query name, e.g. q01_pricing_summary (omit to list)")
+    d.add_argument("-data", required=False, default="/root/testdata/sf0.01", dest="data_dir")
+    d.add_argument("-n", type=int, default=20, help="max rows to print")
     return p
 
 
@@ -124,6 +129,19 @@ def main(argv: list[str] | None = None) -> int:
 
         df = engine_sql(spark, args.query, sf_dir=args.data_dir)
         df.show(args.n, truncate=False)
+        return 0
+
+    if args.cmd == "query":
+        from .queries import QUERIES
+
+        if args.name is None:
+            for name in QUERIES:
+                print(name)
+            return 0
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r}; run with no name to list", file=sys.stderr)
+            return 2
+        QUERIES[args.name](spark, args.data_dir).show(args.n, truncate=False)
         return 0
 
     return 2  # unreachable

@@ -123,3 +123,14 @@ def test_cli_sql(smoke_dir, capsys):
         "-q", "SELECT count(*) AS n FROM lineitem",
     ]) == 0
     assert "n" in capsys.readouterr().out
+
+
+def test_cli_query_list_and_run(smoke_dir, capsys):
+    assert main(["query"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "q70_corpus_curation" in out
+
+    assert main(["query", "q01_pricing_summary", "-data", smoke_dir]) == 0
+    assert "sum_qty" in capsys.readouterr().out
+
+    assert main(["query", "nope"]) == 2
