@@ -1,0 +1,166 @@
+"""Corpus-curation operators for training-data pipelines:
+benchmark decontamination, repetition-based quality filtering
+(Gopher-style), deterministic hash splits, and stratified sampling.
+
+All four are standard steps between "raw crawl" and "training set"
+(decontamination per GPT-3/PaLM appendix methodology: drop training
+documents sharing n-grams with evaluation sets; repetition filters per
+Rae et al. 2021 "Scaling Language Models" §A1.1). Everything is built-in
+`pyspark.sql.functions` — JVM-side, whole-stage codegen; the only
+shuffles are the candidate semi-join (decontamination, after a broadcast
+prefilter) and the per-doc term-count aggregations (map-side combined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def word_grams(text_col, k: int, distinct: bool = True) -> F.Column:
+    """Word k-grams of a space-tokenized text column. ``distinct=False``
+    keeps duplicates — needed when the *count* of a repeated gram is the
+    signal (repetition filters)."""
+    c = text_col if isinstance(text_col, F.Column) else F.col(text_col)
+    ws = F.split(c, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """Training docs sharing ≥1 word k-gram with a benchmark/eval set:
+    (id, n_shared) where n_shared = distinct shared grams.
+
+    Physical shape: the benchmark gram set is tiny relative to the corpus
+    (eval sets are KBs against TBs), so it broadcasts; corpus grams are
+    filtered map-side by the broadcast hash join *before* the only
+    shuffle (the per-doc count aggregation over surviving grams). At
+    100 TB the scan dominates and parallelizes embarrassingly; nothing
+    quadratic exists anywhere.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_grams(text_col, k)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("id"), F.explode(word_grams(text_col, k)).alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc repetition signals: top-word fraction, top-bigram fraction,
+    mean word length. The classic "most common n-gram mass" filters —
+    documents dominated by one term/phrase are boilerplate.
+
+    Single pass: words and bigrams are tagged and unioned before ONE
+    (doc, kind, term) count aggregation (map-side combined — shuffle
+    volume is distinct terms per doc, never raw words), then reduced per
+    doc. Mean word length rides the word branch (Σ n·len(term) / Σ n),
+    so no extra scan or join exists anywhere."""
+    lowered = F.trim(F.lower(F.col(text_col)))
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.lit("w").alias("kind"),
+        F.explode(F.split(lowered, r"\s+")).alias("g"),
+    )
+    bigrams = df.select(
+        F.col(id_col).alias("id"),
+        F.lit("b").alias("kind"),
+        F.explode(word_grams(lowered, 2, distinct=False)).alias("g"),
+    )
+    per_kind = (
+        words.unionByName(bigrams)
+        .groupBy("id", "kind", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("id", "kind")
+        .agg(
+            F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_frac"),
+            F.round(
+                F.sum(F.col("n") * F.length("g")).cast("double") / F.sum("n"), 6
+            ).alias("mean_len"),
+        )
+    )
+    w, b = F.col("kind") == "w", F.col("kind") == "b"
+    return per_kind.groupBy("id").agg(
+        F.max(F.when(w, F.col("top_frac"))).alias("top_word_frac"),
+        F.max(F.when(b, F.col("top_frac"))).alias("top_bigram_frac"),
+        F.max(F.when(w, F.col("mean_len"))).alias("mean_word_len"),
+    )
+
+
+HEX = "0123456789abcdef"
+
+
+def hash_split(id_col: str = "doc_id", train: int = 12, val: int = 2) -> F.Column:
+    """Deterministic engine-portable split assignment from the first hex
+    nibble of md5(id): nibbles [0, train) → 'train', [train, train+val) →
+    'val', rest → 'test'. Pure projection — stable under re-runs,
+    partitioning, and engine. Compared as hex *characters* (md5 renders
+    identical lowercase hex in Spark and DuckDB), so no engine-specific
+    hex→int conversion is involved."""
+    c = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    return (
+        F.when(c <= F.lit(HEX[train - 1]), "train")
+        .when(c <= F.lit(HEX[train + val - 1]), "val")
+        .otherwise("test")
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, id_col: str = "doc_id", k: int = 20
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank by md5(id) within each
+    stratum, keep rank ≤ k. The md5 order is a fixed pseudo-random
+    permutation, so the sample is reproducible across runs and engines.
+
+    Scale: window rank with a `rank <= k` filter gets Spark's
+    WindowGroupLimit partial top-k — each map task forwards at most k
+    rows per stratum into the shuffle."""
+    rk = F.row_number().over(
+        W.partitionBy(strata_col).orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+    )
+    return df.withColumn("rk", rk).where(F.col("rk") <= k)
+
+
+# --- PII redaction -----------------------------------------------------------
+
+# Patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def redact_pii(text: F.Column) -> F.Column:
+    """Replace emails, IPv4s, and phone-shaped tokens with typed tags.
+    Email first (its domain could otherwise partially match), then IP,
+    then phone. One JVM regex pass per pattern — no Python in the path."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: F.Column) -> list[F.Column]:
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+    ]

@@ -257,6 +257,46 @@ def signlsh_near_duplicates(
     )
 
 
+def quantize_int8(
+    corpus: DataFrame, id_col: str = "vec_id", vec: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = 127 / max|x|,
+    q_i = floor(x_i · scale), plus the squared reconstruction error.
+
+    `floor` (not `round`) keeps the operator engine-portable — rounding
+    tie-break modes differ between engines, floor does not; IEEE double
+    multiplication is bit-identical everywhere. Pure projection (codegen,
+    no shuffle): the standard prep step before shipping embeddings to an
+    ANN index — 4× smaller vectors, scan-bound at 100 TB.
+
+    Returns (id, scale, q array<int>, sq_err)."""
+    v = _dbl(F.col(vec))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.greatest(max_abs, F.lit(1e-12))
+    pre = corpus.select(
+        F.col(id_col).alias("id"), v.alias("v"), scale.alias("scale")
+    )
+    q = F.transform(
+        F.col("v"), lambda x: F.floor(x * F.col("scale")).cast("int")
+    )
+    dq_err = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("q"),
+            lambda x, qi: (x - qi.cast("double") / F.col("scale"))
+            * (x - qi.cast("double") / F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return pre.withColumn("q", q).select(
+        "id",
+        F.round("scale", 6).alias("scale"),
+        F.col("q"),
+        F.round(dq_err, 6).alias("sq_err"),
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.4,

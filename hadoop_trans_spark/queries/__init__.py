@@ -16,6 +16,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     windows,
     udf,
     llm_text,
+    curation,
     multimodal,
     similarity,
     sources_io,

@@ -1,0 +1,296 @@
+"""Corpus-curation queries: benchmark decontamination, repetition-based
+quality filters, deterministic splits/sampling, PII redaction, embedding
+quantization, and corpus vocabulary — the steps between "raw crawl" and
+"training set" in an LLM data pipeline (operators/curation.py,
+operators/similarity.py quantize_int8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.curation import (
+    decontaminate,
+    hash_split,
+    pii_counts,
+    redact_pii,
+    repetition_stats,
+    stratified_sample,
+)
+from ..operators.similarity import quantize_int8
+from .base import query
+
+
+@query(
+    "q71_decontaminate",
+    # Benchmark set = doc_id % 97 == 0 (a stand-in for a held-out eval
+    # set); a training doc is contaminated if it shares any distinct
+    # word 4-gram with any benchmark doc.
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             array_to_string(list_slice(w, i, i + 3), ' ') AS gram
+      FROM (SELECT doc_id, w,
+                   unnest(range(1, greatest(len(w) - 3, 1) + 1)) AS i
+            FROM w)
+    ),
+    dg AS (SELECT DISTINCT doc_id, gram FROM g),
+    bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0)
+    SELECT doc_id, COUNT(*) AS n_shared
+    FROM dg JOIN bg USING (gram)
+    WHERE doc_id % 97 <> 0
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q71_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: training docs sharing a word 4-gram with
+    the benchmark subset. Benchmark grams broadcast; corpus grams are
+    filtered map-side before the only shuffle (per-doc count)."""
+    d = table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return (
+        decontaminate(corpus, bench, k=4)
+        .select(F.col("id").alias("doc_id"), "n_shared")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q72_repetition_quality",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS g
+      FROM documents
+    ),
+    wf AS (
+      SELECT doc_id,
+             CAST(ROUND(MAX(n)::DOUBLE / SUM(n), 6) AS DOUBLE) AS top_word_frac
+      FROM (SELECT doc_id, g, COUNT(*) AS n FROM words GROUP BY 1, 2)
+      GROUP BY doc_id
+    ),
+    bw AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM documents),
+    bigrams AS (
+      SELECT doc_id,
+             array_to_string(list_slice(w, i, i + 1), ' ') AS g
+      FROM (SELECT doc_id, w,
+                   unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+            FROM bw)
+    ),
+    bf AS (
+      SELECT doc_id,
+             CAST(ROUND(MAX(n)::DOUBLE / SUM(n), 6) AS DOUBLE) AS top_bigram_frac
+      FROM (SELECT doc_id, g, COUNT(*) AS n FROM bigrams GROUP BY 1, 2)
+      GROUP BY doc_id
+    ),
+    ml AS (
+      SELECT doc_id,
+             CAST(ROUND(
+               list_sum(list_transform(
+                 string_split_regex(trim(lower(text)), '\s+'), x -> length(x)
+               ))::DOUBLE
+               / len(string_split_regex(trim(lower(text)), '\s+')), 6
+             ) AS DOUBLE) AS mean_word_len
+      FROM documents
+    )
+    SELECT wf.doc_id, top_word_frac, top_bigram_frac, mean_word_len,
+           (top_word_frac <= 0.1 AND top_bigram_frac <= 0.06) AS keep
+    FROM wf JOIN bf ON wf.doc_id = bf.doc_id JOIN ml ON wf.doc_id = ml.doc_id
+    ORDER BY wf.doc_id
+    """,
+)
+def q72_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): drop docs
+    whose most common word/bigram dominates the text."""
+    d = table(spark, sf_dir, "documents")
+    stats = repetition_stats(d)
+    return (
+        stats.select(
+            F.col("id").alias("doc_id"),
+            "top_word_frac",
+            "top_bigram_frac",
+            "mean_word_len",
+            (
+                (F.col("top_word_frac") <= 0.1)
+                & (F.col("top_bigram_frac") <= 0.06)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q73_hash_split",
+    oracle="""
+    SELECT lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, split
+    """,
+)
+def q73_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment from md5(doc_id) hex —
+    12/2/2 sixteenths. Pure projection: re-runs, engines, and
+    partitionings all agree, so the split is stable as the corpus grows."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", hash_split("doc_id"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@query(
+    "q74_stratified_sample",
+    oracle="""
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    ORDER BY lang, rk
+    """,
+)
+def q74_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language sample (rank by md5(doc_id) within
+    stratum) — reproducible eval subsets without a seed parameter.
+    WindowGroupLimit keeps the shuffle at ≤ k rows per stratum per task."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, "lang", "doc_id", k=20)
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+@query(
+    "q75_pii_redaction",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  || CASE WHEN doc_id % 3 = 0 THEN ' admin@test.org' ELSE '' END
+                  || ' or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+           len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS red_md5
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def q75_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails / IPv4 / phone-shaped tokens) —
+    three JVM regex passes, no Python in the row path. The fixture text
+    has no PII, so a deterministic synthetic tail is appended per doc;
+    the operator under test is `redact_pii`/`pii_counts`."""
+    d = table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0, " admin@test.org").otherwise(""),
+        F.lit(" or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    return t.select(
+        "doc_id",
+        *pii_counts(F.col("t")),
+        F.md5(redact_pii(F.col("t"))).alias("red_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q76_embedding_quantize",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS scale
+      FROM p
+    )
+    SELECT vec_id,
+           CAST(ROUND(scale, 6) AS DOUBLE) AS scale,
+           array_to_string(list_transform(v, x -> CAST(floor(x * scale) AS INT)), ',') AS q_str,
+           CAST(ROUND(list_sum(list_transform(v,
+               x -> (x - CAST(floor(x * scale) AS DOUBLE) / scale)
+                  * (x - CAST(floor(x * scale) AS DOUBLE) / scale))), 6) AS DOUBLE) AS sq_err
+    FROM s
+    ORDER BY vec_id
+    """,
+)
+def q76_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization + reconstruction error — the prep step
+    before shipping embeddings to an ANN index (4× smaller vectors).
+    floor (not round) keeps tie-break behavior engine-portable."""
+    e = table(spark, sf_dir, "embeddings")
+    out = quantize_int8(e)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "scale",
+        F.array_join("q", ",").alias("q_str"),
+        "sq_err",
+    ).orderBy("vec_id")
+
+
+@query(
+    "q77_vocab_topk",
+    oracle=r"""
+    SELECT g AS token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS g
+      FROM documents
+    )
+    GROUP BY g
+    ORDER BY n DESC, token
+    LIMIT 100
+    """,
+)
+def q77_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency with doc frequency —
+    the tokenizer-training / stopword-discovery primitive. One explode +
+    one hash agg (map-side combined); ties broken by token for
+    cross-engine determinism."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(100)
+    )

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..sources import read_csv, read_json
+from ..sources import read_csv, read_json, read_orc
 from .base import dsum, o_dsum, query
 
 
@@ -86,4 +86,42 @@ def q53_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts_us").alias("min_ts_us"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "q78_orc_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           {o_dsum('o_totalprice')} AS price_sum,
+           MIN(epoch_us(o_orderdate)) AS min_date_us
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY status
+    """,
+)
+def q78_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC (snappy) → read back → fingerprint. The second
+    columnar boundary besides parquet; the oracle reads the original
+    parquet, so a match proves the ORC round-trip is content-lossless
+    (timestamps compared as epoch-micros)."""
+    base = tempfile.mkdtemp(prefix="htspark_orc_")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("date_us"),
+    )
+    o.write.mode("overwrite").orc(f"{base}/orders")
+
+    schema = "o_orderkey long, o_orderstatus string, o_totalprice double, date_us long"
+    back = read_orc(spark, f"{base}/orders", schema)
+    return (
+        back.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum("o_totalprice").alias("price_sum"),
+            F.min("date_us").alias("min_date_us"),
+        )
+        .orderBy("status")
     )

@@ -28,6 +28,15 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> Dat
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | str | None = None) -> DataFrame:
+    """ORC ingest (columnar alternative boundary; schema optional because
+    ORC embeds one — passing it still pins the contract)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Opaque-blob source (path, modificationTime, length, content) — the
     Spark equivalent of the reference's byte-stream file model
