@@ -39,12 +39,21 @@ def q33_migrate_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="htspark_migrate_")
     src_root, dst_root = f"{base}/src", f"{base}/dst"
 
-    li = table(spark, sf_dir, "lineitem").withColumn(
-        "par_dt", F.date_format("l_shipdate", "yyyyMM")
+    # Stage the migrate window plus flanking quarters — enough partitions
+    # outside [start, end] to prove pruning/conflict behavior without
+    # writing all ~84 months of lineitem (the staging write is fixture
+    # setup, not the operator under test).
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1995-10-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .withColumn("par_dt", F.date_format("l_shipdate", "yyyyMM"))
     )
     # repartition on the partition key: each task writes its own
-    # partition dirs in parallel (one task fanning out 84 dirs serializes
-    # the whole staging write).
+    # partition dirs in parallel (one task fanning out all dirs
+    # serializes the whole staging write).
     li.repartition("par_dt").write.mode("overwrite").partitionBy(
         "par_dt"
     ).parquet(f"{src_root}/lineitem")
@@ -92,7 +101,10 @@ def q34_compact_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").withColumn(
         "par_dt", F.date_format("ts", "yyyyMMdd")
     )
-    ev.repartition(20).write.mode("overwrite").partitionBy("par_dt").parquet(path)
+    # 6 files per day partition: small enough to need compaction, a third
+    # of the staging cost of the previous 20 (the many-small-files
+    # *condition* is what matters, not the file count).
+    ev.repartition(6).write.mode("overwrite").partitionBy("par_dt").parquet(path)
 
     report = compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
     assert not report.failed, f"compaction failures: {report.failed}"

@@ -18,6 +18,7 @@ from ..streaming import (
     sliding_counts,
     stream_dedup,
     stream_migrate,
+    stream_stream_join,
     tumbling_counts,
     user_streaks,
 )
@@ -210,6 +211,32 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity streak (runs of events < 10 min apart). Logic Spark's
     built-in windows can't express; oracle is the islands equivalent."""
     return user_streaks(spark, sf_dir, gap_seconds=600).orderBy("user_id")
+
+
+@query(
+    "q79_stream_stream_join",
+    """
+    SELECT c.event_id AS click_id,
+           v.event_id AS view_id,
+           c.user_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(v.ts) AS view_us
+    FROM events c
+    JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts >= c.ts - INTERVAL '30 minutes' AND v.ts <= c.ts
+    ORDER BY click_id, view_id
+    """,
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: click→view attribution within a
+    30-minute lookback, same user. Inner join with watermarks on both
+    sides + an event-time range predicate, so Spark bounds the buffered
+    join state by watermark + lookback — the oracle is the equivalent
+    batch interval join."""
+    out = run_to_memory(stream_stream_join(spark, sf_dir), "append")
+    return out.orderBy("click_id", "view_id")
 
 
 @query(

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators.topk import topk_per_group
-from .base import query
+from .base import query, ts_micros
 
 
 @query(
@@ -143,3 +143,106 @@ def q23_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("price"),
         "rank_in_group",
     ).orderBy("prio", "rank_in_group")
+
+
+@query(
+    "q80_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           event_type AS state,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             AS valid_to_us,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current
+    FROM events
+    ORDER BY user_id, valid_from_us, state
+    """,
+)
+def q80_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build: each event opens a validity interval that
+    the user's next event closes (lead over an event-time window); the
+    open interval is the current state. The standard way a warehouse
+    derives dimension history from a change stream — one shuffle on the
+    partition key, whatever the table size."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead(ts_micros("ts")).over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        ts_micros("ts").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from_us", "state")
+
+
+@query(
+    "q81_sessionize_batch",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, "value",
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ), f AS (
+        SELECT user_id, ts, event_id, "value",
+               CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS news
+        FROM o
+    ), g AS (
+        SELECT user_id, ts, "value",
+               sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    )
+    SELECT user_id,
+           CAST(sid AS BIGINT) AS session_no,
+           epoch_us(min(ts)) AS session_start,
+           count(*) AS n_events,
+           CAST(ROUND(SUM(CAST("value" AS DECIMAL(38,6))), 6) AS DOUBLE)
+             AS value_sum
+    FROM g
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_no
+    """,
+)
+def q81_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap-based islands): lag → new-session flag →
+    running sum = session number → per-session rollup. The batch twin of
+    q56's streaming session windows; two window passes over one shuffle
+    partitioning (user_id) plus the final rollup — no join, scales with
+    the shuffle, not the session count."""
+    from .base import dsum
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long")
+                - F.lag("ts").over(w).cast("long")
+                >= 30 * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("news"),
+    )
+    sessions = flagged.withColumn("sid", F.sum("news").over(run))
+    return (
+        sessions.groupBy("user_id", F.col("sid").alias("session_no"))
+        .agg(
+            F.min(ts_micros("ts")).alias("session_start"),
+            F.count("*").alias("n_events"),
+            dsum("value").alias("value_sum"),
+        )
+        .orderBy("user_id", "session_no")
+    )

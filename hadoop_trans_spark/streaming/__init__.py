@@ -13,6 +13,7 @@ from .jobs import (
     sliding_counts,
     stream_dedup,
     stream_migrate,
+    stream_stream_join,
     tumbling_counts,
     user_streaks,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "session_windows",
     "stream_dedup",
     "stream_migrate",
+    "stream_stream_join",
     "late_data_drop",
     "user_streaks",
 ]

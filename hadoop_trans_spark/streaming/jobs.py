@@ -168,6 +168,58 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+# --- stream-stream interval join ----------------------------------------------
+
+
+def stream_stream_join(
+    spark: SparkSession, sf_dir: str, lookback: str = "30 minutes"
+) -> DataFrame:
+    """Attribute each click to the views it followed within ``lookback``
+    (same user) — a stream-stream inner join with an event-time range
+    condition.
+
+    Both sides carry watermarks, and the range predicate bounds how long
+    a view must be buffered (watermark + lookback) — Spark evicts join
+    state past that horizon, so state is bounded on an infinite stream.
+    This is the streaming form of the as-of/attribution join (E12); at
+    100 TB the join key (user_id) partitions both sides' state stores.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    return clicks.join(
+        views,
+        F.expr(
+            f"c_user = v_user AND view_ts >= click_ts - interval {lookback} "
+            "AND view_ts <= click_ts"
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "view_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("view_ts").alias("view_us"),
+    )
+
+
 # --- E40: stateful dedup over a stream ---------------------------------------
 
 

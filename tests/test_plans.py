@@ -101,3 +101,46 @@ def test_curation_corpus_never_reshuffles_rows(spark, smoke_dir):
 
     plan = explain_formatted(QUERIES["q70_corpus_curation"](spark, smoke_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, smoke_dir):
+    """The benchmark gram set must take the broadcast side: corpus grams
+    are then filtered map-side before any shuffle — the property that
+    makes decontamination scan-bound at 100 TB."""
+    from hadoop_trans_spark.operators.curation import decontaminate
+
+    d = table(spark, smoke_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    df = decontaminate(corpus, bench, k=4)
+    assert broadcast_joins(df) >= 1, explain_formatted(df)
+    plan = explain_formatted(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_sample_uses_window_group_limit(spark, smoke_dir):
+    """rank ≤ k must plan a WindowGroupLimit: each map task forwards at
+    most k rows per stratum into the shuffle instead of the full table."""
+    from hadoop_trans_spark.operators.curation import stratified_sample
+
+    d = table(spark, smoke_dir, "documents")
+    plan = explain_formatted(stratified_sample(d, "lang", "doc_id", k=5))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_quantize_is_shuffle_free_projection(spark, smoke_dir):
+    """Int8 quantization must be a pure narrow projection — any Exchange
+    in this plan means a 100 TB quantization pass shuffles the corpus."""
+    from hadoop_trans_spark.operators.similarity import quantize_int8
+
+    e = table(spark, smoke_dir, "embeddings")
+    plan = explain_formatted(quantize_int8(e))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_and_pii_stay_jvm_side(spark, smoke_dir):
+    for name in ("q72_repetition_quality", "q75_pii_redaction"):
+        plan = explain_formatted(QUERIES[name](spark, smoke_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
