@@ -109,3 +109,49 @@ def fake_features(df: DataFrame, n_features: int = 4) -> DataFrame:
             yield out
 
     return df.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_us", T.LongType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, fps_us: int = 40_000) -> DataFrame:
+    """Fan each media row out into per-frame rows — the video
+    frame-sampling shape: one input row becomes N output rows inside the
+    same Arrow batch (mapInPandas is a flat-map, not a 1:1 map).
+
+    The decoder is stubbed deterministically (n_frames derived from the
+    payload size; frame hash from the content checksum + index) — the
+    real part is the row-multiplying batch plumbing, the schema contract,
+    and the per-frame timestamp assignment a real sampler needs. Batch
+    memory scales with n_frames × row width: at 100 TB bound it with
+    spark.sql.execution.arrow.maxRecordsPerBatch and keep payloads out of
+    the output schema (only hashes/timestamps leave the executor)."""
+    import hashlib
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                n_frames = int(len(payload)) % 4 + 1
+                checksum = meta["checksum"]
+                for i in range(n_frames):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_id"].append(i)
+                    rows["n_frames"].append(n_frames)
+                    rows["frame_us"].append(i * fps_us)
+                    rows["frame_hash"].append(
+                        hashlib.md5(f"{checksum}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_sample, FRAME_SCHEMA)

@@ -1,0 +1,140 @@
+"""Table-maintenance queries: upsert merge and snapshot diff
+(operators/merge.py) — the row-level generalization of the reference's
+copy/diff job (reference ``CommonUtils.java:99-124``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.merge import merge_upsert, snapshot_diff
+from .base import o_dsum, query
+
+
+def _changes(orders: DataFrame) -> DataFrame:
+    """Deterministic change set: +10.0 price updates for keys % 7 == 0,
+    inserts (key + 10M, status 'N') for keys % 1000 == 0."""
+    updates = orders.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 10.0
+    )
+    inserts = (
+        orders.where(F.col("o_orderkey") % 1000 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    return updates.unionByName(inserts)
+
+
+@query(
+    "q82_upsert_merge",
+    oracle=f"""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 10.0 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), inserts AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+             'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ), changes AS (
+      SELECT * FROM updates UNION ALL SELECT * FROM inserts
+    ), merged AS (
+      SELECT COALESCE(c.o_orderkey, t.o_orderkey) AS o_orderkey,
+             CASE WHEN c.o_orderkey IS NOT NULL
+                  THEN c.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+             CASE WHEN c.o_orderkey IS NOT NULL
+                  THEN c.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+      FROM orders t FULL JOIN changes c ON t.o_orderkey = c.o_orderkey
+    )
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           {o_dsum('o_totalprice')} AS price_sum,
+           CAST(SUM(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserted
+    FROM merged
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q82_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 MERGE INTO semantics: apply a change set (updates + inserts)
+    onto orders in one full-outer join, fingerprint the merged table.
+    Change rows replace whole rows; unmatched changes insert."""
+    from .base import dsum
+
+    o = table(spark, sf_dir, "orders")
+    merged = merge_upsert(o, _changes(o), keys=["o_orderkey"])
+    return (
+        merged.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum("o_totalprice").alias("price_sum"),
+            F.sum(
+                F.when(F.col("o_orderkey") >= 10_000_000, 1).otherwise(0)
+            ).cast("long").alias("n_inserted"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "q83_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', o_totalprice
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    diff AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+                    OR NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                  THEN 'changed'
+                  ELSE 'unchanged' END AS diff_status
+      FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT diff_status, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM diff GROUP BY 1 ORDER BY 1
+    """,
+)
+def q83_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC classification between two table snapshots (added / removed /
+    changed / unchanged) via one null-safe full-outer join — the
+    symmetric, content-based upgrade of the reference's one-way file-list
+    diff (``CommonUtils.java:99-124``)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        o.where(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 1000 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+            .withColumn("o_orderstatus", F.lit("N"))
+        )
+    )
+    diff = snapshot_diff(o, new, keys=["o_orderkey"])
+    return (
+        diff.groupBy("diff_status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("diff_status")
+    )

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..operators.multimodal import attach_binary, fake_features
+from ..operators.multimodal import attach_binary, fake_features, frame_sample
 from .base import query
 
 
@@ -108,3 +108,39 @@ def q48_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("feat_sum"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q84_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS checksum
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, checksum,
+             CAST(n_bytes % 4 + 1 AS INT) AS n_frames,
+             unnest(range(0, n_bytes % 4 + 1)) AS frame_id
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(frame_id AS INT) AS frame_id,
+           n_frames,
+           frame_id * 40000 AS frame_us,
+           md5(checksum || ':' || CAST(frame_id AS VARCHAR)) AS frame_hash
+    FROM f
+    ORDER BY doc_id, frame_id
+    """,
+)
+def q84_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame fan-out (video frame sampling shape): one media row
+    becomes N frame rows inside the Arrow batch — mapInPandas as a
+    flat-map, with per-frame timestamps and hashes. Decoder stubbed
+    deterministically (operators.multimodal.frame_sample); the oracle
+    reproduces the fan-out arithmetically, proving the row-multiplying
+    batch plumbing."""
+    d = table(spark, sf_dir, "documents")
+    frames = frame_sample(attach_binary(d))
+    return frames.orderBy("doc_id", "frame_id")
