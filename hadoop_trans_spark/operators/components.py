@@ -92,6 +92,33 @@ def connected_components(
     return labels
 
 
+def cluster_best_members(
+    comp: DataFrame, scored: DataFrame, id_col: str, score_col: str
+) -> DataFrame:
+    """Per cluster: the highest-scoring member (ties → lowest id) plus
+    member count — the quality-ranked keep rule real curation pipelines
+    use instead of min-id. One join (cluster table is O(dups), tiny) and
+    one window over it."""
+    from pyspark.sql import Window as W
+
+    members = comp.join(
+        scored.select(F.col(id_col).alias("id"), F.col(score_col).alias("score")),
+        "id",
+    )
+    w = W.partitionBy("comp").orderBy(F.col("score").desc(), F.col("id"))
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(W.partitionBy("comp")))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("comp").alias("cluster_id"),
+            F.col("id").alias("keep_doc"),
+            F.col("score").alias("keep_score"),
+            "n_members",
+        )
+    )
+
+
 def dedup_keep_cluster_canonical(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

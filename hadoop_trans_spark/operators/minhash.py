@@ -192,6 +192,44 @@ def near_duplicates(
     return jaccard_verify(grams_df, cand, threshold)
 
 
+def near_duplicates_between(
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs BETWEEN an existing corpus and a
+    new batch (id_a ∈ corpus, id_b ∈ new; ids must be disjoint).
+
+    The production ingestion shape: the corpus's band signatures are a
+    persisted index (tiny — ~1% of corpus bytes); each new batch computes
+    its own signatures and equi-joins against that index, so per-batch
+    cost scales with the BATCH, not the corpus. Candidates verify with
+    exact Jaccard exactly like the self-join variant."""
+    go = corpus.select(
+        F.col(id_col).alias("id"), shingle_array(text_col, shingle_k).alias("grams")
+    )
+    gn = new.select(
+        F.col(id_col).alias("id"), shingle_array(text_col, shingle_k).alias("grams")
+    )
+    go, gn = materialize_stage(go), materialize_stage(gn)
+    bo = band_signatures(go, n_hashes, bands)
+    bn = band_signatures(gn, n_hashes, bands)
+    cand = (
+        bo.select("band", "band_sig", F.col("id").alias("id_a"))
+        .join(bn.select("band", "band_sig", F.col("id").alias("id_b")), ["band", "band_sig"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # ids are disjoint across sides, so the union table serves both
+    # verification joins.
+    return jaccard_verify(go.unionByName(gn), cand, threshold)
+
+
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Drop the higher id of every verified near-dup pair (canonical =
     lowest id — a deterministic, order-free rule; full transitive-closure

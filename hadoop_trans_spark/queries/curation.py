@@ -294,3 +294,69 @@ def q77_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(100)
     )
+
+
+@query(
+    "q87_tfidf_top_terms",
+    # Linear (ratio) idf instead of log keeps the score engine-portable:
+    # ln() is not guaranteed bit-identical across libm implementations,
+    # division and multiplication are.
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf_n FROM w GROUP BY 1, 2),
+    wc AS (SELECT doc_id, CAST(SUM(tf_n) AS BIGINT) AS n_words FROM tf GROUP BY 1),
+    idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_total FROM documents)
+    SELECT doc_id, term, score, rn AS rank FROM (
+      SELECT tf.doc_id, tf.term,
+             CAST(ROUND((tf.tf_n::DOUBLE / wc.n_words)
+                        * (n.n_total::DOUBLE / idf.df), 6) AS DOUBLE) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY ROUND((tf.tf_n::DOUBLE / wc.n_words)
+                              * (n.n_total::DOUBLE / idf.df), 6) DESC, tf.term
+             ) AS rn
+      FROM tf JOIN wc USING (doc_id) JOIN idf USING (term) CROSS JOIN n
+    ) WHERE rn <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def q87_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf·idf (linear smoothing-free
+    idf = N/df — a ratio, so both engines agree bit-for-bit; ln() is not
+    guaranteed identical across libm implementations). Two hash aggs
+    (term counts, doc lengths), one tiny idf table joined back, window
+    top-k per doc — the keyword-extraction primitive for corpus search
+    and topic labeling."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf_n"))
+    wc = tf.groupBy("doc_id").agg(F.sum("tf_n").alias("n_words"))
+    idf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_total"))
+    score = F.round(
+        (F.col("tf_n").cast("double") / F.col("n_words"))
+        * (F.col("n_total").cast("double") / F.col("df")),
+        6,
+    )
+    scored = (
+        tf.join(wc, "doc_id")
+        .join(idf, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+    )
+    rk = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", "rank")
+        .orderBy("doc_id", "rank")
+    )

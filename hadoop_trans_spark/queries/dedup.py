@@ -435,6 +435,100 @@ def q68_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q85_dedup_keep_best",
+    # Clusters from the same MinHash pipeline + recursive closure; the
+    # keep rule ranks members by the full quality score (same formula as
+    # operators.textstats.quality_score, inner ratios rounded to 6 before
+    # the composite) instead of min-id.
+    oracle=_MINHASH_ORACLE.replace("WITH", "WITH RECURSIVE", 1)
+    + _COMPONENTS_SQL
+    + r"""
+    , q AS (
+      SELECT doc_id,
+             CAST(ROUND((
+               least(length(text)::DOUBLE / 500.0, 1.0)
+             + (1.0 - least(ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                                  / greatest(length(text), 1), 6) * 5.0, 1.0))
+             + (1.0 - least(abs(ROUND(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                          w -> w IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+                                      / greatest(len(string_split_regex(lower(text), '\s+')), 1), 6)
+                                - 0.15) * 4.0, 1.0))
+             ) / 3.0, 6) AS DOUBLE) AS quality
+      FROM documents
+    )
+    SELECT cluster_id, keep_doc, keep_score, n_members FROM (
+      SELECT c.comp AS cluster_id, c.id AS keep_doc, q.quality AS keep_score,
+             row_number() OVER (PARTITION BY c.comp
+                                ORDER BY q.quality DESC, c.id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.comp) AS n_members
+      FROM comp c JOIN q ON q.doc_id = c.id
+    ) WHERE rn = 1
+    ORDER BY cluster_id
+    """,
+)
+def q85_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked cluster canonical: within each near-dup cluster keep
+    the HIGHEST-quality member (ties → lowest id), not the lowest id —
+    what a real curation pipeline keeps. Window over the tiny cluster
+    table; the corpus never reshuffles."""
+    from ..operators.components import cluster_best_members, connected_components
+    from ..operators.textstats import quality_score
+
+    comp = connected_components(minhash_pairs(spark, sf_dir))
+    scored = table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    return cluster_best_members(comp, scored, "doc_id", "quality").orderBy(
+        "cluster_id"
+    )
+
+
+@query(
+    "q86_incremental_dedup",
+    # Same MinHash prelude; the candidate join crosses the corpus/new
+    # partition (even/odd ids) instead of the self-join triangle, then
+    # each new doc keeps its best corpus match.
+    oracle=_MINHASH_ORACLE.replace(
+        "WHERE a.id < b.id", "WHERE a.id % 2 = 0 AND b.id % 2 = 1"
+    )
+    + """
+    SELECT new_doc, corpus_match, jaccard FROM (
+      SELECT id_b AS new_doc, id_a AS corpus_match, jaccard,
+             row_number() OVER (PARTITION BY id_b
+                                ORDER BY jaccard DESC, id_a) AS rn
+      FROM verified
+    ) WHERE rn = 1
+    ORDER BY new_doc
+    """,
+)
+def q86_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the new batch (odd doc ids) checked
+    against the existing corpus (even ids) — per-batch cost scales with
+    the batch because the corpus side is a persisted band-signature
+    index. Output: each contaminated new doc with its best corpus match
+    (operators.minhash.near_duplicates_between)."""
+    from ..operators.minhash import near_duplicates_between
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 2 == 0)
+    new = d.where(F.col("doc_id") % 2 == 1)
+    pairs = near_duplicates_between(
+        corpus, new, shingle_k=3, n_hashes=8, bands=4, threshold=0.5
+    )
+    w = W.partitionBy("id_b").orderBy(F.col("jaccard").desc(), F.col("id_a"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("id_b").alias("new_doc"),
+            F.col("id_a").alias("corpus_match"),
+            "jaccard",
+        )
+        .orderBy("new_doc")
+    )
+
+
+@query(
     "q70_corpus_curation",
     # The full curation pipeline, re-run in SQL: same MinHash prelude,
     # same recursive-CTE clustering, same exact-dedup keep rule, same

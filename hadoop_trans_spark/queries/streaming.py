@@ -18,7 +18,9 @@ from ..streaming import (
     sliding_counts,
     stream_dedup,
     stream_migrate,
+    stream_static_enrich,
     stream_stream_join,
+    stream_upsert_sink,
     tumbling_counts,
     user_streaks,
 )
@@ -237,6 +239,60 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch interval join."""
     out = run_to_memory(stream_stream_join(spark, sf_dir), "append")
     return out.orderBy("click_id", "view_id")
+
+
+@query(
+    "q88_stream_static_join",
+    f"""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           {o_dsum('e."value"')} AS value_sum,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_custkey <= 150
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrich: the stateless streaming join (dim
+    re-planned per micro-batch, no state store); sink fingerprinted per
+    market segment."""
+    enriched = run_to_memory(stream_static_enrich(spark, sf_dir), "append")
+    return (
+        enriched.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("value_sum"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "q89_stream_upsert_sink",
+    f"""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT event_id) AS n_ids,
+           min(event_id) AS min_id,
+           max(event_id) AS max_id,
+           {o_dsum('"value"')} AS sum_value
+    FROM events
+    """,
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE sink: two identical micro-batches upserted by
+    event_id converge to exactly one row per key — the keyed-table
+    maintenance pattern for sinks without native MERGE. Fingerprint of
+    the final target equals the distinct source."""
+    dest = stream_upsert_sink(spark, sf_dir)
+    return spark.read.parquet(dest).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        dsum("value").alias("sum_value"),
+    )
 
 
 @query(

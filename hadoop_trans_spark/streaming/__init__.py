@@ -13,7 +13,9 @@ from .jobs import (
     sliding_counts,
     stream_dedup,
     stream_migrate,
+    stream_static_enrich,
     stream_stream_join,
+    stream_upsert_sink,
     tumbling_counts,
     user_streaks,
 )
@@ -26,7 +28,9 @@ __all__ = [
     "session_windows",
     "stream_dedup",
     "stream_migrate",
+    "stream_static_enrich",
     "stream_stream_join",
+    "stream_upsert_sink",
     "late_data_drop",
     "user_streaks",
 ]

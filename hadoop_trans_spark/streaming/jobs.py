@@ -220,6 +220,87 @@ def stream_stream_join(
     )
 
 
+# --- stream-static join --------------------------------------------------------
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich the event stream with a static dimension table (broadcast) —
+    the stateless streaming join: the dim side is re-planned per
+    micro-batch (picking up dim updates between batches), no state store
+    is involved, and broadcasting keeps the stream side shuffle-free.
+    The 100 TB rule: stream-static joins are the default enrichment path;
+    stream-stream joins only where BOTH sides are genuinely unbounded."""
+    from pyspark.sql import functions as F2
+
+    from ..catalog import table
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer").where(F2.col("c_custkey") <= 150)
+    return stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
+    ).select("event_id", "user_id", "event_type", "value", "c_mktsegment")
+
+
+# --- foreachBatch upsert sink ---------------------------------------------------
+
+
+def stream_upsert_sink(
+    spark: SparkSession, sf_dir: str, dest: str | None = None
+) -> str:
+    """Continuously upsert micro-batches into a parquet target by key —
+    the foreachBatch MERGE pattern (the standard way Structured Streaming
+    maintains a keyed table in a sink without native MERGE support).
+
+    The fixture stages the events file TWICE (two micro-batches with
+    identical keys), so every key is inserted once and updated once; the
+    target converges to exactly one row per event_id. Each batch:
+    dedup-within-batch → merge_upsert onto the current target →
+    materialize → atomic overwrite. On a real lakehouse the
+    read-merge-overwrite becomes a table-format MERGE (Iceberg/Delta);
+    the batch-side plan is identical."""
+    import shutil
+
+    from ..operators.merge import merge_upsert
+    from ..operators.stage import materialize_stage
+
+    base = tempfile.mkdtemp(prefix="stream_upsert_")
+    stage, dest = f"{base}/stage", dest or f"{base}/target"
+    os.makedirs(stage)
+    src = f"{sf_dir}/events.parquet"
+    for i in range(2):
+        shutil.copyfile(src, f"{stage}/events_{i}.parquet")
+        os.utime(f"{stage}/events_{i}.parquet", (1_000_000_000 + i, 1_000_000_000 + i))
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        local = bdf.sparkSession
+        batch = bdf.dropDuplicates(["event_id"])
+        if os.path.exists(f"{dest}/_SUCCESS"):
+            target = local.read.parquet(dest)
+            merged = merge_upsert(target, batch, keys=["event_id"])
+        else:
+            merged = batch
+        # Materialize BEFORE overwriting the directory being read.
+        materialize_stage(merged).write.mode("overwrite").parquet(dest)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    query = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(300):
+        query.stop()
+        raise TimeoutError("stream_upsert_sink did not finish in 300s")
+    return dest
+
+
 # --- E40: stateful dedup over a stream ---------------------------------------
 
 

@@ -140,6 +140,24 @@ def test_quantize_is_shuffle_free_projection(spark, smoke_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_incremental_dedup_band_join_is_equi(spark, smoke_dir):
+    """q86's corpus×new candidate stage must be the (band, band_sig)
+    equi-join — the persisted-index shape that keeps per-batch cost
+    proportional to the batch."""
+    from hadoop_trans_spark.operators.minhash import near_duplicates_between
+
+    d = table(spark, smoke_dir, "documents")
+    pairs = near_duplicates_between(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+        n_hashes=8,
+        bands=4,
+    )
+    plan = explain_formatted(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_repetition_and_pii_stay_jvm_side(spark, smoke_dir):
     for name in ("q72_repetition_quality", "q75_pii_redaction"):
         plan = explain_formatted(QUERIES[name](spark, smoke_dir))
