@@ -125,3 +125,76 @@ def q78_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "q90_python_datasource",
+    oracle="""
+    SELECT CAST(id % 7 AS INT) AS bucket,
+           COUNT(*) AS n,
+           MIN(md5(CAST(id AS VARCHAR))) AS min_h,
+           CAST(SUM(id) AS BIGINT) AS id_sum
+    FROM range(0, 1000) t(id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q90_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 datasource API): a partitioned
+    synthetic generator — `partitions()` declares the split, `read()`
+    yields rows executor-side (sources/pydatasource.py). The oracle
+    re-derives the deterministic rows from range(); matching proves the
+    source honors its schema/partition contract."""
+    from ..sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_range")
+        .option("n", "1000")
+        .option("partitions", "4")
+        .load()
+    )
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("h").alias("min_h"),
+            F.sum("id").alias("id_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q91_variant_json",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q91_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json into the binary
+    variant encoding, extract typed fields with variant_get — the
+    columnar-shredding-friendly way to query JSON at 100 TB (parse once,
+    not per-expression; no schema declaration needed up front)."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.variant_get(F.col("v"), "$.k", "bigint").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
