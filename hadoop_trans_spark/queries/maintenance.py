@@ -138,3 +138,45 @@ def q83_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("diff_status")
     )
+
+
+@query(
+    "q93_observe_metrics",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {o_dsum('l_quantity')} AS qty_sum,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_discounted
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    """,
+)
+def q93_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline telemetry via `Observation` (the reference's logging, R18,
+    as a first-class mechanism): metrics ride the SAME job as the data
+    pass — zero extra scans, exactly once per action, collected on the
+    driver as O(report) values. The query returns the observed metrics
+    themselves so the oracle can verify the mechanism end-to-end."""
+    from pyspark.sql import Observation
+
+    from .base import dsum
+
+    obs = Observation("pipeline_metrics")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") <= "1998-09-02")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity").alias("qty_sum"),
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
+            ).cast("long").alias("n_discounted"),
+        )
+    )
+    li.write.format("noop").mode("overwrite").save()  # one real data pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["qty_sum"], m["n_discounted"])],
+        "n_rows long, qty_sum double, n_discounted long",
+    )

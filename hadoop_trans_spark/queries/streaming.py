@@ -315,3 +315,4 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark (max on-time ts - 10 min) — reproduced by the oracle's WHERE.
     """
     return late_data_drop(spark, sf_dir).orderBy("window_start")
+

@@ -18,6 +18,7 @@ from .jobs import (
     stream_upsert_sink,
     tumbling_counts,
     user_streaks,
+    user_streaks_tws,
 )
 
 __all__ = [
@@ -33,4 +34,5 @@ __all__ = [
     "stream_upsert_sink",
     "late_data_drop",
     "user_streaks",
+    "user_streaks_tws",
 ]
