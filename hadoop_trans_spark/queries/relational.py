@@ -341,6 +341,64 @@ def q09_theta_size_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q92_binned_range_join",
+    oracle=f"""
+    WITH promo AS (
+        SELECT o_orderkey AS promo_id,
+               CAST(o_orderdate AS DATE) - 15 AS wstart,
+               CAST(o_orderdate AS DATE) + 15 AS wend
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 5
+    )
+    SELECT p.promo_id AS promo_id,
+           COUNT(*) AS n_items,
+           {o_dsum('l.l_quantity')} AS qty_sum
+    FROM promo p
+    JOIN lineitem l
+      ON l.l_shipdate >= p.wstart AND l.l_shipdate < p.wend
+    GROUP BY p.promo_id
+    ORDER BY promo_id
+    """,
+)
+def q92_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join where BOTH sides scale, via bin equi-join
+    (`operators/rangejoin.py`): lineitems shipped inside ±15-day promo
+    windows around the 5 highest-value orders.
+
+    Complements q09 (broadcast BNLJ against a tiny literal dim): here the
+    interval side is *derived from data*, and the operator's bin
+    equi-join shape is what survives when it grows past broadcast size —
+    a raw range-predicate join between two large tables would plan as a
+    cartesian product. Locally AQE still broadcasts the 5×3-bin side,
+    which is the right plan at this size; the point is the plan never
+    degrades to a nested loop as intervals grow.
+    """
+    from ..operators.rangejoin import binned_range_join
+
+    o = table(spark, sf_dir, "orders")
+    promo = (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(5)
+        .select(
+            F.col("o_orderkey").alias("promo_id"),
+            F.date_sub("o_orderdate", 15).alias("wstart"),
+            F.date_add("o_orderdate", 15).alias("wend"),
+        )
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    return (
+        binned_range_join(li, promo, "l_shipdate", "wstart", "wend", bin_days=16)
+        .groupBy("promo_id")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_quantity").alias("qty_sum"),
+        )
+        .orderBy("promo_id")
+    )
+
+
 # --- E12: as-of join -----------------------------------------------------------
 @query(
     "q10_asof_click_to_view",
@@ -428,17 +486,44 @@ def q11_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- E13 approx: checked rows-only (no hash-exact oracle possible) -------------
-@query("q12_approx_distinct")
+@query(
+    "q12_approx_distinct",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           1 AS within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY flag
+    """,
+)
 def q12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct — the 100 TB substitute for exact countDistinct
     (single pass, bounded sketch memory, no distinct-expansion shuffle).
-    Rows-only driver check; the pytest suite bounds its relative error."""
+
+    The sketch estimate itself cannot be reproduced by another engine, so
+    the oracle checks it *differentially*: the query emits the exact count
+    plus a flag asserting the estimate landed within 5% of it (HLL++ at
+    rsd=0.01 is deterministic for a given dataset, so the flag is stable);
+    the oracle recomputes the exact count and expects the flag to be 1.
+    A drifting estimator fails the hash gate instead of hiding behind a
+    rows-only check."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy(F.col("l_returnflag").alias("flag"))
         .agg(
             F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
             F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "flag",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            )
+            .cast("int")
+            .alias("within_5pct"),
         )
         .orderBy("flag")
     )

@@ -162,3 +162,63 @@ def test_repetition_and_pii_stay_jvm_side(spark, smoke_dir):
     for name in ("q72_repetition_quality", "q75_pii_redaction"):
         plan = explain_formatted(QUERIES[name](spark, smoke_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_binned_range_join_is_equi_never_nested_loop(spark, smoke_dir):
+    """The range join's whole reason to exist: with broadcast disabled
+    (both sides 'large'), the plan must be a shuffled equi-join on the
+    bin key — a raw range-predicate join would be BNLJ/cartesian."""
+    from hadoop_trans_spark.operators.rangejoin import binned_range_join
+
+    o = table(spark, smoke_dir, "orders")
+    promo = o.limit(50).select(
+        F.col("o_orderkey").alias("promo_id"),
+        F.date_sub("o_orderdate", 15).alias("wstart"),
+        F.date_add("o_orderdate", 15).alias("wend"),
+    )
+    li = table(spark, smoke_dir, "lineitem").select("l_shipdate", "l_quantity")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = binned_range_join(
+            li, promo, "l_shipdate", "wstart", "wend", bin_days=16
+        )
+        plan = explain_formatted(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_binned_range_join_matches_naive_and_guards_empty(spark, smoke_dir):
+    """Bin decomposition must be invisible: same pairs as the naive
+    range predicate, and end<=start intervals produce nothing (instead
+    of sequence() counting down and fabricating bins)."""
+    from hadoop_trans_spark.operators.rangejoin import binned_range_join
+
+    o = table(spark, smoke_dir, "orders")
+    promo = o.limit(20).select(
+        F.col("o_orderkey").alias("promo_id"),
+        F.date_sub("o_orderdate", 10).alias("wstart"),
+        F.date_add("o_orderdate", 40).alias("wend"),  # wider than bin
+    )
+    li = table(spark, smoke_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    got = binned_range_join(li, promo, "l_shipdate", "wstart", "wend", bin_days=16)
+    naive = li.join(
+        promo,
+        (F.col("l_shipdate") >= F.col("wstart"))
+        & (F.col("l_shipdate") < F.col("wend")),
+    )
+    assert got.count() == naive.count()
+    assert (
+        got.exceptAll(naive.select(got.columns)).count() == 0
+    ), "binned join emitted pairs the naive join does not"
+
+    empty = promo.select(
+        "promo_id", F.col("wend").alias("wstart"), F.col("wstart").alias("wend")
+    )
+    degenerate = binned_range_join(
+        li, empty, "l_shipdate", "wstart", "wend", bin_days=16
+    )
+    assert degenerate.count() == 0
