@@ -14,6 +14,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     relational,
     scalar_functions,
     windows,
+    timeseries,
     maintenance,
     udf,
     llm_text,

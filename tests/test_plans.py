@@ -222,3 +222,41 @@ def test_binned_range_join_matches_naive_and_guards_empty(spark, smoke_dir):
         li, empty, "l_shipdate", "wstart", "wend", bin_days=16
     )
     assert degenerate.count() == 0
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, smoke_dir):
+    """After cluster_by_zorder, each output partition's extent must be
+    bounded in BOTH dimensions (that is what makes min/max file stats
+    prune on either predicate); a time-sorted layout bounds neither."""
+    from hadoop_trans_spark.operators.zorder import cluster_by_zorder
+
+    # event_id (not user_id) for x: the smoke fixture has too few users
+    # to span 8 bits, which would leave x trivially bounded in ANY layout
+    e = table(spark, smoke_dir, "events").select(
+        (F.col("event_id") % 256).cast("int").alias("x"),
+        F.floor((F.hour("ts") * 60 + F.minute("ts")) / 6).cast("int").alias("y"),
+        "ts",
+    )
+
+    def mean_spans(df):
+        spans = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("x") - F.min("x")).alias("xs"),
+                (F.max("y") - F.min("y")).alias("ys"),
+            )
+            .agg(F.avg("xs").alias("xs"), F.avg("ys").alias("ys"))
+            .first()
+        )
+        return spans["xs"], spans["ys"]
+
+    zx, zy = mean_spans(
+        cluster_by_zorder(e, F.col("x"), F.col("y"), partitions=32)
+    )
+    # single-dimension layouts: each bounds its own sort key perfectly
+    # and leaves the OTHER dimension at nearly full extent
+    _, x_sorted_y = mean_spans(e.repartitionByRange(32, "x"))
+    y_sorted_x, _ = mean_spans(e.repartitionByRange(32, "y"))
+    assert zx < 0.5 * y_sorted_x, (zx, y_sorted_x)
+    assert zy < 0.5 * x_sorted_y, (zy, x_sorted_y)
