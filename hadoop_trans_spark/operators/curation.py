@@ -164,3 +164,55 @@ def pii_counts(text: F.Column) -> list[F.Column]:
         F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)).cast("long").alias("n_ips"),
         F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
     ]
+
+
+# --- sequence packing --------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tokens_col,
+    budget: int,
+) -> DataFrame:
+    """Assign documents to training-sequence bins by greedy contiguous
+    packing: within each ``group_col`` shard, docs (in ``order_col``
+    order) go to bin ``floor(tokens_before_this_doc / budget)`` — a doc
+    starting inside a bin stays there, so a bin can overflow by at most
+    one document (standard boundary-spill packing; callers that need a
+    hard cap truncate the spilling doc downstream).
+
+    Scale: one window per shard — the cumulative sum never crosses
+    group boundaries, so parallelism is the number of shards and no
+    global sort exists. Adds ``n_tokens`` and ``bin`` columns.
+    """
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.withColumn("n_tokens", tokens_col)
+        .withColumn(
+            "bin",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget
+            ).cast("long"),
+        )
+    )
+
+
+def mixture_sample(df: DataFrame, rate_col, id_col: str = "doc_id") -> DataFrame:
+    """Reproducible mixture sampling: keep a row iff the first two hex
+    chars of md5(id) fall below its group's rate cutoff. Seedless and
+    engine-portable (identical md5 text both sides), stable under
+    re-partitioning and corpus growth — the property a training-data
+    mixture needs so reruns and incremental builds sample the SAME docs.
+
+    ``rate_col`` must evaluate to a 2-hex-char cutoff string: 'ff' ≈
+    keep-all, '7f' ≈ keep half, '3f' ≈ keep quarter (cutoff inclusive,
+    granularity 1/256).
+    """
+    hx = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return df.where(hx <= rate_col)

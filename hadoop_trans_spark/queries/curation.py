@@ -360,3 +360,90 @@ def q87_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "score", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+@query(
+    "q97_sequence_packing",
+    oracle="""
+    WITH toks AS (
+        SELECT source, doc_id, CAST(n_chars // 4 AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens) / 2048) AS BIGINT) AS bin
+        FROM toks
+    )
+    SELECT source, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(n_tokens) > 2048 AS INT) AS overflow
+    FROM packed GROUP BY source, bin ORDER BY source, bin
+    """,
+)
+def q97_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing (`operators/curation.py
+    pack_sequences`): docs fill 2048-token training bins within their
+    source shard, a doc starting inside a bin stays there (boundary
+    spill, ≤1 doc overflow per bin). Token counts use the 4-chars-per-
+    token heuristic so both engines agree exactly. Scale: the cumulative
+    sum is per-shard — parallelism = #shards, no global sort."""
+    from ..operators.curation import pack_sequences
+
+    d = table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        d.select("source", "doc_id", "n_chars"),
+        group_col="source",
+        order_col="doc_id",
+        tokens_col=F.floor(F.col("n_chars") / 4).cast("long"),
+        budget=2048,
+    )
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_total"),
+            (F.sum("n_tokens") > 2048).cast("int").alias("overflow"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+@query(
+    "q98_mixture_sample",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+          CASE lang WHEN 'en' THEN 'ff' WHEN 'zh' THEN 'bf' ELSE '7f' END
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q98_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus mixture (`operators/curation.py
+    mixture_sample`): per-language keep rates (en≈100%, zh≈75%, rest
+    ≈50%) enforced by an md5 hex cutoff — seedless, engine-portable,
+    stable under repartitioning AND corpus growth, so incremental
+    pipeline reruns sample the same documents. This is the up-weighting
+    /down-weighting step of training-mixture construction as a pure
+    filter (no shuffle until the audit aggregation)."""
+    from ..operators.curation import mixture_sample
+
+    d = table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", "ff")
+        .when(F.col("lang") == "zh", "bf")
+        .otherwise("7f")
+    )
+    return (
+        mixture_sample(d, rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )
