@@ -29,11 +29,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
-        # (nanosAsLong conf); truncate to µs exactly like DuckDB does.
-        from pyspark.sql import functions as F
+        df = normalize_event_ts(df)
+    return df
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to TIMESTAMP (UTC instant) across fixture layouts.
+
+    The driver has shipped events.ts as parquet TIMESTAMP(NANOS) — read as
+    long nanos under spark.sql.legacy.parquet.nanosAsLong — and as
+    TIMESTAMP(MICROS) without timezone (TIMESTAMP_NTZ).  Both truncate to
+    the same µs instant DuckDB sees; with the session pinned to UTC the
+    NTZ→TIMESTAMP cast preserves the wall clock exactly.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":  # legacy nanos-as-long layout
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -38,15 +38,17 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-# events.parquet stores TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong=true it reads as long nanos, which we
-# truncate to µs exactly like DuckDB does (see catalog.table).
+from hadoop_trans_spark.catalog import normalize_event_ts
+
+# events.parquet stores TIMESTAMP(MICROS) without timezone → TIMESTAMP_NTZ;
+# normalize_event_ts casts it to a UTC TIMESTAMP instant (see catalog).
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -66,7 +68,7 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(df)
 
 
 def run_to_memory(
@@ -287,8 +289,8 @@ def stream_upsert_sink(
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
         .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = normalize_event_ts(stream)
     query = (
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
