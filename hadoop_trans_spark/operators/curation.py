@@ -216,3 +216,41 @@ def mixture_sample(df: DataFrame, rate_col, id_col: str = "doc_id") -> DataFrame
     """
     hx = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
     return df.where(hx <= rate_col)
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks —
+    the context-window preprocessing step between raw corpus and
+    tokenizer (stride < size ⇒ size-stride characters of overlap so no
+    boundary-spanning content is lost).
+
+    Pure per-row `sequence` + `explode` + substring: no shuffle, no
+    Python, chunk count per doc = ceil(len/stride) regardless of corpus
+    size. Emits (doc_id, off, chunk_len, chunk_hash) — the hash stands in
+    for the chunk payload so the result stays narrow; a real pipeline
+    would carry the substring itself to the tokenizer.
+    """
+    if not 0 < stride <= size:
+        raise ValueError(f"need 0 < stride <= size, got {stride=} {size=}")
+    offs = F.sequence(
+        F.lit(0),
+        F.greatest(F.lit(0), F.length(F.col(text_col)) - 1),
+        F.lit(stride),
+    )
+    chunk = F.col(text_col).substr(F.col("off") + 1, F.lit(size))
+    return (
+        df.select(F.col(id_col), F.col(text_col), F.explode(offs).alias("off"))
+        .where(F.col("off") < F.length(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            "off",
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_hash"),
+        )
+    )

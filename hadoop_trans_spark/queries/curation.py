@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators.curation import (
+    chunk_documents,
     decontaminate,
     hash_split,
     pii_counts,
@@ -446,4 +447,28 @@ def q98_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars_kept"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "q103_chunk_documents",
+    oracle="""
+    SELECT doc_id, off,
+           length(substr(text, off + 1, 200)) AS chunk_len,
+           md5(substr(text, off + 1, 200)) AS chunk_hash
+    FROM (SELECT doc_id, text,
+                 UNNEST(generate_series(0, length(text) - 1, 150)) AS off
+          FROM documents)
+    ORDER BY doc_id, off
+    """,
+)
+def q103_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character chunking (operators/curation.py
+    chunk_documents): 200-char windows at stride 150. Chunk offsets are
+    generated per row (`sequence`+`explode`) so the operator never
+    shuffles; output row count is sum(ceil(len/stride)) and each chunk is
+    carried as md5 to keep the result narrow."""
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=200, stride=150).orderBy(
+        "doc_id", "off"
     )

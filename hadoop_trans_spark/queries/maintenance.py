@@ -180,3 +180,36 @@ def q93_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["qty_sum"], m["n_discounted"])],
         "n_rows long, qty_sum double, n_discounted long",
     )
+
+
+def _profile_oracle_leg(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS col_name, COUNT(*) AS n_rows,
+           COUNT({col}) AS n_nonnull,
+           COUNT(DISTINCT {col}) AS n_distinct,
+           CAST(MIN({col}) AS VARCHAR) AS min_str,
+           CAST(MAX({col}) AS VARCHAR) AS max_str
+    FROM lineitem"""
+
+
+@query(
+    "q102_column_profile",
+    oracle=" UNION ALL ".join(
+        _profile_oracle_leg(c)
+        for c in ("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
+    )
+    + " ORDER BY col_name",
+)
+def q102_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profiling (operators/profile.py): null counts,
+    exact distinct counts, and min/max extents for a column set, unpivoted
+    to one row per column. The oracle re-scans per column (UNION ALL legs)
+    — the engine's one-pass multi-distinct aggregate is the scale shape:
+    profile cost is one table scan regardless of how many columns are
+    profiled."""
+    from ..operators.profile import profile_columns
+
+    li = table(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li, ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"]
+    ).orderBy("col_name")

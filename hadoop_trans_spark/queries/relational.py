@@ -930,3 +930,32 @@ def q67_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "metric", F.round("val", 6).alias("val"))
         .orderBy("c_custkey", "metric")
     )
+
+
+@query(
+    "q104_histogram",
+    oracle=f"""
+    SELECT LEAST(CAST(FLOOR(o_totalprice / 30000) AS BIGINT), 19) AS bin,
+           COUNT(*) AS n,
+           {o_dsum('o_totalprice')} AS price_sum
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q104_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (width_bucket semantics:
+    floor-divide into 30k-wide bins, clamp the overflow tail into the
+    last bin). Pure integer arithmetic before a 20-group hash aggregate —
+    the map-side partials reduce each partition to ≤20 rows, so shuffle
+    volume is O(bins × tasks) at any table size."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.least(
+                F.floor(F.col("o_totalprice") / 30000).cast("bigint"),
+                F.lit(19).cast("bigint"),
+            ).alias("bin")
+        )
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("price_sum"))
+        .orderBy("bin")
+    )

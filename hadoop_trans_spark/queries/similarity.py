@@ -170,3 +170,67 @@ def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         q, corpus, k=3, n_probe=2, cell="label", query_id="q_id", corpus_id="c_id"
     ).orderBy("q_id", "rank")
+
+
+@query(
+    "q105_kmeans_clusters",
+    oracle="""
+    WITH x AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    xs AS (SELECT id, v, list_dot_product(v, v) AS v_sq FROM x),
+    c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+                  v AS c, list_dot_product(v, v) AS c_sq
+           FROM (SELECT id, v FROM x ORDER BY id LIMIT 8)),
+    a1 AS (SELECT * FROM (
+             SELECT xs.id, xs.v, c0.cluster,
+                    ROUND(xs.v_sq + c0.c_sq
+                          - 2 * list_dot_product(xs.v, c0.c), 6) AS d2,
+                    ROW_NUMBER() OVER (PARTITION BY xs.id
+                        ORDER BY ROUND(xs.v_sq + c0.c_sq
+                          - 2 * list_dot_product(xs.v, c0.c), 6),
+                                 c0.cluster) AS rk
+             FROM xs CROSS JOIN c0) WHERE rk = 1),
+    m1 AS (SELECT cluster, pos,
+                  CAST(ROUND(SUM(CAST(v[pos] AS DECIMAL(38,6))) / COUNT(*),
+                             6) AS DOUBLE) AS m
+           FROM (SELECT cluster, v,
+                        UNNEST(range(1, len(v) + 1)) AS pos FROM a1)
+           GROUP BY 1, 2),
+    c1 AS (SELECT cluster, c, list_dot_product(c, c) AS c_sq
+           FROM (SELECT cluster, list(m ORDER BY pos) AS c FROM m1 GROUP BY 1)),
+    a2 AS (SELECT * FROM (
+             SELECT xs.id, c1.cluster,
+                    ROUND(xs.v_sq + c1.c_sq
+                          - 2 * list_dot_product(xs.v, c1.c), 6) AS d2,
+                    ROW_NUMBER() OVER (PARTITION BY xs.id
+                        ORDER BY ROUND(xs.v_sq + c1.c_sq
+                          - 2 * list_dot_product(xs.v, c1.c), 6),
+                                 c1.cluster) AS rk
+             FROM xs CROSS JOIN c1) WHERE rk = 1)
+    SELECT cluster, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(d2 AS DECIMAL(38,6))), 3) AS DOUBLE) AS inertia
+    FROM a2 GROUP BY 1 ORDER BY 1
+    """,
+)
+def q105_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means, 2 Lloyd iterations, k=8
+    (operators/kmeans.py): per-cluster size and inertia after the second
+    assignment. Fully differential — the oracle unrolls both iterations
+    as CTEs, so init choice, distance rounding, tie-breaks, and the
+    decimal-mean centroid update are all pinned across engines. Per
+    iteration the corpus is scanned once against k broadcast centroids —
+    never self-joined — which is what lets the same operator assign
+    clusters over a 100 TB corpus after fitting on a sample."""
+    from ..operators.kmeans import kmeans_assignments
+
+    e = table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assignments(e, k=8, iters=2)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("d2").cast("decimal(38,6)")), 3)
+            .cast("double")
+            .alias("inertia"),
+        )
+        .orderBy("cluster")
+    )

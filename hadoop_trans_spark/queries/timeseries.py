@@ -174,3 +174,205 @@ def q96_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q99_rolling_7day",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id,
+               datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_idx,
+               {o_dsum('value')} AS v
+        FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2
+    )
+    SELECT user_id, day_idx, v,
+           CAST(ROUND(SUM(CAST(v AS DECIMAL(38,6))) OVER w7, 6) AS DOUBLE) AS v_7d,
+           COUNT(*) OVER w7 AS active_days_7d
+    FROM daily
+    WINDOW w7 AS (PARTITION BY user_id ORDER BY day_idx
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, day_idx
+    """,
+)
+def q99_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day aggregate per user: daily grain first (one hash
+    shuffle — the rolling state then works over days, not raw events),
+    then a RANGE frame keyed on an integer day index, which is
+    engine-portable and skips missing days correctly (a ROWS frame would
+    silently span gaps). One window shuffle on user_id; rolling sums go
+    through decimal so frame evaluation order never changes the answer.
+    At 100 TB the daily pre-aggregation is what bounds window state:
+    per-user rows = active days, not events."""
+    from .base import DEC
+
+    e = table(spark, sf_dir, "events").where(F.col("user_id") % 7 == 0)
+    daily = e.groupBy(
+        "user_id",
+        F.datediff(F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01"))
+        .alias("day_idx"),
+    ).agg(dsum("value").alias("v"))
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day_idx",
+        "v",
+        F.round(F.sum(F.col("v").cast(DEC)).over(w7), 6)
+        .cast("double")
+        .alias("v_7d"),
+        F.count("*").over(w7).alias("active_days_7d"),
+    ).orderBy("user_id", "day_idx")
+
+
+@query(
+    "q100_cohort_retention",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week_idx
+        FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week_idx) AS cohort_week FROM activity GROUP BY 1)
+    SELECT c.cohort_week AS cohort_week,
+           a.week_idx - c.cohort_week AS week_offset,
+           COUNT(*) AS n_active,
+           CAST(ROUND(COUNT(*) * 1.0 / MAX(s.cohort_size), 6) AS DOUBLE) AS retention
+    FROM activity a
+    JOIN cohort c USING (user_id)
+    JOIN (SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY 1) s
+      ON s.cohort_week = c.cohort_week
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q100_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active week
+    (integer week index — portable, no engine week-start convention),
+    then the share of each cohort active k weeks later. The distinct
+    (user, week) projection collapses events before any join, the cohort
+    and cohort-size tables are user-count sized (broadcast at any corpus
+    scale), so the only big shuffle is the initial distinct."""
+    e = table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id",
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7)
+        .cast("bigint")
+        .alias("week_idx"),
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(
+        F.min("week_idx").alias("cohort_week")
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        activity.join(F.broadcast(cohort), "user_id")
+        .join(F.broadcast(sizes), "cohort_week")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(
+            F.count("*").alias("n_active"),
+            F.round(F.count("*") / F.max("cohort_size"), 6)
+            .cast("double")
+            .alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "q101_funnel_stages",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def q101_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → later click → later purchase) counted per
+    user. Each stage is one conditional-min aggregation joined to the
+    previous stage's per-user anchor time — stage tables shrink
+    monotonically and are per-user (broadcastable), so the plan is a
+    chain of pruned-scan + broadcast-join + hash-agg; the ordering
+    predicate `ts > anchor` is what makes it a true sequence funnel
+    rather than a set-membership count."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )
+
+
+@query(
+    "q106_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n,
+           CAST(ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER
+                        (PARTITION BY event_type), 6) AS DOUBLE) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q106_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (Markov counts + row-normalized
+    probabilities): one lead() window per user stream, one hash
+    aggregation on (from, to), and the normalizing total rides a window
+    over the 25-row result — no second scan. The per-user window is the
+    only event-sized shuffle; ties are broken on event_id so the sequence
+    is deterministic under any partitioning."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 6).cast("double").alias("p"),
+    ).orderBy("event_type", "next_type")
