@@ -254,3 +254,34 @@ def chunk_documents(
             F.md5(chunk).alias("chunk_hash"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row gets key = u^(1/w) with u a
+    seedless per-id uniform from a Knuth multiplicative hash; the k
+    largest keys are the sample. Inclusion probability is proportional
+    to weight, the choice is reproducible across engines/runs/partition
+    layouts, and the top-k is a WindowGroupLimit-style partial reduction
+    — per-task candidate sets of size k, no global sort. The 100 TB
+    training-mixture primitive when documents carry quality weights.
+    """
+    u = (
+        ((F.col(id_col).cast("bigint") * F.lit(2654435761)) % 1000003 + 1)
+        / F.lit(1000004.0)
+    )
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 6
+    )
+    w = W.orderBy(F.desc("sample_key"), F.col(id_col))
+    return (
+        df.withColumn("sample_key", key)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..operators.curation import (
     chunk_documents,
+    weighted_sample,
     decontaminate,
     hash_split,
     pii_counts,
@@ -471,4 +472,31 @@ def q103_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return chunk_documents(docs, size=200, stride=150).orderBy(
         "doc_id", "off"
+    )
+
+
+@query(
+    "q108_weighted_sample",
+    oracle="""
+    SELECT doc_id, n_chars, sample_key FROM (
+        SELECT doc_id, n_chars,
+               ROUND(pow((doc_id * 2654435761) % 1000003 + 1,
+                         1.0 / n_chars)
+                     / pow(1000004.0, 1.0 / n_chars), 6) AS sample_key
+        FROM documents
+    ) QUALIFY ROW_NUMBER() OVER (ORDER BY sample_key DESC, doc_id) <= 50
+    ORDER BY doc_id
+    """,
+)
+def q108_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (A-ES, operators/curation.py
+    weighted_sample): 50 documents drawn with probability ∝ n_chars.
+    Seedless per-id uniforms make the draw reproducible as the corpus
+    grows; the oracle re-derives the same keys with (u/m)^(1/w) =
+    u^(1/w)/m^(1/w) so both engines rank identical values."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, k=50, weight_col="n_chars")
+        .select("doc_id", "n_chars", "sample_key")
+        .orderBy("doc_id")
     )

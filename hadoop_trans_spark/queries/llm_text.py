@@ -149,3 +149,50 @@ def q38_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact content signature for incremental-crawl change detection."""
     d = table(spark, sf_dir, "documents")
     return char_shingle_fingerprint(d, "doc_id", "text", k=8).orderBy("doc_id")
+
+
+@query(
+    "q110_inverted_index",
+    oracle=r"""
+    WITH terms AS (
+        SELECT DISTINCT doc_id, g AS term
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '[^a-z]+')) AS g
+              FROM documents)
+        WHERE length(g) >= 4
+    )
+    SELECT term, COUNT(*) AS df,
+           array_to_string(list_sort(list(doc_id))[:10], ',') AS postings10
+    FROM terms
+    GROUP BY term HAVING COUNT(*) >= 25
+    ORDER BY term
+    """,
+)
+def q110_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the search-side twin of the corpus: term →
+    document frequency + posting list): lowercase alpha tokens ≥ 4 chars,
+    distinct per doc, one hash aggregation per term. Postings are carried
+    as the first-10 sorted doc ids joined to a string — at 100 TB the
+    full posting lists shard by term (this same groupBy IS the sharding)
+    and the capped prefix is what a dictionary/stats table stores."""
+    d = table(spark, sf_dir, "documents")
+    terms = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        )
+        .where(F.length("term") >= 4)
+        .distinct()
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10),
+            ).alias("postings10"),
+        )
+        .where(F.col("df") >= 25)
+        .orderBy("term")
+    )

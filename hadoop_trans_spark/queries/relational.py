@@ -8,7 +8,7 @@ obvious local plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -959,3 +959,82 @@ def q104_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("price_sum"))
         .orderBy("bin")
     )
+
+
+@query(
+    "q109_ntile_deciles",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_orderstatus, o_totalprice,
+               ntile(10) OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT o_orderstatus, decile, COUNT(*) AS n,
+           CAST(ROUND(MIN(o_totalprice), 6) AS DOUBLE) AS lo,
+           CAST(ROUND(MAX(o_totalprice), 6) AS DOUBLE) AS hi,
+           {o_dsum('o_totalprice')} AS price_sum
+    FROM t GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q109_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing per group (quantile feature binning): ntile(10)
+    with a total order (price, key) so bucket boundaries are
+    deterministic, then per-bucket extents — the classic feature
+    transform before model training. One window shuffle per group key;
+    at 100 TB swap ntile for approx-quantile cutpoints (q111) to avoid
+    materializing a total order per group."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    t = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return (
+        t.groupBy("o_orderstatus", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 6).cast("double").alias("lo"),
+            F.round(F.max("o_totalprice"), 6).cast("double").alias("hi"),
+            dsum("o_totalprice").alias("price_sum"),
+        )
+        .orderBy("o_orderstatus", "decile")
+    )
+
+
+@query(
+    "q111_approx_percentile_diff",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS DOUBLE)
+             AS p50_exact,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS DOUBLE)
+             AS p95_exact,
+           TRUE AS approx_within_2pct
+    FROM lineitem
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q111_approx_percentile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles, differentially checked (q12 pattern):
+    emit the exact interpolated p50/p95 plus a flag that
+    `approx_percentile` (mergeable quantile sketch, map-side combine —
+    the only percentile that scales to 100 TB) lands within 2% of exact.
+    The oracle reproduces the exact values and pins the flag TRUE."""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("a95"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "p50_exact",
+        "p95_exact",
+        (
+            (F.abs(F.col("a50") - F.col("p50_exact")) <= 0.02 * F.col("p50_exact"))
+            & (F.abs(F.col("a95") - F.col("p95_exact")) <= 0.02 * F.col("p95_exact"))
+        ).alias("approx_within_2pct"),
+    ).orderBy("l_returnflag")

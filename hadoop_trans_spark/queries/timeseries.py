@@ -376,3 +376,85 @@ def q106_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wt), 6).cast("double").alias("p"),
     ).orderBy("event_type", "next_type")
+
+
+@query(
+    "q107_zscore_outliers",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(CAST(v AS DECIMAL(38,6))) AS s,
+               SUM(CAST(v AS DECIMAL(38,6)) * CAST(v AS DECIMAL(38,6))) AS sq
+        FROM daily GROUP BY 1 HAVING COUNT(*) >= 3
+    ),
+    z AS (
+        SELECT d.user_id,
+               ROUND((CAST(d.v AS DECIMAL(38,6)) - s.s / s.n)
+                     / sqrt(CAST((s.sq - s.s * s.s / s.n) / (s.n - 1)
+                                 AS DOUBLE)), 4) AS z
+        FROM daily d JOIN stats s ON d.user_id = s.user_id
+        WHERE (s.sq - s.s * s.s / s.n) > 0
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outlier_days,
+           CAST(MAX(abs(z)) AS DOUBLE) AS max_abs_z
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+)
+def q107_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly detection: z-scores of daily activity against the
+    user's own mean/stddev. Variance comes from decimal (n, Σv, Σv²)
+    partials — exact under any partitioning, unlike stddev_samp's
+    fp-order-dependent accumulation — so the z-scores are bit-identical
+    across engines. Two hash aggregations plus one broadcastable
+    per-user stats join; nothing holds more than O(users) state."""
+    from .base import DEC
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)), 6)
+        .cast("double")
+        .alias("v")
+    )
+    vdec = F.col("v").cast(DEC)
+    stats = (
+        daily.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(vdec).alias("s"),
+            F.sum(vdec * vdec).alias("sq"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (
+        daily.join(F.broadcast(stats), "user_id")
+        .where((F.col("sq") - F.col("s") * F.col("s") / F.col("n")) > 0)
+        .select(
+            "user_id",
+            F.round(
+                (vdec - F.col("s") / F.col("n")) / F.sqrt(var.cast("double")),
+                4,
+            ).alias("z"),
+        )
+    )
+    return (
+        z.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.abs("z") > 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outlier_days"),
+            F.max(F.abs("z")).cast("double").alias("max_abs_z"),
+        )
+        .orderBy("user_id")
+    )

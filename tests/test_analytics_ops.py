@@ -1,0 +1,108 @@
+"""Property tests for the round-2 analytics operators: chunking coverage,
+k-means inertia monotonicity, weighted-sample partitioning invariance,
+and single-scan column profiling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_trans_spark.catalog import table
+from hadoop_trans_spark.operators.curation import chunk_documents, weighted_sample
+from hadoop_trans_spark.operators.kmeans import kmeans_assignments
+from hadoop_trans_spark.operators.profile import profile_columns
+
+
+def test_chunks_cover_every_document(spark, smoke_dir):
+    docs = table(spark, smoke_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    chunks = chunk_documents(docs, size=200, stride=150)
+    cov = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.max(F.col("off") + F.col("chunk_len")).alias("covered"),
+            F.max("chunk_len").alias("max_len"),
+            F.count("*").alias("n_chunks"),
+        )
+        .join(docs.select("doc_id", "n"), "doc_id")
+    )
+    bad = cov.where(
+        (F.col("covered") != F.col("n"))  # chunks must reach the exact end
+        | (F.col("max_len") > 200)
+        | (F.col("n_chunks") != F.ceil(F.col("n") / 150))
+    ).count()
+    assert bad == 0
+    assert cov.count() == docs.count()  # every doc chunked
+
+
+def test_chunk_documents_rejects_bad_stride():
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(None, size=100, stride=0)
+    with pytest.raises(ValueError):
+        chunk_documents(None, size=100, stride=101)
+
+
+def test_kmeans_inertia_non_increasing(spark, smoke_dir):
+    e = table(spark, smoke_dir, "embeddings")
+
+    def inertia(iters: int) -> float:
+        a = kmeans_assignments(e, k=8, iters=iters)
+        return a.agg(F.sum("d2")).first()[0]
+
+    i1, i2, i3 = inertia(1), inertia(2), inertia(3)
+    # Lloyd's algorithm never increases the objective (up to the 1e-6
+    # rounding the determinism contract applies to distances).
+    assert i2 <= i1 + 1e-3
+    assert i3 <= i2 + 1e-3
+    # and the first refit must actually move: init-by-first-ids is far
+    # from the local optimum on any non-degenerate corpus
+    assert i2 < i1
+
+
+def test_kmeans_assignment_is_total_partition(spark, smoke_dir):
+    e = table(spark, smoke_dir, "embeddings")
+    a = kmeans_assignments(e, k=8, iters=2)
+    assert a.count() == e.count()  # every vector assigned exactly once
+    assert a.select("id").distinct().count() == e.count()
+    clusters = {r["cluster"] for r in a.select("cluster").distinct().collect()}
+    assert clusters <= set(range(8))
+
+
+def test_weighted_sample_invariant_under_repartition(spark, smoke_dir):
+    docs = table(spark, smoke_dir, "documents")
+    s1 = weighted_sample(docs, k=40, weight_col="n_chars")
+    s2 = weighted_sample(docs.repartition(13), k=40, weight_col="n_chars")
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2
+    assert len(ids1) == 40
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # 200 rows, two weight classes 1000:1 — the top-20 sample must be
+    # dominated by heavy rows (A-ES inclusion ∝ weight).
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, 1000.0).otherwise(1.0).alias("w"),
+    )
+    s = weighted_sample(df, k=20, weight_col="w", id_col="doc_id")
+    heavy = s.where(F.col("doc_id") < 100).count()
+    assert heavy >= 18
+
+
+def test_profile_is_single_scan_and_correct(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "k int, s string"
+    )
+    prof = {r["col_name"]: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert prof["k"]["n_rows"] == 4
+    assert prof["k"]["n_nonnull"] == 3
+    assert prof["k"]["n_distinct"] == 2
+    assert prof["k"]["min_str"] == "1" and prof["k"]["max_str"] == "2"
+    assert prof["s"]["n_nonnull"] == 3
+    assert prof["s"]["n_distinct"] == 2
+    # one scan: the physical plan contains exactly one scan of the input
+    plan = profile_columns(df, ["k", "s"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 1
