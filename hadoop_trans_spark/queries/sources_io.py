@@ -198,3 +198,46 @@ def q91_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q112_schema_evolution",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS gen,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_with_priority,
+           {o_dsum('o_totalprice')} AS price_sum
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q112_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolved reads (`mergeSchema`): generation v1 files written
+    WITHOUT o_orderpriority, v2 files written with it; one merged-schema
+    scan reads both, with the missing column null-filled for v1 rows —
+    the additive-column evolution every long-lived warehouse table goes
+    through. At 100 TB footer-schema merging is a planning-time
+    metadata operation; pin the canonical schema in a catalog once a
+    table stabilizes so the scan skips per-file merging."""
+    base = tempfile.mkdtemp(prefix="htspark_evo_")
+    o = table(spark, sf_dir, "orders")
+    v1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = o.where(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(f"{base}/t/gen=v1")
+    v2.write.mode("overwrite").parquet(f"{base}/t/gen=v2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{base}/t")
+    return (
+        merged.groupBy("gen")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+            dsum("o_totalprice").alias("price_sum"),
+        )
+        .orderBy("gen")
+    )

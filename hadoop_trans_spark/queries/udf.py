@@ -109,3 +109,58 @@ def q51_apply_in_pandas_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         "bal_rank",
     ).orderBy("custkey")
+
+
+@query(
+    "q113_python_udtf",
+    oracle=r"""
+    SELECT doc_id, word, n FROM (
+        SELECT doc_id, g AS word, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, g) AS rk
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '[^a-z]+')) AS g
+              FROM documents WHERE doc_id % 50 = 0)
+        WHERE length(g) >= 3
+        GROUP BY doc_id, g
+    ) WHERE rk <= 3
+    ORDER BY doc_id, n DESC, word
+    """,
+)
+def q113_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF (table function): one input row → N output
+    rows computed in Python, here the top-3 words per document with
+    counts. The UDTF surface is the escape hatch for row-expanding logic
+    no built-in expresses (custom parsers, tokenizers, format shredders);
+    this one is deliberately reproducible in SQL so the contract —
+    lateral-joined, arrow-batched, schema-declared — is oracle-checked.
+    Hot paths should still prefer explode()+agg (q110 shows the same
+    computation JVM-side); the UDTF is for logic that genuinely needs
+    Python."""
+    import re
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, n: bigint")
+    class TopWords:
+        def eval(self, text: str):  # noqa: ANN001
+            words = [
+                w
+                for w in re.split(r"[^a-z]+", (text or "").lower())
+                if len(w) >= 3
+            ]
+            top = sorted(
+                Counter(words).items(), key=lambda kv: (-kv[1], kv[0])
+            )[:3]
+            for w, n in top:
+                yield (w, n)
+
+    spark.udtf.register("top_words", TopWords)
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    d.createOrReplaceTempView("udtf_docs")
+    out = spark.sql(
+        "SELECT d.doc_id, t.word, t.n "
+        "FROM udtf_docs d, LATERAL top_words(d.text) t"
+    )
+    return out.orderBy("doc_id", F.desc("n"), "word")
