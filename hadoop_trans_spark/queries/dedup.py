@@ -650,3 +650,54 @@ def q64_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q115_fuzzy_name_pairs",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_name, p_brand
+        FROM part WHERE p_partkey % 20 = 0
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 12
+    ORDER BY key_a, key_b
+    """,
+)
+def q115_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (typo-level entity dedup): candidate
+    pairs blocked on brand (equi-join — the quadratic term is bounded per
+    block, the same guard as every dedup operator here), then JVM
+    `levenshtein` as the verify. Spark and DuckDB implement the same
+    classic DP distance, so the predicate is engine-portable. At corpus
+    scale swap the brand block for q42's prefix filtering; the verify
+    stays identical."""
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 20 == 0)
+        .select("p_partkey", "p_name", "p_brand")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    return (
+        a.join(b, "brand")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .where(F.col("dist") <= 12)
+        .orderBy("key_a", "key_b")
+    )

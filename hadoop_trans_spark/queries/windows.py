@@ -246,3 +246,32 @@ def q81_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+@query(
+    "q114_window_distribution",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(ROUND(percent_rank() OVER w, 6) AS DOUBLE) AS pr,
+           CAST(ROUND(cume_dist() OVER w, 6) AS DOUBLE) AS cd,
+           ntile(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q114_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist / ntile)
+    per market segment with a total order for determinism — the
+    percentile-feature transform done relationally. Same single window
+    shuffle as any ranking function; the three functions share one sort."""
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pr"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("c_custkey")
