@@ -196,3 +196,49 @@ def q110_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") >= 25)
         .orderBy("term")
     )
+
+
+@query(
+    "q118_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, g AS w
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '[^a-z]+')) AS g
+              FROM documents)
+        WHERE length(g) >= 1
+    ),
+    vocab AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT t.doc_id AS doc_id, COUNT(*) AS n_tokens,
+           CAST(ROUND(SUM(ln(v.c * 1.0 / tot.total)) / COUNT(*), 4) AS DOUBLE)
+             AS mean_logprob
+    FROM toks t JOIN vocab v ON t.w = v.w CROSS JOIN tot
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q118_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: mean log-probability of each
+    document's tokens under the corpus's own unigram distribution — the
+    cheap stand-in for the perplexity quality filter every LLM data
+    pipeline runs. The vocab is a corpus-wide word count (broadcastable:
+    vocabulary grows ~log of corpus size), the per-doc score a single
+    aggregation over the token stream joined to it; the libm `ln` ulp
+    noise (~1e-16 per token) is absorbed by the 1e-4 rounding."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+    ).where(F.length("w") >= 1)
+    vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = toks.count()
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(F.log(F.col("c") / F.lit(float(total)))) / F.count("*"), 4)
+            .cast("double")
+            .alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )

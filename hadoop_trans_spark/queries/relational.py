@@ -1038,3 +1038,121 @@ def q111_approx_percentile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.col("a95") - F.col("p95_exact")) <= 0.02 * F.col("p95_exact"))
         ).alias("approx_within_2pct"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q116_exact_correlation",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))
+                   * CAST(l_quantity AS DECIMAL(38,6))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,6))
+                   * CAST(l_extendedprice AS DECIMAL(38,6))) AS syy,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))
+                   * CAST(l_extendedprice AS DECIMAL(38,6))) AS sxy
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS DOUBLE)
+             AS corr_qty_price
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def q116_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal moment sums (n, Σx, Σy,
+    Σx², Σy², Σxy) — unlike `corr()`, whose fp accumulation order varies
+    with partitioning, the closed form over decimal partials is
+    bit-identical on any cluster layout. One hash aggregation; the six
+    moments ride a single map-side-combined pass."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(DEC)
+    y = F.col("l_extendedprice").cast(DEC)
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = F.sqrt(
+        (n * F.col("sxx") - sx * sx).cast("double")
+        * (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(num / den, 6).cast("double").alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q117_group_trend_ols",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS prio,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+               COUNT(*) AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT prio, COUNT(*) AS n,
+               SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+               SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+               SUM(CAST(x AS DECIMAL(38,6)) * CAST(x AS DECIMAL(38,6))) AS sxx,
+               SUM(CAST(x AS DECIMAL(38,6)) * CAST(y AS DECIMAL(38,6))) AS sxy
+        FROM daily GROUP BY 1
+    )
+    SELECT prio, n,
+           CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE), 8) AS DOUBLE) AS slope,
+           CAST(ROUND(CAST(sy AS DOUBLE) / n
+                      - CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                                   / CAST(n * sxx - sx * sx AS DOUBLE), 8)
+                             AS DOUBLE)
+                        * CAST(sx AS DOUBLE) / n, 4) AS DOUBLE) AS intercept
+    FROM s ORDER BY prio
+    """,
+)
+def q117_group_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group trend line: closed-form OLS (slope, intercept) of daily
+    order volume against the day index, from the same exact decimal
+    moment machinery as q116. This is regression as a GROUP BY — one
+    shuffle on (group, day) for the grain, one on group for the moments;
+    no iterative solver, no driver math. The scalable form of 'fit a
+    trend per key' for millions of keys."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    xd = F.col("x").cast(DEC)
+    yd = F.col("y").cast(DEC)
+    s = daily.groupBy("prio").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = F.round(
+        (n * F.col("sxy") - sx * sy).cast("double")
+        / (n * F.col("sxx") - sx * sx).cast("double"),
+        8,
+    ).cast("double")
+    return s.select(
+        "prio",
+        "n",
+        slope.alias("slope"),
+        F.round(
+            sy.cast("double") / n - slope * sx.cast("double") / n, 4
+        ).cast("double").alias("intercept"),
+    ).orderBy("prio")

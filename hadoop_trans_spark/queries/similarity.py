@@ -234,3 +234,80 @@ def q105_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "q119_hard_negatives",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    )
+    SELECT q_id, neg_id, label_q, label_n, cos FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS neg_id,
+               q.label AS label_q, c.label AS label_n,
+               CAST(ROUND(list_dot_product(q.v, c.v)
+                          / (q.nrm * c.nrm), 6) AS DOUBLE) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_dot_product(q.v, c.v)
+                                  / (q.nrm * c.nrm), 6) DESC,
+                            c.vec_id) AS rk
+        FROM x q JOIN x c
+          ON q.label <> c.label
+        WHERE q.vec_id < 20
+    ) WHERE rk = 1
+    ORDER BY q_id
+    """,
+)
+def q119_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the most cosine-similar vector with a DIFFERENT label — the pairs
+    that teach an embedding model the most. Anchors broadcast against
+    the corpus (single-vector norms hoisted before the pair join, q43's
+    physical rule), top-1 via window over rounded cosine with id
+    tie-break. At 100 TB the anchor set shards and the corpus side
+    swaps in q69's sign-LSH candidates so the pair stage stays bounded."""
+    from ..operators.similarity import _dbl, dot
+
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        "label",
+        _dbl(F.col("embedding")).alias("v"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    q = (
+        x.where(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("label_q"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    c = x.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("label_n"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("label_q") != F.col("label_n"))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).cast("double"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "neg_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("q_id", "neg_id", "label_q", "label_n", "cos")
+        .orderBy("q_id")
+    )
