@@ -241,3 +241,58 @@ def q112_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gen")
     )
+
+
+@query(
+    "q120_bucketed_join",
+    oracle=f"""
+    SELECT o_orderpriority AS prio,
+           COUNT(*) AS n_items,
+           {o_dsum('l_extendedprice')} AS price_sum
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q120_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-exchange co-located join (sources/bucketing.py): orders and
+    lineitem written bucketed+sorted on the join key, then joined from
+    the catalog — Spark plans a SortMergeJoin with NO shuffle on either
+    side (asserted in tests/test_bucketing.py). The shuffle is paid once
+    at layout time and amortized over every subsequent join; at 100 TB
+    this is the standard recurring fact-fact join layout. Broadcast is
+    disabled for the join so the exchange-free SMJ is the plan under
+    test, not a broadcast fallback."""
+    from ..sources.bucketing import read_table, write_bucketed
+
+    n = 8
+    write_bucketed(
+        table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        "q120_orders_b",
+        ["o_orderkey"],
+        n,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ),
+        "q120_lineitem_b",
+        ["l_orderkey"],
+        n,
+        sort_cols=["l_orderkey"],
+    )
+    o = read_table(spark, "q120_orders_b")
+    li = read_table(spark, "q120_lineitem_b")
+    joined = o.hint("merge").join(
+        li, o["o_orderkey"] == li["l_orderkey"]
+    )
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice").alias("price_sum"),
+        )
+        .orderBy("prio")
+    )
