@@ -267,9 +267,11 @@ def weighted_sample(
     seedless per-id uniform from a Knuth multiplicative hash; the k
     largest keys are the sample. Inclusion probability is proportional
     to weight, the choice is reproducible across engines/runs/partition
-    layouts, and the top-k is a WindowGroupLimit-style partial reduction
-    — per-task candidate sets of size k, no global sort. The 100 TB
-    training-mixture primitive when documents carry quality weights.
+    layouts, and sort+limit plans as TakeOrderedAndProject — each task
+    keeps its local top-k and the driver merges k-row candidate sets;
+    never a global sort, never a single-partition window (asserted in
+    tests/test_plans.py). The 100 TB training-mixture primitive when
+    documents carry quality weights.
     """
     u = (
         ((F.col(id_col).cast("bigint") * F.lit(2654435761)) % 1000003 + 1)
@@ -278,10 +280,8 @@ def weighted_sample(
     key = F.round(
         F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 6
     )
-    w = W.orderBy(F.desc("sample_key"), F.col(id_col))
     return (
         df.withColumn("sample_key", key)
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .drop("rk")
+        .orderBy(F.desc("sample_key"), F.col(id_col))
+        .limit(k)
     )

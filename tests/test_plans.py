@@ -260,3 +260,50 @@ def test_zorder_layout_bounds_both_dimensions(spark, smoke_dir):
     y_sorted_x, _ = mean_spans(e.repartitionByRange(32, "y"))
     assert zx < 0.5 * y_sorted_x, (zx, y_sorted_x)
     assert zy < 0.5 * x_sorted_y, (zy, x_sorted_y)
+
+
+def test_weighted_sample_plans_take_ordered(spark, smoke_dir):
+    """Global top-k sampling must plan TakeOrderedAndProject (per-task
+    local top-k, k-row driver merge), never a single-partition window
+    or a full global sort."""
+    from hadoop_trans_spark.operators.curation import weighted_sample
+
+    docs = table(spark, smoke_dir, "documents")
+    plan = (
+        weighted_sample(docs, k=40, weight_col="n_chars")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_kmeans_broadcasts_centroids_never_self_joins(spark, smoke_dir):
+    """Every Lloyd iteration must broadcast the k centroids against the
+    corpus — a shuffled or cartesian corpus×corpus stage would be the
+    quadratic blowup the operator exists to avoid."""
+    from hadoop_trans_spark.operators.kmeans import kmeans_assignments
+
+    e = table(spark, smoke_dir, "embeddings")
+    plan = (
+        kmeans_assignments(e, k=8, iters=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_fuzzy_pairs_block_join_is_equi(spark, smoke_dir):
+    """q115's brand blocking must plan an equi-join (hash/sort-merge or
+    broadcast hash), not a nested-loop over all pairs."""
+    plan = (
+        QUERIES["q115_fuzzy_name_pairs"](spark, smoke_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), plan
