@@ -262,29 +262,39 @@ def q120_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the standard recurring fact-fact join layout. Broadcast is
     disabled for the join so the exchange-free SMJ is the plan under
     test, not a broadcast fallback."""
+    import uuid
+
     from ..sources.bucketing import read_table, write_bucketed
 
+    # Unique table names: managed-table locations under the shared
+    # warehouse dir outlive the session's catalog, so a fixed name
+    # collides on the next session's re-run.
+    tag = uuid.uuid4().hex[:8]
+    orders_t, lineitem_t = f"q120_orders_{tag}", f"q120_lineitem_{tag}"
     n = 8
+    # repartition(n, key) uses the same Murmur3 hash as bucketing, so each
+    # write task holds exactly one bucket and emits ONE file — without it
+    # every task fans out a file per bucket (tasks × buckets small files).
     write_bucketed(
-        table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderpriority"
-        ),
-        "q120_orders_b",
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(n, "o_orderkey"),
+        orders_t,
         ["o_orderkey"],
         n,
         sort_cols=["o_orderkey"],
     )
     write_bucketed(
-        table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice"
-        ),
-        "q120_lineitem_b",
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .repartition(n, "l_orderkey"),
+        lineitem_t,
         ["l_orderkey"],
         n,
         sort_cols=["l_orderkey"],
     )
-    o = read_table(spark, "q120_orders_b")
-    li = read_table(spark, "q120_lineitem_b")
+    o = read_table(spark, orders_t)
+    li = read_table(spark, lineitem_t)
     joined = o.hint("merge").join(
         li, o["o_orderkey"] == li["l_orderkey"]
     )
