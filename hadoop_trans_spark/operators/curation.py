@@ -281,7 +281,10 @@ def weighted_sample(
         F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 6
     )
     return (
-        df.withColumn("sample_key", key)
+        # w <= 0 has no A-ES meaning and engines disagree on pow edge
+        # cases (0^inf vs NaN) — excluded, never silently sampled.
+        df.where(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
         .orderBy(F.desc("sample_key"), F.col(id_col))
         .limit(k)
     )

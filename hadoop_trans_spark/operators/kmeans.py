@@ -12,10 +12,12 @@ Determinism contract (what makes this oracle-checkable across engines):
   * centroid updates average through decimal (order-independent under
     any partitioning / AQE re-plan).
 
-Physical shape per iteration: centroids are k rows → broadcast to the
-corpus (never a shuffle of the vectors), argmin is a per-row reduction
-over the k broadcast candidates, and the update is one hash aggregation
-keyed (cluster, dim) with map-side partials. Per-vector work is O(k·d);
+Physical shape per iteration: the k centroids are collected to the
+driver (O(k·d) — report-sized, like a partition-key listing) and burned
+into the assignment projection as LITERALS, so assignment is a pure
+per-row expression — no join, no window, NO shuffle of the corpus. The
+only exchange per iteration is the (cluster, dim) hash aggregation of
+the centroid update, with map-side partials. Per-vector work is O(k·d);
 the corpus is scanned once per iteration and never pairwise-joined with
 itself. At 100 TB: iterate on a sample to convergence, then one final
 assignment pass over the full corpus — same operator, sampled input.
@@ -26,19 +28,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .similarity import _dbl, dot
+
 DEC = "decimal(38,6)"
-
-
-def _dbl(col):
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
 
 def init_centroids(
@@ -51,33 +43,48 @@ def init_centroids(
     return first_k.select(
         (F.row_number().over(w) - 1).alias("cluster"),
         v.alias("c"),
-        _dot(v, v).alias("c_sq"),
+        dot(v, v).alias("c_sq"),
     )
 
 
-def assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+def assign(corpus: DataFrame, centroid_rows) -> DataFrame:
     """Nearest-centroid assignment: (id, v, v_sq, cluster, d2).
 
-    Squared distance = v_sq + c_sq - 2·dot, with the single-vector terms
-    hoisted out of the k-way candidate expansion; argmin via window
-    row_number ordered (d2, cluster).
+    ``centroid_rows`` is the collected k-row centroid table. Squared
+    distance = v_sq + c_sq - 2·dot with the single-vector terms hoisted;
+    the centroids enter as literal expressions, so the argmin is
+    array_min over a k-element projection — zero shuffle. array_position
+    takes the FIRST index holding the min, which with the array ordered
+    by cluster ordinal is exactly the (d2, cluster) tie-break.
     """
-    cand = corpus.crossJoin(F.broadcast(centroids)).withColumn(
-        "d2",
-        F.round(
-            F.col("v_sq") + F.col("c_sq") - 2 * _dot(F.col("v"), F.col("c")),
-            6,
+    cents = sorted(centroid_rows, key=lambda r: r["cluster"])
+    lit_cents = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in r["c"]]).alias("c"),
+                F.lit(float(r["c_sq"])).alias("c_sq"),
+            )
+            for r in cents
+        ]
+    )
+    d2s = F.transform(
+        lit_cents,
+        lambda s: F.round(
+            F.col("v_sq") + s["c_sq"] - 2 * dot(F.col("v"), s["c"]), 6
         ),
     )
-    w = Window.partitionBy("id").orderBy("d2", "cluster")
     return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
+        corpus.withColumn("d2s", d2s)
+        .withColumn("d2", F.array_min("d2s"))
+        .withColumn(
+            "cluster",
+            (F.array_position(F.col("d2s"), F.col("d2")) - 1).cast("int"),
+        )
         .select("id", "v", "v_sq", "cluster", "d2")
     )
 
 
-def update_centroids(assigned: DataFrame, dim: int) -> DataFrame:
+def update_centroids(assigned: DataFrame) -> DataFrame:
     """Per-cluster mean vector via one (cluster, dim) hash aggregation;
     means go through decimal then round(6) so the new centroids are
     bit-identical under any execution order."""
@@ -96,7 +103,7 @@ def update_centroids(assigned: DataFrame, dim: int) -> DataFrame:
         ).alias("c")
     )
     return packed.select(
-        "cluster", "c", _dot(F.col("c"), F.col("c")).alias("c_sq")
+        "cluster", "c", dot(F.col("c"), F.col("c")).alias("c_sq")
     )
 
 
@@ -109,15 +116,13 @@ def kmeans_assignments(
 ) -> DataFrame:
     """Run ``iters`` Lloyd iterations; return the final per-vector
     assignment (id, cluster, d2)."""
-    dim_probe = df.select(F.size(vec).alias("d")).first()
-    dim = int(dim_probe["d"])
     v = _dbl(F.col(vec))
     corpus = df.select(
-        F.col(id_col).alias("id"), v.alias("v"), _dot(v, v).alias("v_sq")
+        F.col(id_col).alias("id"), v.alias("v"), dot(v, v).alias("v_sq")
     )
-    cents = init_centroids(df, k, vec=vec, id_col=id_col)
+    cents = init_centroids(df, k, vec=vec, id_col=id_col).collect()
     assigned = assign(corpus, cents)
     for _ in range(iters - 1):
-        cents = update_centroids(assigned, dim)
+        cents = update_centroids(assigned).collect()
         assigned = assign(corpus, cents)
     return assigned.select("id", "cluster", "d2")

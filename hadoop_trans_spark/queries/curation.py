@@ -480,10 +480,10 @@ def q103_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, n_chars, sample_key FROM (
         SELECT doc_id, n_chars,
-               ROUND(pow((doc_id * 2654435761) % 1000003 + 1,
-                         1.0 / n_chars)
-                     / pow(1000004.0, 1.0 / n_chars), 6) AS sample_key
-        FROM documents
+               ROUND(pow(((doc_id * 2654435761) % 1000003 + 1)
+                         / 1000004.0,
+                         1.0 / CAST(n_chars AS DOUBLE)), 6) AS sample_key
+        FROM documents WHERE n_chars > 0
     ) QUALIFY ROW_NUMBER() OVER (ORDER BY sample_key DESC, doc_id) <= 50
     ORDER BY doc_id
     """,

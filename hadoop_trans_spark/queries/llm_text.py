@@ -230,13 +230,16 @@ def q118_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
     ).where(F.length("w") >= 1)
     vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
-    total = toks.count()
+    # Corpus token total = Σ vocab counts: a 1-row aggregate cross-joined
+    # in, keeping the whole computation one lazy plan (no eager re-scan).
+    total = vocab.agg(F.sum("c").cast("double").alias("total"))
     return (
         toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.sum(F.log(F.col("c") / F.lit(float(total)))) / F.count("*"), 4)
+            F.round(F.sum(F.log(F.col("c") / F.col("total"))) / F.count("*"), 4)
             .cast("double")
             .alias("mean_logprob"),
         )

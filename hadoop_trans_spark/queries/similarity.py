@@ -4,7 +4,7 @@ embeddings table."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -302,8 +302,6 @@ def q119_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"),
         )
     )
-    from pyspark.sql import Window as W
-
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), "neg_id")
     return (
         pairs.withColumn("rk", F.row_number().over(w))

@@ -262,13 +262,25 @@ def q120_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the standard recurring fact-fact join layout. Broadcast is
     disabled for the join so the exchange-free SMJ is the plan under
     test, not a broadcast fallback."""
+    import shutil
     import uuid
+    from pathlib import Path
 
     from ..sources.bucketing import read_table, write_bucketed
 
     # Unique table names: managed-table locations under the shared
     # warehouse dir outlive the session's catalog, so a fixed name
-    # collides on the next session's re-run.
+    # collides on the next session's re-run. Stale q120_* locations from
+    # PRIOR sessions (never in this session's catalog) are reclaimed
+    # here so repeated verification runs don't grow the warehouse.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+    if warehouse:
+        current = {t.name for t in spark.catalog.listTables()}
+        for d in Path(warehouse).glob("q120_*"):
+            if d.name not in current:
+                shutil.rmtree(d, ignore_errors=True)
     tag = uuid.uuid4().hex[:8]
     orders_t, lineitem_t = f"q120_orders_{tag}", f"q120_lineitem_{tag}"
     n = 8

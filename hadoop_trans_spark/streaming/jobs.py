@@ -43,18 +43,27 @@ from pyspark.sql.types import (
 
 from hadoop_trans_spark.catalog import normalize_event_ts
 
-# events.parquet stores TIMESTAMP(MICROS) without timezone → TIMESTAMP_NTZ;
-# normalize_event_ts casts it to a UTC TIMESTAMP instant (see catalog).
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", TimestampNTZType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def events_stream_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Stream schema for events.parquet, matched to the file's actual ts
+    layout (the driver has shipped both TIMESTAMP(NANOS)-as-long and
+    TIMESTAMP(MICROS)/NTZ across rounds — a mismatched user-supplied
+    stream schema fails the parquet column conversion). One batch footer
+    probe; normalize_event_ts then converts either layout to a UTC
+    TIMESTAMP instant (see catalog)."""
+    dtype = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get(
+        "ts"
+    )
+    ts_type = LongType() if dtype == "bigint" else TimestampNTZType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(
@@ -62,7 +71,7 @@ def read_events_stream(
 ) -> DataFrame:
     """events.parquet as a stream (file source needs a dir → glob filter)."""
     reader = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_stream_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger is not None:
@@ -285,7 +294,7 @@ def stream_upsert_sink(
         materialize_stage(merged).write.mode("overwrite").parquet(dest)
 
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_stream_schema(spark, sf_dir))
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
         .parquet(stage)

@@ -105,4 +105,6 @@ def test_profile_is_single_scan_and_correct(spark):
     assert prof["s"]["n_distinct"] == 2
     # one scan: the physical plan contains exactly one scan of the input
     plan = profile_columns(df, ["k", "s"])._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 1
+    n_scans = plan.count("LocalTableScan") + plan.count("Scan ExistingRDD")
+    assert n_scans == 1, plan  # exactly one scan — and loudly fail if the
+    # node names ever drift and the count stops measuring anything

@@ -278,10 +278,11 @@ def test_weighted_sample_plans_take_ordered(spark, smoke_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_kmeans_broadcasts_centroids_never_self_joins(spark, smoke_dir):
-    """Every Lloyd iteration must broadcast the k centroids against the
-    corpus — a shuffled or cartesian corpus×corpus stage would be the
-    quadratic blowup the operator exists to avoid."""
+def test_kmeans_assignment_is_shuffle_free(spark, smoke_dir):
+    """Centroids enter the assignment as literals, so the final
+    assignment pass must be a pure projection over the corpus scan —
+    no join of any kind and no Exchange. A shuffled or cartesian
+    corpus×centroids stage would be the blowup the operator avoids."""
     from hadoop_trans_spark.operators.kmeans import kmeans_assignments
 
     e = table(spark, smoke_dir, "embeddings")
@@ -291,8 +292,9 @@ def test_kmeans_broadcasts_centroids_never_self_joins(spark, smoke_dir):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert "Exchange" not in plan, plan
 
 
 def test_fuzzy_pairs_block_join_is_equi(spark, smoke_dir):
