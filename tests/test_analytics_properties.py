@@ -1,0 +1,75 @@
+"""Hypothesis/property tests for round-2 operators: chunk hashing against
+an independent Python model, sampling edge cases, and k-means partition
+invariance."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hadoop_trans_spark.catalog import table
+from hadoop_trans_spark.operators.curation import chunk_documents, weighted_sample
+from hadoop_trans_spark.operators.kmeans import kmeans_assignments
+
+SIZE, STRIDE = 7, 5
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_chunk_hashes_match_python_model(spark, texts):
+    """Every emitted chunk hash must equal md5 of the Python slice at the
+    same offset — pinning Spark's substr semantics (1-based, clamped) to
+    the independent model — and chunks must tile the text at STRIDE."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_documents(
+        df, size=SIZE, stride=STRIDE
+    ).collect()
+    got = {(r["doc_id"], r["off"]): (r["chunk_len"], r["chunk_hash"]) for r in rows}
+    want = {}
+    for i, t in enumerate(texts):
+        for off in range(0, max(len(t), 0), STRIDE):
+            chunk = t[off : off + SIZE]
+            want[(i, off)] = (
+                len(chunk),
+                hashlib.md5(chunk.encode()).hexdigest(),
+            )
+    assert got == want
+
+
+def test_weighted_sample_k_exceeding_rows_returns_all_positive(spark):
+    df = spark.createDataFrame(
+        [(i, float(i - 2)) for i in range(10)], "doc_id long, w double"
+    )  # weights -2..7: three rows non-positive
+    out = weighted_sample(df, k=100, weight_col="w", id_col="doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == list(range(3, 10))  # w>0 only, all of them
+
+
+def test_kmeans_invariant_under_repartition(spark, smoke_dir):
+    e = table(spark, smoke_dir, "embeddings")
+    a1 = {
+        (r["id"], r["cluster"])
+        for r in kmeans_assignments(e, k=8, iters=2).collect()
+    }
+    a2 = {
+        (r["id"], r["cluster"])
+        for r in kmeans_assignments(
+            e.repartition(17), k=8, iters=2
+        ).collect()
+    }
+    assert a1 == a2
