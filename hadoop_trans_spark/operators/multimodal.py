@@ -68,16 +68,56 @@ def attach_binary(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+RAW_RGB_MIME = "image/x-raw-rgb"
+_RAW_MAGIC = b"RAW1"  # 8-byte header: magic + width:u16be + height:u16be
+
+
+def encode_raw_rgb(width: int, height: int, pixel_of_index) -> bytes:
+    """Build a raw-RGB payload: 8-byte header + interleaved RGB bytes,
+    pixel byte i = pixel_of_index(i). The synthetic codec used by the
+    executable decode path (and by tests as the independent model)."""
+    head = _RAW_MAGIC + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+    return head + bytes(pixel_of_index(i) & 0xFF for i in range(width * height * 3))
+
+
 def decode_media(df: DataFrame) -> DataFrame:
-    """REAL decode entry point — stubbed: the decode libraries (PIL/
-    libav/etc.) are not in this container. The mapInPandas wiring below is
-    the production shape; swap `_decode_batch` for a real decoder."""
+    """Decode entry point, Arrow-batched mapInPandas (the production
+    shape). EXECUTABLE for the documented raw-RGB format (numpy only —
+    header parse, frombuffer, per-channel means as features); real
+    codecs (JPEG/PNG/audio) raise NotImplementedError because their
+    libraries are not in this container — swap the mime dispatch body
+    for PIL/libav calls in production. Means are exact: integer sums in
+    float64, one division."""
+    import numpy as np
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "media decode requires image/audio libraries not present in "
-            "this environment; use fake_features() for plumbing tests"
-        )
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in FEATURE_SCHEMA.fields}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["mime"] != RAW_RGB_MIME:
+                    raise NotImplementedError(
+                        f"no decoder for {meta['mime']!r} in this "
+                        "container (image/audio libs absent); raw-RGB is "
+                        "the executable path"
+                    )
+                buf = bytes(payload)
+                if buf[:4] != _RAW_MAGIC:
+                    raise ValueError(f"bad raw-RGB magic in doc {doc_id}")
+                w = int.from_bytes(buf[4:6], "big")
+                h = int.from_bytes(buf[6:8], "big")
+                px = np.frombuffer(buf, dtype=np.uint8, offset=8)
+                if px.size != w * h * 3:
+                    raise ValueError(f"truncated raw-RGB in doc {doc_id}")
+                sums = px.astype(np.float64).reshape(-1, 3).sum(axis=0)
+                n_px = float(w * h)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_bytes"].append(len(buf))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["features"].append([float(s) / n_px for s in sums])
+            yield pd.DataFrame(rows)
 
     return df.mapInPandas(_decode_batch, FEATURE_SCHEMA)
 
@@ -155,3 +195,31 @@ def frame_sample(df: DataFrame, fps_us: int = 40_000) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+def attach_raw_rgb(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic raw-RGB fixture encoder: each row becomes a decodable
+    media row (payload = raw-RGB bytes with pixel i = (id + i) mod 256,
+    width = 8 + id mod 5, height = 6). The arithmetic pixel rule is what
+    lets a SQL oracle reproduce the decoded statistics exactly."""
+    import hashlib
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf[id_col]:
+                i_d = int(doc_id)
+                w, h = 8 + i_d % 5, 6
+                payload = encode_raw_rgb(w, h, lambda i: i_d + i)
+                rows["doc_id"].append(i_d)
+                rows["payload"].append(payload)
+                rows["meta"].append(
+                    {
+                        "mime": RAW_RGB_MIME,
+                        "n_bytes": len(payload),
+                        "checksum": hashlib.sha256(payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col)).mapInPandas(_encode, MEDIA_SCHEMA)

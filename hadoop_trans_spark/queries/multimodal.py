@@ -144,3 +144,50 @@ def q84_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     frames = frame_sample(attach_binary(d))
     return frames.orderBy("doc_id", "frame_id")
+
+
+@query(
+    "q121_raw_decode",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w, 6 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(MAX(w) * MAX(h) * 3 + 8 AS BIGINT) AS n_bytes,
+           MAX(w) AS width, MAX(h) AS height,
+           CAST(ROUND(SUM(CASE WHEN i % 3 = 0 THEN (doc_id + i) % 256 END)
+                      * 1.0 / (MAX(w) * MAX(h)), 6) AS DOUBLE) AS mean_r,
+           CAST(ROUND(SUM(CASE WHEN i % 3 = 1 THEN (doc_id + i) % 256 END)
+                      * 1.0 / (MAX(w) * MAX(h)), 6) AS DOUBLE) AS mean_g,
+           CAST(ROUND(SUM(CASE WHEN i % 3 = 2 THEN (doc_id + i) % 256 END)
+                      * 1.0 / (MAX(w) * MAX(h)), 6) AS DOUBLE) AS mean_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q121_raw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END media decode (no stub in the path): documents become
+    raw-RGB payloads (operators/multimodal.py attach_raw_rgb — header +
+    arithmetic pixels), decode_media parses the header and extracts
+    per-channel means with numpy inside Arrow-batched mapInPandas, and
+    the oracle re-derives the same statistics from the pixel rule. This
+    is the real decode wiring a production pipeline swaps PIL/libav
+    into; only non-synthetic codecs remain stubbed."""
+    from ..operators.multimodal import attach_raw_rgb, decode_media
+
+    docs = table(spark, sf_dir, "documents")
+    media = attach_raw_rgb(docs)
+    feats = decode_media(media)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round(F.col("features")[0], 6).alias("mean_r"),
+        F.round(F.col("features")[1], 6).alias("mean_g"),
+        F.round(F.col("features")[2], 6).alias("mean_b"),
+    ).orderBy("doc_id")
