@@ -1,9 +1,16 @@
 """Benchmark harness: runs the headline declared queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line:
+(default /root/testdata/sf0.1) and prints ONE compact JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Stdout stays small on purpose: the driver's output capture truncated the
+old 121-entry per-query map mid-object in rounds 1-2 and recorded
+``"parsed": null``. The printed ``queries`` map now carries only the
+headline set; the full per-query detail goes to ``bench_results.json``
+next to this script.
+
 Each query is executed to completion (count() action) after a warm-up of
-the session; per-query wall-clock is reported plus the total.
+the session; per-query wall-clock is reported plus the total (which still
+covers EVERY declared query, not just the headline set).
 """
 
 from __future__ import annotations
@@ -57,14 +64,30 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "declared_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "queries": timings,
+            },
+            fh,
+            indent=1,
+        )
     print(
         json.dumps(
             {
                 "metric": "declared_query_wall_clock_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": {n: timings[n] for n in names},
+                "sf": sf_val,
             }
         )
     )

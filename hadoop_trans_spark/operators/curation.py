@@ -264,19 +264,25 @@ def weighted_sample(
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (Efraimidis–Spirakis A-ES): each row gets key = u^(1/w) with u a
-    seedless per-id uniform from a Knuth multiplicative hash; the k
-    largest keys are the sample. Inclusion probability is proportional
-    to weight, the choice is reproducible across engines/runs/partition
-    layouts, and sort+limit plans as TakeOrderedAndProject — each task
-    keeps its local top-k and the driver merges k-row candidate sets;
-    never a global sort, never a single-partition window (asserted in
-    tests/test_plans.py). The 100 TB training-mixture primitive when
-    documents carry quality weights.
+    seedless per-id uniform from the first 6 hex chars of md5(id) —
+    the same engine-portable hash mixture_sample/hash_split use. (A
+    bare multiplicative hash id*2654435761 overflows int64 for ids
+    ≳3.4e9, where Spark wraps silently but DuckDB raises, and Spark's
+    `%` keeps the dividend's sign so negative ids would yield u ≤ 0 and
+    a NaN key — md5 text has neither failure mode for ANY id value.)
+    The k largest keys are the sample. Inclusion probability is
+    proportional to weight, the choice is reproducible across
+    engines/runs/partition layouts, and sort+limit plans as
+    TakeOrderedAndProject — each task keeps its local top-k and the
+    driver merges k-row candidate sets; never a global sort, never a
+    single-partition window (asserted in tests/test_plans.py). The
+    100 TB training-mixture primitive when documents carry quality
+    weights.
     """
-    u = (
-        ((F.col(id_col).cast("bigint") * F.lit(2654435761)) % 1000003 + 1)
-        / F.lit(1000004.0)
-    )
+    v = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("bigint")
+    u = (v + 1) / F.lit(16777217.0)
     key = F.round(
         F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 6
     )

@@ -55,12 +55,17 @@ def assign(corpus: DataFrame, centroid_rows) -> DataFrame:
     the centroids enter as literal expressions, so the argmin is
     array_min over a k-element projection — zero shuffle. array_position
     takes the FIRST index holding the min, which with the array ordered
-    by cluster ordinal is exactly the (d2, cluster) tie-break.
+    by cluster ordinal is exactly the (d2, cluster) tie-break. The
+    cluster label is read from the winning struct's own ``cluster``
+    field, NOT the array index: if a cluster empties mid-run,
+    update_centroids' groupBy simply omits its ordinal, and positional
+    labeling would silently renumber every surviving cluster after it.
     """
     cents = sorted(centroid_rows, key=lambda r: r["cluster"])
     lit_cents = F.array(
         *[
             F.struct(
+                F.lit(int(r["cluster"])).alias("cluster"),
                 F.array(*[F.lit(float(x)) for x in r["c"]]).alias("c"),
                 F.lit(float(r["c_sq"])).alias("c_sq"),
             )
@@ -78,7 +83,9 @@ def assign(corpus: DataFrame, centroid_rows) -> DataFrame:
         .withColumn("d2", F.array_min("d2s"))
         .withColumn(
             "cluster",
-            (F.array_position(F.col("d2s"), F.col("d2")) - 1).cast("int"),
+            F.element_at(
+                lit_cents, F.array_position(F.col("d2s"), F.col("d2")).cast("int")
+            )["cluster"],
         )
         .select("id", "v", "v_sq", "cluster", "d2")
     )

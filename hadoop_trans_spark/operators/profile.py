@@ -30,17 +30,25 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     any type share one schema; numeric/temporal types render identically
     across engines (exact values, no float formatting).
     """
+    if not cols:
+        raise ValueError("profile_columns needs at least one column")
+    # Internal aliases are positional (never derived from column names)
+    # and the display name enters the stack() expression only as an
+    # escaped string literal, so names with spaces/dots/quotes/backticks
+    # profile fine.
     aggs = [F.count("*").alias("__n_rows")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
-        aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn_{c}"))
-        aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx_{c}"))
+    for i, c in enumerate(cols):
+        qc = F.col("`" + c.replace("`", "``") + "`")
+        aggs.append(F.count(qc).alias(f"__nn_{i}"))
+        aggs.append(F.countDistinct(qc).alias(f"__nd_{i}"))
+        aggs.append(F.min(qc).cast("string").alias(f"__mn_{i}"))
+        aggs.append(F.max(qc).cast("string").alias(f"__mx_{i}"))
     row = df.agg(*aggs)
 
     stack_args: list[str] = []
-    for c in cols:
-        stack_args.append(f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}")
+    for i, c in enumerate(cols):
+        lit = c.replace("\\", "\\\\").replace("'", "\\'")
+        stack_args.append(f"'{lit}', __nn_{i}, __nd_{i}, __mn_{i}, __mx_{i}")
     stacked = row.select(
         F.col("__n_rows").alias("n_rows"),
         F.expr(

@@ -480,8 +480,8 @@ def q103_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, n_chars, sample_key FROM (
         SELECT doc_id, n_chars,
-               ROUND(pow(((doc_id * 2654435761) % 1000003 + 1)
-                         / 1000004.0,
+               ROUND(pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                               AS BIGINT) + 1) / 16777217.0,
                          1.0 / CAST(n_chars AS DOUBLE)), 6) AS sample_key
         FROM documents WHERE n_chars > 0
     ) QUALIFY ROW_NUMBER() OVER (ORDER BY sample_key DESC, doc_id) <= 50
@@ -491,9 +491,9 @@ def q103_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q108_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling (A-ES, operators/curation.py
     weighted_sample): 50 documents drawn with probability ∝ n_chars.
-    Seedless per-id uniforms make the draw reproducible as the corpus
-    grows; the oracle re-derives the same keys with (u/m)^(1/w) =
-    u^(1/w)/m^(1/w) so both engines rank identical values."""
+    Seedless per-id uniforms from an md5-prefix hash (identical hex text
+    in both engines, no int64-overflow or sign edge cases) make the draw
+    reproducible as the corpus grows."""
     docs = table(spark, sf_dir, "documents")
     return (
         weighted_sample(docs, k=50, weight_col="n_chars")

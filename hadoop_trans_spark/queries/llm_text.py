@@ -211,7 +211,8 @@ def q110_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
     tot AS (SELECT COUNT(*) AS total FROM toks)
     SELECT t.doc_id AS doc_id, COUNT(*) AS n_tokens,
-           CAST(ROUND(SUM(ln(v.c * 1.0 / tot.total)) / COUNT(*), 4) AS DOUBLE)
+           CAST(ROUND(SUM(CAST(ROUND(ln(v.c * 1.0 / tot.total), 9)
+                          AS DECIMAL(38,9))) / COUNT(*), 4) AS DOUBLE)
              AS mean_logprob
     FROM toks t JOIN vocab v ON t.w = v.w CROSS JOIN tot
     GROUP BY 1 ORDER BY 1
@@ -221,10 +222,16 @@ def q118_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model scoring: mean log-probability of each
     document's tokens under the corpus's own unigram distribution — the
     cheap stand-in for the perplexity quality filter every LLM data
-    pipeline runs. The vocab is a corpus-wide word count (broadcastable:
-    vocabulary grows ~log of corpus size), the per-doc score a single
-    aggregation over the token stream joined to it; the libm `ln` ulp
-    noise (~1e-16 per token) is absorbed by the 1e-4 rounding."""
+    pipeline runs. The vocab is a corpus-wide word count joined back to
+    the token stream as a plain equi-join: real vocabularies follow
+    Heaps' law (~n^0.4-0.6), so at 100 TB the vocab is tens of GB and
+    must NOT be forced broadcast — AQE picks broadcast only when the
+    measured size allows. Each log term is rounded to 1e-9 and summed
+    through decimal(38,9) (the repo-wide dsum pattern; the fine scale
+    keeps a Math.log-vs-libm ulp flip at a rounding boundary from
+    moving the 1e-4 mean), making the per-doc score independent of
+    partitioning/AQE order and bitwise stable against the DuckDB
+    oracle."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
@@ -233,13 +240,16 @@ def q118_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus token total = Σ vocab counts: a 1-row aggregate cross-joined
     # in, keeping the whole computation one lazy plan (no eager re-scan).
     total = vocab.agg(F.sum("c").cast("double").alias("total"))
+    logterm = F.round(F.log(F.col("c") / F.col("total")), 9).cast(
+        "decimal(38,9)"
+    )
     return (
-        toks.join(F.broadcast(vocab), "w")
+        toks.join(vocab, "w")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.sum(F.log(F.col("c") / F.col("total"))) / F.count("*"), 4)
+            F.round(F.sum(logterm) / F.count("*"), 4)
             .cast("double")
             .alias("mean_logprob"),
         )

@@ -263,6 +263,7 @@ def q120_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     disabled for the join so the exchange-free SMJ is the plan under
     test, not a broadcast fallback."""
     import shutil
+    import time
     import uuid
     from pathlib import Path
 
@@ -272,14 +273,22 @@ def q120_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warehouse dir outlive the session's catalog, so a fixed name
     # collides on the next session's re-run. Stale q120_* locations from
     # PRIOR sessions (never in this session's catalog) are reclaimed
-    # here so repeated verification runs don't grow the warehouse.
+    # here so repeated verification runs don't grow the warehouse. The
+    # mtime guard keeps this from racing a CONCURRENT session: its live
+    # tables are also absent from this session's catalog, but they are
+    # recent — only locations quiet for >1 h are swept.
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
         "file:"
     )
     if warehouse:
         current = {t.name for t in spark.catalog.listTables()}
+        cutoff = time.time() - 3600
         for d in Path(warehouse).glob("q120_*"):
-            if d.name not in current:
+            try:
+                stale = d.stat().st_mtime < cutoff
+            except OSError:
+                continue
+            if d.name not in current and stale:
                 shutil.rmtree(d, ignore_errors=True)
     tag = uuid.uuid4().hex[:8]
     orders_t, lineitem_t = f"q120_orders_{tag}", f"q120_lineitem_{tag}"

@@ -108,3 +108,64 @@ def test_profile_is_single_scan_and_correct(spark):
     n_scans = plan.count("LocalTableScan") + plan.count("Scan ExistingRDD")
     assert n_scans == 1, plan  # exactly one scan — and loudly fail if the
     # node names ever drift and the count stops measuring anything
+
+def test_kmeans_empty_cluster_preserves_ordinals(spark):
+    """If a cluster empties, surviving clusters must KEEP their ordinals
+    (labels come from the centroid struct, not the literal-array index).
+
+    Construction: ids 0,1,2 seed the three init centroids; vectors 0 and
+    1 are identical, so every point tied between c0 and c1 resolves to
+    the lower ordinal and cluster 1 receives no members. After the
+    refit drops cluster 1, points in vector 2's region must still be
+    labeled 2 — positional labeling would renumber them to 1.
+    """
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),  # duplicate of centroid 0 → cluster 1 empties
+        (2, [10.0, 10.0]),
+        (3, [0.1, 0.0]),
+        (4, [10.0, 9.9]),
+        (5, [9.9, 10.1]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        r["id"]: r["cluster"]
+        for r in kmeans_assignments(e, k=3, iters=3).collect()
+    }
+    assert got[2] == 2 and got[4] == 2 and got[5] == 2, got
+    assert got[0] == 0 and got[1] == 0 and got[3] == 0, got
+    assert 1 not in set(got.values())
+
+def test_weighted_sample_extreme_ids(spark):
+    """md5-prefix uniforms must stay finite and in (0,1) for ids that
+    overflowed the old multiplicative hash: huge (>2^32) and negative."""
+    import math
+
+    rows = [(-5, 10.0), (0, 10.0), (7, 10.0), (2**62, 10.0), (-(2**62), 10.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, k=5, weight_col="w", id_col="doc_id").collect()
+    assert len(got) == 5
+    for r in got:
+        assert r["sample_key"] is not None
+        assert not math.isnan(r["sample_key"])
+        assert 0.0 < r["sample_key"] < 1.0, r
+
+def test_profile_handles_awkward_column_names(spark):
+    """Identifiers needing quoting (spaces, dots, quotes, backticks) and
+    empty input both have defined behavior."""
+    import pytest
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(**{"plain": 1}), Row(**{"plain": 2})]
+    ).withColumnRenamed("plain", "we ird.na`me's")
+    got = {
+        r["col_name"]: r
+        for r in profile_columns(df, ["we ird.na`me's"]).collect()
+    }
+    r = got["we ird.na`me's"]
+    assert r["n_rows"] == 2 and r["n_nonnull"] == 2 and r["n_distinct"] == 2
+    assert r["min_str"] == "1" and r["max_str"] == "2"
+    with pytest.raises(ValueError):
+        profile_columns(df, [])

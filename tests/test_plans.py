@@ -309,3 +309,19 @@ def test_fuzzy_pairs_block_join_is_equi(spark, smoke_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), plan
+
+def test_term_joins_never_force_broadcast_unbounded_sides(spark, smoke_dir):
+    """q118 joins the token stream to the corpus vocabulary. Vocabulary
+    size follows Heaps' law (~n^0.5), so at 100 TB it is tens of GB: a
+    hard ``F.broadcast`` hint on it would OOM executors regardless of
+    AQE. The only permitted hint in the plan is on the 1-row corpus
+    total; the vocab equi-join on ``w`` must carry none, leaving the
+    strategy to AQE's measured sizes."""
+    df = QUERIES["q118_unigram_logprob"](spark, smoke_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    hints = [
+        ln for ln in optimized.splitlines() if "strategy=broadcast" in ln
+    ]
+    assert len(hints) <= 1, optimized
+    for ln in hints:
+        assert "(w" not in ln, f"vocab join carries a broadcast hint: {ln}"
