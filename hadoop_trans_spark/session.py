@@ -22,17 +22,52 @@ import os
 
 from pyspark.sql import SparkSession
 
+# The 100 TB posture as ONE switch (SCALE.md describes the reasoning;
+# this is where it is wired). Applied on top of the engine defaults by
+# ``get_spark(profile="cluster")``:
+#   * shuffle parallelism sized for ~1000 executors — AQE coalesces DOWN
+#     from initialPartitionNum at runtime, so over-provisioning is cheap
+#     and under-provisioning (giant spilling partitions) is the real risk;
+#   * 256 MiB scan splits — fewer, fuller tasks against object storage;
+#   * RocksDB state store — streaming state (sessions, dedup keys,
+#     stream-stream join buffers) spills off-heap instead of living on
+#     the executor heap.
+CLUSTER_PROFILE: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "4096",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "4096",
+    "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+_PROFILES: dict[str, dict[str, str]] = {"local": {}, "cluster": CLUSTER_PROFILE}
+
 
 def get_spark(
     app_name: str = "hadoop_trans_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    profile: str = "local",
 ) -> SparkSession:
-    """Build (or reuse) the engine SparkSession with engine defaults."""
+    """Build (or reuse) the engine SparkSession with engine defaults.
+
+    ``profile="cluster"`` layers :data:`CLUSTER_PROFILE` on top of the
+    defaults (explicit ``shuffle_partitions`` / ``extra_conf`` still win).
+    Confs only take effect when this call CREATES the session — Spark
+    ignores builder confs when reusing a live one, as ever.
+    """
+    if profile not in _PROFILES:
+        raise ValueError(
+            f"unknown profile {profile!r}; expected one of {sorted(_PROFILES)}"
+        )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or cpus
+    shuffle_partitions = shuffle_partitions or int(
+        _PROFILES[profile].get("spark.sql.shuffle.partitions", cpus)
+    )
 
     builder = (
         SparkSession.builder.master(master)
@@ -59,7 +94,10 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/htspark_warehouse"),
         )
     )
-    for k, v in (extra_conf or {}).items():
+    merged = dict(_PROFILES[profile])
+    merged.pop("spark.sql.shuffle.partitions", None)  # applied above
+    merged.update(extra_conf or {})
+    for k, v in merged.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -73,3 +73,23 @@ def test_kmeans_invariant_under_repartition(spark, smoke_dir):
         ).collect()
     }
     assert a1 == a2
+
+def test_incremental_dedup_empty_new_batch(spark, smoke_dir):
+    """near_duplicates_between with an EMPTY new batch must return zero
+    pairs without erroring — the q86 odd/even split happens to make both
+    sides non-empty on the fixture, so fixture greenness alone never
+    exercises the first batch of a fresh ingestion (or a quiet one)."""
+    from hadoop_trans_spark.operators.minhash import near_duplicates_between
+
+    d = table(spark, smoke_dir, "documents")
+    empty = d.where(F.lit(False))
+    got = near_duplicates_between(
+        d, empty, shingle_k=3, n_hashes=8, bands=4, threshold=0.5
+    )
+    assert got.count() == 0
+    assert {"id_a", "id_b", "jaccard"} <= set(got.columns)
+    # and the mirror case: empty corpus, real batch
+    got2 = near_duplicates_between(
+        empty, d.limit(20), shingle_k=3, n_hashes=8, bands=4, threshold=0.5
+    )
+    assert got2.count() == 0

@@ -134,3 +134,17 @@ def test_cli_query_list_and_run(smoke_dir, capsys):
     assert "sum_qty" in capsys.readouterr().out
 
     assert main(["query", "nope"]) == 2
+
+def test_session_profiles():
+    """profile='cluster' is the one-switch 100 TB posture; unknown
+    profile names fail fast (conf typos should not silently run local)."""
+    import pytest
+
+    from hadoop_trans_spark.session import CLUSTER_PROFILE, get_spark
+
+    with pytest.raises(ValueError):
+        get_spark(profile="clutser")
+    assert CLUSTER_PROFILE["spark.sql.streaming.stateStore.providerClass"].endswith(
+        "RocksDBStateStoreProvider"
+    )
+    assert int(CLUSTER_PROFILE["spark.sql.shuffle.partitions"]) >= 1024
