@@ -1,0 +1,88 @@
+"""Iterative graph analytics on DataFrames: PageRank (Page et al. '99).
+
+The repo already has the other canonical iterative-join algorithm
+(transitive-closure label propagation, operators/components.py); PageRank
+is its weighted cousin and the standard "importance over a relationship
+graph" primitive (entity ranking, seed selection for crawl/curation).
+
+Physical shape per iteration: ONE equi-join of the rank table with the
+edge list on the source id, then ONE hash aggregation by destination —
+the same shape Pregel/GraphX lowers to, expressed directly in DataFrame
+ops so Catalyst/AQE handle it. At 100 TB: pre-partition edges and ranks
+on the join key once (bucketing or repartition) so every iteration's
+join is co-located, and cut lineage with a reliable checkpoint every few
+iterations (operators/stage.py) — the rank table is O(nodes), tiny next
+to the edge list, and never collected to the driver.
+
+Determinism contract (cross-engine oracle-checkable): per-edge
+contributions are rounded to 1e-12 and summed through DECIMAL(38,12)
+(order-independent), and each new rank rounds to 1e-12 — identical
+values under any partitioning, AQE re-plan, or engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .stage import materialize_stage
+
+DEC12 = "decimal(38,12)"
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Rank nodes of a directed edge list (columns ``src``, ``dst``).
+
+    Every node is expected to have out-degree >= 1 (symmetrize the edge
+    list for undirected graphs — also what removes dangling-mass
+    bookkeeping). Returns (node, pr).
+
+    The node count is the only driver-side scalar (one count(), like the
+    k-means centroid collect): it sizes the jump term (1-d)/N.
+    """
+    # The edge list feeds every iteration's join PLUS outdeg and the node
+    # table; materialized once so the (possibly expensive) derivation
+    # upstream isn't recomputed per reference — on a cluster this is the
+    # "build the edge list once, co-partitioned on src" step.
+    edges = materialize_stage(edges)
+    out = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr", F.lit(0.0))
+    jump = (1.0 - damping) / n  # IEEE double, same op the oracle runs
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["node"])
+            .join(out, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("pr") / F.col("outdeg"), 12)
+                .cast(DEC12)
+                .alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        pr = nodes.join(sums, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(jump)
+                + F.lit(damping)
+                * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                12,
+            ).alias("pr"),
+        )
+        # Cut lineage each round: the rank table is O(nodes) and feeds the
+        # next join — without this the final plan nests every prior
+        # iteration (components.py does the same per label round).
+        pr = materialize_stage(pr)
+    return pr

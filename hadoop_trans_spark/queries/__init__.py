@@ -21,6 +21,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     dedup,
     pipelines,
     streaming,
+    graph,
 )
 from .base import ORACLE, QUERIES
 

@@ -1,0 +1,80 @@
+"""Graph analytics queries: PageRank over the customer-supplier
+transaction graph (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.graph import pagerank
+from .base import query
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank as a DuckDB CTE chain, arithmetic
+    mirrored op-for-op against operators/graph.py: 1e0 - 85e-2 (NOT a
+    0.15 literal — IEEE 1.0-0.85 is 0.15000000000000002 and both engines
+    must compute the same double), per-edge contributions rounded to
+    1e-12 and summed through DECIMAL(38,12), ranks re-rounded to 1e-12.
+    """
+    sql = """
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    p0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr
+           FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    c{i} AS (SELECT e.dst AS node,
+                SUM(CAST(ROUND(p.pr / o.outdeg, 12) AS DECIMAL(38,12))) AS s
+             FROM edges e
+             JOIN p{i - 1} p ON e.src = p.node
+             JOIN outdeg o ON e.src = o.src
+             GROUP BY 1),
+    p{i} AS (SELECT n.node,
+                ROUND((1e0 - 85e-2) / (SELECT n FROM nn)
+                      + 85e-2 * CAST(COALESCE(c.s, 0) AS DOUBLE), 12) AS pr
+             FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"""
+    sql += f"""
+    SELECT node, pr FROM p{iters} WHERE node LIKE 's%' ORDER BY node
+    """
+    return sql
+
+
+@query("q123_pagerank", oracle=_pagerank_oracle(3))
+def q123_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the symmetrized
+    customer-supplier graph derived from orders ⋈ lineitem — "which
+    suppliers sit at the center of the purchase network". Per iteration:
+    one rank⋈edges equi-join + one groupBy(dst) — the Pregel shape in
+    plain DataFrame ops; see operators/graph.py for the 100 TB notes
+    (co-partitioned edges, periodic checkpoint, O(nodes) rank table)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    pr = pagerank(edges, iters=3, damping=0.85)
+    return (
+        pr.where(F.col("node").startswith("s"))
+        .select("node", "pr")
+        .orderBy("node")
+    )

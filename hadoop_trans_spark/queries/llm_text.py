@@ -255,3 +255,106 @@ def q118_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q126_pmi_bigrams",
+    oracle=r"""
+    WITH arr AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           w -> length(w) >= 1) AS a
+        FROM documents
+    ),
+    toks AS (SELECT unnest(a) AS w FROM arr),
+    bigrams AS (
+        SELECT unnest(list_transform(range(1, len(a)),
+                                     i -> a[i] || ' ' || a[i + 1])) AS bg
+        FROM arr
+    ),
+    uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+    tu AS (SELECT COUNT(*) AS t FROM toks),
+    bi AS (SELECT bg, COUNT(*) AS c FROM bigrams GROUP BY 1),
+    tb AS (SELECT COUNT(*) AS t FROM bigrams)
+    SELECT string_split(b.bg, ' ')[1] AS w1,
+           string_split(b.bg, ' ')[2] AS w2,
+           b.c AS n_pair,
+           CAST(ROUND(ln(((CAST(b.c AS DOUBLE) / tb.t)
+                          / (CAST(u1.c AS DOUBLE) / tu.t))
+                         / (CAST(u2.c AS DOUBLE) / tu.t)), 6) AS DOUBLE)
+             AS pmi
+    FROM bi b
+    JOIN uni u1 ON string_split(b.bg, ' ')[1] = u1.w
+    JOIN uni u2 ON string_split(b.bg, ' ')[2] = u2.w
+    CROSS JOIN tu CROSS JOIN tb
+    WHERE b.c >= 5
+    ORDER BY w1, w2
+    """,
+)
+def q126_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent word pairs — the
+    collocation detector ("new york" vs chance co-occurrence) used for
+    phrase mining and tokenizer-vocabulary induction in LLM data
+    pipelines. PMI = ln(p(ab) / (p(a)·p(b))) with all counts corpus-wide.
+    Plan shape: one pass builds per-doc token arrays; bigrams come from a
+    JVM-side transform over array indices (order preserved, no window
+    function, no shuffle until the count aggregations); the bigram table
+    then equi-joins the unigram vocabulary twice. Like q118, the
+    vocabulary sides are NEVER force-broadcast (Heaps' law); the two
+    1-row totals are. Division/log expression shape is mirrored
+    character-for-character in the oracle so both engines produce the
+    same doubles before the 1e-6 rounding."""
+    d = table(spark, sf_dir, "documents")
+    arr = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"),
+            lambda w: F.length(w) >= 1,
+        ).alias("a"),
+    )
+    toks = arr.select(F.explode("a").alias("w"))
+    bigrams = arr.select(
+        F.explode(
+            F.when(
+                F.size("a") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg")
+    )
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tu = toks.agg(F.count("*").alias("tu"))
+    bi = bigrams.groupBy("bg").agg(F.count("*").alias("c"))
+    tb = bigrams.agg(F.count("*").alias("tb"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    u1 = uni.select(F.col("w").alias("w1k"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2k"), F.col("c").alias("c2"))
+    joined = (
+        bi.where(F.col("c") >= 5)
+        .withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(u1, F.col("w1") == F.col("w1k"))
+        .join(u2, F.col("w2") == F.col("w2k"))
+        .crossJoin(F.broadcast(tu))
+        .crossJoin(F.broadcast(tb))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c").cast("double") / F.col("tb"))
+            / (F.col("c1").cast("double") / F.col("tu"))
+            / (F.col("c2").cast("double") / F.col("tu"))
+        ),
+        6,
+    ).cast("double")
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            F.col("c").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .orderBy("w1", "w2")
+    )

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..sources import read_csv, read_json, read_orc
+from ..sources import read_csv, read_json, read_orc, read_xml
 from .base import dsum, o_dsum, query
 
 
@@ -124,6 +124,46 @@ def q78_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("date_us").alias("min_date_us"),
         )
         .orderBy("status")
+    )
+
+
+@query(
+    "q122_xml_roundtrip",
+    oracle=f"""
+    SELECT s_nationkey AS nation,
+           COUNT(*) AS n,
+           {o_dsum('s_acctbal')} AS bal_sum,
+           MIN(s_name) AS first_name
+    FROM supplier
+    GROUP BY s_nationkey ORDER BY nation
+    """,
+)
+def q122_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → XML (built-in Spark 4 source, rowTag per record) → read
+    back with a declared schema → fingerprint. Completes the text-format
+    matrix (CSV q52, JSON q53, ORC q78, XML here) against the same
+    parquet-reading oracle, proving the XML boundary is content-lossless
+    for longs/doubles/strings."""
+    base = tempfile.mkdtemp(prefix="htspark_xml_")
+    s = table(spark, sf_dir, "supplier")
+    (
+        s.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "supplier")
+        .save(f"{base}/supplier")
+    )
+    schema = (
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    )
+    back = read_xml(spark, f"{base}/supplier", schema, row_tag="supplier")
+    return (
+        back.groupBy(F.col("s_nationkey").alias("nation"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum("s_acctbal").alias("bal_sum"),
+            F.min("s_name").alias("first_name"),
+        )
+        .orderBy("nation")
     )
 
 

@@ -458,3 +458,155 @@ def q107_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q124_mad_outliers",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(v, 0.5) AS med
+        FROM daily GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.event_type, d.v, m.med, abs(d.v - m.med) AS adev
+        FROM daily d JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type AS event_type,
+           COUNT(*) AS n_days,
+           CAST(ROUND(MIN(d.med), 6) AS DOUBLE) AS med,
+           CAST(ROUND(MIN(m.mad), 6) AS DOUBLE) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 44478e-4 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: median-absolute-deviation outliers per
+    event type over daily totals. MAD replaces q107's mean/stddev when
+    the series itself contains the anomalies you're hunting (a single
+    spike inflates a stddev enough to hide itself; the median ignores
+    it). Threshold = 4.4478·MAD ≈ 3σ for normal data (3 × the 1.4826
+    consistency constant, one literal so both engines multiply the same
+    double). Exact medians via interpolating percentile — fine here
+    because the grain is (event_type, day): a handful of groups with ~a
+    season of rows each, AFTER the daily pre-aggregation that did the
+    100 TB-sized reduction. For per-key medians over billions of keys
+    use approx_percentile (q111's differential bounds the error)."""
+    from .base import DEC
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)), 6).cast("double").alias("v")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    dev = daily.join(med, "event_type").select(
+        "event_type",
+        "v",
+        "med",
+        F.abs(F.col("v") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.min("med"), 6).cast("double").alias("med"),
+            F.round(F.min("mad"), 6).cast("double").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(4.4478) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q125_ewma",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS event_type,
+           strftime(a.day, '%Y-%m-%d') AS day,
+           MIN(a.v) AS v,
+           CAST(ROUND(
+             SUM(CAST(ROUND(pow(7e-1, date_diff('day', b.day, a.day)) * b.v, 9)
+                      AS DECIMAL(38,9)))
+             / SUM(CAST(ROUND(pow(7e-1, date_diff('day', b.day, a.day)), 9)
+                        AS DECIMAL(38,9))), 6) AS DOUBLE) AS ewma
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type
+     AND b.day BETWEEN a.day - INTERVAL 13 DAY AND a.day
+    GROUP BY a.event_type, a.day
+    ORDER BY event_type, day
+    """,
+)
+def q125_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.3, 14-day horizon) of
+    daily totals per event type — the smoothing primitive between raw
+    series and LOCF gap-fill (q95) / fixed rolling windows (q99).
+    Infinite-history EWMA is a sequential recurrence; truncating at 14
+    days (weight 0.7^14 ≈ 0.7 %) makes it a bounded range self-join that
+    any engine parallelizes, with weights renormalized over the days
+    actually present (so gaps don't leak mass). Scale shape: the daily
+    pre-aggregation is the 100 TB-sized step; the self-join touches only
+    the O(types × days) series table with replication bounded by the
+    14-day horizon. Weight terms round to 1e-9 and sum through
+    decimal(38,9) — pow() ulp differences between engines can't move
+    the 1e-6 result."""
+    from .base import DEC
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)), 6).cast("double").alias("v")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    delta = F.datediff(F.col("a.day"), F.col("b.day"))
+    w = F.pow(F.lit(0.7), delta)
+    wdec = F.round(w, 9).cast("decimal(38,9)")
+    wvdec = F.round(w * F.col("b.v"), 9).cast("decimal(38,9)")
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.day") <= F.col("a.day"))
+            & (F.col("b.day") >= F.date_sub(F.col("a.day"), 13)),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.date_format(F.col("a.day"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.min(F.col("a.v")).alias("v"),
+            F.round(F.sum(wvdec) / F.sum(wdec), 6)
+            .cast("double")
+            .alias("ewma"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -45,3 +45,15 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     if glob:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema: T.StructType | str, row_tag: str = "row") -> DataFrame:
+    """XML ingest (built into Spark 4; formerly spark-xml). Schema is
+    declared like every other text boundary — XML inference is an extra
+    full scan plus type guessing, both wrong at 100 TB."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(schema)
+        .load(path)
+    )

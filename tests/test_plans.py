@@ -325,3 +325,17 @@ def test_term_joins_never_force_broadcast_unbounded_sides(spark, smoke_dir):
     assert len(hints) <= 1, optimized
     for ln in hints:
         assert "(w" not in ln, f"vocab join carries a broadcast hint: {ln}"
+
+def test_pmi_vocab_joins_unhinted_and_no_cartesian(spark, smoke_dir):
+    """q126 joins the bigram table to the unigram vocabulary twice: like
+    q118, neither vocabulary side may carry a broadcast hint (only the
+    two 1-row totals may), and the plan must stay equi-join, never a
+    cartesian product."""
+    df = QUERIES["q126_pmi_bigrams"](spark, smoke_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    hints = [
+        ln for ln in optimized.splitlines() if "strategy=broadcast" in ln
+    ]
+    assert len(hints) <= 2, optimized
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
