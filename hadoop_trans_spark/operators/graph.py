@@ -34,6 +34,8 @@ def pagerank(
     edges: DataFrame,
     iters: int = 3,
     damping: float = 0.85,
+    prematerialized: bool = False,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Rank nodes of a directed edge list (columns ``src``, ``dst``).
 
@@ -43,12 +45,19 @@ def pagerank(
 
     The node count is the only driver-side scalar (one count(), like the
     k-means centroid collect): it sizes the jump term (1-d)/N.
+
+    ``prematerialized=True`` promises the caller already cut the edge
+    list's lineage (e.g. checkpointed the pre-symmetrization pair table,
+    of which ``edges`` is a shuffle-free union of projections) — the
+    operator then skips its own checkpoint, halving materialized bytes
+    for symmetrized graphs.
     """
     # The edge list feeds every iteration's join PLUS outdeg and the node
     # table; materialized once so the (possibly expensive) derivation
     # upstream isn't recomputed per reference — on a cluster this is the
     # "build the edge list once, co-partitioned on src" step.
-    edges = materialize_stage(edges)
+    if not prematerialized:
+        edges = materialize_stage(edges)
     out = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -60,7 +69,7 @@ def pagerank(
         return nodes.withColumn("pr", F.lit(0.0))
     jump = (1.0 - damping) / n  # IEEE double, same op the oracle runs
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             edges.join(pr, edges["src"] == pr["node"])
             .join(out, "src")
@@ -81,8 +90,11 @@ def pagerank(
                 12,
             ).alias("pr"),
         )
-        # Cut lineage each round: the rank table is O(nodes) and feeds the
-        # next join — without this the final plan nests every prior
-        # iteration (components.py does the same per label round).
-        pr = materialize_stage(pr)
+        # Cut lineage periodically, not every round: the nested plan is
+        # linear-depth (each pr referenced once), so a few iterations
+        # optimize fine, while each eager checkpoint costs a blocking
+        # job (~1 s locally, a full stage barrier on a cluster). The
+        # interval bounds plan depth / recovery cost for long runs.
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iters:
+            pr = materialize_stage(pr)
     return pr

@@ -20,7 +20,7 @@ def _pagerank_oracle(iters: int = 3) -> str:
     """
     sql = """
     WITH pairs AS (
-        SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ),
     edges AS (
@@ -46,7 +46,8 @@ def _pagerank_oracle(iters: int = 3) -> str:
                       + 85e-2 * CAST(COALESCE(c.s, 0) AS DOUBLE), 12) AS pr
              FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"""
     sql += f"""
-    SELECT node, pr FROM p{iters} WHERE node LIKE 's%' ORDER BY node
+    SELECT 's' || CAST(node // 2 AS VARCHAR) AS node, pr
+    FROM p{iters} WHERE node % 2 = 1 ORDER BY node
     """
     return sql
 
@@ -59,22 +60,36 @@ def q123_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     one rank⋈edges equi-join + one groupBy(dst) — the Pregel shape in
     plain DataFrame ops; see operators/graph.py for the 100 TB notes
     (co-partitioned edges, periodic checkpoint, O(nodes) rank table)."""
+    from ..operators.stage import materialize_stage
+
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Nodes share one bigint id space (customer 2k, supplier 2k+1):
+    # integer join/agg keys shuffle a fraction of the bytes of string
+    # labels, and the label is reconstructed only on the final output.
     pairs = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
+    # Materialize the pair table (the expensive join+distinct); the
+    # symmetrized edge list is a shuffle-free union of two projections
+    # of it, so pagerank() can skip re-checkpointing the doubled rows.
+    pairs = materialize_stage(pairs)
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-    pr = pagerank(edges, iters=3, damping=0.85)
+    pr = pagerank(edges, iters=3, damping=0.85, prematerialized=True)
     return (
-        pr.where(F.col("node").startswith("s"))
-        .select("node", "pr")
+        pr.where(F.col("node") % 2 == 1)
+        .select(
+            F.concat(F.lit("s"), F.expr("CAST(node DIV 2 AS STRING)")).alias(
+                "node"
+            ),
+            "pr",
+        )
         .orderBy("node")
     )

@@ -201,12 +201,13 @@ def _profile_oracle_leg(col: str) -> str:
     + " ORDER BY col_name",
 )
 def q102_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-scan column profiling (operators/profile.py): null counts,
-    exact distinct counts, and min/max extents for a column set, unpivoted
-    to one row per column. The oracle re-scans per column (UNION ALL legs)
-    — the engine's one-pass multi-distinct aggregate is the scale shape:
-    profile cost is one table scan regardless of how many columns are
-    profiled."""
+    """Column profiling (operators/profile.py): null counts, exact
+    distinct counts, and min/max extents for a column set, one row per
+    column. Per-column column-pruned aggregation legs — each parquet
+    scan reads exactly one column and each shuffle carries only that
+    column's distinct values with map-side partials, unlike a
+    multi-distinct Expand plan that pushes (cols+1)x the full row count
+    through its first shuffle (measured 11x slower at sf0.1)."""
     from ..operators.profile import profile_columns
 
     li = table(spark, sf_dir, "lineitem")
