@@ -123,10 +123,18 @@ def kmeans_assignments(
 ) -> DataFrame:
     """Run ``iters`` Lloyd iterations; return the final per-vector
     assignment (id, cluster, d2)."""
+    from .stage import materialize_stage
+
     v = _dbl(F.col(vec))
     corpus = df.select(
         F.col(id_col).alias("id"), v.alias("v"), dot(v, v).alias("v_sq")
     )
+    # Every iteration runs an action over the corpus (centroid update
+    # collect, then the final assignment) — materialize the projected
+    # (id, v, v_sq) once so the source scan + double-cast + norm happen
+    # once, not once per action. On a cluster this is the cached working
+    # set every iterative fit holds.
+    corpus = materialize_stage(corpus)
     cents = init_centroids(df, k, vec=vec, id_col=id_col).collect()
     assigned = assign(corpus, cents)
     for _ in range(iters - 1):
