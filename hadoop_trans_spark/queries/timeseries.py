@@ -610,3 +610,165 @@ def q125_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "q127_session_concurrency",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ), f AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS news
+        FROM o
+    ), g AS (
+        SELECT user_id, ts,
+               sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    ), sess AS (
+        SELECT user_id, sid,
+               epoch_us(min(ts)) AS start_us,
+               epoch_us(max(ts)) + 1 AS end_us
+        FROM g GROUP BY 1, 2
+    ), deltas AS (
+        SELECT start_us AS ts_us, 1 AS delta FROM sess
+        UNION ALL
+        SELECT end_us AS ts_us, -1 AS delta FROM sess
+    ), runs AS (
+        SELECT ts_us, delta,
+               SUM(delta) OVER (ORDER BY ts_us, delta
+                                ROWS UNBOUNDED PRECEDING) AS run
+        FROM deltas
+    )
+    SELECT strftime(make_timestamp(ts_us), '%Y-%m-%d') AS day,
+           CAST(MAX(run) AS BIGINT) AS max_concurrent
+    FROM runs GROUP BY 1 ORDER BY 1
+    """,
+)
+def q127_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day, by sweep-line over session
+    intervals (30-min-gap sessions, q81's definition; end is exclusive,
+    +1 µs past the last event so single-event sessions still count at
+    their instant). The oracle runs the textbook GLOBAL running sum; the
+    engine runs the distributed form — a two-phase prefix sum: deltas
+    bucket by hour, bucket sums take a running total over the O(hours)
+    bucket table (the only global window, metadata-sized), and each
+    bucket's carry-in joins back so the within-bucket running sum is
+    windowed per hour. No single-partition pass ever touches the full
+    delta stream — the classic way a sequential scan-line survives
+    100 TB. Ties sort (ts, delta) so ends precede starts at the same
+    instant; equal-key permutations change only which row holds which
+    prefix value, never the per-day max (same multiset)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    news = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            ts_micros("ts") - F.lag(ts_micros("ts")).over(w)
+            >= 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    g = e.select(
+        "user_id", "ts", "event_id", news.alias("news")
+    ).withColumn(
+        "sid",
+        F.sum("news").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = g.groupBy("user_id", "sid").agg(
+        F.min(ts_micros("ts")).alias("start_us"),
+        (F.max(ts_micros("ts")) + 1).alias("end_us"),
+    )
+    deltas = sess.select(
+        F.col("start_us").alias("ts_us"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(F.col("end_us").alias("ts_us"), F.lit(-1).alias("delta"))
+    )
+    deltas = deltas.withColumn(
+        "hr", F.floor(F.col("ts_us") / F.lit(3_600_000_000))
+    )
+    buckets = deltas.groupBy("hr").agg(F.sum("delta").alias("dsum"))
+    wb = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
+    carry = buckets.select(
+        "hr", F.coalesce(F.sum("dsum").over(wb), F.lit(0)).alias("carry")
+    )
+    wi = Window.partitionBy("hr").orderBy("ts_us", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runs = deltas.join(F.broadcast(carry), "hr").select(
+        "ts_us",
+        (F.col("carry") + F.sum("delta").over(wi)).alias("run"),
+    )
+    return (
+        runs.groupBy(
+            F.date_format(F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd")
+            .alias("day")
+        )
+        .agg(F.max("run").cast("bigint").alias("max_concurrent"))
+        .orderBy("day")
+    )
+
+
+@query(
+    "q128_new_vs_returning",
+    oracle="""
+    WITH peru AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events GROUP BY 1, 2
+    ),
+    firsts AS (
+        SELECT user_id, MIN(day) AS first_day FROM peru GROUP BY 1
+    ),
+    daily AS (
+        SELECT p.day,
+               COUNT(*) AS n_active,
+               CAST(SUM(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new
+        FROM peru p JOIN firsts f ON p.user_id = f.user_id
+        GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_active, n_new,
+           n_active - n_new AS n_returning,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_cumulative
+    FROM daily ORDER BY day
+    """,
+)
+def q128_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, active users split into new (first
+    ever seen) vs returning, plus the running total of distinct users to
+    date — the counterpart of q100's cohort retention. A naive
+    cumulative COUNT(DISTINCT) over an expanding window re-scans history
+    per day; reducing to (user, day) activity plus a first-seen join
+    makes it hash aggregations plus one running sum over the O(days)
+    series."""
+    e = table(spark, sf_dir, "events")
+    peru = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    firsts = peru.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        peru.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(wd).cast("bigint").alias("n_cumulative"),
+    ).orderBy("day")

@@ -93,3 +93,48 @@ def test_incremental_dedup_empty_new_batch(spark, smoke_dir):
         empty, d.limit(20), shingle_k=3, n_hashes=8, bands=4, threshold=0.5
     )
     assert got2.count() == 0
+
+def test_session_concurrency_two_phase_equals_global(spark, smoke_dir):
+    """q127's distributed two-phase prefix sum must equal the naive
+    single-partition global running sum — per-day max concurrency is
+    identical even with sessions spanning hour-bucket boundaries."""
+    from pyspark.sql import Window
+    from hadoop_trans_spark.queries import QUERIES
+
+    got = {
+        r["day"]: r["max_concurrent"]
+        for r in QUERIES["q127_session_concurrency"](
+            spark, smoke_dir
+        ).collect()
+    }
+
+    # naive reference: same sessions, one global window
+    from hadoop_trans_spark.catalog import table as _table
+    from hadoop_trans_spark.queries.base import ts_micros
+
+    e = _table(spark, smoke_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    news = F.when(
+        F.lag("ts").over(w).isNull()
+        | (ts_micros("ts") - F.lag(ts_micros("ts")).over(w) >= 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    g = e.select("user_id", "ts", "event_id", news.alias("news")).withColumn(
+        "sid", F.sum("news").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sess = g.groupBy("user_id", "sid").agg(
+        F.min(ts_micros("ts")).alias("s"), (F.max(ts_micros("ts")) + 1).alias("e")
+    )
+    deltas = sess.select(F.col("s").alias("ts_us"), F.lit(1).alias("delta")).unionByName(
+        sess.select(F.col("e").alias("ts_us"), F.lit(-1).alias("delta"))
+    )
+    wg = Window.orderBy("ts_us", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    naive = (
+        deltas.select("ts_us", F.sum("delta").over(wg).alias("run"))
+        .groupBy(
+            F.date_format(F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.max("run").cast("bigint").alias("m"))
+    )
+    ref = {r["day"]: r["m"] for r in naive.collect()}
+    assert got == ref
