@@ -175,26 +175,25 @@ def near_duplicates(
     n_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
-    grams_df: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end: shingle → minhash → LSH candidates → verified pairs
     with Jaccard ≥ threshold. Returns (id_a, id_b, jaccard).
 
-    ``grams_df`` (id, grams), if given, must already be materialized —
-    callers that run several dedup variants over one corpus build the
-    shingle stage once and pass it to each (shingle_k is then theirs to
-    honor)."""
-    if grams_df is None:
-        # Materialize the shingle table once: band signatures and both
-        # sides of the verification join consume it, and each would
-        # otherwise re-tokenize the full corpus from the scan (3× the
-        # dominant cost). At cluster scale this is a cached/checkpointed
-        # intermediate — standard for any multi-consumer pipeline stage.
-        grams_df = df.select(
-            F.col(id_col).alias("id"),
-            shingle_array(text_col, shingle_k).alias("grams"),
-        )
-        grams_df = materialize_stage(grams_df)
+    Callers that run several dedup variants over one corpus should
+    compose the public stages directly instead (build `shingle_array` →
+    `band_signatures` once, then `candidate_pairs` + `jaccard_verify`
+    per variant) — queries/dedup.py grams3_table/bandsig_table is the
+    worked example."""
+    # Materialize the shingle table once: band signatures and both
+    # sides of the verification join consume it, and each would
+    # otherwise re-tokenize the full corpus from the scan (3× the
+    # dominant cost). At cluster scale this is a cached/checkpointed
+    # intermediate — standard for any multi-consumer pipeline stage.
+    grams_df = df.select(
+        F.col(id_col).alias("id"),
+        shingle_array(text_col, shingle_k).alias("grams"),
+    )
+    grams_df = materialize_stage(grams_df)
     bandsig = band_signatures(grams_df, n_hashes, bands)
     cand = candidate_pairs(bandsig)
     return jaccard_verify(grams_df, cand, threshold)
@@ -209,8 +208,6 @@ def near_duplicates_between(
     n_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
-    grams_corpus: DataFrame | None = None,
-    grams_new: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: near-dup pairs BETWEEN an existing corpus and a
     new batch (id_a ∈ corpus, id_b ∈ new; ids must be disjoint).
@@ -219,27 +216,23 @@ def near_duplicates_between(
     persisted index (tiny — ~1% of corpus bytes); each new batch computes
     its own signatures and equi-joins against that index, so per-batch
     cost scales with the BATCH, not the corpus. Candidates verify with
-    exact Jaccard exactly like the self-join variant.
-
-    ``grams_corpus`` / ``grams_new`` (id, grams), if given, must already
-    be materialized (e.g. filters of one shared shingle stage) — the
-    shingle build is skipped for that side."""
-    go = grams_corpus
-    if go is None:
-        go = materialize_stage(
-            corpus.select(
-                F.col(id_col).alias("id"),
-                shingle_array(text_col, shingle_k).alias("grams"),
-            )
+    exact Jaccard exactly like the self-join variant. When both sides
+    are slices of one corpus whose band signatures already exist,
+    filter that shared stage instead (q86 in queries/dedup.py does) —
+    band signatures are per-doc, so a split is a filter, never a
+    recompute."""
+    go = materialize_stage(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            shingle_array(text_col, shingle_k).alias("grams"),
         )
-    gn = grams_new
-    if gn is None:
-        gn = materialize_stage(
-            new.select(
-                F.col(id_col).alias("id"),
-                shingle_array(text_col, shingle_k).alias("grams"),
-            )
+    )
+    gn = materialize_stage(
+        new.select(
+            F.col(id_col).alias("id"),
+            shingle_array(text_col, shingle_k).alias("grams"),
         )
+    )
     bo = band_signatures(go, n_hashes, bands)
     bn = band_signatures(gn, n_hashes, bands)
     cand = (

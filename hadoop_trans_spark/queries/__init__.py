@@ -91,13 +91,23 @@ _SWEEP_PRIORITY = [
     "q82_upsert_merge",
     "q83_snapshot_diff",
     # --- 50-query window boundary ---
-    # Remaining never-checked queries: front of round 4's window.
+    # Remaining never-checked queries: move these to the FRONT of this
+    # list in round 4 (they are 13 entries — the other 37 slots go to
+    # re-confirming the round-1-only greens, oldest rows first).
     "q84_frame_sample",
     "q93_observe_metrics",
     "q100_cohort_retention",
     "q101_funnel_stages",
     "q102_column_profile",
     "q121_raw_decode",
+    # Round-3 additions, never in any window yet.
+    "q122_xml_roundtrip",
+    "q123_pagerank",
+    "q124_mad_outliers",
+    "q125_ewma",
+    "q126_pmi_bigrams",
+    "q127_session_concurrency",
+    "q128_new_vs_returning",
 ]
 
 
