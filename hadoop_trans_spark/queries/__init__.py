@@ -108,6 +108,7 @@ _SWEEP_PRIORITY = [
     "q126_pmi_bigrams",
     "q127_session_concurrency",
     "q128_new_vs_returning",
+    "q129_heavy_hitters",
 ]
 
 

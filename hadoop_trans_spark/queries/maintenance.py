@@ -4,7 +4,7 @@ copy/diff job (reference ``CommonUtils.java:99-124``)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -214,3 +214,66 @@ def q102_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         li, ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"]
     ).orderBy("col_name")
+
+
+@query(
+    "q129_heavy_hitters",
+    oracle="""
+    WITH counts AS (
+        SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT l_partkey, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, l_partkey) AS rnk
+        FROM counts
+    )
+    SELECT rnk, l_partkey, n, 1 AS sketch_ok
+    FROM ranked WHERE rnk <= 10 ORDER BY rnk
+    """,
+)
+def q129_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection: exact top-10 keys by frequency, each row
+    flagged with whether the approx_top_k SKETCH also found it with a
+    count within 2% — the q12 differential pattern for sketch surfaces.
+    At 100 TB the exact path's full groupBy(key) is affordable only
+    because shuffle volume is distinct keys; when even that is too much
+    (billions of keys, streaming), approx_top_k is the single-pass
+    bounded-memory substitute, and this query is the harness that
+    watches its accuracy. A drifting sketch fails the hash gate instead
+    of hiding behind a rows-only check."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("l_partkey"))
+    exact = (
+        counts.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 10)
+        .select("rnk", "l_partkey", "n")
+    )
+    sketch = (
+        li.agg(
+            F.expr("approx_top_k(l_partkey, 20, 65536)").alias("tk")
+        )
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("l_partkey"),
+            F.col("e.count").alias("n_approx"),
+        )
+    )
+    return (
+        exact.join(F.broadcast(sketch), "l_partkey", "left")
+        .select(
+            "rnk",
+            "l_partkey",
+            "n",
+            (
+                F.col("n_approx").isNotNull()
+                & (
+                    F.abs(F.col("n_approx") - F.col("n"))
+                    <= 0.02 * F.col("n")
+                )
+            )
+            .cast("int")
+            .alias("sketch_ok"),
+        )
+        .orderBy("rnk")
+    )
