@@ -44,6 +44,10 @@ HEADLINE = [
     "q29_array_funcs",
     "q31_json_funcs",
     "q32_hash_funcs",
+    "q40_minhash_lsh_neardup",
+    "q105_kmeans_clusters",
+    "q123_pagerank",
+    "q127_session_concurrency",
 ]
 
 

@@ -116,6 +116,12 @@ def _reorder() -> None:
     missing = [n for n in _SWEEP_PRIORITY if n not in QUERIES]
     if missing:
         raise ValueError(f"_SWEEP_PRIORITY names unknown queries: {missing}")
+    if len(set(_SWEEP_PRIORITY)) != len(_SWEEP_PRIORITY):
+        seen: set[str] = set()
+        dups = [n for n in _SWEEP_PRIORITY if n in seen or seen.add(n)]
+        raise ValueError(
+            f"_SWEEP_PRIORITY has duplicates (each wastes a sweep slot): {dups}"
+        )
     ordered = {n: QUERIES[n] for n in _SWEEP_PRIORITY}
     ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
     QUERIES.clear()

@@ -42,3 +42,21 @@ def test_pagerank_known_values_one_iteration(spark):
 def test_pagerank_empty_graph(spark):
     e = spark.createDataFrame([], "src string, dst string")
     assert pagerank(e, iters=2).count() == 0
+
+
+def test_pagerank_invariant_under_repartition(spark):
+    """Decimal-summed contributions make ranks bit-identical regardless
+    of partitioning — the determinism contract that lets an iterative
+    operator be oracle-checked at all."""
+    import random
+
+    rng = random.Random(7)
+    pairs = {(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}") for _ in range(120)}
+    edge_list = [(a, b) for a, b in pairs if a != b]
+    sym = edge_list + [(b, a) for a, b in edge_list]
+    e1 = spark.createDataFrame(sym, "src string, dst string")
+    e8 = e1.repartition(8)
+    pr1 = {r["node"]: r["pr"] for r in pagerank(e1, iters=3).collect()}
+    pr8 = {r["node"]: r["pr"] for r in pagerank(e8, iters=3).collect()}
+    assert pr1 == pr8
+    assert abs(sum(pr1.values()) - 1.0) < 1e-8
