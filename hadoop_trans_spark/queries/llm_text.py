@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -357,4 +357,81 @@ def q126_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             pmi.alias("pmi"),
         )
         .orderBy("w1", "w2")
+    )
+
+
+@query(
+    "q130_token_ids",
+    oracle=r"""
+    WITH arr AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           w -> length(w) >= 1) AS a
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, s.w AS w, s.ord AS ord FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(a) + 1),
+                          i -> struct_pack(w := a[i], ord := i))) AS s
+            FROM arr)
+    ),
+    vocab AS (
+        SELECT w, COUNT(*) AS c FROM toks GROUP BY 1
+    ),
+    ids AS (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS tok_id
+        FROM vocab
+    )
+    SELECT t.doc_id AS doc_id,
+           COUNT(*) AS n_tokens,
+           string_agg(CASE WHEN t.ord <= 12 THEN CAST(i.tok_id AS VARCHAR) END,
+                      ',' ORDER BY t.ord) AS ids12
+    FROM toks t JOIN ids i ON t.w = i.w
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q130_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer dictionary encoding: build a frequency-ranked vocabulary
+    (id 1 = most common token, ties by token text) and re-encode each
+    document's token stream as ids — the step between raw text and any
+    training tensor. The id assignment is a row_number over the O(vocab)
+    count table (at 100 TB vocabularies, assign ids as frequency-band ×
+    within-band rank so no single-partition sort sees the whole vocab);
+    the encode itself is a plain token→id equi-join (never broadcast —
+    Heaps' law) with order carried by posexplode position. Output keeps
+    the first 12 ids per doc as a string so the result stays narrow."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"),
+                lambda w: F.length(w) >= 1,
+            )
+        ).alias("pos", "w"),
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
+    wv = Window.orderBy(F.col("c").desc(), F.col("w"))
+    ids = vocab.select("w", F.row_number().over(wv).alias("tok_id"))
+    return (
+        toks.join(ids, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok_id"))
+                        ),
+                        1,
+                        12,
+                    ),
+                    lambda s: s["tok_id"].cast("string"),
+                ),
+            ).alias("ids12"),
+        )
+        .orderBy("doc_id")
     )

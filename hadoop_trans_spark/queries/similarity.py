@@ -309,3 +309,153 @@ def q119_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "neg_id", "label_q", "label_n", "cos")
         .orderBy("q_id")
     )
+
+
+@query(
+    "q131_tfidf_cosine_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  w -> length(w) >= 1)) AS w
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfs AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    tw AS (
+        SELECT t.doc_id, t.w,
+               t.tf * ROUND(ln((SELECT n FROM nn) * 1e0 / d.df), 6) AS wt
+        FROM tf t JOIN dfs d USING (w)
+    ),
+    norms AS (
+        SELECT doc_id,
+               sqrt(CAST(SUM(CAST(ROUND(wt * wt, 9) AS DECIMAL(38,9)))
+                         AS DOUBLE)) AS nrm
+        FROM tw GROUP BY 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM tf a
+        JOIN tf b ON a.w = b.w AND a.doc_id < b.doc_id
+        JOIN dfs d ON d.w = a.w
+        WHERE d.df BETWEEN 2 AND GREATEST(50, (SELECT n FROM nn) // 10)
+    ),
+    dots AS (
+        SELECT c.id_a, c.id_b,
+               CAST(SUM(CAST(ROUND(x.wt * y.wt, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) AS dot
+        FROM cand c
+        JOIN tw x ON x.doc_id = c.id_a
+        JOIN tw y ON y.doc_id = c.id_b AND y.w = x.w
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.id_a, d.id_b,
+               CAST(ROUND(d.dot / (na.nrm * nb.nrm), 4) AS DOUBLE) AS cosine
+        FROM dots d
+        JOIN norms na ON na.doc_id = d.id_a
+        JOIN norms nb ON nb.doc_id = d.id_b
+        WHERE d.dot / (na.nrm * nb.nrm) >= 0.3
+    ),
+    sym AS (
+        SELECT id_a AS doc_id, id_b AS best_match, cosine FROM scored
+        UNION ALL
+        SELECT id_b AS doc_id, id_a AS best_match, cosine FROM scored
+    )
+    SELECT doc_id, best_match, cosine FROM (
+        SELECT doc_id, best_match, cosine,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cosine DESC, best_match) AS rk
+        FROM sym
+    ) WHERE rk = 1 ORDER BY doc_id
+    """,
+)
+def q131_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest lexical neighbor per document by sparse TF-IDF cosine —
+    the lexical-overlap twin of the dense embedding near-dup (q43/q69),
+    computed from the corpus itself with no model. Candidates come from
+    an inverted-posting self-join restricted to mid-frequency terms
+    (2 ≤ df ≤ max(50, N/10), relative so the band scales with the
+    corpus): stop-word-like terms would pair everything with everything
+    (the quadratic blowup), ultra-rare terms pair nothing — the df cap
+    bounds fan-out exactly like LSH banding, then the FULL dot product
+    runs only for candidates (all shared terms, no cap), so a
+    candidate's score is exact; each doc keeps its single best match
+    (cosine desc, id tie-break). IDF weights round at 1e-6, products
+    sum through decimal(38,9) — ln ulp differences can't move the 1e-4
+    cosine. At 100 TB: postings shard by term (the tf groupBy IS the
+    shard), candidates bounded per term by the df cap."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"),
+                lambda w: F.length(w) >= 1,
+            )
+        ).alias("w"),
+    )
+    n = d.count()
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfs = tf.groupBy("w").agg(F.count("*").alias("df"))
+    tw = tf.join(dfs, "w").select(
+        "doc_id",
+        "w",
+        (
+            F.col("tf")
+            * F.round(F.log(F.lit(float(n)) / F.col("df")), 6)
+        ).alias("wt"),
+    )
+    wsq = F.round(F.col("wt") * F.col("wt"), 9).cast("decimal(38,9)")
+    norms = tw.groupBy("doc_id").agg(
+        F.sqrt(F.sum(wsq).cast("double")).alias("nrm")
+    )
+    cap = max(50, n // 10)
+    mid = dfs.where((F.col("df") >= 2) & (F.col("df") <= cap)).select("w")
+    post = tf.join(mid, "w").select("w", "doc_id")
+    cand = (
+        post.select("w", F.col("doc_id").alias("id_a"))
+        .join(post.select("w", F.col("doc_id").alias("id_b")), "w")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = tw.select(F.col("doc_id").alias("id_a"), "w", F.col("wt").alias("wa"))
+    tb = tw.select(F.col("doc_id").alias("id_b"), "w", F.col("wt").alias("wb"))
+    prod = F.round(F.col("wa") * F.col("wb"), 9).cast("decimal(38,9)")
+    dots = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(prod).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    scored = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(cos >= 0.3)
+        .select(
+            "id_a", "id_b", F.round(cos, 4).cast("double").alias("cosine")
+        )
+    )
+    sym = scored.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("best_match"),
+        "cosine",
+    ).unionByName(
+        scored.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("best_match"),
+            "cosine",
+        )
+    )
+    wk = W.partitionBy("doc_id").orderBy(F.desc("cosine"), "best_match")
+    return (
+        sym.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "best_match", "cosine")
+        .orderBy("doc_id")
+    )
