@@ -92,7 +92,7 @@ _SWEEP_PRIORITY = [
     "q83_snapshot_diff",
     # --- 50-query window boundary ---
     # Remaining never-checked queries: move these to the FRONT of this
-    # list in round 4 (16 entries — the other 34 slots go to
+    # list in round 4 (17 entries — the other 33 slots go to
     # re-confirming the round-1-only greens, oldest rows first).
     "q84_frame_sample",
     "q93_observe_metrics",
@@ -111,6 +111,7 @@ _SWEEP_PRIORITY = [
     "q129_heavy_hitters",
     "q130_token_ids",
     "q131_tfidf_cosine_pairs",
+    "q132_stream_approx_distinct",
 ]
 
 

@@ -316,3 +316,68 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return late_data_drop(spark, sf_dir).orderBy("window_start")
 
+
+
+@query(
+    "q132_stream_approx_distinct",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events)
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
+           COUNT(DISTINCT user_id) AS exact_users,
+           1 AS within_tol
+    FROM events, wm
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= w
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct users per hourly window via HyperLogLog.
+    COUNT(DISTINCT) is unsupported in streaming aggregations — exact
+    distinct needs unbounded per-window key state — so the mergeable
+    HLL sketch IS the streaming answer, with state bounded at one
+    sketch per open window. Checked differentially (the q12 pattern):
+    the streaming approx result joins a batch exact distinct per
+    finalized window, and the query emits the exact count plus a flag
+    asserting the sketch landed within max(2, 5%) — the absolute floor
+    covers the small-window regime where a single-count wobble exceeds
+    any percentage; a drifting estimator fails the hash gate instead of
+    hiding behind a rows-only check."""
+    from ..catalog import table as _table
+
+    sdf = read_events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start"),
+            "approx_users",
+        )
+    )
+    out = run_to_memory(agg, "append")
+    ev = _table(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start"),
+            "exact_users",
+        )
+    )
+    return (
+        out.join(exact, "window_start")
+        .select(
+            "window_start",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
+            )
+            .cast("int")
+            .alias("within_tol"),
+        )
+        .orderBy("window_start")
+    )
