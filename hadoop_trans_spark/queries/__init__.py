@@ -33,74 +33,16 @@ from .base import ORACLE, QUERIES
 # tracks which queries have a green row per round; rotate this list each
 # round until every query has one.
 _SWEEP_PRIORITY = [
-    # Round-1 reds whose fixes are strict-verified locally but still
-    # lack a green driver row.
-    "q41_simhash",
-    "q64_dedup_canonical",
-    # Streaming family (never checked).
-    "q54_stream_tumbling",
-    "q55_stream_sliding",
-    "q56_stream_session",
-    "q57_stream_dedup",
-    "q58_stream_migrate",
-    "q59_stream_late_drop",
-    "q60_stream_custom_state",
-    "q79_stream_stream_join",
-    "q88_stream_static_join",
-    "q89_stream_upsert_sink",
-    # Dedup + curation (never checked).
-    "q68_dedup_clusters",
-    "q69_signlsh_neardup",
-    "q70_corpus_curation",
-    "q85_dedup_keep_best",
-    "q86_incremental_dedup",
-    "q71_decontaminate",
-    "q72_repetition_quality",
-    "q73_hash_split",
-    "q74_stratified_sample",
-    "q75_pii_redaction",
-    "q76_embedding_quantize",
-    "q77_vocab_topk",
-    "q87_tfidf_top_terms",
-    "q97_sequence_packing",
-    "q98_mixture_sample",
-    "q103_chunk_documents",
-    "q108_weighted_sample",
-    # UDF surface (never checked).
-    "q49_pandas_udf_tokens",
-    "q50_grouped_agg_median",
-    "q51_apply_in_pandas_rank",
-    # Sources / formats (never checked).
-    "q52_csv_roundtrip",
-    "q53_json_roundtrip",
-    "q78_orc_roundtrip",
-    "q90_python_datasource",
-    "q91_variant_json",
-    "q112_schema_evolution",
-    "q120_bucketed_join",
-    # Newer analytics/similarity (never checked) — fills the window to 50.
-    "q105_kmeans_clusters",
-    "q110_inverted_index",
-    "q113_python_udtf",
-    "q115_fuzzy_name_pairs",
-    "q118_unigram_logprob",
-    "q119_hard_negatives",
-    "q45_ivf_topk",
-    "q107_zscore_outliers",
-    "q106_event_transitions",
-    "q82_upsert_merge",
-    "q83_snapshot_diff",
-    # --- 50-query window boundary ---
-    # Remaining never-checked queries: move these to the FRONT of this
-    # list in round 4 (17 entries — the other 33 slots go to
-    # re-confirming the round-1-only greens, oldest rows first).
+    # Round-4 rotation (applied per VERDICT r3 item 1).
+    # Slots 1-17: the only queries that have NEVER had a driver
+    # CORRECTNESS row (q84, q93, q100-q102, q121, and the round-3
+    # additions q122-q132).
     "q84_frame_sample",
     "q93_observe_metrics",
     "q100_cohort_retention",
     "q101_funnel_stages",
     "q102_column_profile",
     "q121_raw_decode",
-    # Round-3 additions, never in any window yet.
     "q122_xml_roundtrip",
     "q123_pagerank",
     "q124_mad_outliers",
@@ -112,6 +54,47 @@ _SWEEP_PRIORITY = [
     "q130_token_ids",
     "q131_tfidf_cosine_pairs",
     "q132_stream_approx_distinct",
+    # Slots 18-32: round-1-only greens, unconfirmed since round 1
+    # (two rounds of shared-code refactors since their last row).
+    "q33_migrate_fidelity",
+    "q34_compact_fidelity",
+    "q35_text_stats",
+    "q36_corpus_quality_profile",
+    "q37_lang_id",
+    "q38_doc_fingerprint",
+    "q39_exact_dedup",
+    "q40_minhash_lsh_neardup",
+    "q42_ngram_jaccard",
+    "q43_embedding_neardup",
+    "q44_cosine_topk",
+    "q46_struct_nested",
+    "q47_binary_payload",
+    "q48_media_features",
+    "q63_simhash_neardup",
+    # Slots 33-50: oldest round-2 greens (last confirmed r2).
+    "q01_pricing_summary",
+    "q02_projection_cast",
+    "q03_filter_predicates",
+    "q04_broadcast_join",
+    "q05_revenue_by_nation",
+    "q06_outer_join_order_counts",
+    "q07_full_outer_reconcile",
+    "q08_semi_anti_customers",
+    "q09_theta_size_bucket",
+    "q10_asof_click_to_view",
+    "q11_agg_battery",
+    "q12_approx_distinct",
+    "q13_rollup",
+    "q14_cube",
+    "q15_collect_nations",
+    "q16_union_distinct",
+    "q17_intersect_except",
+    "q18_dedup_keep_first",
+    # --- 50-query window boundary ---
+    # Round-5 plan: any NEW round-4 queries (registered below via their
+    # modules) go to the FRONT, then the remaining r2-only greens
+    # (q19-q32, q61/q62/q65-q67, q80/q81, q92/q94-q96/q99, q104, q109,
+    # q111, q114, q116, q117), then r3 greens oldest-first.
 ]
 
 
