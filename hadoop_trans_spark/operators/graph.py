@@ -39,12 +39,16 @@ def pagerank(
 ) -> DataFrame:
     """Rank nodes of a directed edge list (columns ``src``, ``dst``).
 
-    Every node is expected to have out-degree >= 1 (symmetrize the edge
-    list for undirected graphs — also what removes dangling-mass
-    bookkeeping). Returns (node, pr).
+    Every node MUST have out-degree >= 1 (symmetrize the edge list for
+    undirected graphs — also what removes dangling-mass bookkeeping).
+    The precondition is ENFORCED, not assumed: a sink (dst-only) node
+    would silently leak its inbound mass every iteration, producing
+    non-mass-conserving ranks, so the operator raises ValueError naming
+    the sink count instead. Returns (node, pr).
 
-    The node count is the only driver-side scalar (one count(), like the
-    k-means centroid collect): it sizes the jump term (1-d)/N.
+    The node/sink tally is the only driver-side scalar (one ~O(nodes)
+    action, like the k-means centroid collect): it sizes the jump term
+    (1-d)/N and checks the precondition in the same pass.
 
     ``prematerialized=True`` promises the caller already cut the edge
     list's lineage (e.g. checkpointed the pre-symmetrization pair table,
@@ -64,9 +68,26 @@ def pagerank(
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n = nodes.count()
+    tally = (
+        nodes.join(out, nodes["node"] == out["src"], "left")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("outdeg").isNull(), 1).otherwise(0)).alias(
+                "sinks"
+            ),
+        )
+        .first()
+    )
+    n = tally["n"]
     if n == 0:
         return nodes.withColumn("pr", F.lit(0.0))
+    if tally["sinks"]:
+        raise ValueError(
+            f"pagerank: {tally['sinks']} of {n} nodes have out-degree 0 "
+            "(dst-only sinks); their inbound mass would vanish each "
+            "iteration. Symmetrize the edge list or add self-loops/"
+            "dangling-mass redistribution before calling."
+        )
     jump = (1.0 - damping) / n  # IEEE double, same op the oracle runs
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
     for i in range(iters):

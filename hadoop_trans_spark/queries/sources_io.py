@@ -316,7 +316,12 @@ def q120_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here so repeated verification runs don't grow the warehouse. The
     # mtime guard keeps this from racing a CONCURRENT session: its live
     # tables are also absent from this session's catalog, but they are
-    # recent — only locations quiet for >1 h are swept.
+    # recent — only locations quiet for >1 h are swept. CAVEAT: mtime is
+    # set at WRITE time and reads don't refresh it, so a concurrent
+    # session >1 h old that still queries its q120_* tables could have
+    # them swept mid-use. Fine for the short-lived test/driver sessions
+    # here; a production sweep should key staleness off a per-run
+    # sentinel file touched on use, not directory mtime.
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
         "file:"
     )

@@ -469,15 +469,17 @@ def q107_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     ),
     med AS (
-        SELECT event_type, quantile_cont(v, 0.5) AS med
+        SELECT event_type, CAST(ROUND(quantile_cont(v, 0.5), 9) AS DOUBLE) AS med
         FROM daily GROUP BY 1
     ),
     dev AS (
-        SELECT d.event_type, d.v, m.med, abs(d.v - m.med) AS adev
+        SELECT d.event_type, d.v, m.med,
+               CAST(ROUND(abs(d.v - m.med), 9) AS DOUBLE) AS adev
         FROM daily d JOIN med m USING (event_type)
     ),
     mad AS (
-        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        SELECT event_type,
+               CAST(ROUND(quantile_cont(adev, 0.5), 9) AS DOUBLE) AS mad
         FROM dev GROUP BY 1
     )
     SELECT d.event_type AS event_type,
@@ -501,7 +503,14 @@ def q124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the grain is (event_type, day): a handful of groups with ~a
     season of rows each, AFTER the daily pre-aggregation that did the
     100 TB-sized reduction. For per-key medians over billions of keys
-    use approx_percentile (q111's differential bounds the error)."""
+    use approx_percentile (q111's differential bounds the error).
+
+    Determinism: Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    midpoint-interpolation semantics but not arithmetic — their raw
+    doubles can differ by an ulp, which at a threshold boundary would
+    flip n_outliers. Med/adev/mad are therefore rounded at 1e-9 (well
+    below the 1e-6 output scale, far above double ulp) in BOTH engines
+    before the 4.4478·MAD comparison."""
     from .base import DEC
 
     e = table(spark, sf_dir, "events")
@@ -511,16 +520,16 @@ def q124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value").cast(DEC)), 6).cast("double").alias("v")
     )
     med = daily.groupBy("event_type").agg(
-        F.expr("percentile(v, 0.5)").alias("med")
+        F.round(F.expr("percentile(v, 0.5)"), 9).alias("med")
     )
     dev = daily.join(med, "event_type").select(
         "event_type",
         "v",
         "med",
-        F.abs(F.col("v") - F.col("med")).alias("adev"),
+        F.round(F.abs(F.col("v") - F.col("med")), 9).alias("adev"),
     )
     mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad")
+        F.round(F.expr("percentile(adev, 0.5)"), 9).alias("mad")
     )
     return (
         dev.join(mad, "event_type")

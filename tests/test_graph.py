@@ -60,3 +60,15 @@ def test_pagerank_invariant_under_repartition(spark):
     pr8 = {r["node"]: r["pr"] for r in pagerank(e8, iters=3).collect()}
     assert pr1 == pr8
     assert abs(sum(pr1.values()) - 1.0) < 1e-8
+
+
+def test_pagerank_rejects_sink_nodes(spark):
+    """A dst-only node leaks its inbound mass every iteration, so the
+    out-degree>=1 precondition is enforced, not just documented."""
+    import pytest
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "sink")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="out-degree 0"):
+        pagerank(e, iters=1)
