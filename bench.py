@@ -11,6 +11,13 @@ next to this script.
 Each query is executed to completion (count() action) after a warm-up of
 the session; per-query wall-clock is reported plus the total (which still
 covers EVERY declared query, not just the headline set).
+
+Headline queries are timed BEST-OF-2 (two full executions, min recorded):
+single-run timings in a shared 132-query session proved noisy enough in
+rounds 2-3 (q41 3.26 vs 4.32 s across rounds with no code change on its
+path) that regressions were indistinguishable from GC/session pressure.
+Non-headline queries stay single-run to bound total bench time; the
+recorded run count per query is in bench_results.json.
 """
 
 from __future__ import annotations
@@ -23,7 +30,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hadoop_trans_spark.queries import QUERIES  # noqa: E402
+from hadoop_trans_spark.queries.dedup import clear_stage_memo  # noqa: E402
 from hadoop_trans_spark.session import get_spark  # noqa: E402
+
+# Headline queries whose pipelines are memoized per session (dedup stage
+# cache): their best-of-2 re-run clears the memo first so both runs do
+# the real work.
+MEMOIZED = {"q40_minhash_lsh_neardup", "q41_simhash"}
 
 # Headline set: one per operator family, weighted toward the plans whose
 # scale behavior matters (joins, aggs, windows, dedup, similarity).
@@ -45,6 +58,7 @@ HEADLINE = [
     "q31_json_funcs",
     "q32_hash_funcs",
     "q40_minhash_lsh_neardup",
+    "q41_simhash",
     "q105_kmeans_clusters",
     "q123_pagerank",
     "q127_session_concurrency",
@@ -62,10 +76,21 @@ def main() -> None:
     names = [n for n in HEADLINE if n in QUERIES]
     extra = [n for n in sorted(QUERIES) if n not in names and n.startswith("q")]
     timings: dict[str, float] = {}
+    runs: dict[str, int] = {}
     for name in names + extra:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        n_runs = 2 if name in names else 1  # best-of-2 for the headline set
+        best = None
+        for i in range(n_runs):
+            if i and name in MEMOIZED:
+                # Re-run must rebuild the shared dedup stages, not hit
+                # the per-session memo (that would time a dict lookup).
+                clear_stage_memo()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+        runs[name] = n_runs
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -80,6 +105,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "queries": timings,
+                "runs_per_query": runs,
+                "timing": "best_of_n_runs",
             },
             fh,
             indent=1,

@@ -38,8 +38,11 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     (vote sum for bit b = 2·ones_b − n). Equivalent-but-slow shapes,
     measured at sf0.1: explode (shingle × bit) rows → 10s (32× the
     shuffle rows); nested higher-order lambdas → 100s (interpreted
-    per-element eval). This one: ~1.5s. At 100 TB the shuffle carries
-    only the per-doc partial count vectors (map-side combine)."""
+    per-element eval). This one: ~1.5-4s depending on session pressure
+    (bench times it inside a 132-query shared session; best-of-2 in a
+    warm session ≈ 3s, dominated by md5 over shingles). At 100 TB the
+    shuffle carries only the per-doc partial count vectors (map-side
+    combine)."""
     parity = "".join("01"[int(c, 16) % 2] for c in HEX)  # digit → parity
     masks = df.select(
         F.col(id_col).alias("id"),

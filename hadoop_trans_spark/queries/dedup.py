@@ -38,6 +38,14 @@ def _memo_stage(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
     return _STAGE_CACHE[key]
 
 
+def clear_stage_memo() -> None:
+    """Drop the memoized stage handles. bench.py calls this between the
+    two timed runs of a memoized headline query so best-of-2 measures
+    the real md5-dominated pipeline twice, not one build plus one memo
+    hit (0.06 s vs 2.6 s at sf0.001 — a fake 40x)."""
+    _STAGE_CACHE.clear()
+
+
 def grams3_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized (id, grams) word-3-gram shingle stage on `documents`,
     shared by the whole MinHash family (q40/q64/q68/q70 self-join pairs,
