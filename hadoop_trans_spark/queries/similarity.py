@@ -329,10 +329,15 @@ def q119_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tf t JOIN dfs d USING (w)
     ),
     norms AS (
-        SELECT doc_id,
-               sqrt(CAST(SUM(CAST(ROUND(wt * wt, 9) AS DECIMAL(38,9)))
-                         AS DOUBLE)) AS nrm
-        FROM tw GROUP BY 1
+        -- nrm = 0 (all-stop-word doc, every idf 0) is excluded in both
+        -- engines: Spark would raise ANSI DIVIDE_BY_ZERO, DuckDB's 0/0
+        -- NaN would fail the cosine filter anyway.
+        SELECT * FROM (
+            SELECT doc_id,
+                   sqrt(CAST(SUM(CAST(ROUND(wt * wt, 9) AS DECIMAL(38,9)))
+                             AS DOUBLE)) AS nrm
+            FROM tw GROUP BY 1
+        ) WHERE nrm > 0
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -408,9 +413,15 @@ def q131_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wt"),
     )
     wsq = F.round(F.col("wt") * F.col("wt"), 9).cast("decimal(38,9)")
+    # nrm = 0 happens for real corpora: a doc whose every term appears in
+    # every document has idf 0 across the board (all-stop-word docs).
+    # Such docs carry no lexical signal and their cosine is 0/0; under
+    # ANSI mode that is a DIVIDE_BY_ZERO crash, so they are excluded
+    # here — the oracle reaches the same end state because DuckDB's
+    # 0/0 = NaN fails the >= 0.3 filter.
     norms = tw.groupBy("doc_id").agg(
         F.sqrt(F.sum(wsq).cast("double")).alias("nrm")
-    )
+    ).where(F.col("nrm") > 0)
     cap = max(50, n // 10)
     mid = dfs.where((F.col("df") >= 2) & (F.col("df") <= cap)).select("w")
     post = tf.join(mid, "w").select("w", "doc_id")

@@ -138,3 +138,59 @@ def test_session_concurrency_two_phase_equals_global(spark, smoke_dir):
     )
     ref = {r["day"]: r["m"] for r in naive.collect()}
     assert got == ref
+
+
+def test_session_concurrency_invariant_under_shuffle_partitioning(
+    spark, smoke_dir
+):
+    """Equal-key permutations inside the sweep (ends vs starts at one
+    instant, rows landing in different partitions) must never move the
+    per-day max — re-running under a different shuffle width is the
+    cheapest way to force a different physical ordering."""
+    from hadoop_trans_spark.queries import QUERIES
+
+    q = QUERIES["q127_session_concurrency"]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = {r["day"]: r["max_concurrent"] for r in q(spark, smoke_dir).collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = {r["day"]: r["max_concurrent"] for r in q(spark, smoke_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+
+
+def test_tfidf_pairs_empty_mid_band_yields_empty_not_error(spark, tmp_path):
+    """q131 with a corpus whose every term has df=1 (below the 2..cap
+    band): zero candidates must produce an empty result, not a crash —
+    the degenerate corpus a filtered shard can hand the operator."""
+    from hadoop_trans_spark.queries import QUERIES
+
+    b = "abcd"
+    docs = spark.createDataFrame(
+        [(i, f"{b[i]}xa {b[i]}xb {b[i]}xc") for i in range(4)],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["q131_tfidf_cosine_pairs"](spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "best_match", "cosine"]
+
+
+def test_tfidf_pairs_all_stopword_corpus_yields_empty_not_crash(
+    spark, tmp_path
+):
+    """Every term in every doc => idf 0 => zero-norm docs. Under ANSI
+    mode the cosine would be a DIVIDE_BY_ZERO crash; the zero-norm
+    exclusion must turn this into an empty result (found by this test:
+    the crash was real before the norms filter)."""
+    from hadoop_trans_spark.queries import QUERIES
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(4)],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["q131_tfidf_cosine_pairs"](spark, str(tmp_path))
+    assert out.count() == 0

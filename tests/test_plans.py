@@ -339,3 +339,60 @@ def test_pmi_vocab_joins_unhinted_and_no_cartesian(spark, smoke_dir):
     assert len(hints) <= 2, optimized
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_sweepline_global_window_only_over_hour_buckets(spark, smoke_dir):
+    """q127's distributed prefix sum: exactly ONE single-partition
+    exchange is allowed, and it must feed the carry window over the
+    O(hours) bucket table. Every window that touches the raw delta
+    stream (ordered by ts_us) or the event stream must be partitioned
+    (hr / user_id) — a global window over deltas is the sequential
+    sweep-line that dies at 100 TB."""
+    import re
+
+    plan = (
+        QUERIES["q127_session_concurrency"](spark, smoke_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    # Unpartitioned windowspecs open with the ORDER column directly
+    # (``windowspecdefinition(col ASC ...``); partitioned ones open with
+    # the partition column list. Only hr-ordered carry windows may be
+    # unpartitioned.
+    for m in re.finditer(r"windowspecdefinition\((\w+)#\d+L? ASC", plan):
+        assert m.group(1) == "hr", f"global window over {m.group(1)}: {plan}"
+
+
+def test_tfidf_candidate_join_is_df_banded_equi(spark, smoke_dir):
+    """q131's posting self-join must stay an equi-join on the term ``w``
+    with the id_a < id_b dedup condition attached, and the mid-frequency
+    df band (2 <= df <= cap) must survive into the optimized plan — the
+    band is what bounds candidate fan-out like LSH banding; losing it
+    re-creates the quadratic stop-word blowup."""
+    import re
+
+    df = QUERIES["q131_tfidf_cosine_pairs"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(
+        r"Join \[w#\d+\], \[w#\d+\], Inner, \w+, \(id_a#\d+L < id_b#\d+L\)",
+        plan,
+    ), plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(r"df#\d+L >= 2", optimized), optimized
+    assert re.search(r"df#\d+L <= \d+", optimized), optimized
+
+
+def test_pagerank_never_hints_broadcast(spark, smoke_dir):
+    """q123: neither the edge list nor the rank table may carry a
+    broadcast hint — the edge list is the 100 TB side and the rank table
+    is O(nodes); both strategies belong to AQE's measured sizes (the
+    q118 never-force-broadcast rule, applied to the iterative join)."""
+    df = QUERIES["q123_pagerank"](spark, smoke_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized, optimized
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
