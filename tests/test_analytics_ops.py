@@ -168,3 +168,67 @@ def test_profile_handles_awkward_column_names(spark):
     assert r["min_str"] == "1" and r["max_str"] == "2"
     with pytest.raises(ValueError):
         profile_columns(df, [])
+
+
+def test_frame_sample_counts_and_hashes_match_python_model(spark, smoke_dir):
+    """q84's per-frame fan-out re-derived row-for-row by a pure-Python
+    model: n_frames = len(utf8 payload) % 4 + 1, frame_hash =
+    md5(sha256hex(text) + ':' + frame_id). Covers the mapInPandas
+    flat-map plumbing independently of the driver's oracle row."""
+    import hashlib
+
+    from hadoop_trans_spark.queries import QUERIES
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, smoke_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    expected = set()
+    for doc_id, text in docs.items():
+        payload = text.encode("utf-8")
+        checksum = hashlib.sha256(payload).hexdigest()
+        n_frames = len(payload) % 4 + 1
+        for i in range(n_frames):
+            expected.add(
+                (
+                    doc_id,
+                    i,
+                    n_frames,
+                    i * 40_000,
+                    hashlib.md5(f"{checksum}:{i}".encode()).hexdigest(),
+                )
+            )
+    got = {
+        (r["doc_id"], r["frame_id"], r["n_frames"], r["frame_us"], r["frame_hash"])
+        for r in QUERIES["q84_frame_sample"](spark, smoke_dir).collect()
+    }
+    assert got == expected
+
+
+def test_raw_decode_channel_means_match_python_model(spark, smoke_dir):
+    """q121's end-to-end decode checked against the arithmetic pixel
+    rule computed in plain Python: pixel i = (doc_id + i) % 256, channel
+    i % 3, mean over w*h pixels."""
+    from hadoop_trans_spark.queries import QUERIES
+
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["q121_raw_decode"](spark, smoke_dir).collect()
+    }
+    doc_ids = sorted(out)
+    assert len(doc_ids) >= 100
+    for doc_id in doc_ids[:25]:
+        w, h = 8 + doc_id % 5, 6
+        sums = [0, 0, 0]
+        for i in range(w * h * 3):
+            sums[i % 3] += (doc_id + i) % 256
+        r = out[doc_id]
+        assert r["n_bytes"] == w * h * 3 + 8
+        assert (r["width"], r["height"]) == (w, h)
+        for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
+            assert abs(r[name] - round(sums[ch] / (w * h), 6)) < 1e-9, (
+                doc_id,
+                name,
+            )
