@@ -500,3 +500,74 @@ def q108_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "sample_key")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q135_contrastive_pairs",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id,
+               CAST((off / 200) AS BIGINT) AS idx,
+               substr(text, off + 1, 200) AS chunk
+        FROM (SELECT doc_id, text,
+                     UNNEST(generate_series(0, length(text) - 1, 200)) AS off
+              FROM documents)
+        WHERE length(substr(text, off + 1, 200)) >= 64
+    )
+    SELECT a.doc_id AS doc_id,
+           a.idx AS pair_idx,
+           md5(a.chunk) AS anchor_hash,
+           md5(b.chunk) AS positive_hash,
+           length(a.chunk) AS anchor_len,
+           length(b.chunk) AS positive_len
+    FROM chunks a
+    JOIN chunks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+    ORDER BY doc_id, pair_idx
+    """,
+)
+def q135_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair generation: adjacent 200-char chunks of
+    the same document become (anchor, positive) pairs — the standard
+    self-supervised construction for embedding-model training data
+    (in-batch negatives come free at trainer time). Runts under 64 chars
+    are dropped so no pair carries a near-empty positive. Plan shape:
+    chunks are built per-row (sequence+explode, zero shuffle) and the
+    pairing is done INSIDE the row over the chunk array before the
+    explode, so there is no self-join and no shuffle at any width — at
+    100 TB this is a pure map pipeline whose output is ~1 row per 200
+    input chars. Chunks are carried as md5 to keep rows narrow."""
+    docs = table(spark, sf_dir, "documents")
+    # Stride == size, so only the FINAL chunk can be shorter than 64 —
+    # filtering the array keeps surviving positions equal to the original
+    # chunk indexes (the oracle joins on those).
+    with_chunks = docs.withColumn(
+        "chunks_arr",
+        F.filter(
+            F.expr(
+                "transform(sequence(0, greatest(length(text) - 1, 0), 200),"
+                " off -> substring(text, off + 1, 200))"
+            ),
+            lambda c: F.length(c) >= 64,
+        ),
+    )
+    paired = with_chunks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+                filter(
+                  transform(chunks_arr,
+                            (c, i) -> struct(CAST(i AS BIGINT) AS pair_idx,
+                                             md5(c) AS anchor_hash,
+                                             md5(try_element_at(chunks_arr, i + 2))
+                                               AS positive_hash,
+                                             length(c) AS anchor_len,
+                                             length(try_element_at(chunks_arr, i + 2))
+                                               AS positive_len)),
+                  s -> s.positive_hash IS NOT NULL)
+                """
+            )
+        ).alias("p"),
+    )
+    out = paired.select("doc_id", "p.*")
+    return out.orderBy("doc_id", "pair_idx")

@@ -93,3 +93,83 @@ def q123_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@query(
+    "q140_triangle_count",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT supplier, COUNT(*) AS n_triangles
+    FROM (SELECT a AS supplier FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY supplier
+    ORDER BY supplier
+    """,
+)
+def q140_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counting on the supplier co-occurrence graph
+    (suppliers sharing an order are connected) — the clustering-structure
+    primitive behind community detection and spam/fraud graph features.
+    Edges are oriented low-id → high-id, so each triangle a<b<c is
+    enumerated exactly once by two equi-joins (wedge build (a,b)+(b,c),
+    then closure check (a,c) against the edge set); the per-vertex count
+    is one hash aggregate over the 3-way vertex fan-out. At 100 TB the
+    standard upgrade is degree ordering (orient low-degree → high-degree
+    instead of by id) which bounds wedge fan-out by arboricity, and
+    hash-partitioning edges by wedge-center vertex — both reshape THIS
+    plan, not replace it. No broadcast hints: AQE picks sides from
+    measured sizes (the edge table's size is data-dependent)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    verts = (
+        tri.select(F.col("a").alias("supplier"))
+        .unionAll(tri.select(F.col("b").alias("supplier")))
+        .unionAll(tri.select(F.col("c").alias("supplier")))
+    )
+    return (
+        verts.groupBy("supplier")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy("supplier")
+    )

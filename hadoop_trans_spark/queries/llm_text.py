@@ -435,3 +435,170 @@ def q130_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q133_bm25_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, g AS w
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '[^a-z]+')) AS g
+              FROM documents)
+        WHERE length(g) >= 4
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(c) AS dl FROM tf GROUP BY 1),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    avgdl AS (
+        SELECT CAST(ROUND(SUM(CAST(dl AS DECIMAL(38,6))) / COUNT(*), 9)
+                    AS DOUBLE) AS avgdl
+        FROM dl
+    ),
+    qterms AS (
+        SELECT w, df FROM (
+            SELECT w, df, ROW_NUMBER() OVER (ORDER BY df DESC, w) AS r
+            FROM dfreq)
+        WHERE r <= 3
+    ),
+    scored AS (
+        SELECT tf.doc_id AS doc_id,
+               COUNT(*) AS n_terms,
+               CAST(ROUND(SUM(CAST(ROUND(
+                   ln((n.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                   * ((tf.c * 2.2)
+                      / (tf.c + 1.2 * (0.25 + 0.75 * (dl.dl / avgdl.avgdl)))),
+                   9) AS DECIMAL(38,9))), 6) AS DOUBLE) AS bm25
+        FROM tf
+        JOIN qterms q ON tf.w = q.w
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN n CROSS JOIN avgdl
+        GROUP BY 1
+    )
+    SELECT * FROM (
+        SELECT doc_id, n_terms, bm25
+        FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20)
+    ORDER BY doc_id
+    """,
+)
+def q133_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75): score every document
+    against the corpus's three highest-df terms and keep the top 20 — the
+    classic search-side ranking that complements q131's TF-IDF cosine and
+    q110's inverted index. Plan shape: one explode → one (doc, term) hash
+    aggregate feeds term frequencies, doc lengths, AND document
+    frequencies (shared subtree, no re-scan); the 3-term query set is a
+    broadcast equi-join against the tf table, so the corpus-sized side is
+    touched once and never sorted globally. N and avgdl ride as 1-row
+    broadcasts. Per-term scores are rounded at 1e-9 and summed through
+    decimal(38,9) (repo determinism pattern), so the top-20 cut ties
+    identically in both engines. At 100 TB the tf aggregate shards by
+    (doc, term) hash and the query-term join stays broadcast for any real
+    query (terms ≪ vocab); nothing else is corpus-wide."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+    ).where(F.length("w") >= 4)
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    dl = tf.groupBy("doc_id").agg(F.sum("c").alias("dl"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    avgdl = dl.agg(
+        F.round(F.sum(F.col("dl").cast("decimal(38,6)")) / F.count("*"), 9)
+        .cast("double")
+        .alias("avgdl")
+    )
+    wq = Window.orderBy(F.col("df").desc(), F.col("w"))
+    qterms = (
+        dfreq.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= 3)
+        .select("w", "df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfc = (F.col("c") * F.lit(2.2)) / (
+        F.col("c")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+    )
+    term_score = F.round(idf * tfc, 9).cast("decimal(38,9)")
+    scored = (
+        tf.join(F.broadcast(qterms), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum(term_score), 6).cast("double").alias("bm25"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q134_token_entropy",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, g AS w
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '[^a-z]+')) AS g
+              FROM documents)
+        WHERE length(g) >= 1
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(c) AS n_tokens FROM tf GROUP BY 1)
+    SELECT tf.doc_id AS doc_id,
+           MAX(tot.n_tokens) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(ROUND(SUM(CAST(ROUND(
+                 -(CAST(tf.c AS DOUBLE) / tot.n_tokens)
+                  * ln(CAST(tf.c AS DOUBLE) / tot.n_tokens),
+                 9) AS DECIMAL(38,9))), 6) AS DOUBLE) AS entropy,
+           CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(tot.n_tokens), 6)
+                AS DOUBLE) AS type_token_ratio
+    FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q134_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy + type-token ratio per document — the
+    lexical-diversity quality gate (low entropy = boilerplate/repetition,
+    the same signal Gopher's repetition filters threshold differently in
+    q72). Plan shape: one explode → one (doc, token) hash aggregate; the
+    per-doc token total comes from a second hash aggregate on the SAME
+    grouped table (map-side combinable, no window over the raw token
+    stream). Each -p·ln(p) term is rounded at 1e-9 and summed through
+    decimal(38,9) so the result is partition-order independent. At 100 TB
+    both aggregates shard by doc hash; state is O(doc vocabulary), never
+    corpus-wide."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+    ).where(F.length("w") >= 1)
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    totals = tf.groupBy("doc_id").agg(F.sum("c").alias("n_tokens"))
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    term = F.round(-p * F.log(p), 9).cast("decimal(38,9)")
+    return (
+        tf.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.round(F.sum(term), 6).cast("double").alias("entropy"),
+            F.round(F.count("*").cast("double") / F.max("n_tokens"), 6)
+            .cast("double")
+            .alias("type_token_ratio"),
+        )
+        .orderBy("doc_id")
+    )

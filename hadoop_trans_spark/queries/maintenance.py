@@ -292,3 +292,83 @@ def q129_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+def _skew_leg_oracle(tbl: str, key: str) -> str:
+    return f"""
+    SELECT '{key}' AS key_col,
+           COUNT(*) AS n_keys,
+           SUM(c) AS n_rows,
+           MAX(c) AS max_c,
+           CAST(ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS DOUBLE)
+             AS max_share,
+           CAST(ROUND(ROUND(quantile_cont(c, 0.5), 9), 6) AS DOUBLE) AS p50_c,
+           CAST(ROUND(ROUND(quantile_cont(c, 0.99), 9), 6) AS DOUBLE) AS p99_c,
+           CAST(ROUND(2.0 * SUM(rk * c) / (COUNT(*) * SUM(c))
+                      - (COUNT(*) + 1.0) / COUNT(*), 6) AS DOUBLE) AS gini
+    FROM (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS rk
+        FROM (SELECT {key} AS k, COUNT(*) AS c FROM {tbl} GROUP BY 1)
+    )
+    """
+
+
+@query(
+    "q137_key_skew_profile",
+    oracle=(
+        _skew_leg_oracle("lineitem", "l_suppkey")
+        + " UNION ALL "
+        + _skew_leg_oracle("orders", "o_custkey")
+        + " ORDER BY key_col"
+    ),
+)
+def q137_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation-key skew diagnostics — the planning input for
+    salting (q61) and AQE skew-join decisions: per candidate shuffle key,
+    the key count, hottest-key share, exact p50/p99 per-key frequencies,
+    and the Gini coefficient of the frequency distribution (0 = uniform,
+    →1 = one key owns the table). Plan shape: one hash aggregate per key
+    column reduces the table to O(distinct keys); every statistic after
+    that operates on the reduced table (the rank window sorts keys, not
+    rows — at 100 TB distinct keys are ~1e6-1e8, and the single window
+    can be banded by count range exactly like q130's vocabulary ranks).
+    Quantiles are pre-rounded at 1e-9 (q124 pattern); the Gini rank sum
+    is exact integer arithmetic in both engines."""
+
+    def leg(df: DataFrame, key: str) -> DataFrame:
+        counts = df.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").alias("c")
+        )
+        w = Window.orderBy("c", "k")
+        ranked = counts.select("c", F.row_number().over(w).alias("rk"))
+        agged = ranked.agg(
+            F.count("*").alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_c"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6)
+            .cast("double")
+            .alias("max_share"),
+            F.round(F.round(F.expr("percentile(c, 0.5)"), 9), 6)
+            .cast("double")
+            .alias("p50_c"),
+            F.round(F.round(F.expr("percentile(c, 0.99)"), 9), 6)
+            .cast("double")
+            .alias("p99_c"),
+            F.round(
+                F.lit(2.0) * F.sum(F.col("rk") * F.col("c"))
+                / (F.count("*") * F.sum("c"))
+                - (F.count("*") + F.lit(1.0)) / F.count("*"),
+                6,
+            )
+            .cast("double")
+            .alias("gini"),
+        )
+        return agged.withColumn("key_col", F.lit(key))
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        leg(li, "l_suppkey")
+        .unionByName(leg(o, "o_custkey"))
+        .orderBy("key_col")
+    )

@@ -1156,3 +1156,61 @@ def q117_group_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             sy.cast("double") / n - slope * sx.cast("double") / n, 4
         ).cast("double").alias("intercept"),
     ).orderBy("prio")
+
+
+@query(
+    "q136_agg_battery_modern",
+    # max_by/min_by need a total order to be cross-engine deterministic:
+    # o_totalprice can tie, so the ordering value is price + key/1e10 —
+    # keys differ by >= 1 so the perturbation (>= 1e-10) separates ties
+    # yet stays far above double ulp at price magnitude (~6e-11 at 5e5).
+    # Both engines evaluate the identical expression.
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           count_if(o_orderstatus = 'F') AS n_finished,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_jumbo,
+           CAST(ROUND(ROUND(median(o_totalprice), 9), 6) AS DOUBLE)
+             AS median_price,
+           arg_max(o_orderkey, o_totalprice + o_orderkey / 1e10) AS top_order,
+           arg_min(o_orderkey, o_totalprice + o_orderkey / 1e10)
+             AS bottom_order
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q136_agg_battery_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate battery (Spark 3.4+/4 surface): count_if,
+    bool_and/bool_or, exact interpolated median, and max_by/min_by
+    (DuckDB arg_max/arg_min) — the declarative forms of filters-then-
+    count, any/all flags, and keep-the-row-that-wins lookups that
+    otherwise each cost a self-join. All are map-side combinable hash
+    aggregates except median, whose exact form needs per-group sorted
+    values — at 100 TB swap it for approx_percentile (q111 covers the
+    sketch differential); here the exact value is the point. The median
+    is rounded at 1e-9 before the output rounding so Spark-vs-DuckDB
+    midpoint-interpolation ulp differences cannot flip the 1e-6 digit
+    (q124 pattern)."""
+    o = table(spark, sf_dir, "orders")
+    tiekey = F.col("o_totalprice") + F.col("o_orderkey") / F.lit(1e10)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+            F.round(F.round(F.median("o_totalprice"), 9), 6)
+            .cast("double")
+            .alias("median_price"),
+            F.expr(
+                "max_by(o_orderkey, o_totalprice + o_orderkey / 1e10)"
+            ).alias("top_order"),
+            F.expr(
+                "min_by(o_orderkey, o_totalprice + o_orderkey / 1e10)"
+            ).alias("bottom_order"),
+        )
+        .orderBy("o_orderpriority")
+    )
