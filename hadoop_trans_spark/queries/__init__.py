@@ -34,7 +34,18 @@ from .base import ORACLE, QUERIES
 # round until every query has one.
 _SWEEP_PRIORITY = [
     # Round-4 rotation (applied per VERDICT r3 item 1).
-    # Slots 1-17: the only queries that have NEVER had a driver
+    # Slots 1-9: the NEW round-4 queries (registered this round, no
+    # driver row yet by construction).
+    "q133_bm25_topk",
+    "q134_token_entropy",
+    "q135_contrastive_pairs",
+    "q136_agg_battery_modern",
+    "q137_key_skew_profile",
+    "q138_bloom_prefilter_join",
+    "q139_map_in_arrow",
+    "q140_triangle_count",
+    "q141_stream_chained_rollup",
+    # Slots 10-26: the queries that have NEVER had a driver
     # CORRECTNESS row (q84, q93, q100-q102, q121, and the round-3
     # additions q122-q132).
     "q84_frame_sample",
@@ -54,7 +65,7 @@ _SWEEP_PRIORITY = [
     "q130_token_ids",
     "q131_tfidf_cosine_pairs",
     "q132_stream_approx_distinct",
-    # Slots 18-32: round-1-only greens, unconfirmed since round 1
+    # Slots 27-41: round-1-only greens, unconfirmed since round 1
     # (two rounds of shared-code refactors since their last row).
     "q33_migrate_fidelity",
     "q34_compact_fidelity",
@@ -71,7 +82,7 @@ _SWEEP_PRIORITY = [
     "q47_binary_payload",
     "q48_media_features",
     "q63_simhash_neardup",
-    # Slots 33-50: oldest round-2 greens (last confirmed r2).
+    # Slots 42-50: oldest round-2 greens (last confirmed r2).
     "q01_pricing_summary",
     "q02_projection_cast",
     "q03_filter_predicates",
@@ -81,20 +92,11 @@ _SWEEP_PRIORITY = [
     "q07_full_outer_reconcile",
     "q08_semi_anti_customers",
     "q09_theta_size_bucket",
-    "q10_asof_click_to_view",
-    "q11_agg_battery",
-    "q12_approx_distinct",
-    "q13_rollup",
-    "q14_cube",
-    "q15_collect_nations",
-    "q16_union_distinct",
-    "q17_intersect_except",
-    "q18_dedup_keep_first",
     # --- 50-query window boundary ---
-    # Round-5 plan: any NEW round-4 queries (registered below via their
-    # modules) go to the FRONT, then the remaining r2-only greens
-    # (q19-q32, q61/q62/q65-q67, q80/q81, q92/q94-q96/q99, q104, q109,
-    # q111, q114, q116, q117), then r3 greens oldest-first.
+    # Round-5 plan: any NEW round-5 queries go to the FRONT, then the
+    # remaining r2-only greens (q10-q32, q61/q62/q65-q67, q80/q81,
+    # q92/q94-q96/q99, q104, q109, q111, q114, q116, q117), then r3
+    # greens oldest-first.
 ]
 
 

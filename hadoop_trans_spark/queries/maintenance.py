@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators.merge import merge_upsert, snapshot_diff
-from .base import o_dsum, query
+from .base import dsum, o_dsum, query
 
 
 def _changes(orders: DataFrame) -> DataFrame:
@@ -371,4 +371,68 @@ def q137_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         leg(li, "l_suppkey")
         .unionByName(leg(o, "o_custkey"))
         .orderBy("key_col")
+    )
+
+
+@query(
+    "q138_bloom_prefilter_join",
+    oracle=f"""
+    SELECT l_suppkey AS suppkey,
+           COUNT(*) AS n_items,
+           {o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 4500)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q138_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-filtered semi-join — the runtime-filter pattern
+    made explicit: the dimension side (high-balance suppliers) is folded
+    into an 8192-slot / 2-hash bloom bitmap (here a sorted distinct
+    position array, semantically identical), broadcast as ONE row, and
+    applied to the fact scan BEFORE any shuffle; only surviving
+    candidates reach the exact semi-join that removes bloom false
+    positives. Correctness never depends on the bloom (no false
+    negatives by construction — every true key's positions are in the
+    set), which is why the oracle is the plain semi-join. At 100 TB this
+    is the difference between shuffling the full fact table and shuffling
+    the ~selectivity fraction that survives the bitmap; Spark's own
+    injected runtime bloom filters fire on the same shape when thresholds
+    allow, and this operator is the explicit, always-on form. The bitmap
+    stays ≤ m entries (64 KB here) no matter how large the dimension."""
+    m = 8192
+    li = table(spark, sf_dir, "lineitem")
+    dim = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 4500)
+        .select("s_suppkey")
+    )
+
+    def pos(col: F.Column, seed: int) -> F.Column:
+        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m))
+
+    bits = (
+        dim.select(
+            F.explode(
+                F.array(pos(F.col("s_suppkey"), 1), pos(F.col("s_suppkey"), 2))
+            ).alias("b")
+        )
+        .distinct()
+        .agg(F.sort_array(F.collect_set("b")).alias("bits"))
+    )
+    candidates = li.join(F.broadcast(bits)).where(
+        F.array_contains(F.col("bits"), pos(F.col("l_suppkey"), 1))
+        & F.array_contains(F.col("bits"), pos(F.col("l_suppkey"), 2))
+    )
+    verified = candidates.join(dim, candidates["l_suppkey"] == dim["s_suppkey"], "left_semi")
+    return (
+        verified.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("suppkey")
     )

@@ -381,3 +381,40 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@query(
+    "q141_stream_chained_rollup",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    q AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS q15,
+               user_id, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', q15)) AS window_start,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           COUNT(*) AS n_user_slots,
+           MAX(c) AS max_burst
+    FROM q, wm
+    WHERE time_bucket(INTERVAL '1 hour', q15) + INTERVAL '1 hour' <= w
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful aggregation (Spark 3.5+ multiple stateful
+    operators): per-(15-minute window, user) counts feed a second
+    windowed aggregation producing hourly totals / active-user-slot
+    counts / peak per-user burst — all inside ONE streaming query, no
+    intermediate sink. This is the streaming twin of the multi-resolution
+    rollup (q94): at scale the fine aggregation's map-side combine means
+    the second operator sees O(users × 4) rows per hour, not raw events.
+    Append mode: the oracle keeps exactly the hourly windows finalized by
+    the final watermark (q54 pattern)."""
+    from ..streaming import chained_windowed_rollup
+
+    out = run_to_memory(
+        chained_windowed_rollup(read_events_stream(spark, sf_dir)), "append"
+    )
+    return out.orderBy("window_start")

@@ -164,3 +164,53 @@ def q113_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM udtf_docs d, LATERAL top_words(d.text) t"
     )
     return out.orderBy("doc_id", F.desc("n"), "word")
+
+
+@query(
+    "q139_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS charge
+    FROM lineitem
+    WHERE l_orderkey % 25 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q139_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy batch transform surface — Python
+    receives raw pyarrow RecordBatches (no pandas materialization, no
+    index/NaN conversions) and returns batches. The right tool when the
+    Python side is itself Arrow-native (Arrow compute kernels, Polars,
+    DuckDB, tensor libs with Arrow interop); pandas UDFs (q49) pay a
+    pandas round-trip on top. The arithmetic here runs as vectorized
+    Arrow kernels whose IEEE result is bit-identical to the JVM/DuckDB
+    expression, keeping the oracle exact. Batch size rides
+    spark.sql.execution.arrow.maxRecordsPerBatch; the operator is a pure
+    map — no shuffle, scales linearly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def charge_batches(batches):
+        for batch in batches:
+            charge = pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("l_orderkey"),
+                    batch.column("l_linenumber"),
+                    charge,
+                ],
+                names=["l_orderkey", "l_linenumber", "charge"],
+            )
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 25 == 0)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+    out = li.mapInArrow(
+        charge_batches, "l_orderkey long, l_linenumber int, charge double"
+    )
+    return out.orderBy("l_orderkey", "l_linenumber")

@@ -9,6 +9,7 @@ from .jobs import (
     late_data_drop,
     read_events_stream,
     run_to_memory,
+    chained_windowed_rollup,
     session_windows,
     sliding_counts,
     stream_dedup,
@@ -26,6 +27,7 @@ __all__ = [
     "run_to_memory",
     "tumbling_counts",
     "sliding_counts",
+    "chained_windowed_rollup",
     "session_windows",
     "stream_dedup",
     "stream_migrate",

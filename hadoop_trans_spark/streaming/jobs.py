@@ -157,6 +157,39 @@ def sliding_counts(
     )
 
 
+def chained_windowed_rollup(
+    stream: DataFrame, fine: str = "15 minutes", coarse: str = "1 hour"
+) -> DataFrame:
+    """Two chained stateful aggregations in ONE streaming query (Spark
+    3.5+ multiple-stateful-operator support): per-(fine window, user)
+    counts roll up into per-coarse-window activity stats without landing
+    the intermediate anywhere. The second groupBy re-windows on
+    window_time() of the first — the documented chaining contract; the
+    propagated watermark finalizes a coarse window only after every fine
+    sub-window inside it has been emitted upstream, so append output is
+    deterministic. State is bounded at (open fine windows × active
+    users) + open coarse windows; both drop on watermark pass."""
+    fine_counts = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", fine), "user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        fine_counts.groupBy(F.window(F.window_time("window"), coarse))
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count("*").alias("n_user_slots"),
+            F.max("c").alias("max_burst"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start"),
+            "n_events",
+            "n_user_slots",
+            "max_burst",
+        )
+    )
+
+
 # --- E38: session windows ----------------------------------------------------
 
 

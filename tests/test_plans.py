@@ -396,3 +396,44 @@ def test_pagerank_never_hints_broadcast(spark, smoke_dir):
     assert "strategy=broadcast" not in optimized, optimized
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bloom_prefilter_applies_bitmap_before_semijoin(spark, smoke_dir):
+    """q138: the bloom bitmap must be applied as a FILTER on the fact
+    scan (array_contains against the broadcast 1-row bitmap) and the
+    exact dedup must stay a LeftSemi equi-join — losing the pre-filter
+    silently degrades to a plain semi-join that shuffles the full fact
+    table at 100 TB."""
+    df = QUERIES["q138_bloom_prefilter_join"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "array_contains" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_triangle_edges_never_hint_broadcast(spark, smoke_dir):
+    """q140: the edge table is data-dependent (can be huge on a dense
+    co-occurrence graph) — no join side may carry a broadcast hint, and
+    both the wedge join and closure check must stay equi-joins."""
+    df = QUERIES["q140_triangle_count"](spark, smoke_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized, optimized
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bm25_query_terms_broadcast_corpus_side_not(spark, smoke_dir):
+    """q133: the 3-term query set is the ONLY multi-row side allowed a
+    broadcast hint; the tf/dl corpus tables must stay unhinted (AQE
+    decides) — force-broadcasting a corpus-sized side is the q118
+    scale-killer."""
+    df = QUERIES["q133_bm25_topk"](spark, smoke_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    hints = [
+        ln for ln in optimized.splitlines() if "strategy=broadcast" in ln
+    ]
+    # query terms + N + avgdl (two 1-row aggregates) = at most 3 hints
+    assert len(hints) <= 3, optimized
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
