@@ -762,3 +762,139 @@ def q115_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 12)
         .orderBy("key_a", "key_b")
     )
+
+
+@query(
+    "q142_shingle_containment",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+             )) AS grams
+      FROM documents
+    ),
+    light AS (SELECT doc_id, lang, len(grams) AS n FROM w),
+    toks AS (SELECT doc_id, lang, unnest(grams) AS g FROM w),
+    dfreq AS (SELECT g, COUNT(*) AS df FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT t.doc_id, t.lang, t.g, l.n,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.df, t.g) AS rk
+      FROM toks t JOIN dfreq d ON t.g = d.g
+      JOIN light l ON t.doc_id = l.doc_id
+    ),
+    prefix AS (
+      SELECT doc_id, lang, g, n FROM ranked
+      WHERE rk <= CAST(floor(0.1 * n) AS BIGINT) + 1
+    ),
+    postings AS (
+      SELECT t.doc_id, t.lang, t.g, l.n
+      FROM toks t JOIN dfreq d ON t.g = d.g
+      JOIN light l ON t.doc_id = l.doc_id
+      WHERE d.df >= 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN postings b
+        ON a.lang = b.lang AND a.g = b.g
+      WHERE a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id)
+    )
+    SELECT id_a, id_b,
+           CAST(ROUND(len(list_intersect(wa.grams, wb.grams))::DOUBLE
+                      / len(wa.grams), 6) AS DOUBLE) AS containment
+    FROM cand c
+    JOIN w wa ON c.id_a = wa.doc_id
+    JOIN w wb ON c.id_b = wb.doc_id
+    WHERE len(list_intersect(wa.grams, wb.grams))::DOUBLE
+          / len(wa.grams) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def q142_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: |A∩B| / |A| ≥ 0.9 with A the
+    smaller gram set — catches a document EMBEDDED in a longer one
+    (quotes, boilerplate wrappers, page-of-a-book), which symmetric
+    Jaccard (q42) misses because the union term dilutes the score.
+    EXACT result via the AllPairs/PPJoin prefix filter adapted to
+    containment: if |A∩B|/|A| ≥ t, then A's first ⌊(1−t)·|A|⌋+1 grams
+    under ANY global token order must include a gram of B — so the
+    candidate join touches only A's rare-first (df asc) 10% prefix
+    against B's full df≥2 postings, and exact gram-set intersection runs
+    only on survivors. Unlike a df-band heuristic there is no recall
+    caveat, and the rare-first order keeps hot-gram prefix postings
+    near-empty (a stopword gram enters a prefix only for docs made
+    almost entirely of stopword grams). Pair direction (smaller set
+    contained, id tiebreak) is a total order, so both engines emit
+    identical pairs. At 100 TB postings shard by (lang, gram); per-gram
+    join fan-out is prefix-count(g) × df(g), the AllPairs cost bound."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
+        )
+    )
+    w = materialize_stage(
+        d.select("doc_id", "lang", grams.alias("grams"))
+    )
+    light = w.select("doc_id", F.size("grams").alias("n"))
+    toks = w.select("doc_id", "lang", F.explode("grams").alias("g"))
+    dfreq = toks.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = (
+        toks.join(dfreq, "g")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "g")
+            ),
+        )
+        .join(light, "doc_id")
+    )
+    prefix = ranked.where(
+        F.col("rk") <= F.floor(0.1 * F.col("n")).cast("long") + 1
+    ).select("doc_id", "lang", "g", "n")
+    postings = (
+        toks.join(dfreq, "g")
+        .where(F.col("df") >= 2)
+        .join(light, "doc_id")
+        .select("doc_id", "lang", "g", "n")
+    )
+    pa = prefix.select(
+        "lang", "g", F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")
+    )
+    pb = postings.select(
+        "lang", "g", F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")
+    )
+    cand = (
+        pa.join(pb, ["lang", "g"])
+        .where(
+            (F.col("n_a") < F.col("n_b"))
+            | (
+                (F.col("n_a") == F.col("n_b"))
+                & (F.col("id_a") < F.col("id_b"))
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"))
+    wb = w.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))
+    scored = (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("g_a", "g_b")).alias("n_inter"),
+            F.size("g_a").alias("n_a"),
+        )
+    )
+    cont = F.col("n_inter").cast("double") / F.col("n_a")
+    return (
+        scored.where(cont >= 0.9)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+        .orderBy("id_a", "id_b")
+    )

@@ -781,3 +781,55 @@ def q128_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_active") - F.col("n_new")).alias("n_returning"),
         F.sum("n_new").over(wd).cast("bigint").alias("n_cumulative"),
     ).orderBy("day")
+
+
+@query(
+    "q143_event_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS e0,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS e1,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS e2
+        FROM events
+    ),
+    paths AS (
+        SELECT e0 || '>' || e1 || '>' || e2 AS path, COUNT(*) AS n
+        FROM seq WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT * FROM (
+        SELECT path, n FROM paths ORDER BY n DESC, path LIMIT 10)
+    ORDER BY path
+    """,
+)
+def q143_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 10 most common 3-step event-type
+    sequences across all user streams — the funnel-discovery twin of
+    q101's fixed funnel (there the stages are given; here the data says
+    which paths dominate). Plan shape: two lead() calls share ONE
+    user-partitioned window sort (ordered by (ts, event_id) — a total
+    order, so ties cannot flip paths between engines), then a path-count
+    hash aggregate and a TakeOrderedAndProject top-10. No per-user
+    arrays are materialized: state per window row is O(2 lookahead),
+    so a power user with millions of events streams through (the
+    collect_list formulation would OOM on them). At 100 TB the window
+    shuffle partitions by user hash — the only shuffle before the
+    O(|event-type|³)-bounded count table."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e0"),
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    )
+    paths = (
+        seq.where(F.col("e1").isNotNull() & F.col("e2").isNotNull())
+        .select(F.concat_ws(">", "e0", "e1", "e2").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        paths.orderBy(F.col("n").desc(), "path").limit(10).orderBy("path")
+    )
