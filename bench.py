@@ -34,9 +34,14 @@ from hadoop_trans_spark.queries.dedup import clear_stage_memo  # noqa: E402
 from hadoop_trans_spark.session import get_spark  # noqa: E402
 
 # Headline queries whose pipelines are memoized per session (dedup stage
-# cache): their best-of-2 re-run clears the memo first so both runs do
-# the real work.
-MEMOIZED = {"q40_minhash_lsh_neardup", "q41_simhash"}
+# cache): their best-of-2 re-run clears the query's OWN stage tags first
+# so both runs do the real work — without wiping the other family's
+# stages (a real session builds each stage once; q64/q68/q70 reusing
+# q40's pairs is the honest cost).
+MEMOIZED = {
+    "q40_minhash_lsh_neardup": {"grams3", "bandsig8x4", "minhash_pairs"},
+    "q41_simhash": {"simhash"},
+}
 
 # Headline set: one per operator family, weighted toward the plans whose
 # scale behavior matters (joins, aggs, windows, dedup, similarity).
@@ -86,7 +91,7 @@ def main() -> None:
             if i and name in MEMOIZED:
                 # Re-run must rebuild the shared dedup stages, not hit
                 # the per-session memo (that would time a dict lookup).
-                clear_stage_memo()
+                clear_stage_memo(MEMOIZED[name])
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
             dt = time.perf_counter() - t0

@@ -38,12 +38,20 @@ def _memo_stage(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
     return _STAGE_CACHE[key]
 
 
-def clear_stage_memo() -> None:
-    """Drop the memoized stage handles. bench.py calls this between the
-    two timed runs of a memoized headline query so best-of-2 measures
-    the real md5-dominated pipeline twice, not one build plus one memo
-    hit (0.06 s vs 2.6 s at sf0.001 — a fake 40x)."""
-    _STAGE_CACHE.clear()
+def clear_stage_memo(tags: set[str] | None = None) -> None:
+    """Drop memoized stage handles — all of them, or only the given
+    stage tags. bench.py clears a query's OWN stages between its two
+    timed runs so best-of-2 measures the real md5-dominated pipeline
+    twice, not one build plus one memo hit (0.06 s vs 2.6 s at sf0.001 —
+    a fake 40x); clearing selectively keeps the memo honest for the
+    other family (wiping the MinHash stages before re-timing SimHash
+    would force every later MinHash consumer to rebuild a stage a real
+    session computes once)."""
+    if tags is None:
+        _STAGE_CACHE.clear()
+        return
+    for key in [k for k in _STAGE_CACHE if k[0] in tags]:
+        del _STAGE_CACHE[key]
 
 
 def grams3_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -436,3 +436,161 @@ def q138_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+@query(
+    "q144_hll_sketch_rollup",
+    # Differential oracle (q12/q129/q132 pattern): the sketch estimate is
+    # engine-specific, so the query emits the EXACT per-week distinct plus
+    # a flag that the merged-sketch estimate landed within max(2, 2%).
+    oracle="""
+    SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+           COUNT(DISTINCT user_id) AS exact_users,
+           1 AS within_tol
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q144_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Spark 3.5 Apache DataSketches surface):
+    per-DAY HLL sketches of distinct users are built once, then UNIONED
+    up to weeks and estimated — the pre-aggregation pattern that makes
+    distinct counting cheap at 100 TB: a petabyte event log reduces to
+    one ~KB sketch per (day, dimension) cell that any rollup can merge
+    without touching raw data again (re-aggregatable, unlike exact
+    distinct counts which never roll up). hll_sketch_agg/hll_union_agg
+    are algebraic aggregates — map-side combinable, shuffle carries
+    sketch bytes only. Checked differentially: exact weekly distinct +
+    a within-max(2, 2%) flag on the estimate (lgConfigK=14 ≈ 0.8% rse)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    weekly_approx = daily.groupBy(
+        F.date_format(F.date_trunc("week", "day"), "yyyy-MM-dd").alias(
+            "week_start"
+        )
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    weekly_exact = ev.groupBy(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias(
+            "week_start"
+        )
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        weekly_approx.join(weekly_exact, "week_start")
+        .select(
+            "week_start",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.lit(2.0), 0.02 * F.col("exact_users"))
+            )
+            .cast("int")
+            .alias("within_tol"),
+        )
+        .orderBy("week_start")
+    )
+
+
+@query(
+    "q145_dq_audit",
+    oracle="""
+    WITH row_rules AS (
+        SELECT 'quantity_in_range' AS rule, COUNT(*) AS n_checked,
+               count_if(l_quantity < 1 OR l_quantity > 50) AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_in_range', COUNT(*),
+               count_if(l_discount < 0 OR l_discount > 0.1)
+        FROM lineitem
+        UNION ALL
+        SELECT 'shipdate_in_window', COUNT(*),
+               count_if(l_shipdate IS NULL
+                        OR l_shipdate <  TIMESTAMP '1992-01-01'
+                        OR l_shipdate >= TIMESTAMP '1999-01-01')
+        FROM lineitem
+        UNION ALL
+        SELECT 'price_positive', COUNT(*), count_if(o_totalprice <= 0)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_fk_orders', COUNT(*),
+               count_if(o_orderkey IS NULL)
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT rule, n_checked, n_violations,
+           CAST(n_violations = 0 AS INT) AS passed
+    FROM row_rules
+    ORDER BY rule
+    """,
+)
+def q145_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit — the validation gate run before
+    any pipeline publishes a table (the row-level generalization of the
+    reference's file-count/size verification, CommonUtils.java:99-124):
+    range rules, null/window rules, and referential integrity, each
+    reported as (checked, violations, passed). Plan shape: the three
+    lineitem row rules fold into ONE scan via conditional count_if
+    aggregates (stacked to rows afterwards — the q102 profile trick);
+    the FK rule is a left join counting unmatched keys. At 100 TB every
+    rule stays map-side combinable; the FK join is the only shuffle and
+    at real scale rides a bloom prefilter (q138) or the orders table's
+    bucketing (q120)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    li_rules = li.agg(
+        F.count("*").alias("n"),
+        F.count_if(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("v_qty"),
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("v_disc"),
+        F.count_if(
+            F.col("l_shipdate").isNull()
+            | (F.col("l_shipdate") < "1992-01-01")
+            | (F.col("l_shipdate") >= "1999-01-01")
+        ).alias("v_ship"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity_in_range").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_qty").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("discount_in_range").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_disc").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("shipdate_in_window").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_ship").alias("n_violations"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    price_rule = o.agg(
+        F.count("*").alias("n_checked"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("n_violations"),
+    ).withColumn("rule", F.lit("price_positive"))
+    fk_rule = (
+        li.join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left")
+        .agg(
+            F.count("*").alias("n_checked"),
+            F.count_if(F.col("o_orderkey").isNull()).alias("n_violations"),
+        )
+        .withColumn("rule", F.lit("lineitem_fk_orders"))
+    )
+    return (
+        li_rules.unionByName(price_rule)
+        .unionByName(fk_rule)
+        .withColumn(
+            "passed", (F.col("n_violations") == 0).cast("int")
+        )
+        .orderBy("rule")
+    )
