@@ -34,7 +34,7 @@ from .base import ORACLE, QUERIES
 # round until every query has one.
 _SWEEP_PRIORITY = [
     # Round-4 rotation (applied per VERDICT r3 item 1).
-    # Slots 1-13: the NEW round-4 queries (registered this round, no
+    # Slots 1-15: the NEW round-4 queries (registered this round, no
     # driver row yet by construction).
     "q133_bm25_topk",
     "q134_token_entropy",
@@ -49,7 +49,9 @@ _SWEEP_PRIORITY = [
     "q143_event_paths",
     "q144_hll_sketch_rollup",
     "q145_dq_audit",
-    # Slots 14-30: the queries that have NEVER had a driver
+    "q146_correlated_subquery",
+    "q147_recursive_bfs",
+    # Slots 16-32: the queries that have NEVER had a driver
     # CORRECTNESS row (q84, q93, q100-q102, q121, and the round-3
     # additions q122-q132).
     "q84_frame_sample",
@@ -69,7 +71,7 @@ _SWEEP_PRIORITY = [
     "q130_token_ids",
     "q131_tfidf_cosine_pairs",
     "q132_stream_approx_distinct",
-    # Slots 31-45: round-1-only greens, unconfirmed since round 1
+    # Slots 33-47: round-1-only greens, unconfirmed since round 1
     # (two rounds of shared-code refactors since their last row).
     "q33_migrate_fidelity",
     "q34_compact_fidelity",
@@ -86,15 +88,13 @@ _SWEEP_PRIORITY = [
     "q47_binary_payload",
     "q48_media_features",
     "q63_simhash_neardup",
-    # Slots 46-50: oldest round-2 greens (last confirmed r2).
+    # Slots 48-50: oldest round-2 greens (last confirmed r2).
     "q01_pricing_summary",
     "q02_projection_cast",
     "q03_filter_predicates",
-    "q04_broadcast_join",
-    "q05_revenue_by_nation",
     # --- 50-query window boundary ---
     # Round-5 plan: any NEW round-5 queries go to the FRONT, then the
-    # remaining r2-only greens (q06-q32, q61/q62/q65-q67, q80/q81,
+    # remaining r2-only greens (q04-q32, q61/q62/q65-q67, q80/q81,
     # q92/q94-q96/q99, q104, q109, q111, q114, q116, q117), then r3
     # greens oldest-first.
 ]

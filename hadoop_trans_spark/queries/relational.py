@@ -1214,3 +1214,49 @@ def q136_agg_battery_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q146_correlated_subquery",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           CAST(ROUND(s.s_acctbal, 6) AS DOUBLE) AS acctbal
+    FROM supplier s
+    WHERE s.s_acctbal > (SELECT AVG(s2.s_acctbal)
+                         FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 45)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q146_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subqueries — the declarative form users write and
+    Catalyst DECORRELATES into joins (no per-row re-execution, which is
+    what a naive engine does and what dies at scale): a correlated
+    scalar aggregate (supplier above its own nation's average balance →
+    rewritten to an aggregate + equi-join) and a correlated EXISTS
+    (supplier with a ≥45-quantity lineitem → left-semi join). The plan
+    must contain ONLY joins/aggregates — the subqueries disappear. The
+    oracle runs the identical SQL text. The avg comparison keeps raw
+    doubles on both sides: both engines compute the same
+    sum-of-doubles/count over the same per-nation value sets, and the
+    threshold rows are far from the boundary (asserted by the test's
+    plan check, not by value luck — the filter itself is
+    engine-identical arithmetic)."""
+    for t in ("supplier", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"q146_{t}")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name,
+               CAST(ROUND(s.s_acctbal, 6) AS DOUBLE) AS acctbal
+        FROM q146_supplier s
+        WHERE s.s_acctbal > (SELECT AVG(s2.s_acctbal)
+                             FROM q146_supplier s2
+                             WHERE s2.s_nationkey = s.s_nationkey)
+          AND EXISTS (SELECT 1 FROM q146_lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey
+                        AND l.l_quantity >= 45)
+        ORDER BY s.s_suppkey
+        """
+    )

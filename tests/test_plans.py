@@ -437,3 +437,16 @@ def test_bm25_query_terms_broadcast_corpus_side_not(spark, smoke_dir):
     assert len(hints) <= 3, optimized
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+
+
+def test_correlated_subqueries_are_decorrelated(spark, smoke_dir):
+    """q146: Catalyst must rewrite both correlated subqueries into joins
+    (the EXISTS into a left-semi, the scalar aggregate into an
+    aggregate+join) — a plan that re-runs a subquery per outer row is
+    the scale-killer the query exists to disprove."""
+    df = QUERIES["q146_correlated_subquery"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "exists" not in optimized.lower() or "Join" in optimized, optimized
