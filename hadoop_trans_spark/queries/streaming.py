@@ -20,6 +20,7 @@ from ..streaming import (
     stream_migrate,
     stream_static_enrich,
     stream_stream_join,
+    stream_stream_left_join,
     stream_upsert_sink,
     tumbling_counts,
     user_streaks,
@@ -418,3 +419,51 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         chained_windowed_rollup(read_events_stream(spark, sf_dir)), "append"
     )
     return out.orderBy("window_start")
+
+
+@query(
+    "q148_stream_stream_left_join",
+    """
+    WITH clicks AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT event_id AS view_id, user_id, ts AS view_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    wm AS (SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'view'))
+               - INTERVAL '10 minutes' AS w)
+    SELECT c.click_id,
+           c.user_id,
+           epoch_us(c.click_ts) AS click_us,
+           v.view_id,
+           epoch_us(v.view_ts) AS view_us
+    FROM clicks c
+    LEFT JOIN views v
+      ON c.user_id = v.user_id
+     AND v.view_ts >= c.click_ts - INTERVAL '30 minutes'
+     AND v.view_ts <= c.click_ts
+    CROSS JOIN wm
+    WHERE v.view_id IS NOT NULL OR c.click_ts < wm.w
+    ORDER BY click_id, view_id
+    """,
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-OUTER stream-stream join (q79's completion): clicks with no
+    view in the 30-minute lookback are emitted NULL-padded — but only
+    once the view-side watermark passes their event time, proving no
+    match can still arrive; Spark then drops the buffered click state.
+    Matched rows emit immediately (inner path). The oracle states the
+    emission rule exactly: all matched pairs, plus unmatched clicks
+    strictly older than the final watermark (max view ts − 10 min) —
+    unmatched clicks NEWER than the watermark are still unresolved at
+    end-of-stream and correctly absent. State per key is bounded by
+    watermark + lookback on both sides; at 100 TB user_id partitions
+    both state stores."""
+    out = run_to_memory(
+        stream_stream_left_join(spark, sf_dir), "append"
+    )
+    return out.orderBy("click_id", "view_id")

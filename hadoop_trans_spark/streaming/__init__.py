@@ -16,6 +16,7 @@ from .jobs import (
     stream_migrate,
     stream_static_enrich,
     stream_stream_join,
+    stream_stream_left_join,
     stream_upsert_sink,
     tumbling_counts,
     user_streaks,
@@ -33,6 +34,7 @@ __all__ = [
     "stream_migrate",
     "stream_static_enrich",
     "stream_stream_join",
+    "stream_stream_left_join",
     "stream_upsert_sink",
     "late_data_drop",
     "user_streaks",

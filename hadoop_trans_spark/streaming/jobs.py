@@ -264,6 +264,54 @@ def stream_stream_join(
     )
 
 
+def stream_stream_left_join(
+    spark: SparkSession, sf_dir: str, lookback: str = "30 minutes"
+) -> DataFrame:
+    """Left-outer stream-stream join: every click, matched to prior views
+    within ``lookback`` or emitted NULL-padded once the watermark proves
+    no match can arrive. The outer semantics are what make attribution
+    complete (clicks with no preceding view are the interesting rows);
+    Spark buffers the click until the view-side watermark passes its
+    event time, then emits the null row and drops the state — bounded
+    state with a deterministic emission rule, which is exactly what the
+    batch oracle reproduces (matched rows + unmatched clicks older than
+    the final watermark)."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    return clicks.join(
+        views,
+        F.expr(
+            f"c_user = v_user AND view_ts >= click_ts - interval {lookback} "
+            "AND view_ts <= click_ts"
+        ),
+        "left_outer",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_us"),
+        "view_id",
+        F.unix_micros("view_ts").alias("view_us"),
+    )
+
+
 # --- stream-static join --------------------------------------------------------
 
 
