@@ -194,3 +194,108 @@ def test_tfidf_pairs_all_stopword_corpus_yields_empty_not_crash(
     docs.write.parquet(str(tmp_path / "documents.parquet"))
     out = QUERIES["q131_tfidf_cosine_pairs"](spark, str(tmp_path))
     assert out.count() == 0
+
+
+def test_containment_detects_planted_substring_doc(spark, tmp_path):
+    """q142: a document that is a contiguous slice of a longer one has
+    gram-set containment 1.0 and MUST surface as (short, long); an
+    unrelated doc must pair with nothing. This pins the operator to its
+    purpose (doc-in-doc capture) independent of fixture luck."""
+    from hadoop_trans_spark.queries import QUERIES
+
+    words = [f"w{i}" for i in range(60)]
+    long_doc = " ".join(words)
+    short_doc = " ".join(words[15:40])  # contiguous slice => containment 1.0
+    other = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, long_doc, "en"), (2, short_doc, "en"), (3, other, "en")],
+        "doc_id long, text string, lang string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["q142_shingle_containment"](spark, str(tmp_path)).collect()
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in rows}
+    assert got == {(2, 1): 1.0}
+
+
+def test_triangle_count_matches_handmade_graph(spark, tmp_path):
+    """q140 on a graph built by hand: order 1 connects suppliers
+    {1,2,3} (one triangle), order 2 adds edge (3,4) (no triangle).
+    Every triangle vertex must count exactly once."""
+    from hadoop_trans_spark.queries import QUERIES
+
+    rows = [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_suppkey long")
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["supplier"]: r["n_triangles"]
+        for r in QUERIES["q140_triangle_count"](spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_stage_memo_selective_clear_keeps_other_family(spark):
+    """clear_stage_memo({tags}) must drop exactly those stage entries
+    and keep the rest (bench relies on this: re-timing SimHash must not
+    force the MinHash family to rebuild)."""
+    from hadoop_trans_spark.queries.dedup import (
+        _STAGE_CACHE,
+        clear_stage_memo,
+        grams3_table,
+        simhash_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    grams3_table(spark, sf)
+    simhash_table(spark, sf)
+    tags = {k[0] for k in _STAGE_CACHE}
+    assert {"grams3", "simhash"} <= tags
+    clear_stage_memo({"simhash"})
+    tags = {k[0] for k in _STAGE_CACHE}
+    assert "simhash" not in tags and "grams3" in tags
+    clear_stage_memo()
+    assert not _STAGE_CACHE
+
+
+def test_chained_rollup_multi_batch_equals_single_batch(spark, smoke_dir, tmp_path):
+    """q141's two stateful operators across MULTIPLE micro-batches: the
+    same events split into two files (processed oldest-first with
+    maxFilesPerTrigger=1) must finalize exactly the hourly windows the
+    single-batch run finalizes — watermark propagation between chained
+    operators must survive batch boundaries."""
+    import time as _t
+
+    from hadoop_trans_spark.catalog import table as _table
+    from hadoop_trans_spark.streaming import chained_windowed_rollup
+    from hadoop_trans_spark.streaming.jobs import run_to_memory
+
+    ev = _table(spark, smoke_dir, "events")
+    mid = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")
+    ).collect()[0][0]
+    src = str(tmp_path / "ev_stream")
+    early = ev.where(F.unix_micros(F.col("ts").cast("timestamp")) <= mid)
+    late = ev.where(F.unix_micros(F.col("ts").cast("timestamp")) > mid)
+    early.write.parquet(src)  # earlier mtime => processed first
+    _t.sleep(1.1)
+    late.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    multi = {
+        r["window_start"]: (r["n_events"], r["n_user_slots"], r["max_burst"])
+        for r in run_to_memory(
+            chained_windowed_rollup(stream), "append"
+        ).collect()
+    }
+    from hadoop_trans_spark.queries import QUERIES
+
+    single = {
+        r["window_start"]: (r["n_events"], r["n_user_slots"], r["max_burst"])
+        for r in QUERIES["q141_stream_chained_rollup"](
+            spark, smoke_dir
+        ).collect()
+    }
+    assert multi == single
