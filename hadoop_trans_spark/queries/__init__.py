@@ -34,7 +34,7 @@ from .base import ORACLE, QUERIES
 # round until every query has one.
 _SWEEP_PRIORITY = [
     # Round-4 rotation (applied per VERDICT r3 item 1).
-    # Slots 1-16: the NEW round-4 queries (registered this round, no
+    # Slots 1-18: the NEW round-4 queries (registered this round, no
     # driver row yet by construction).
     "q133_bm25_topk",
     "q134_token_entropy",
@@ -52,7 +52,9 @@ _SWEEP_PRIORITY = [
     "q146_correlated_subquery",
     "q147_recursive_bfs",
     "q148_stream_stream_left_join",
-    # Slots 17-33: the queries that have NEVER had a driver
+    "q149_text_source",
+    "q150_binaryfile_source",
+    # Slots 19-35: the queries that have NEVER had a driver
     # CORRECTNESS row (q84, q93, q100-q102, q121, and the round-3
     # additions q122-q132).
     "q84_frame_sample",
@@ -72,7 +74,7 @@ _SWEEP_PRIORITY = [
     "q130_token_ids",
     "q131_tfidf_cosine_pairs",
     "q132_stream_approx_distinct",
-    # Slots 34-48: round-1-only greens, unconfirmed since round 1
+    # Slots 36-50: round-1-only greens, unconfirmed since round 1
     # (two rounds of shared-code refactors since their last row).
     "q33_migrate_fidelity",
     "q34_compact_fidelity",
@@ -89,12 +91,9 @@ _SWEEP_PRIORITY = [
     "q47_binary_payload",
     "q48_media_features",
     "q63_simhash_neardup",
-    # Slots 49-50: oldest round-2 greens (last confirmed r2).
-    "q01_pricing_summary",
-    "q02_projection_cast",
     # --- 50-query window boundary ---
     # Round-5 plan: any NEW round-5 queries go to the FRONT, then the
-    # remaining r2-only greens (q03-q32, q61/q62/q65-q67, q80/q81,
+    # remaining r2-only greens (q01-q32, q61/q62/q65-q67, q80/q81,
     # q92/q94-q96/q99, q104, q109, q111, q114, q116, q117), then r3
     # greens oldest-first.
 ]

@@ -372,3 +372,104 @@ def q120_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+@query(
+    "q149_text_source",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS chars_sum,
+           MIN(doc_id) AS min_id
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q149_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text-lines boundary (the WET/WARC-derivative format LLM
+    crawls actually arrive in): documents → gzip'd text lines
+    ``doc_id<TAB>lang<TAB>base64(text)`` (base64 because document text
+    contains the line format's own delimiters) → ``spark.read.text`` →
+    regex/split parse → fingerprint against the original table. The
+    parse is all JVM expressions; gzip makes each line-file a
+    non-splittable stream, which is the honest trade of this format —
+    at 100 TB you shard into many ~100 MB .gz files so parallelism
+    comes from file count (exactly what the write below produces)."""
+    base = tempfile.mkdtemp(prefix="htspark_text_")
+    d = table(spark, sf_dir, "documents")
+    lines = d.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            # Spark's base64 can emit MIME-chunked output (a \r\n every
+            # 76 chars) which would shatter the one-record-per-line
+            # contract — strip the wrapping; unbase64 accepts it.
+            F.regexp_replace(
+                F.base64(F.col("text").cast("binary")), "[\\r\\n]", ""
+            ),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").option("compression", "gzip").text(
+        f"{base}/docs"
+    )
+    back = spark.read.text(f"{base}/docs").select(
+        F.split(F.col("value"), "\t").alias("p")
+    ).select(
+        F.col("p").getItem(0).cast("long").alias("doc_id"),
+        F.col("p").getItem(1).alias("lang"),
+        F.unbase64(F.col("p").getItem(2)).cast("string").alias("text"),
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("chars_sum"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q150_binaryfile_source",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    WHERE doc_id % 25 = 0
+    ORDER BY doc_id
+    """,
+)
+def q150_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile data source — the ingest boundary for opaque blobs
+    (images/audio in the multimodal tables, reference's byte-stream file
+    model R7): one file per blob on disk, read back as (path, length,
+    content binary) rows, identity = md5 over raw bytes; the doc id is
+    recovered from the file name. The oracle hashes the same bytes from
+    the source table, so a match proves byte-exact ingest. At 100 TB
+    binaryFile scales by file count (maxPartitionBytes packs small blobs
+    per task); million-blob dirs want a manifest/iceberg layer, but the
+    source contract stays (path, mtime, length, content). Fixture text
+    is ASCII, so length(text) chars == utf-8 byte count in both
+    engines."""
+    import pathlib
+
+    base = pathlib.Path(tempfile.mkdtemp(prefix="htspark_bin_"))
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    # Test-scale blob materialization (the operator under test is the
+    # READ side); a real pipeline's blobs already live in object store.
+    for r in d.select("doc_id", "text").collect():
+        (base / f"{r['doc_id']}.txt").write_bytes(r["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(str(base))
+    return (
+        back.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
