@@ -2,11 +2,16 @@
 metadata, with decode/feature-extraction as Arrow-batched `mapInPandas`
 operators.
 
-The container has no image/audio libraries, so the actual decode is
-STUBBED (`decode_media` raises NotImplementedError; `fake_features` is a
-deterministic stand-in) — but everything Spark-side is real and tested:
-the schema contract, the mapInPandas batch shape, partition-size control
-for large payloads, and the struct metadata model.
+Decode coverage: REAL byte-level decoders exist for three formats that
+need no external codec library — PCM16 WAV audio (stdlib `wave`,
+decode_wav_features), netpbm P6 PPM images (header grammar + numpy,
+decode_ppm_features), and the documented raw-RGB layout (decode_media).
+Compressed codecs (JPEG/PNG/libav audio) are NOT in this container, so
+their mime branches raise NotImplementedError loudly; `fake_features`
+remains the deterministic stand-in used by schema/batching tests. The
+Spark-side contract — schema, Arrow batch shape, partition-size control
+for large payloads, struct metadata model — is identical for every
+format and exercised end-to-end by the real decoders.
 
 100 TB notes: binary payloads dominate row width — keep
 `spark.sql.files.maxPartitionBytes` small enough that a batch of decoded
@@ -223,3 +228,206 @@ def attach_raw_rgb(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select(F.col(id_col)).mapInPandas(_encode, MEDIA_SCHEMA)
+
+
+# --- REAL codecs (stdlib/numpy only): WAV audio and PPM images ---------------
+
+WAV_MIME = "audio/x-wav"
+PPM_MIME = "image/x-portable-pixmap"
+
+WAV_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("n_zero_cross", T.LongType()),
+    ]
+)
+
+
+def encode_wav_square(doc_id: int, sr: int = 8000) -> bytes:
+    """Deterministic PCM16 mono WAV: a square wave with amplitude
+    A = 1000 + (id%9)*500, half-period h = 4 + id%5 samples, and
+    n = 800 + (id%7)*80 frames. Every feature the decoder must recover
+    has a CLOSED FORM in doc_id (|sample| ≡ A ⇒ rms = A exactly; sign
+    flips every h samples ⇒ zero crossings = (n-1)//h; duration_us =
+    n·10⁶/sr) — which is what lets a SQL oracle check a REAL byte-level
+    audio decode."""
+    import io
+    import struct
+    import wave
+
+    amp = 1000 + (doc_id % 9) * 500
+    half = 4 + doc_id % 5
+    n = 800 + (doc_id % 7) * 80
+    samples = [amp if (i // half) % 2 == 0 else -amp for i in range(n)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    return buf.getvalue()
+
+
+def attach_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Rows → decodable WAV media rows (MEDIA_SCHEMA)."""
+    import hashlib
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf[id_col]:
+                payload = encode_wav_square(int(doc_id))
+                rows["doc_id"].append(int(doc_id))
+                rows["payload"].append(payload)
+                rows["meta"].append(
+                    {
+                        "mime": WAV_MIME,
+                        "n_bytes": len(payload),
+                        "checksum": hashlib.sha256(payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col)).mapInPandas(_encode, MEDIA_SCHEMA)
+
+
+def decode_wav_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode (no stub): the stdlib `wave` parser reads each
+    payload's RIFF header and PCM frames inside Arrow-batched
+    mapInPandas; numpy computes peak / RMS / zero-crossing count — the
+    standard VAD/loudness screening features an audio curation pipeline
+    derives per clip. Exactness: samples are ±A ints, so A² sums and the
+    final sqrt are exact in float64 (sqrt of a perfect square is
+    correctly rounded to the integer) — the oracle states the features
+    in closed form. At 100 TB clips decode where they land (pure map,
+    payload column pruned for metadata-only queries); batch memory =
+    frames × 2 bytes × rows-per-batch, bounded via
+    arrow.maxRecordsPerBatch."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k.name: [] for k in WAV_FEATURE_SCHEMA.fields
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["mime"] != WAV_MIME:
+                    raise NotImplementedError(
+                        f"no audio decoder for {meta['mime']!r}"
+                    )
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    sr = w.getframerate()
+                    n = w.getnframes()
+                    assert w.getsampwidth() == 2 and w.getnchannels() == 1
+                    x = np.frombuffer(
+                        w.readframes(n), dtype="<i2"
+                    ).astype(np.int64)
+                rows["doc_id"].append(int(doc_id))
+                rows["sample_rate"].append(sr)
+                rows["n_frames"].append(n)
+                rows["duration_us"].append(n * 1_000_000 // sr)
+                rows["peak"].append(int(np.abs(x).max()) if n else 0)
+                rows["rms"].append(
+                    float(np.sqrt(np.mean(np.square(x.astype(np.float64)))))
+                    if n
+                    else 0.0
+                )
+                rows["n_zero_cross"].append(
+                    int(np.sum(x[:-1] * x[1:] < 0)) if n > 1 else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_decode, WAV_FEATURE_SCHEMA)
+
+
+def encode_ppm(doc_id: int) -> bytes:
+    """Deterministic P6 PPM (the netpbm standard): w = 16 + id%8,
+    h = 8 + id%5, solid (id%256, id·7%256, id·13%256) fill with a white
+    main diagonal — per-channel means have the closed form
+    (c·(w·h−d) + 255·d) / (w·h), d = min(w,h)."""
+    w, h = 16 + doc_id % 8, 8 + doc_id % 5
+    r, g, b = doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            if x == y:
+                px += b"\xff\xff\xff"
+            else:
+                px += bytes((r, g, b))
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + bytes(px)
+
+
+def attach_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Rows → decodable PPM media rows (MEDIA_SCHEMA)."""
+    import hashlib
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf[id_col]:
+                payload = encode_ppm(int(doc_id))
+                rows["doc_id"].append(int(doc_id))
+                rows["payload"].append(payload)
+                rows["meta"].append(
+                    {
+                        "mime": PPM_MIME,
+                        "n_bytes": len(payload),
+                        "checksum": hashlib.sha256(payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col)).mapInPandas(_encode, MEDIA_SCHEMA)
+
+
+def decode_ppm_features(df: DataFrame) -> DataFrame:
+    """REAL image decode of a REAL standard format (netpbm P6): header
+    grammar parse + numpy frombuffer/reshape + per-channel means —
+    byte-level image decoding with no external codec library. JPEG/PNG
+    swap into the same mime dispatch when PIL/libvips are present; the
+    schema contract, batch shape, and feature math stay identical.
+    Integer pixel sums are exact in float64, so the closed-form SQL
+    oracle matches bit-for-bit."""
+    import numpy as np
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in FEATURE_SCHEMA.fields}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["mime"] != PPM_MIME:
+                    raise NotImplementedError(
+                        f"no image decoder for {meta['mime']!r}"
+                    )
+                buf = bytes(payload)
+                magic, dims, maxval_rest = buf.split(b"\n", 2)
+                if magic != b"P6":
+                    raise ValueError(f"bad PPM magic in doc {doc_id}")
+                w, h = (int(v) for v in dims.split())
+                maxval, raw = maxval_rest.split(b"\n", 1)
+                if int(maxval) != 255:
+                    raise ValueError("only 8-bit PPM supported")
+                px = np.frombuffer(raw, dtype=np.uint8)
+                if px.size != w * h * 3:
+                    raise ValueError(f"truncated PPM in doc {doc_id}")
+                sums = px.astype(np.float64).reshape(-1, 3).sum(axis=0)
+                n_px = float(w * h)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_bytes"].append(len(buf))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["features"].append([float(s) / n_px for s in sums])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_decode, FEATURE_SCHEMA)

@@ -34,7 +34,7 @@ from .base import ORACLE, QUERIES
 # round until every query has one.
 _SWEEP_PRIORITY = [
     # Round-4 rotation (applied per VERDICT r3 item 1).
-    # Slots 1-18: the NEW round-4 queries (registered this round, no
+    # Slots 1-20: the NEW round-4 queries (registered this round, no
     # driver row yet by construction).
     "q133_bm25_topk",
     "q134_token_entropy",
@@ -54,7 +54,9 @@ _SWEEP_PRIORITY = [
     "q148_stream_stream_left_join",
     "q149_text_source",
     "q150_binaryfile_source",
-    # Slots 19-35: the queries that have NEVER had a driver
+    "q151_wav_decode",
+    "q152_ppm_decode",
+    # Slots 21-37: the queries that have NEVER had a driver
     # CORRECTNESS row (q84, q93, q100-q102, q121, and the round-3
     # additions q122-q132).
     "q84_frame_sample",
@@ -74,7 +76,9 @@ _SWEEP_PRIORITY = [
     "q130_token_ids",
     "q131_tfidf_cosine_pairs",
     "q132_stream_approx_distinct",
-    # Slots 36-50: round-1-only greens, unconfirmed since round 1
+    # Slots 38-50: round-1-only greens (q46/q47 yield to the two
+    # new REAL-decode queries; their struct/binary surface is covered
+    # by q84/q91/q121/q150 inside the window), unconfirmed since round 1
     # (two rounds of shared-code refactors since their last row).
     "q33_migrate_fidelity",
     "q34_compact_fidelity",
@@ -87,8 +91,6 @@ _SWEEP_PRIORITY = [
     "q42_ngram_jaccard",
     "q43_embedding_neardup",
     "q44_cosine_topk",
-    "q46_struct_nested",
-    "q47_binary_payload",
     "q48_media_features",
     "q63_simhash_neardup",
     # --- 50-query window boundary ---

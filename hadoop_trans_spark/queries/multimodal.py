@@ -191,3 +191,90 @@ def q121_raw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("features")[1], 6).alias("mean_g"),
         F.round(F.col("features")[2], 6).alias("mean_b"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q151_wav_decode",
+    # Closed-form oracle for the REAL wave-module decode: amplitude,
+    # half-period and frame count are arithmetic in doc_id
+    # (operators/multimodal.py encode_wav_square), so rms == amplitude
+    # exactly, crossings = (n-1)//h, duration_us = n*10^6/8000.
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               1000 + (doc_id % 9) * 500 AS amp,
+               4 + doc_id % 5 AS half,
+               800 + (doc_id % 7) * 80 AS n
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(n * 125 AS BIGINT) AS duration_us,
+           CAST(amp AS BIGINT) AS peak,
+           CAST(amp AS DOUBLE) AS rms,
+           CAST((n - 1) // half AS BIGINT) AS n_zero_cross
+    FROM p ORDER BY doc_id
+    """,
+)
+def q151_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio decode with a REAL standard format: PCM16 WAV
+    blobs are parsed by the stdlib RIFF reader inside Arrow-batched
+    mapInPandas and numpy derives loudness/VAD screening features (peak,
+    RMS, zero-crossing count, duration) — the per-clip stats an audio
+    curation pipeline filters on. The synthesis is parametric square
+    waves, so every decoded feature has a closed form the SQL oracle
+    states independently: the decode path itself is what's under test,
+    byte level, no stub."""
+    from ..operators.multimodal import attach_wav, decode_wav_features
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return decode_wav_features(attach_wav(docs)).orderBy("doc_id")
+
+
+@query(
+    "q152_ppm_decode",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               16 + doc_id % 8 AS w,
+               8 + doc_id % 5 AS h,
+               doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
+               (doc_id * 13) % 256 AS b
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           CAST(w * h * 3 + length('P6' || chr(10)) + length(CAST(w AS VARCHAR))
+                + 1 + length(CAST(h AS VARCHAR)) + 1 + 4 AS BIGINT) AS n_bytes,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ROUND((r * (w * h - least(w, h)) + 255 * least(w, h))
+                      * 1.0 / (w * h), 6) AS DOUBLE) AS mean_r,
+           CAST(ROUND((g * (w * h - least(w, h)) + 255 * least(w, h))
+                      * 1.0 / (w * h), 6) AS DOUBLE) AS mean_g,
+           CAST(ROUND((b * (w * h - least(w, h)) + 255 * least(w, h))
+                      * 1.0 / (w * h), 6) AS DOUBLE) AS mean_b
+    FROM p ORDER BY doc_id
+    """,
+)
+def q152_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image decode of a REAL standard format (netpbm P6
+    PPM): header grammar + raw pixel parse + per-channel means, all
+    numpy inside mapInPandas — actual byte-level image decoding with no
+    external codec. The fixture images are solid fills with a white
+    diagonal, so channel means have a closed form the oracle states
+    independently. JPEG/PNG drop into the same mime dispatch when codec
+    libs exist; everything else (schema, batching, feature math, column
+    pruning of the payload) is exercised here for real."""
+    from ..operators.multimodal import attach_ppm, decode_ppm_features
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    feats = decode_ppm_features(attach_ppm(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round(F.col("features")[0], 6).alias("mean_r"),
+        F.round(F.col("features")[1], 6).alias("mean_g"),
+        F.round(F.col("features")[2], 6).alias("mean_b"),
+    ).orderBy("doc_id")
