@@ -232,3 +232,69 @@ def test_raw_decode_channel_means_match_python_model(spark, smoke_dir):
                 doc_id,
                 name,
             )
+
+
+def test_wav_decode_matches_python_wave_model(spark):
+    """q151's decoder vs an independent Python model: decode the same
+    synthesized WAV bytes directly with wave+struct and compare every
+    feature — pins the Spark-side Arrow path to the stdlib ground truth."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    from hadoop_trans_spark.operators.multimodal import (
+        attach_wav,
+        decode_wav_features,
+        encode_wav_square,
+    )
+
+    ids = [0, 3, 17, 44]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: (
+            r["sample_rate"], r["n_frames"], r["duration_us"],
+            r["peak"], r["rms"], r["n_zero_cross"],
+        )
+        for r in decode_wav_features(attach_wav(df)).collect()
+    }
+    for i in ids:
+        with wave_mod.open(io.BytesIO(encode_wav_square(i))) as w:
+            n, sr = w.getnframes(), w.getframerate()
+            xs = struct.unpack(f"<{n}h", w.readframes(n))
+        peak = max(abs(v) for v in xs)
+        rms = (sum(v * v for v in xs) / n) ** 0.5
+        zc = sum(1 for a, b in zip(xs, xs[1:]) if a * b < 0)
+        assert got[i] == (sr, n, n * 1_000_000 // sr, peak, rms, zc)
+
+
+def test_wav_decode_rejects_wrong_mime_and_ppm_rejects_truncation(spark):
+    """Malformed media must fail LOUDLY, not produce silent features:
+    wrong mime → NotImplementedError; truncated PPM → ValueError."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from hadoop_trans_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_ppm_features,
+        decode_wav_features,
+        encode_ppm,
+    )
+
+    bad_mime = spark.createDataFrame(
+        [(1, b"RIFFxxxx", {"mime": "audio/mp3", "n_bytes": 8, "checksum": "c"})],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(PythonException, match="no audio decoder"):
+        decode_wav_features(bad_mime).collect()
+
+    truncated = encode_ppm(7)[:-5]
+    bad_ppm = spark.createDataFrame(
+        [(
+            7,
+            truncated,
+            {"mime": "image/x-portable-pixmap", "n_bytes": len(truncated), "checksum": "c"},
+        )],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(PythonException, match="truncated PPM"):
+        decode_ppm_features(bad_ppm).collect()
