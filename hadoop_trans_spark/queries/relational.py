@@ -1260,3 +1260,112 @@ def q146_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.s_suppkey
         """
     )
+
+
+@query(
+    "q153_geo_radius_join",
+    # Coordinates are integer-derived (exact in float64 after one
+    # division), the haversine is the same expression tree in both
+    # engines, and the distance is pre-rounded at 1e-9 before the
+    # 100 km threshold (q124 pattern) so a libm last-ulp difference
+    # cannot flip a boundary pair.
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               -60 + (c_custkey * 37 % 12000) / 100.0 AS lat,
+               -180 + (c_custkey * 73 % 36000) / 100.0 AS lon
+        FROM customer
+    ),
+    cells AS (
+        SELECT id, lat, lon,
+               CAST(floor(lat / 2) AS BIGINT) AS cy,
+               CAST(floor(lon / 2) AS BIGINT) AS cx
+        FROM pts
+    ),
+    lhs AS (
+        SELECT id, lat, lon, cy + dy AS cy, cx + dx AS cx
+        FROM cells
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
+    ),
+    cand AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(2 * 6371.0 * asin(sqrt(
+                   sin(radians(b.lat - a.lat) / 2)
+                     * sin(radians(b.lat - a.lat) / 2)
+                   + cos(radians(a.lat)) * cos(radians(b.lat))
+                     * sin(radians(b.lon - a.lon) / 2)
+                     * sin(radians(b.lon - a.lon) / 2))), 9) AS d
+        FROM lhs a JOIN cells b ON a.cy = b.cy AND a.cx = b.cx
+        WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(ROUND(d, 6) AS DOUBLE) AS dist_km
+    FROM (SELECT DISTINCT id_a, id_b, d FROM cand)
+    WHERE d <= 25.0
+    ORDER BY id_a, id_b
+    """,
+)
+def q153_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join (all point pairs within 25 km): the
+    grid-cell blocking pattern — each point lands in a 2°×2° cell, one
+    side fans out to its 3×3 cell neighborhood, and the join is an
+    EQUI-join on cell id, so candidate cost is density-bounded instead
+    of quadratic (the same bucketing role LSH bands play for text).
+    Haversine runs only on candidates. Cell size must dominate the
+    radius at the worst latitude (2° ≈ 222 km N-S; 25 km E-W needs
+    ≤ 1.1° even at 60° lat), so ±1 neighborhood is provably complete.
+    At 100 TB the cell id is the shuffle key — skewed cities are AQE
+    skew-join territory, or sub-cell salting (q61). Coordinates here
+    are synthesized deterministically from customer keys; swap in real
+    lat/lon columns unchanged."""
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.lit(-60) + (F.col("c_custkey") * 37 % 12000) / 100.0).alias("lat"),
+        (F.lit(-180) + (F.col("c_custkey") * 73 % 36000) / 100.0).alias("lon"),
+    )
+    cells = pts.select(
+        "id", "lat", "lon",
+        F.floor(F.col("lat") / 2).cast("long").alias("cy"),
+        F.floor(F.col("lon") / 2).cast("long").alias("cx"),
+    )
+    lhs = (
+        cells.crossJoin(F.broadcast(
+            spark.range(-1, 2).select(F.col("id").cast("long").alias("dy"))
+        ))
+        .crossJoin(F.broadcast(
+            spark.range(-1, 2).select(F.col("id").cast("long").alias("dx"))
+        ))
+        .select(
+            "id", "lat", "lon",
+            (F.col("cy") + F.col("dy")).alias("cy"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+        )
+    )
+    a = lhs.select(
+        F.col("id").alias("id_a"), F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"), "cy", "cx",
+    )
+    b = cells.select(
+        F.col("id").alias("id_b"), F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"), "cy", "cx",
+    )
+    dlat = F.radians(F.col("lat_b") - F.col("lat_a")) / 2
+    dlon = F.radians(F.col("lon_b") - F.col("lon_a")) / 2
+    hav = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians("lat_a")) * F.cos(F.radians("lat_b"))
+        * F.sin(dlon) * F.sin(dlon)
+    )
+    d = F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 9)
+    cand = (
+        a.join(b, ["cy", "cx"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", d.alias("d"))
+        .distinct()
+    )
+    return (
+        cand.where(F.col("d") <= 25.0)
+        .select("id_a", "id_b", F.round(F.col("d"), 6).alias("dist_km"))
+        .orderBy("id_a", "id_b")
+    )
