@@ -1272,8 +1272,10 @@ def q146_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pts AS (
         SELECT c_custkey AS id,
-               -60 + (c_custkey * 37 % 12000) / 100.0 AS lat,
-               -180 + (c_custkey * 73 % 36000) / 100.0 AS lon
+               -60 + (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)
+                      AS BIGINT) % 12000) / 100.0 AS lat,
+               -180 + (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)
+                       AS BIGINT) % 36000) / 100.0 AS lon
         FROM customer
     ),
     cells AS (
@@ -1316,13 +1318,18 @@ def q153_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 1.1° even at 60° lat), so ±1 neighborhood is provably complete.
     At 100 TB the cell id is the shuffle key — skewed cities are AQE
     skew-join territory, or sub-cell salting (q61). Coordinates here
-    are synthesized deterministically from customer keys; swap in real
-    lat/lon columns unchanged."""
+    are synthesized from md5(customer key) — hash-uniform, so close
+    pairs actually exist (a linear-congruential synthesis placed points
+    on a lattice with NO sub-25 km pairs — found by the 0-row driver
+    check); swap in real lat/lon columns unchanged."""
     c = table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    h1 = F.conv(F.substring(h, 1, 6), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 7, 6), 16, 10).cast("long")
     pts = c.select(
         F.col("c_custkey").alias("id"),
-        (F.lit(-60) + (F.col("c_custkey") * 37 % 12000) / 100.0).alias("lat"),
-        (F.lit(-180) + (F.col("c_custkey") * 73 % 36000) / 100.0).alias("lon"),
+        (F.lit(-60) + (h1 % 12000) / 100.0).alias("lat"),
+        (F.lit(-180) + (h2 % 36000) / 100.0).alias("lon"),
     )
     cells = pts.select(
         "id", "lat", "lon",
