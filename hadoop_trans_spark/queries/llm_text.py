@@ -557,7 +557,7 @@ def q133_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
     tot AS (SELECT doc_id, SUM(c) AS n_tokens FROM tf GROUP BY 1)
     SELECT tf.doc_id AS doc_id,
-           MAX(tot.n_tokens) AS n_tokens,
+           CAST(MAX(tot.n_tokens) AS BIGINT) AS n_tokens,
            COUNT(*) AS n_types,
            CAST(ROUND(SUM(CAST(ROUND(
                  -(CAST(tf.c AS DOUBLE) / tot.n_tokens)

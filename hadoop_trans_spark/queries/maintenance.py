@@ -298,7 +298,7 @@ def _skew_leg_oracle(tbl: str, key: str) -> str:
     return f"""
     SELECT '{key}' AS key_col,
            COUNT(*) AS n_keys,
-           SUM(c) AS n_rows,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
            MAX(c) AS max_c,
            CAST(ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS DOUBLE)
              AS max_share,
@@ -500,24 +500,26 @@ def q144_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH row_rules AS (
         SELECT 'quantity_in_range' AS rule, COUNT(*) AS n_checked,
-               count_if(l_quantity < 1 OR l_quantity > 50) AS n_violations
+               CAST(count_if(l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+                 AS n_violations
         FROM lineitem
         UNION ALL
         SELECT 'discount_in_range', COUNT(*),
-               count_if(l_discount < 0 OR l_discount > 0.1)
+               CAST(count_if(l_discount < 0 OR l_discount > 0.1) AS BIGINT)
         FROM lineitem
         UNION ALL
         SELECT 'shipdate_in_window', COUNT(*),
-               count_if(l_shipdate IS NULL
-                        OR l_shipdate <  TIMESTAMP '1992-01-01'
-                        OR l_shipdate >= TIMESTAMP '1999-01-01')
+               CAST(count_if(l_shipdate IS NULL
+                             OR l_shipdate <  TIMESTAMP '1992-01-01'
+                             OR l_shipdate >= TIMESTAMP '1999-01-01') AS BIGINT)
         FROM lineitem
         UNION ALL
-        SELECT 'price_positive', COUNT(*), count_if(o_totalprice <= 0)
+        SELECT 'price_positive', COUNT(*),
+               CAST(count_if(o_totalprice <= 0) AS BIGINT)
         FROM orders
         UNION ALL
         SELECT 'lineitem_fk_orders', COUNT(*),
-               count_if(o_orderkey IS NULL)
+               CAST(count_if(o_orderkey IS NULL) AS BIGINT)
         FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
     )
     SELECT rule, n_checked, n_violations,

@@ -1168,7 +1168,7 @@ def q117_group_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           count_if(o_orderstatus = 'F') AS n_finished,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
            bool_and(o_totalprice > 0) AS all_positive,
            bool_or(o_totalprice > 400000) AS any_jumbo,
            CAST(ROUND(ROUND(median(o_totalprice), 9), 6) AS DOUBLE)
