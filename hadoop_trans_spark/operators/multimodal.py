@@ -328,7 +328,11 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
                 with wave.open(io.BytesIO(bytes(payload))) as w:
                     sr = w.getframerate()
                     n = w.getnframes()
-                    assert w.getsampwidth() == 2 and w.getnchannels() == 1
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        raise ValueError(
+                            f"doc {doc_id}: only PCM16 mono supported, got "
+                            f"width={w.getsampwidth()} ch={w.getnchannels()}"
+                        )
                     x = np.frombuffer(
                         w.readframes(n), dtype="<i2"
                     ).astype(np.int64)

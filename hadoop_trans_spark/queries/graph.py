@@ -95,6 +95,34 @@ def q123_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _supplier_backbone(spark: SparkSession, sf_dir: str):
+    """Top-2000 supplier co-purchase edges by co-occurrence weight, ties
+    broken by vertex ids — the ONE backbone definition shared by q140
+    (triangles) and q147 (recursive BFS); a single edge budget and tie
+    order keeps the two queries' "same graph" docstring claims true by
+    construction. Returns the oriented (u < v) edge DataFrame."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
+        .orderBy(F.col("w").desc(), "u", "v")
+        .limit(2000)
+        .select("u", "v")
+    )
+
+
 @query(
     "q140_triangle_count",
     oracle="""
@@ -141,26 +169,7 @@ def q140_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join on (a,c)); per-vertex counts are one hash aggregate over
     the 3-way vertex fan-out. No broadcast hints — AQE picks sides from
     measured sizes."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
-        .agg(F.count("*").alias("w"))
-        .orderBy(F.col("w").desc(), "u", "v")
-        .limit(2000)
-        .select("u", "v")
-    )
+    e = _supplier_backbone(spark, sf_dir)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
@@ -242,26 +251,7 @@ def q147_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachability belongs to operators/components.py label propagation."""
     from ..operators.stage import materialize_stage
 
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    backbone = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
-        .agg(F.count("*").alias("w"))
-        .orderBy(F.col("w").desc(), "u", "v")
-        .limit(2000)
-        .select("u", "v")
-    )
+    backbone = _supplier_backbone(spark, sf_dir)
     edges = materialize_stage(
         backbone.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionByName(

@@ -1161,10 +1161,13 @@ def q117_group_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q136_agg_battery_modern",
     # max_by/min_by need a total order to be cross-engine deterministic:
-    # o_totalprice can tie, so the ordering value is price + key/1e10 —
-    # keys differ by >= 1 so the perturbation (>= 1e-10) separates ties
-    # yet stays far above double ulp at price magnitude (~6e-11 at 5e5).
-    # Both engines evaluate the identical expression.
+    # o_totalprice can tie, so the comparison value is the exact integer
+    # cents(price)·10¹² + key (HUGEINT in DuckDB, DECIMAL(38,0) in
+    # Spark) — lexicographic (price, key) at ANY scale. (A float
+    # perturbation price + key/1e10 was tried first: it crosses the
+    # $0.01 quantum once keys exceed ~1e8, silently mis-picking rows at
+    # large sf.) cents = round(price·100): same double product, same
+    # rounding in both engines.
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
@@ -1173,9 +1176,10 @@ def q117_group_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
            bool_or(o_totalprice > 400000) AS any_jumbo,
            CAST(ROUND(ROUND(median(o_totalprice), 9), 6) AS DOUBLE)
              AS median_price,
-           arg_max(o_orderkey, o_totalprice + o_orderkey / 1e10) AS top_order,
-           arg_min(o_orderkey, o_totalprice + o_orderkey / 1e10)
-             AS bottom_order
+           arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS HUGEINT)
+                                * 1000000000000 + o_orderkey) AS top_order,
+           arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS HUGEINT)
+                                * 1000000000000 + o_orderkey) AS bottom_order
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -1194,7 +1198,11 @@ def q136_agg_battery_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
     midpoint-interpolation ulp differences cannot flip the 1e-6 digit
     (q124 pattern)."""
     o = table(spark, sf_dir, "orders")
-    tiekey = F.col("o_totalprice") + F.col("o_orderkey") / F.lit(1e10)
+    tiekey = (
+        F.round(F.col("o_totalprice") * 100, 0).cast("decimal(38,0)")
+        * F.lit(1_000_000_000_000)
+        + F.col("o_orderkey")
+    )
     return (
         o.groupBy("o_orderpriority")
         .agg(
@@ -1205,12 +1213,8 @@ def q136_agg_battery_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.round(F.median("o_totalprice"), 9), 6)
             .cast("double")
             .alias("median_price"),
-            F.expr(
-                "max_by(o_orderkey, o_totalprice + o_orderkey / 1e10)"
-            ).alias("top_order"),
-            F.expr(
-                "min_by(o_orderkey, o_totalprice + o_orderkey / 1e10)"
-            ).alias("bottom_order"),
+            F.max_by(F.col("o_orderkey"), tiekey).alias("top_order"),
+            F.min_by(F.col("o_orderkey"), tiekey).alias("bottom_order"),
         )
         .orderBy("o_orderpriority")
     )
@@ -1267,8 +1271,9 @@ def q146_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Coordinates are integer-derived (exact in float64 after one
     # division), the haversine is the same expression tree in both
     # engines, and the distance is pre-rounded at 1e-9 before the
-    # 100 km threshold (q124 pattern) so a libm last-ulp difference
-    # cannot flip a boundary pair.
+    # 25 km threshold (q124 pattern) so a libm last-ulp difference
+    # cannot flip a boundary pair. Longitude cells wrap modulo 180 so
+    # pairs straddling the antimeridian stay candidates.
     oracle="""
     WITH pts AS (
         SELECT c_custkey AS id,
@@ -1285,7 +1290,8 @@ def q146_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pts
     ),
     lhs AS (
-        SELECT id, lat, lon, cy + dy AS cy, cx + dx AS cx
+        SELECT id, lat, lon, cy + dy AS cy,
+               ((cx + dx + 270) % 180) - 90 AS cx
         FROM cells
         CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
         CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
@@ -1315,7 +1321,8 @@ def q153_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     of quadratic (the same bucketing role LSH bands play for text).
     Haversine runs only on candidates. Cell size must dominate the
     radius at the worst latitude (2° ≈ 222 km N-S; 25 km E-W needs
-    ≤ 1.1° even at 60° lat), so ±1 neighborhood is provably complete.
+    ≤ 1.1° even at 60° lat) and longitude cells wrap modulo 180, so the
+    ±1 neighborhood is complete including across the antimeridian.
     At 100 TB the cell id is the shuffle key — skewed cities are AQE
     skew-join territory, or sub-cell salting (q61). Coordinates here
     are synthesized from md5(customer key) — hash-uniform, so close
@@ -1346,7 +1353,10 @@ def q153_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id", "lat", "lon",
             (F.col("cy") + F.col("dy")).alias("cy"),
-            (F.col("cx") + F.col("dx")).alias("cx"),
+            # wrap: lon cells form a ring of 180 (2°) cells; without the
+            # modulo, pairs straddling the ±180° antimeridian are never
+            # candidates (blocking bug both engines would share).
+            ((F.col("cx") + F.col("dx") + 270) % 180 - 90).alias("cx"),
         )
     )
     a = lhs.select(

@@ -448,5 +448,9 @@ def test_correlated_subqueries_are_decorrelated(spark, smoke_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # A fully decorrelated optimized plan contains NO residual subquery
+    # expressions — any 'subquery'/'exists' marker means Catalyst kept a
+    # per-row re-execution node.
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "exists" not in optimized.lower() or "Join" in optimized, optimized
+    assert "subquery" not in optimized.lower(), optimized
+    assert "exists" not in optimized.lower(), optimized
