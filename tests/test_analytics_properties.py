@@ -299,3 +299,73 @@ def test_chained_rollup_multi_batch_equals_single_batch(spark, smoke_dir, tmp_pa
         ).collect()
     }
     assert multi == single
+
+
+def test_agg_battery_tiebreak_picks_higher_key_on_price_tie(spark, tmp_path):
+    """q136's max_by/min_by comparison value must order (price, key)
+    lexicographically even when prices tie and keys are huge — the
+    float-perturbation formulation this replaced crossed the $0.01
+    quantum at production key ranges and mis-picked rows."""
+    from hadoop_trans_spark.queries import QUERIES
+
+    rows = [
+        (1, "P", "F", 500000.00),
+        (900_000_000, "P", "F", 500000.00),   # tie: must win max_by
+        (2, "P", "F", 499999.99),             # one cent less, huge key
+        (899_999_999, "P", "F", 100.00),      # min-side tie, huge key
+        (3, "P", "F", 100.00),                # tie at min: smaller key wins
+    ]
+    import datetime
+    df = spark.createDataFrame(
+        [(k, s, st, p, datetime.datetime(2024, 1, 1), "1-URGENT")
+         for k, s, st, p in [(r[0], r[1], r[2], r[3]) for r in rows]],
+        "o_orderkey long, o_custkey string, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    out = QUERIES["q136_agg_battery_modern"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["top_order"] == 900_000_000      # tie at 500000.00 → higher key
+    assert r["bottom_order"] == 3             # tie at 100.00 → lower key
+
+
+def test_geo_radius_join_catches_antimeridian_pair(spark, tmp_path):
+    """q153: two points 0.02° of longitude apart but on opposite sides
+    of ±180° are ~2 km apart and MUST pair — the unwrapped cell ids
+    (cx 89 vs -90) would never meet in the ±1 neighborhood (bug found
+    by review; both engines shared it, so only a planted test can lock
+    it)."""
+    from hadoop_trans_spark.queries import QUERIES
+
+    # Find customer keys whose md5-derived coordinates land just east
+    # and just west of the antimeridian at similar latitude.
+    import hashlib
+
+    def coord(k):
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        return (-60 + (int(h[:6], 16) % 12000) / 100.0,
+                -180 + (int(h[6:12], 16) % 36000) / 100.0)
+
+    wests, easts = [], []
+    for k in range(1, 300_000):
+        lat, lon = coord(k)
+        if lon <= -179.9:
+            wests.append((k, lat))
+        elif lon >= 179.9:
+            easts.append((k, lat))
+    pair = next(
+        ((w, e) for w in wests for e in easts if abs(w[1] - e[1]) <= 0.1),
+        None,
+    )
+    assert pair is not None, (len(wests), len(easts))
+    west, east = pair
+    df = spark.createDataFrame(
+        [(west[0], "w", 0, 0.0, "A"), (east[0], "e", 0, 0.0, "A")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    df.write.parquet(str(tmp_path / "customer.parquet"))
+    out = QUERIES["q153_geo_radius_join"](spark, str(tmp_path)).collect()
+    assert len(out) == 1, out
+    assert out[0]["dist_km"] <= 25.0
