@@ -1,0 +1,412 @@
+"""Round-4 analytics additions: skyline/Pareto frontier, chi-square
+feature selection, weighted median, sorted-neighborhood dedup blocking,
+TPC-H-Q3-style shipping priority, and seasonal hour-of-day anomaly
+baselines (SURVEY §2C extensions; no counterpart in the reference, which
+only migrates partition bytes — TransTablePartition.java:46-80).
+
+Scale notes per query live in each docstring; the shared rule is the
+repo-wide one: every shuffle is keyed (bucket id, term, group), the only
+unpartitioned windows run over metadata-sized aggregates (bucket-count
+tables, 120-row baselines), and no per-row Python touches a data path —
+the two ``applyInPandas`` sweeps in the skyline operator work on local
+frontiers, the algebraically-prunable representation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..operators.globalrank import global_row_number
+from ..operators.skyline import pareto_frontier
+from .base import DEC, dsum, o_dsum, query
+
+
+@query(
+    "q154_pareto_frontier",
+    # Oracle states dominance declaratively (NOT EXISTS a strictly
+    # better part) — O(n²) and fine at sf0.01; the Spark side is the
+    # scalable local-prune/global-refine decomposition. No floats are
+    # derived: price/size pass through from parquet, so equality is
+    # exact in both engines.
+    oracle="""
+    SELECT p.p_partkey,
+           p.p_retailprice AS price,
+           CAST(p.p_size AS BIGINT) AS size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    ORDER BY p.p_partkey
+    """,
+)
+def q154_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier / skyline query (cheapest-price vs largest-size
+    parts nobody strictly beats) via ``operators/skyline.py``: per-bucket
+    local frontier sweeps in parallel, then one frontier-sized refine —
+    never the quadratic dominance self-join the oracle uses. At 100 TB
+    the first phase is one hash shuffle on the bucket id and the refine
+    input is the union of ≤32 local frontiers, output-sized; the
+    adversarial worst case (everything on one frontier) is the problem's
+    own output size, not a plan artifact."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    return pareto_frontier(p, low="price", high="size").orderBy("p_partkey")
+
+
+@query(
+    "q155_chisq_terms",
+    # Counts are exact integers in both engines; the chi² arithmetic is
+    # written with IDENTICAL operand order so the IEEE-double result is
+    # bitwise equal, then rounded at 1e-6 (repo determinism pattern).
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, g AS w
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '[^a-z]+')) AS g
+              FROM documents)
+        WHERE length(g) >= 3
+    ),
+    lab AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y FROM documents),
+    tot AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(lang = 'en' AS BIGINT)) AS BIGINT) AS n_pos
+        FROM documents
+    ),
+    per AS (
+        SELECT t.w,
+               COUNT(*) AS df,
+               CAST(SUM(CAST(l.y AS BIGINT)) AS BIGINT) AS df_pos
+        FROM toks t JOIN lab l ON t.doc_id = l.doc_id
+        GROUP BY t.w
+        HAVING COUNT(*) >= 10
+    )
+    SELECT w AS term, df, df_pos,
+           CAST(ROUND(
+               (CAST(n AS DOUBLE)
+                * CAST(df_pos * (n - n_pos - df + df_pos)
+                       - (df - df_pos) * (n_pos - df_pos) AS DOUBLE)
+                * CAST(df_pos * (n - n_pos - df + df_pos)
+                       - (df - df_pos) * (n_pos - df_pos) AS DOUBLE))
+               / (CAST(df AS DOUBLE) * (n - df) * n_pos * (n - n_pos)),
+               6) AS DOUBLE) AS chi2
+    FROM per CROSS JOIN tot
+    ORDER BY chi2 DESC, term
+    LIMIT 20
+    """,
+)
+def q155_chisq_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: which terms are most associated
+    with the ``lang = 'en'`` label — the classic supervised
+    vocabulary-selection step of a text classifier pipeline. One explode
+    → distinct (doc, term) → one hash aggregate per term carrying both
+    the document frequency and the positive-class frequency; corpus
+    totals ride as a 1-row broadcast, so chi² is a pure projection. The
+    2×2 contingency margins (a=df_pos, b=df−df_pos, c=n_pos−df_pos,
+    d=n−n_pos−df+df_pos) come from integer counts only; products stay
+    under 2^53 through the double conversions, and operand order matches
+    the oracle so the doubles agree bitwise before the 1e-6 round. At
+    100 TB this is exactly the TF-IDF/vocab shuffle shape (q77/q87):
+    shard by term, no corpus-wide state beyond the 1-row totals."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+        )
+        .where(F.length("w") >= 3)
+        .distinct()
+    )
+    lab = d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y"))
+    tot = d.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("lang") == "en").cast("bigint")).alias("n_pos"),
+    )
+    per = (
+        toks.join(lab, "doc_id")
+        .groupBy("w")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum(F.col("y").cast("bigint")).alias("df_pos"),
+        )
+        .where(F.col("df") >= 10)
+    )
+    n, n_pos = F.col("n"), F.col("n_pos")
+    df_, a = F.col("df"), F.col("df_pos")
+    diff = (a * (n - n_pos - df_ + a) - (df_ - a) * (n_pos - a)).cast(
+        "double"
+    )
+    chi2 = F.round(
+        (n.cast("double") * diff * diff)
+        / (df_.cast("double") * (n - df_) * n_pos * (n - n_pos)),
+        6,
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w").alias("term"), "df", "df_pos", chi2.alias("chi2")
+        )
+        .orderBy(F.col("chi2").desc(), "term")
+        .limit(20)
+    )
+
+
+@query(
+    "q156_weighted_median",
+    # Cumulative weights are exact decimals, so the threshold compare
+    # 2*cw >= total has no float boundary; prices pass through exactly.
+    oracle="""
+    WITH pre AS (
+        SELECT l_returnflag AS f, l_extendedprice AS p,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT f, p, SUM(w) OVER (PARTITION BY f ORDER BY p) AS cw
+        FROM pre
+    ),
+    tot AS (SELECT f, SUM(w) AS t FROM pre GROUP BY 1)
+    SELECT cum.f AS l_returnflag, MIN(cum.p) AS weighted_median
+    FROM cum JOIN tot ON cum.f = tot.f
+    WHERE 2 * cum.cw >= tot.t
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q156_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted median extended price per
+    return flag): pre-aggregate to distinct (flag, price) levels FIRST —
+    that collapses the per-flag ordered window from billions of rows to
+    the bounded price domain, which is what makes the cumulative-weight
+    scan safe at 100 TB (the window sorts distinct price levels, not
+    line items; the heavy lifting is the leading hash aggregate with
+    map-side combine). Weights accumulate in DECIMAL(38,6), so the
+    half-total threshold is exact in both engines — the usual
+    float-cumsum nondeterminism under re-partitioning cannot occur."""
+    li = table(spark, sf_dir, "lineitem")
+    pre = li.groupBy(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_extendedprice").alias("p"),
+    ).agg(F.sum(F.col("l_quantity").cast(DEC)).alias("w"))
+    cum = pre.withColumn(
+        "cw",
+        F.sum("w").over(
+            Window.partitionBy("f")
+            .orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = pre.groupBy("f").agg(F.sum("w").alias("t"))
+    return (
+        cum.join(tot, "f")
+        .where(F.lit(2) * F.col("cw") >= F.col("t"))
+        .groupBy(F.col("f").alias("l_returnflag"))
+        .agg(F.min("p").alias("weighted_median"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q157_sorted_neighborhood",
+    oracle="""
+    WITH ranked AS (
+        SELECT p_partkey, p_name,
+               ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+        FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM ranked a JOIN ranked b
+      ON b.rn BETWEEN a.rn + 1 AND a.rn + 5
+    WHERE levenshtein(a.p_name, b.p_name) <= 6
+    ORDER BY id_a, id_b
+    """,
+)
+def q157_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (the third classic blocking
+    family next to LSH bands q40 and q-gram prefixes q42/q115): sort the
+    corpus by a fuzzy key, compare only rows within a w=5 window of the
+    global order, verify candidates with edit distance. The global rank
+    comes from ``operators/globalrank.py`` — per-prefix-bucket sorts plus
+    a broadcast prefix-sum of bucket counts, NOT a single-partition
+    window — and the neighborhood join is an EQUI-join on the w-sized
+    rank block with ±1 fan-out (same cell trick as the q153 geo join),
+    so candidate cost is w·n, never quadratic, and the shuffle key is
+    the block id. Edit distance runs JVM-side (``F.levenshtein``) on
+    candidates only."""
+    w = 5
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    ranked = global_row_number(
+        p, order_cols=["p_name", "p_partkey"], rank_col="rn"
+    )
+    blk = F.floor((F.col("rn") - 1) / w)
+    lhs = (
+        ranked.withColumn("_blk0", blk)
+        .crossJoin(
+            F.broadcast(
+                spark.range(0, 2).select(F.col("id").alias("_d"))
+            )
+        )
+        .select(
+            F.col("p_partkey").alias("id_a"),
+            F.col("p_name").alias("name_a"),
+            F.col("rn").alias("rn_a"),
+            (F.col("_blk0") + F.col("_d")).alias("_blk"),
+        )
+    )
+    rhs = ranked.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("rn").alias("rn_b"),
+        blk.alias("_blk"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        lhs.join(rhs, "_blk")
+        .where(
+            (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") <= F.col("rn_a") + w)
+        )
+        .where(dist <= 6)
+        .select("id_a", "id_b", dist.cast("bigint").alias("dist"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q158_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15'
+      AND l.l_shipdate > TIMESTAMP '1997-03-15'
+    GROUP BY l.l_orderkey, order_day, o.o_orderpriority
+    ORDER BY revenue DESC, order_day, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q158_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: unshipped-revenue top 10 for
+    one market segment — the canonical selective star join. Both date
+    predicates and the segment filter push to the parquet scans; the
+    segment-filtered customer side joins orders on custkey, the result
+    joins lineitem on orderkey (both plain equi-shuffles AQE can
+    re-plan), and revenue sums through DECIMAL(38,6) so the top-10 cut
+    ties identically across engines. The final top-k is
+    TakeOrderedAndProject (per-partition heaps + driver merge of 10
+    rows), not a global sort."""
+    c = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1997-03-15"
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1997-03-15"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            "o_orderpriority",
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "order_day", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "order_day", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q159_seasonal_anomaly",
+    # mean and E[v²] are decimal-exact then rounded at 1e-6; the
+    # anomaly test compares SQUARED residual to 9·variance (no sqrt)
+    # and rounds the difference at 1e-6 before the strict >0, so a
+    # boundary event cannot flip between engines (q124/q153 pattern).
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr, value
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, hr, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) / COUNT(*), 6)
+                    AS DOUBLE) AS mean_v,
+               CAST(ROUND(SUM(CAST(value * value AS DECIMAL(38,6)))
+                          / COUNT(*), 6) AS DOUBLE) AS m2
+        FROM e GROUP BY 1, 2
+    )
+    SELECT e.event_type, e.hr,
+           COUNT(*) AS n,
+           MAX(s.mean_v) AS mean_v,
+           CAST(ROUND(MAX(s.m2) - MAX(s.mean_v) * MAX(s.mean_v), 6)
+                AS DOUBLE) AS variance,
+           CAST(SUM(CAST(ROUND((e.value - s.mean_v) * (e.value - s.mean_v)
+                          - 9 * ROUND(s.m2 - s.mean_v * s.mean_v, 6), 6)
+                    > 0 AS BIGINT)) AS BIGINT) AS n_anomalies
+    FROM e JOIN s ON e.event_type = s.event_type AND e.hr = s.hr
+    GROUP BY e.event_type, e.hr
+    ORDER BY e.event_type, e.hr
+    """,
+)
+def q159_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal baseline anomaly detection: an hour-of-day × event-type
+    baseline (the diurnal profile a metrics pipeline learns) and a
+    3-sigma flag per event against ITS OWN hour's baseline — complements
+    q107's global z-score and q124's MAD by making the reference
+    seasonal. Two hash aggregates on the same (type, hour) key plus one
+    broadcast join of the 120-row baseline back to the stream; variance
+    comes from E[v²]−mean² with both moments decimal-exact before
+    rounding, and the flag compares squared residual to 9·variance so no
+    sqrt enters the boundary. At 100 TB: baseline table stays O(types ×
+    24) regardless of data size — the join never shuffles the events."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hr"), "value"
+    )
+    v = F.col("value")
+    s = e.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(v.cast(DEC)) / F.count("*"), 6)
+        .cast("double")
+        .alias("mean_v"),
+        F.round(F.sum((v * v).cast(DEC)) / F.count("*"), 6)
+        .cast("double")
+        .alias("m2"),
+    )
+    base = F.broadcast(s.select("event_type", "hr", "mean_v", "m2"))
+    j = e.join(base, ["event_type", "hr"])
+    var = F.round(F.col("m2") - F.col("mean_v") * F.col("mean_v"), 6)
+    resid2 = (v - F.col("mean_v")) * (v - F.col("mean_v"))
+    is_anom = (F.round(resid2 - 9 * var, 6) > 0).cast("bigint")
+    return (
+        j.groupBy("event_type", "hr")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("mean_v").alias("mean_v"),
+            F.round(
+                F.max("m2") - F.max("mean_v") * F.max("mean_v"), 6
+            )
+            .cast("double")
+            .alias("variance"),
+            F.sum(is_anom).alias("n_anomalies"),
+        )
+        .orderBy("event_type", "hr")
+    )

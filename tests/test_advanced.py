@@ -1,0 +1,131 @@
+"""Semantics tests for the round-4 advanced analytics operators:
+Pareto frontier vs a brute-force dominance model, scalable global row
+numbering vs the single-window reference, and the weighted-median
+cumulative-weight rule vs an independent Python model."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_trans_spark.catalog import table
+from hadoop_trans_spark.operators.globalrank import global_row_number
+from hadoop_trans_spark.operators.skyline import pareto_frontier
+from hadoop_trans_spark.queries import QUERIES
+
+
+def _brute_frontier(pts):
+    """O(n²) dominance model: keep rows no other row strictly beats."""
+    out = []
+    for i, (_, lo, hi) in enumerate(pts):
+        dominated = any(
+            ql <= lo and qh >= hi and (ql < lo or qh > hi)
+            for j, (_, ql, qh) in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            out.append(pts[i])
+    return sorted(out)
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(max_examples=8, deadline=None)
+def test_pareto_matches_bruteforce_with_duplicates(spark, seed):
+    rng = random.Random(seed)
+    # Small value domains force duplicate points and equal-coordinate
+    # ties — the cases where strict-dominance bookkeeping goes wrong.
+    pts = [
+        (i, float(rng.randint(0, 8)), rng.randint(0, 8))
+        for i in range(rng.randint(1, 60))
+    ]
+    df = spark.createDataFrame(pts, "id long, price double, size long")
+    got = sorted(
+        (r["id"], r["price"], r["size"])
+        for r in pareto_frontier(df, "price", "size", buckets=4).collect()
+    )
+    assert got == _brute_frontier(pts)
+
+
+def test_pareto_all_on_frontier_worst_case(spark):
+    """Price and size strictly increasing together: every tradeoff is
+    incomparable, so every row is on the frontier — the refine phase
+    must keep all of them (output-sized, not pruned)."""
+    pts = [(i, float(i), i) for i in range(50)]
+    df = spark.createDataFrame(pts, "id long, price double, size long")
+    assert pareto_frontier(df, "price", "size").count() == 50
+
+
+def test_global_row_number_equals_single_window(spark, smoke_dir):
+    """The bucketed two-phase rank must reproduce the single-partition
+    window's row_number exactly, including duplicate-name ties broken by
+    the key tie-break."""
+    p = table(spark, smoke_dir, "part").select("p_partkey", "p_name")
+    got = {
+        r["p_partkey"]: r["rn"]
+        for r in global_row_number(
+            p, ["p_name", "p_partkey"], rank_col="rn"
+        ).collect()
+    }
+    ref = {
+        r["p_partkey"]: r["rn"]
+        for r in p.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy("p_name", "p_partkey")),
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_global_row_number_short_keys_and_prefix_collisions(spark):
+    """Keys shorter than the bucket prefix and keys equal in the prefix
+    but diverging later must still rank in total order."""
+    rows = [(i, k) for i, k in enumerate(["ab", "abcd1", "abcd2", "z", ""])]
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = sorted(
+        (r["rn"], r["k"])
+        for r in global_row_number(df, ["k", "id"], rank_col="rn").collect()
+    )
+    assert [k for _, k in got] == ["", "ab", "abcd1", "abcd2", "z"]
+    assert [rn for rn, _ in got] == [1, 2, 3, 4, 5]
+
+
+def test_weighted_median_matches_python_model(spark, smoke_dir):
+    """Smallest price whose cumulative quantity-weight reaches half the
+    total — checked per flag against an independent model."""
+    li = (
+        table(spark, smoke_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    acc: dict[str, list[tuple[float, float]]] = {}
+    for r in li:
+        acc.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], r["l_quantity"])
+        )
+    want = {}
+    for f, pairs in acc.items():
+        pairs.sort()
+        total = sum(w for _, w in pairs)
+        cum = 0.0
+        for p, w in pairs:
+            cum += w
+            if 2 * cum >= total:
+                want[f] = p
+                break
+    got = {
+        r["l_returnflag"]: r["weighted_median"]
+        for r in QUERIES["q156_weighted_median"](spark, smoke_dir).collect()
+    }
+    assert got == want
+
+
+def test_seasonal_anomaly_counts_bounded_and_nonnegative(spark, smoke_dir):
+    rows = QUERIES["q159_seasonal_anomaly"](spark, smoke_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_anomalies"] <= r["n"]
+        assert r["variance"] >= 0.0

@@ -454,3 +454,50 @@ def test_correlated_subqueries_are_decorrelated(spark, smoke_dir):
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "subquery" not in optimized.lower(), optimized
     assert "exists" not in optimized.lower(), optimized
+
+
+def test_sorted_neighborhood_ranks_partitioned_and_join_equi(spark, smoke_dir):
+    """q157: both row_number windows must be partitioned by the prefix
+    bucket (per-bucket parallel sorts), the only SinglePartition
+    exchanges may feed the metadata-sized bucket-count prefix sums, and
+    the candidate join must be an equi-join on the rank block — not a
+    cartesian rank-range join."""
+    import re
+
+    df = QUERIES["q157_sorted_neighborhood"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # every row_number window is partitioned (opens with the bucket
+    # column list, not directly with an ORDER column over p_name)
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\((\w+)#", plan):
+        assert m.group(1) == "_bkt", plan
+    # the neighborhood join is equi on the block id
+    assert re.search(r"Join \[_blk#\d+L?\], \[_blk#\d+L?\], Inner", plan), plan
+    # unpartitioned windows exist only for the tiny bucket-count prefix
+    # sum (ordered by _bkt)
+    for m in re.finditer(r"windowspecdefinition\((\w+)#\d+ ASC", plan):
+        assert m.group(1) in {"_bkt"}, plan
+
+
+def test_shipping_priority_pushdown_and_topk(spark, smoke_dir):
+    """q158: all three scan predicates (segment, order date, ship date)
+    must reach the parquet scans, and the top-10 must be
+    TakeOrderedAndProject (per-partition heaps), never a global sort."""
+    df = QUERIES["q158_shipping_priority"](spark, smoke_dir)
+    pushed = " ".join(p for p in pushed_filters(df))
+    for col in ("c_mktsegment", "o_orderdate", "l_shipdate"):
+        assert col in pushed, pushed
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_seasonal_baseline_joins_broadcast_no_shuffle_of_events(
+    spark, smoke_dir
+):
+    """q159: the O(types×24) baseline joins back to events as a
+    broadcast hash join — re-shuffling the event stream for a 120-row
+    lookup is the scale bug the hint prevents."""
+    df = QUERIES["q159_seasonal_anomaly"](spark, smoke_dir)
+    assert broadcast_joins(df) >= 1, explain_formatted(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
