@@ -31,6 +31,13 @@ def _configure(spark: SparkSession) -> SparkSession:
     # the catalog (hadoop_trans_spark.catalog.table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # The driver's Python workers may not have this repo on sys.path
+    # (the JVM's cwd is the driver's, not ours) — ship the package so
+    # worker-side closures that reference module-level helpers resolve
+    # (the runtime equivalent of spark-submit --py-files).
+    from hadoop_trans_spark.shipping import ship_package
+
+    ship_package(spark)
     return spark
 
 

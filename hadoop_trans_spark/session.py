@@ -101,4 +101,11 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Python workers inherit the JVM's cwd, not this repo's location —
+    # ship the package so worker-side references to module-level helpers
+    # (and the Python DataSource class) import there regardless of where
+    # the process was launched (runtime --py-files; see shipping.py).
+    from .shipping import ship_package
+
+    ship_package(spark)
     return spark
