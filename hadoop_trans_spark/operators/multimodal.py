@@ -435,3 +435,113 @@ def decode_ppm_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(_decode, FEATURE_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.StringType()),
+        T.StructField("payload_md5", T.StringType()),
+    ]
+)
+
+
+def attach_banded_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Rows → 16×8 P6 PPM media rows with a white 2-row band at row
+    2·(id%4) over a per-doc solid fill (id%200, id·7%256, id·13%256).
+
+    The band POSITION is the visual structure; the fill is per-doc
+    noise. Because fill gray < 255 always holds, an average-hash's
+    threshold keeps exactly the band cells — so images with the same
+    band position are visual near-duplicates with DIFFERENT bytes,
+    the ground truth the perceptual-hash query verifies against."""
+    import hashlib
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf[id_col]:
+                i_d = int(doc_id)
+                w, h = 16, 8
+                r, g, b = i_d % 200, (i_d * 7) % 256, (i_d * 13) % 256
+                band = 2 * (i_d % 4)
+                px = bytearray()
+                for y in range(h):
+                    row = (
+                        b"\xff\xff\xff" * w
+                        if y in (band, band + 1)
+                        else bytes((r, g, b)) * w
+                    )
+                    px += row
+                payload = f"P6\n{w} {h}\n255\n".encode("ascii") + bytes(px)
+                rows["doc_id"].append(i_d)
+                rows["payload"].append(payload)
+                rows["meta"].append(
+                    {
+                        "mime": PPM_MIME,
+                        "n_bytes": len(payload),
+                        "checksum": hashlib.sha256(payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col)).mapInPandas(_encode, MEDIA_SCHEMA)
+
+
+def ahash_ppm(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over decoded P6 PPM payloads:
+    grayscale → 8×8 block-mean downsample → threshold each cell against
+    the mean of cell means → 64-bit hash (16 hex chars). Byte-different
+    images with the same coarse structure (brightness-shifted fills,
+    recompressions) collapse to one hash; hash equality buckets are the
+    candidate groups of an image dedup pipeline — the pixel-domain
+    analogue of SimHash's one-projection near-dup (operators/simhash.py).
+    Pure numpy inside Arrow-batched mapInPandas; at 100 TB this is a
+    payload-pruning map followed by a hash groupBy, the cheapest dedup
+    shape there is."""
+    import hashlib
+
+    import numpy as np
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in AHASH_SCHEMA.fields}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["mime"] != PPM_MIME:
+                    raise NotImplementedError(
+                        f"no image decoder for {meta['mime']!r}"
+                    )
+                buf = bytes(payload)
+                magic, dims, maxval_rest = buf.split(b"\n", 2)
+                if magic != b"P6":
+                    raise ValueError(f"bad PPM magic in doc {doc_id}")
+                w, h = (int(v) for v in dims.split())
+                _maxval, raw = maxval_rest.split(b"\n", 1)
+                px = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3)
+                gray = px.astype(np.float64).reshape(h, w, 3).mean(axis=2)
+                # 8×8 block means with integer cell boundaries
+                # floor(i·dim/8) — exact for any dim ≥ 8, no resampling
+                # library needed.
+                ys = [h * i // 8 for i in range(9)]
+                xs = [w * i // 8 for i in range(9)]
+                cells = np.array(
+                    [
+                        [
+                            gray[ys[r]: ys[r + 1], xs[c]: xs[c + 1]].mean()
+                            for c in range(8)
+                        ]
+                        for r in range(8)
+                    ]
+                )
+                bits = (cells > cells.mean()).flatten()
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                rows["doc_id"].append(int(doc_id))
+                rows["ahash"].append(f"{val:016x}")
+                rows["payload_md5"].append(hashlib.md5(buf).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_hash, AHASH_SCHEMA)

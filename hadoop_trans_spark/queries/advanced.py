@@ -1,8 +1,9 @@
 """Round-4 analytics additions: skyline/Pareto frontier, chi-square
 feature selection, weighted median, sorted-neighborhood dedup blocking,
-TPC-H-Q3-style shipping priority, and seasonal hour-of-day anomaly
-baselines (SURVEY §2C extensions; no counterpart in the reference, which
-only migrates partition bytes — TransTablePartition.java:46-80).
+TPC-H-Q3/Q18-shaped star joins, seasonal hour-of-day anomaly baselines,
+OHLC bars, and incremental materialized-view maintenance (SURVEY §2C
+extensions; no counterpart in the reference, which only migrates
+partition bytes — TransTablePartition.java:46-80).
 
 Scale notes per query live in each docstring; the shared rule is the
 repo-wide one: every shuffle is keyed (bucket id, term, group), the only
@@ -409,4 +410,187 @@ def q159_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(is_anom).alias("n_anomalies"),
         )
         .orderBy("event_type", "hr")
+    )
+
+
+@query(
+    "q160_ohlc_bars",
+    # open/close pick values by a zero-padded (epoch_us, event_id)
+    # string key — fixed-width lexicographic == numeric order, and the
+    # composite makes the pick deterministic even under equal
+    # timestamps (arg_min/min_by on the raw ts would tie-break
+    # arbitrarily, differently per engine/schedule).
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               value,
+               format('{{:020d}}-{{:012d}}', epoch_us(ts), event_id) AS k
+        FROM events
+    )
+    SELECT event_type, day,
+           arg_min(value, k) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, k) AS close,
+           {o_dsum('value')} AS volume,
+           COUNT(*) AS n
+    FROM e GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+)
+def q160_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars (open/high/low/close + volume per type and
+    day) — the financial/metrics downsampling shape. One hash aggregate:
+    open/close are ``min_by``/``max_by`` over a zero-padded
+    (epoch_us, event_id) key, so first/last need NO ordered window and
+    NO per-group sort — at 100 TB this is a single map-side-combining
+    shuffle on (type, day), the cheapest possible plan for bar-building.
+    Volume sums through DECIMAL(38,6) (order-independent)."""
+    e = table(spark, sf_dir, "events")
+    k = F.format_string(
+        "%020d-%012d",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.col("event_id"),
+    )
+    return (
+        e.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "value",
+            k.alias("k"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("value", F.col("k")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("k")).alias("close"),
+            dsum("value").alias("volume"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "q161_incremental_rollup",
+    # The oracle recomputes the rollup FROM SCRATCH over all orders —
+    # the merged base+delta view must be indistinguishable from it
+    # (the algebraic-mergeability contract of incremental maintenance).
+    oracle=f"""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           o_orderpriority,
+           {o_dsum('o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY month, o_orderpriority
+    ORDER BY month, o_orderpriority
+    """,
+)
+def q161_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a monthly
+    revenue-by-priority rollup is maintained as BASE (history before the
+    cutover) plus DELTA (the new batch), merged by a full-outer
+    coalesce-and-add — never by re-aggregating history. This works
+    because sum/count are algebraically mergeable (the same property
+    q144's HLL sketches use for distincts); the oracle recomputes from
+    scratch and must be indistinguishable. At 100 TB the base aggregate
+    is a stored table and only the delta (one day/batch of data) is
+    scanned per refresh — the merge itself joins two rollup-sized
+    tables, not fact data. Decimal partial sums make base+delta exactly
+    equal to the from-scratch sum regardless of the split point."""
+    cut = "1999-01-01"
+    o = table(spark, sf_dir, "orders")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_orderpriority",
+        ).agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"),
+            F.count("*").alias("n"),
+        )
+
+    base = rollup(o.where(F.col("o_orderdate") < cut))
+    delta = rollup(o.where(F.col("o_orderdate") >= cut))
+    zero = F.lit(0).cast(DEC)
+    merged = (
+        base.withColumnsRenamed({"rev": "rev_b", "n": "n_b"})
+        .join(
+            delta.withColumnsRenamed({"rev": "rev_d", "n": "n_d"}),
+            ["month", "o_orderpriority"],
+            "full_outer",
+        )
+        .select(
+            "month",
+            "o_orderpriority",
+            F.round(
+                F.coalesce(F.col("rev_b"), zero)
+                + F.coalesce(F.col("rev_d"), zero),
+                6,
+            )
+            .cast("double")
+            .alias("revenue"),
+            (
+                F.coalesce(F.col("n_b"), F.lit(0))
+                + F.coalesce(F.col("n_d"), F.lit(0))
+            ).alias("n_orders"),
+        )
+    )
+    return merged.orderBy("month", "o_orderpriority")
+
+
+@query(
+    "q162_large_volume_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+           o.o_totalprice,
+           {o_dsum('l.l_quantity')} AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, order_day, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q162_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-customer query: orders whose total
+    quantity exceeds 300, with their customer and full quantity — the
+    classic agg-filtered semi-join. The HAVING aggregate runs FIRST and
+    its key set semi-joins back into lineitem (Catalyst keeps it a
+    left-semi on orderkey), so the expensive 3-way join only ever sees
+    qualifying orders — at 100 TB the selectivity of the HAVING filter
+    (a few in 10⁴) is what makes this plan cheap, and the final top-20
+    is TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
+        .where(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(big.withColumnsRenamed({"l_orderkey": "o_orderkey"}), "o_orderkey", "left_semi")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            "o_totalprice",
+        )
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
     )

@@ -278,3 +278,54 @@ def q152_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("features")[1], 6).alias("mean_g"),
         F.round(F.col("features")[2], 6).alias("mean_b"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q163_ahash_neardup",
+    # Ground truth is the synthesis rule: hash groups == band-position
+    # classes (doc_id % 4), because the aHash threshold provably keeps
+    # exactly the band cells for any fill with gray < 255. The oracle
+    # states the groups from the parameters; the Spark side must arrive
+    # at the same partition via actual byte-level decode + hashing.
+    # Distinct-payload counts prove members really differ byte-wise.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id % 4 AS band,
+               CAST(doc_id % 200 AS VARCHAR) || ':' ||
+               CAST((doc_id * 7) % 256 AS VARCHAR) || ':' ||
+               CAST((doc_id * 13) % 256 AS VARCHAR) AS fill
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT fill) AS BIGINT) AS n_distinct_payloads,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM d GROUP BY band
+    ORDER BY min_doc
+    """,
+)
+def q163_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup via average-hash: byte-DIFFERENT images
+    (every doc gets its own fill color) whose visual structure matches
+    (same white-band position) must collapse to the same 64-bit aHash —
+    the image-domain dedup family member next to MinHash (text, q40),
+    SimHash (q41), and embedding cosine (q43). Pipeline: synthesize P6
+    payloads → numpy block-mean aHash inside mapInPandas → groupBy hash.
+    The output drops the hash value itself (the oracle cannot know it)
+    and reports group structure: sizes, distinct-payload counts (proving
+    members differ in bytes), and min doc id as the group key. At 100 TB
+    the hash groupBy is a 16-byte-key shuffle after payloads are pruned
+    executor-side — nothing image-sized ever moves."""
+    from ..operators.multimodal import ahash_ppm, attach_banded_ppm
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    hashed = ahash_ppm(attach_banded_ppm(docs))
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("payload_md5").alias("n_distinct_payloads"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .drop("ahash")
+        .orderBy("min_doc")
+    )

@@ -129,3 +129,108 @@ def test_seasonal_anomaly_counts_bounded_and_nonnegative(spark, smoke_dir):
     for r in rows:
         assert 0 <= r["n_anomalies"] <= r["n"]
         assert r["variance"] >= 0.0
+
+
+def test_ahash_brightness_invariant_band_sensitive(spark):
+    """Perceptual contract: images differing only in fill brightness
+    hash equal; images with a different band position hash different."""
+    from hadoop_trans_spark.operators.multimodal import (
+        ahash_ppm,
+        attach_banded_ppm,
+    )
+
+    # doc_ids 4 and 8: band = 0 for both, different fills; 5: band = 1.
+    df = spark.createDataFrame([(4,), (8,), (5,)], "doc_id long")
+    rows = {r["doc_id"]: r for r in ahash_ppm(attach_banded_ppm(df)).collect()}
+    assert rows[4]["ahash"] == rows[8]["ahash"]
+    assert rows[4]["payload_md5"] != rows[8]["payload_md5"]
+    assert rows[4]["ahash"] != rows[5]["ahash"]
+
+
+def test_ahash_rejects_non_ppm_mime(spark):
+    from hadoop_trans_spark.operators.multimodal import (
+        ahash_ppm,
+        attach_binary,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    try:
+        ahash_ppm(attach_binary(df)).collect()
+        raise AssertionError("expected NotImplementedError for bad mime")
+    except Exception as ex:
+        assert "no image decoder" in str(ex)
+
+
+def test_ohlc_open_close_match_python_model(spark, smoke_dir):
+    """q160's min_by/max_by picks must equal the first/last value under
+    the total (ts, event_id) order computed independently."""
+    ev = table(spark, smoke_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    ).collect()
+    acc: dict[tuple, list] = {}
+    for r in ev:
+        key = (r["event_type"], r["ts"].strftime("%Y-%m-%d"))
+        acc.setdefault(key, []).append((r["ts"], r["event_id"], r["value"]))
+    want = {}
+    for key, rows in acc.items():
+        rows.sort()
+        want[key] = (rows[0][2], rows[-1][2])
+    got = {
+        (r["event_type"], r["day"]): (r["open"], r["close"])
+        for r in QUERIES["q160_ohlc_bars"](spark, smoke_dir).collect()
+    }
+    assert got == want
+
+
+def test_incremental_rollup_invariant_to_cut_date(spark, smoke_dir):
+    """The base/delta merge must produce identical rollups regardless of
+    where history is cut — the algebraic-mergeability property itself."""
+    from hadoop_trans_spark.queries.base import DEC
+
+    baseline = [
+        tuple(r)
+        for r in QUERIES["q161_incremental_rollup"](spark, smoke_dir).collect()
+    ]
+
+    o = table(spark, smoke_dir, "orders")
+
+    def rollup(df):
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_orderpriority",
+        ).agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"),
+            F.count("*").alias("n"),
+        )
+
+    for cut in ("1995-06-01", "2001-01-01"):
+        base, delta = (
+            rollup(o.where(F.col("o_orderdate") < cut)),
+            rollup(o.where(F.col("o_orderdate") >= cut)),
+        )
+        zero = F.lit(0).cast(DEC)
+        merged = (
+            base.withColumnsRenamed({"rev": "rev_b", "n": "n_b"})
+            .join(
+                delta.withColumnsRenamed({"rev": "rev_d", "n": "n_d"}),
+                ["month", "o_orderpriority"],
+                "full_outer",
+            )
+            .select(
+                "month",
+                "o_orderpriority",
+                F.round(
+                    F.coalesce(F.col("rev_b"), zero)
+                    + F.coalesce(F.col("rev_d"), zero),
+                    6,
+                )
+                .cast("double")
+                .alias("revenue"),
+                (
+                    F.coalesce(F.col("n_b"), F.lit(0))
+                    + F.coalesce(F.col("n_d"), F.lit(0))
+                ).alias("n_orders"),
+            )
+            .orderBy("month", "o_orderpriority")
+        )
+        assert [tuple(r) for r in merged.collect()] == baseline, cut
