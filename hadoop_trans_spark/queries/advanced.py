@@ -594,3 +594,292 @@ def q162_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "q164_countmin_freq",
+    # The sketch is DETERMINISTIC given the md5-derived row hashes, so
+    # both engines build bit-identical cell tables; estimates are exact
+    # integer minima. The flag column states CM's one-sided guarantee.
+    oracle="""
+    WITH keys AS (
+        SELECT l_partkey AS k, md5(CAST(l_partkey AS VARCHAR)) AS hh
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT j,
+               CAST('0x' || substr(hh, 1 + 8 * j, 8) AS BIGINT) % 1024
+                   AS cell,
+               COUNT(*) AS c
+        FROM keys CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u
+        GROUP BY 1, 2
+    ),
+    probe AS (
+        SELECT k, MIN(hh) AS hh, COUNT(*) AS exact_n FROM keys
+        WHERE k % 97 = 0 GROUP BY k
+    ),
+    probecells AS (
+        SELECT p.k, p.exact_n, u.j,
+               CAST('0x' || substr(p.hh, 1 + 8 * u.j, 8) AS BIGINT) % 1024
+                   AS cell
+        FROM probe p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u
+    ),
+    est AS (
+        SELECT pc.k, pc.exact_n, MIN(c.c) AS cm_est
+        FROM probecells pc
+        JOIN cells c ON c.j = pc.j AND c.cell = pc.cell
+        GROUP BY pc.k, pc.exact_n
+    )
+    SELECT k AS l_partkey, exact_n, cm_est,
+           CAST(cm_est >= exact_n AS INT) AS never_underestimates
+    FROM est ORDER BY l_partkey
+    """,
+)
+def q164_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation: a d=4 × w=1024 cell table
+    built with ONE pass (explode over the 4 hash rows + hash aggregate),
+    probed for a deterministic key sample and checked against exact
+    counts — including CM's one-sided error guarantee (estimates never
+    undercount). The cell table is d·w-sized REGARDLESS of data volume
+    and mergeable across partitions/days by cell-wise addition — the
+    bounded-memory frequency story that complements q129's approx_top_k
+    and q144's HLL distincts. At 100 TB: the shuffle carries 4096 cells,
+    not keys; probes broadcast-join against the cell table."""
+    # ONE md5 per row, sliced into the 4 row-hashes (8 hex chars each)
+    # — 4× less hashing than per-(row, j) digests, and the slices of a
+    # single md5 are as independent as CM needs.
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k"),
+        F.md5(F.col("l_partkey").cast("string")).alias("hh"),
+    )
+    rows4 = F.broadcast(
+        spark.range(0, 4).select(F.col("id").cast("int").alias("j"))
+    )
+    slice_cell = (
+        F.conv(
+            F.substring("hh", F.lit(1) + F.lit(8) * F.col("j"), 8), 16, 10
+        ).cast("long")
+        % 1024
+    ).alias("cell")
+    hashed = li.crossJoin(rows4).select("k", "j", slice_cell)
+    cells = hashed.groupBy("j", "cell").agg(F.count("*").alias("c"))
+    probe = (
+        li.where(F.col("k") % 97 == 0)
+        .groupBy("k")
+        .agg(F.min("hh").alias("hh"), F.count("*").alias("exact_n"))
+    )
+    probe_cells = probe.crossJoin(rows4).select(
+        "k", "exact_n", "j", slice_cell
+    )
+    est = (
+        probe_cells.join(F.broadcast(cells), ["j", "cell"])
+        .groupBy("k", "exact_n")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    return est.select(
+        F.col("k").alias("l_partkey"),
+        "exact_n",
+        "cm_est",
+        (F.col("cm_est") >= F.col("exact_n")).cast("int").alias(
+            "never_underestimates"
+        ),
+    ).orderBy("l_partkey")
+
+
+@query(
+    "q165_revenue_concentration",
+    oracle=f"""
+    WITH rev AS (
+        SELECT p.p_brand,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(38,6))) AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    ),
+    tot AS (SELECT SUM(r) AS t FROM rev),
+    ranked AS (
+        SELECT p_brand, r, t,
+               SUM(r) OVER (ORDER BY r DESC, p_brand) AS cum
+        FROM rev CROSS JOIN tot
+    )
+    SELECT p_brand,
+           CAST(ROUND(r, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(cum / t, 6) AS DOUBLE) AS cum_share,
+           CAST(cum / t <= 0.8 OR (cum - r) / t < 0.8 AS INT) AS in_top80
+    FROM ranked
+    ORDER BY revenue DESC, p_brand
+    """,
+)
+def q165_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto 80/20 analysis): brands ranked by
+    revenue with cumulative share and the heads that cover 80% — the BI
+    staple for catalog curation. The cumulative window runs over the
+    BRAND aggregate (a few dozen rows), never the fact table, so the one
+    unpartitioned window is metadata-sized by construction (the repo-wide
+    sweep-line rule, q127). Revenue sums through DECIMAL(38,6); shares
+    divide exact decimals and round at 1e-6, and the in_top80 flag uses
+    the exclusive-prefix rule (a brand is in the head if the mass BEFORE
+    it is still under 80%) so the boundary brand is included identically
+    in both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    DEC
+                )
+            ).alias("r")
+        )
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    w = Window.orderBy(F.col("r").desc(), "p_brand").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "cum", F.sum("r").over(w)
+    )
+    return ranked.select(
+        "p_brand",
+        F.round(F.col("r"), 2).cast("double").alias("revenue"),
+        F.round(F.col("cum") / F.col("t"), 6).cast("double").alias(
+            "cum_share"
+        ),
+        (
+            (F.col("cum") / F.col("t") <= 0.8)
+            | ((F.col("cum") - F.col("r")) / F.col("t") < 0.8)
+        )
+        .cast("int")
+        .alias("in_top80"),
+    ).orderBy(F.col("revenue").desc(), "p_brand")
+
+
+@query(
+    "q166_null_semantics",
+    # The battery pins the exact NULL rules an engine must get right:
+    # COUNT(col) skips nulls, GROUP BY keeps a null group, and a
+    # null-safe join (<=> / IS NOT DISTINCT FROM) matches null to null
+    # where a plain equi-join silently drops both.
+    oracle="""
+    WITH a AS (
+        SELECT NULLIF(o_orderstatus, 'O') AS k,
+               COUNT(*) AS n_rows,
+               COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonnull_keys
+        FROM orders GROUP BY 1
+    ),
+    b AS (
+        SELECT NULLIF(l_linestatus, 'O') AS k, COUNT(*) AS n_items
+        FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(a.k, '<null>') AS k,
+           a.n_rows, a.n_nonnull_keys,
+           COALESCE(b.n_items, 0) AS n_items
+    FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY k
+    """,
+)
+def q166_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics battery: GROUP BY must keep a null group,
+    COUNT(col) must skip nulls while COUNT(*) does not, and the join
+    must be NULL-SAFE (Spark ``eqNullSafe`` / SQL ``<=>``) so the null
+    groups of both sides actually meet — a plain equi-join drops them
+    silently, the classic reconciliation bug. Coverage-style query: the
+    cross-engine hash proves all three rules match ANSI behavior."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    a = o.groupBy(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.nullif(F.col("o_orderstatus"), F.lit("O"))).alias(
+            "n_nonnull_keys"
+        ),
+    )
+    b = li.groupBy(
+        F.nullif(F.col("l_linestatus"), F.lit("O")).alias("kb")
+    ).agg(F.count("*").alias("n_items"))
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("kb")), "left")
+        .select(
+            F.coalesce(F.col("k"), F.lit("<null>")).alias("k"),
+            "n_rows",
+            "n_nonnull_keys",
+            F.coalesce(F.col("n_items"), F.lit(0)).alias("n_items"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "q167_linear_attribution",
+    # Per-touch credit = purchase value / touch count; each credit is
+    # rounded at 1e-9, summed through DECIMAL(38,9), rounded at 1e-6
+    # (q133's per-term determinism pattern), so engines tie exactly.
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id AS pid, user_id, ts AS pts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    ),
+    touch AS (
+        SELECT p.pid, p.value, c.cts,
+               COUNT(*) OVER (PARTITION BY p.pid) AS n_touch
+        FROM purchases p
+        JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.cts < p.pts
+         AND c.cts >= p.pts - INTERVAL 24 HOURS
+    )
+    SELECT strftime(date_trunc('day', cts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_touches,
+           CAST(ROUND(SUM(CAST(ROUND(value / n_touch, 9)
+                                AS DECIMAL(38,9))), 6) AS DOUBLE) AS credit
+    FROM touch
+    GROUP BY day ORDER BY day
+    """,
+)
+def q167_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution: each purchase's value splits
+    equally across the user's click touches in the preceding 24 h, and
+    credit rolls up by click day — the marketing-analytics workload that
+    generalizes q10's single-touch as-of join. The touch join is an
+    EQUI-join on user_id with the time band as a post-filter (bounded
+    per-user fan-out), and the per-purchase touch count is a window
+    partitioned by purchase id — nothing global anywhere. At 100 TB:
+    shuffle by user_id (the natural skew key — salting via q61 if one
+    user dominates), then one hash aggregate by day."""
+    e = table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    touch = (
+        p.join(c, "user_id")
+        .where(
+            (F.col("cts") < F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+        )
+        .withColumn(
+            "n_touch", F.count("*").over(Window.partitionBy("pid"))
+        )
+    )
+    credit = F.round(F.col("value") / F.col("n_touch"), 9).cast(
+        "decimal(38,9)"
+    )
+    return (
+        touch.groupBy(F.date_format("cts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.round(F.sum(credit), 6).cast("double").alias("credit"),
+        )
+        .orderBy("day")
+    )

@@ -234,3 +234,59 @@ def test_incremental_rollup_invariant_to_cut_date(spark, smoke_dir):
             .orderBy("month", "o_orderpriority")
         )
         assert [tuple(r) for r in merged.collect()] == baseline, cut
+
+
+def test_countmin_never_underestimates(spark, smoke_dir):
+    rows = QUERIES["q164_countmin_freq"](spark, smoke_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cm_est"] >= r["exact_n"]
+        assert r["never_underestimates"] == 1
+
+
+def test_revenue_concentration_shares_monotone_to_one(spark, smoke_dir):
+    rows = QUERIES["q165_revenue_concentration"](spark, smoke_dir).collect()
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares)
+    assert abs(shares[-1] - 1.0) < 1e-6
+    flags = [r["in_top80"] for r in rows]
+    assert flags == sorted(flags, reverse=True)  # head is a prefix
+
+
+def test_linear_attribution_matches_python_model(spark, smoke_dir):
+    """Total attributed credit must equal the summed value of purchases
+    that HAVE at least one touch, and per-day credits must match an
+    independent model."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    ev = table(spark, smoke_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    ).collect()
+    clicks = defaultdict(list)
+    for r in ev:
+        if r["event_type"] == "click":
+            clicks[r["user_id"]].append(r["ts"])
+    want = defaultdict(lambda: [0, 0.0])
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        touches = [
+            t
+            for t in clicks[r["user_id"]]
+            if r["ts"] - timedelta(hours=24) <= t < r["ts"]
+        ]
+        if not touches:
+            continue
+        for t in touches:
+            day = t.strftime("%Y-%m-%d")
+            want[day][0] += 1
+            want[day][1] += round(r["value"] / len(touches), 9)
+    got = {
+        r["day"]: (r["n_touches"], r["credit"])
+        for r in QUERIES["q167_linear_attribution"](spark, smoke_dir).collect()
+    }
+    assert set(got) == set(want)
+    for day, (n, credit) in got.items():
+        assert n == want[day][0]
+        assert abs(credit - round(want[day][1], 6)) < 1e-6, day
