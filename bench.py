@@ -69,6 +69,11 @@ HEADLINE = [
     "q127_session_concurrency",
     "q133_bm25_topk",
     "q140_triangle_count",
+    "q154_pareto_frontier",
+    "q157_sorted_neighborhood",
+    "q160_ohlc_bars",
+    "q163_ahash_neardup",
+    "q164_countmin_freq",
 ]
 
 

@@ -496,11 +496,20 @@ def q133_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines. At 100 TB the tf aggregate shards by
     (doc, term) hash and the query-term join stays broadcast for any real
     query (terms ≪ vocab); nothing else is corpus-wide."""
+    from ..operators.stage import materialize_stage
+
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
     ).where(F.length("w") >= 4)
-    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    # tf feeds FOUR branches (score join, doc lengths, document
+    # frequencies, avgdl); without materialization each branch re-scans
+    # and re-tokenizes the corpus (5 FileScans measured — at 100 TB,
+    # five corpus passes). One eager localCheckpoint turns that into a
+    # single tokenize + shuffle; the branches read stored blocks.
+    tf = materialize_stage(
+        toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("c").alias("dl"))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
