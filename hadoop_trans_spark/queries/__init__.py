@@ -23,6 +23,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     streaming,
     graph,
     advanced,
+    starshapes,
 )
 from .base import ORACLE, QUERIES
 
