@@ -611,3 +611,205 @@ def q134_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q174_boilerplate_coverage",
+    oracle=r"""
+    WITH arr AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           w -> length(w) >= 1) AS a
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a)),
+                      i -> a[i] || ' ' || a[i + 1])) AS g
+        FROM arr
+    ),
+    df AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM bg GROUP BY 1),
+    boiler AS (SELECT g FROM df WHERE df >= 25)
+    SELECT b.doc_id AS doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN bo.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_templated,
+           CAST(ROUND(CAST(SUM(CASE WHEN bo.g IS NOT NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+             AS boiler_ratio
+    FROM bg b LEFT JOIN boiler bo ON b.g = bo.g
+    GROUP BY 1
+    HAVING COUNT(*) >= 1
+    ORDER BY 1
+    """,
+)
+def q174_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Templated-span (boilerplate) coverage: the CCNet/RefinedWeb-style
+    quality signal that measures how much of a document consists of
+    spans repeated verbatim across the corpus (navigation chrome, cookie
+    banners, license footers). A span here is a word bigram; a span is
+    "templated" when it occurs in >= 25 distinct documents, and each
+    document reports the fraction of its spans that are templated — the
+    filter upstream pipelines threshold on before training. Plan shape:
+    one pass builds per-doc token arrays, bigram occurrences explode
+    from a JVM-side index transform (order irrelevant here, no window),
+    the document-frequency table is one hash aggregate keyed on the
+    span, and coverage is a span-keyed left join back to the occurrence
+    stream + one per-doc aggregate. At 100 TB both shuffles are keyed on
+    the span text (Zipf-skewed; AQE skew-split handles the head spans)
+    and the df table is never broadcast — span vocabularies follow
+    Heaps' law like word vocabularies (q118). The distinct-doc count
+    per span is a partial-aggregated count(distinct) over (span, doc)
+    pairs, not a collect."""
+    d = table(spark, sf_dir, "documents")
+    arr = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"),
+            lambda w: F.length(w) >= 1,
+        ).alias("a"),
+    )
+    bg = arr.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("a") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    boiler = (
+        bg.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 25)
+        .select("g", F.lit(1).alias("is_b"))
+    )
+    return (
+        bg.join(boiler, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_b"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_templated"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_b"), F.lit(0))).cast("double")
+                / F.count("*"),
+                6,
+            )
+            .cast("double")
+            .alias("boiler_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q175_bigram_lm_interp",
+    # Probability arithmetic is written with IDENTICAL operand order in
+    # both engines (0.7 * (cb / c1) + 0.3 * (c2 / T)), each log term is
+    # rounded at 1e-9, and the per-doc mean is a decimal(38,9) sum over
+    # those rounded terms — partitioning/AQE order cannot move it.
+    oracle=r"""
+    WITH arr AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           w -> length(w) >= 1) AS a
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(a) AS w FROM arr),
+    uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+    tu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks),
+    occ AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a)),
+                      i -> struct_pack(w1 := a[i], w2 := a[i + 1]))) AS s
+        FROM arr
+    ),
+    occ2 AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM occ),
+    bi AS (SELECT w1, w2, COUNT(*) AS cb FROM occ2 GROUP BY 1, 2)
+    SELECT o.doc_id AS doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(ROUND(SUM(CAST(ROUND(ln(
+                    0.7 * (CAST(b.cb AS DOUBLE) / u1.c)
+                  + 0.3 * (CAST(u2.c AS DOUBLE) / tu.t)), 9)
+                AS DECIMAL(38,9))) / COUNT(*), 4) AS DOUBLE) AS mean_logprob
+    FROM occ2 o
+    JOIN bi b ON o.w1 = b.w1 AND o.w2 = b.w2
+    JOIN uni u1 ON o.w1 = u1.w
+    JOIN uni u2 ON o.w2 = u2.w
+    CROSS JOIN tu
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q175_bigram_lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring: mean log-probability
+    of each document under a Jelinek-Mercer-smoothed bigram model
+    (p = 0.7·p_bigram + 0.3·p_unigram) estimated from the corpus itself —
+    the next step up from q118's unigram perplexity filter, sensitive to
+    word ORDER, so shuffled/garbled text scores low even when its word
+    histogram looks fine. Counts come from two hash aggregates (unigram,
+    bigram); scoring joins the per-doc bigram occurrence stream back to
+    both count tables by key. Like q118/q126, neither count table is
+    force-broadcast (Heaps' law: at 100 TB the bigram table is far past
+    the broadcast threshold; AQE decides), the 1-row token total is, and
+    every join is a keyed equi-join — the scoring pass is exactly the
+    TF-IDF shuffle shape. Backoff never hits zero because every scored
+    bigram exists in the corpus it was counted from; a held-out variant
+    would add the unigram floor the interpolation already provides."""
+    d = table(spark, sf_dir, "documents")
+    arr = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"),
+            lambda w: F.length(w) >= 1,
+        ).alias("a"),
+    )
+    toks = arr.select(F.explode("a").alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tu = toks.agg(F.count("*").cast("double").alias("t"))
+    occ = arr.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("a") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> struct(element_at(a, i) AS w1,"
+                    "             element_at(a, i + 1) AS w2))"
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+    bi = occ.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    u1 = uni.select(F.col("w").alias("u1w"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("u2w"), F.col("c").alias("c2"))
+    bik = bi.select(
+        F.col("w1").alias("bw1"), F.col("w2").alias("bw2"), "cb"
+    )
+    p = F.lit(0.7) * (F.col("cb").cast("double") / F.col("c1")) + F.lit(
+        0.3
+    ) * (F.col("c2").cast("double") / F.col("t"))
+    logterm = F.round(F.log(p), 9).cast("decimal(38,9)")
+    return (
+        occ.join(
+            bik, (F.col("w1") == F.col("bw1")) & (F.col("w2") == F.col("bw2"))
+        )
+        .join(u1, F.col("w1") == F.col("u1w"))
+        .join(u2, F.col("w2") == F.col("u2w"))
+        .crossJoin(F.broadcast(tu))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(logterm) / F.count("*"), 4)
+            .cast("double")
+            .alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
