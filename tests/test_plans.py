@@ -501,3 +501,67 @@ def test_seasonal_baseline_joins_broadcast_no_shuffle_of_events(
     assert broadcast_joins(df) >= 1, explain_formatted(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+
+
+def test_returned_revenue_pushdown_and_topk(spark, smoke_dir):
+    """q170 (Q10 shape): the returnflag and order-date predicates must
+    reach their parquet scans, and the top-20 must run as
+    TakeOrderedAndProject over the aggregate — never a global sort of
+    the fact stream."""
+    df = QUERIES["q170_returned_revenue"](spark, smoke_dir)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_returnflag", "o_orderdate"):
+        assert col in pushed, pushed
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_inactive_high_balance_anti_join_no_cartesian(spark, smoke_dir):
+    """q173 (Q22 shape): the NOT EXISTS must plan as a proper anti
+    equi-join on custkey. The only nested-loop allowed is the 1-row
+    scalar-threshold broadcast; a CartesianProduct or an anti join that
+    degraded to a nested loop over orders is the scale bug."""
+    df = QUERIES["q173_inactive_high_balance"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    # the anti join itself must be hash-based (broadcast or shuffled),
+    # not the nested-loop fallback a non-equi condition would force
+    import re
+
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines and all(
+        "HashJoin" in ln or "SortMergeJoin" in ln for ln in anti_lines
+    ), plan
+
+
+def test_volume_shipping_no_nested_loop_all_joins_keyed(spark, smoke_dir):
+    """q168 (Q7 shape): six-table snowflake with a cross-chain
+    disjunctive predicate — every join must stay a keyed hash/merge
+    join; the disjunction must NOT force a nested-loop or cartesian
+    plan."""
+    df = QUERIES["q168_volume_shipping"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_bigram_lm_count_tables_never_force_broadcast(spark, smoke_dir):
+    """q175: the unigram/bigram count tables follow Heaps' law and must
+    not carry a broadcast HINT — only AQE may choose broadcast from
+    measured sizes (the q118 rule applied to the bigram surface). The
+    1-row token total is the only explicit broadcast."""
+    import re
+
+    df = QUERIES["q175_bigram_lm_interp"](spark, smoke_dir)
+    optimized = str(
+        df._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # ResolvedHint survives into the optimized plan as 'hints=' /
+    # 'Join ... rightHint=(strategy=broadcast)' markers; exactly one
+    # (the 1-row total) is allowed.
+    hints = len(re.findall(r"strategy=broadcast", optimized))
+    assert hints <= 1, optimized
