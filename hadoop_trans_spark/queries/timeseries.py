@@ -833,3 +833,218 @@ def q143_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         paths.orderBy(F.col("n").desc(), "path").limit(10).orderBy("path")
     )
+
+
+@query(
+    "q176_linear_interpolation",
+    # The dense grid spans each user's observed min..max hour, so the
+    # first and last grid points are always observed and every gap has
+    # both a previous and a next anchor: the interpolation expression is
+    # total. prev/next values are the q95 LOCF windows run both ways;
+    # the fraction divides epoch-microsecond bigints cast to double in
+    # IDENTICAL operand order in both engines, rounded at 1e-6.
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE)
+                 AS v
+        FROM events WHERE user_id % 97 = 0
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(min(h), max(h),
+                                      INTERVAL 1 HOUR)) AS h
+        FROM hourly GROUP BY user_id
+    ),
+    joined AS (
+        SELECT g.user_id, g.h, hv.v FROM grid g
+        LEFT JOIN hourly hv ON g.user_id = hv.user_id AND g.h = hv.h
+    ),
+    anchored AS (
+        SELECT user_id, h, v,
+               last_value(v IGNORE NULLS) OVER w_back AS prev_v,
+               last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                 OVER w_back AS prev_h,
+               first_value(v IGNORE NULLS) OVER w_fwd AS next_v,
+               first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                 OVER w_fwd AS next_h
+        FROM joined
+        WINDOW w_back AS (PARTITION BY user_id ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_fwd AS (PARTITION BY user_id ORDER BY h
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, epoch_us(h) AS hour_us,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE CAST(ROUND(prev_v + (next_v - prev_v)
+                     * (CAST(epoch_us(h) - epoch_us(prev_h) AS DOUBLE)
+                        / CAST(epoch_us(next_h) - epoch_us(prev_h)
+                               AS DOUBLE)), 6) AS DOUBLE) END AS v_interp,
+           CAST(v IS NULL AS INT) AS is_gap
+    FROM anchored
+    ORDER BY user_id, hour_us
+    """,
+)
+def q176_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid gap filling by LINEAR interpolation — the numeric
+    sibling of q95's LOCF: each missing hour gets the value on the
+    straight line between its previous and next observed points, the
+    fill a metrics/feature pipeline wants for continuously-varying
+    signals (LOCF is for step signals). Plan shape is q95 plus one
+    window: the same per-key bounds grid (sequence+explode, O(keys ×
+    span) rows independent of skew), the same backward
+    last(ignorenulls) window, and a forward first(ignorenulls) window
+    over the SAME per-user sort — Spark computes both window frames
+    from one partition sort, so the second direction costs no extra
+    shuffle. At 100 TB the state per key is one row either way; nothing
+    here is quadratic in gap length."""
+    e = table(spark, sf_dir, "events").where(F.col("user_id") % 97 == 0)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(dsum("value").alias("v"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    joined = grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("prev_v"),
+        F.last(obs_h, ignorenulls=True).over(w_back).alias("prev_h"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("next_v"),
+        F.first(obs_h, ignorenulls=True).over(w_fwd).alias("next_h"),
+    )
+    frac = (
+        (ts_micros("h") - ts_micros("prev_h")).cast("double")
+        / (ts_micros("next_h") - ts_micros("prev_h")).cast("double")
+    )
+    interp = F.round(
+        F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac, 6
+    ).cast("double")
+    return (
+        joined.select(
+            "user_id",
+            ts_micros("h").alias("hour_us"),
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .otherwise(interp)
+            .alias("v_interp"),
+            F.col("v").isNull().cast("int").alias("is_gap"),
+        )
+        .orderBy("user_id", "hour_us")
+    )
+
+
+@query(
+    "q177_cusum_changepoint",
+    # The running CUSUM accumulates 1e-6-rounded deviations through
+    # DECIMAL(38,6) — exact, so the argmax tie-break (largest |cusum|,
+    # earliest day) sees identical values in both engines.
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE)
+                 AS x
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                 AS mu,
+               COUNT(*) AS n_days
+        FROM daily GROUP BY 1
+    ),
+    cusum AS (
+        SELECT d.event_type, d.day, s.n_days,
+               SUM(CAST(ROUND(d.x - s.mu, 6) AS DECIMAL(38,6)))
+                 OVER (PARTITION BY d.event_type ORDER BY d.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS c
+        FROM daily d JOIN stats s ON d.event_type = s.event_type
+    ),
+    ranked AS (
+        SELECT event_type, day, n_days, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY abs(c) DESC, day) AS rn
+        FROM cusum
+    )
+    SELECT event_type, day AS changepoint_day, n_days,
+           CAST(ROUND(c, 6) AS DOUBLE) AS cusum
+    FROM ranked WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def q177_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection: for each event type, the day where
+    the cumulative sum of deviations from the series mean peaks in
+    magnitude — the classic single-changepoint estimator (a level shift
+    makes |CUSUM| maximal at the shift). Everything windowed runs over
+    the DAILY pre-aggregate (O(types × days) rows), never the raw event
+    stream — the q127 sweep-line rule. The running sum accumulates
+    exact decimals so the argmax is partition-order-proof, the
+    per-type mean rides back as a broadcast-sized join, and the final
+    argmax is a row_number over the same per-type sort the CUSUM window
+    already established (one shuffle keyed on event_type end to end).
+    At 100 TB with high-cardinality keys the same plan holds — the
+    window tables stay days-sized per key."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(dsum("value").alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
+            / F.count("*")
+        ).alias("mu"),
+        F.count("*").alias("n_days"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        daily.join(stats, "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_days",
+            F.sum(
+                F.round(F.col("x") - F.col("mu"), 6).cast("decimal(38,6)")
+            )
+            .over(w)
+            .alias("c"),
+        )
+    )
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("c")).desc(), "day"
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            "n_days",
+            F.round("c", 6).cast("double").alias("cusum"),
+        )
+        .orderBy("event_type")
+    )
