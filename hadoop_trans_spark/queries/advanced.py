@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 from ..catalog import table
 from ..operators.globalrank import global_row_number
 from ..operators.skyline import pareto_frontier
-from .base import DEC, dsum, o_dsum, query
+from .base import DEC, dsum, o_dsum, query, ts_micros
 
 
 @query(
@@ -882,4 +882,160 @@ def q167_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(credit), 6).cast("double").alias("credit"),
         )
         .orderBy("day")
+    )
+
+
+@query(
+    "q178_market_basket",
+    # Counts are exact integers; lift multiplies/divides doubles in
+    # IDENTICAL operand order in both engines before the 1e-6 round.
+    oracle="""
+    WITH it AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM it),
+    freq AS (
+        SELECT p_brand, COUNT(*) AS c FROM it GROUP BY 1 HAVING COUNT(*) >= 20
+    ),
+    fit AS (SELECT it.* FROM it SEMI JOIN freq USING (p_brand)),
+    pairs AS (
+        SELECT a.p_brand AS b1, b.p_brand AS b2, COUNT(*) AS support
+        FROM fit a JOIN fit b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 50
+    )
+    SELECT p.b1, p.b2, p.support,
+           CAST(ROUND(CAST(p.support AS DOUBLE) * n.n_orders
+                      / (CAST(f1.c AS DOUBLE) * f2.c), 6) AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN freq f1 ON p.b1 = f1.p_brand
+    JOIN freq f2 ON p.b2 = f2.p_brand
+    CROSS JOIN n
+    ORDER BY p.b1, p.b2
+    """,
+)
+def q178_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining (A-priori first round):
+    brand pairs bought together in one order, with support and lift —
+    the recommendation/affinity primitive. The A-priori pruning is the
+    scale hinge: items below the single-item support floor are
+    semi-joined OUT before the pair self-join, so pair fan-out is
+    bounded by frequent items only; the self-join is keyed on the
+    order (never a global cross of the item vocabulary) and the `<`
+    ordering halves it. Per-order fan-out is C(k,2) in basket size k —
+    at 100 TB skewed mega-baskets would be capped or salted; fixture
+    baskets are ~4 items. Lift divides exact counts; the 1-row order
+    total is the only broadcast."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    it = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = it.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = (
+        it.groupBy("p_brand")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 20)
+    )
+    fit = it.join(freq.select("p_brand"), "p_brand", "left_semi")
+    a = fit.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b1"))
+    b = fit.select(F.col("l_orderkey").alias("k2"), F.col("p_brand").alias("b2"))
+    pairs = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("b1") < F.col("b2")))
+        .groupBy("b1", "b2")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 50)
+    )
+    f1 = freq.select(F.col("p_brand").alias("f1b"), F.col("c").alias("c1"))
+    f2 = freq.select(F.col("p_brand").alias("f2b"), F.col("c").alias("c2"))
+    return (
+        pairs.join(f1, F.col("b1") == F.col("f1b"))
+        .join(f2, F.col("b2") == F.col("f2b"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "b1",
+            "b2",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_orders")
+                / (F.col("c1").cast("double") * F.col("c2")),
+                6,
+            )
+            .cast("double")
+            .alias("lift"),
+        )
+        .orderBy("b1", "b2")
+    )
+
+
+@query(
+    "q179_event_pattern_match",
+    # Sequence strings are built under a TOTAL order (ts, event_id), so
+    # both engines agg the identical string; regex counting is
+    # non-overlapping left-to-right greedy in both (java.util.regex /
+    # RE2 agree on this pattern class).
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                 AS seq
+        FROM events
+        GROUP BY 1
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(seq, 'vc*p')) AS INT) AS n_funnels,
+           CAST(len(regexp_extract_all(seq, 'vc*p')) > 0 AS INT)
+             AS converted
+    FROM seqs
+    ORDER BY user_id
+    """,
+)
+def q179_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style event-pattern matching: encode each user's
+    event stream as a one-char-per-event string in strict (ts, event_id)
+    order and count non-overlapping matches of view→clicks*→purchase
+    (`vc*p`) — regex over the encoded sequence is the poor-man's CEP
+    engine, and unlike q101's fixed 3-stage funnel it matches an
+    UNBOUNDED pattern (any number of intermediate clicks). Plan shape:
+    one per-user hash aggregate collects (ts, event_id, char) structs,
+    sorted IN-ROW by `sort_array` (no window sort of the event stream),
+    then the regex runs JVM-side per user. State per user is its own
+    sequence — at 100 TB per-user activity is bounded (the same
+    assumption q81 sessionization makes); a pathological hot user would
+    be capped by a slice before the concat."""
+    e = table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        ts_micros("ts").alias("t"),
+                        F.col("event_id").alias("i"),
+                        F.substring("event_type", 1, 1).alias("ch"),
+                    )
+                )
+            ),
+            lambda s: s["ch"],
+        ),
+        "",
+    )
+    matches = F.regexp_count(F.col("seq"), F.lit("vc*p")).cast("int")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), seq.alias("seq"))
+        .select(
+            "user_id",
+            "n_events",
+            matches.alias("n_funnels"),
+            (F.regexp_count(F.col("seq"), F.lit("vc*p")) > 0)
+            .cast("int")
+            .alias("converted"),
+        )
+        .orderBy("user_id")
     )
