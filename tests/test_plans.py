@@ -565,3 +565,26 @@ def test_bigram_lm_count_tables_never_force_broadcast(spark, smoke_dir):
     # (the 1-row total) is allowed.
     hints = len(re.findall(r"strategy=broadcast", optimized))
     assert hints <= 1, optimized
+
+
+def test_market_basket_prefilter_semijoin_before_pair_join(spark, smoke_dir):
+    """q178: the A-priori single-item support filter must reach the
+    plan as a semi join BEFORE the pair self-join, and the pair join
+    must be keyed on the order (no cartesian / nested loop)."""
+    df = QUERIES["q178_market_basket"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # exactly one nested loop is allowed: the 1-row n_orders scalar
+    # broadcast. The PAIR join itself must be hash-keyed.
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_event_pattern_match_no_window_sort(spark, smoke_dir):
+    """q179: ordering is in-row (sort_array over collected structs) —
+    the plan must contain NO window operator over the event stream; a
+    Window here would mean a per-user global sort shuffle crept in."""
+    df = QUERIES["q179_event_pattern_match"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
