@@ -1039,3 +1039,176 @@ def q179_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q181_spearman_by_brand",
+    # Fractional average ranks are exact .0/.5 doubles in both engines
+    # (min-rank + (ties-1)/2); every moment accumulates through
+    # DECIMAL(38,6) and the rho arithmetic is written in IDENTICAL
+    # operand order before the 1e-6 round.
+    oracle="""
+    WITH j AS (
+        SELECT p.p_brand, l.l_quantity AS q, l.l_extendedprice AS e
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    r AS (
+        SELECT p_brand,
+               RANK() OVER (PARTITION BY p_brand ORDER BY q)
+                 + (COUNT(*) OVER (PARTITION BY p_brand, q) - 1) / 2.0 AS rq,
+               RANK() OVER (PARTITION BY p_brand ORDER BY e)
+                 + (COUNT(*) OVER (PARTITION BY p_brand, e) - 1) / 2.0 AS re
+        FROM j
+    ),
+    m AS (
+        SELECT p_brand, COUNT(*) AS n,
+               SUM(CAST(rq AS DECIMAL(38,6))) AS sx,
+               SUM(CAST(re AS DECIMAL(38,6))) AS sy,
+               SUM(CAST(rq * rq AS DECIMAL(38,6))) AS sxx,
+               SUM(CAST(re * re AS DECIMAL(38,6))) AS syy,
+               SUM(CAST(rq * re AS DECIMAL(38,6))) AS sxy
+        FROM r GROUP BY 1
+    )
+    SELECT p_brand, n,
+           CAST(ROUND(
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+               6) AS DOUBLE) AS spearman_rho
+    FROM m
+    ORDER BY p_brand
+    """,
+)
+def q181_spearman_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price per brand —
+    the robust (monotonic, outlier-proof) complement to q116's Pearson.
+    Ties get textbook average ranks computed WITHOUT a second pass:
+    min-rank + (tie-count − 1)/2 from two windows that share the same
+    brand partition. Fractional ranks are exact halves, so the decimal
+    moment sums (the q116/q117 closed-form pattern) are
+    partition-order-proof, and rho is one projection over the
+    O(brands) moment table. At 100 TB the per-brand window sort is the
+    only heavy op — bounded per key, AQE-skew-splittable, and the
+    moments aggregate map-side."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("e"),
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(p, li.l_partkey == p.p_partkey).select("p_brand", "q", "e")
+    wq = Window.partitionBy("p_brand").orderBy("q")
+    we = Window.partitionBy("p_brand").orderBy("e")
+    cq = Window.partitionBy("p_brand", "q")
+    ce = Window.partitionBy("p_brand", "e")
+    r = j.select(
+        "p_brand",
+        (
+            F.rank().over(wq) + (F.count("*").over(cq) - 1) / 2.0
+        ).alias("rq"),
+        (
+            F.rank().over(we) + (F.count("*").over(ce) - 1) / 2.0
+        ).alias("re"),
+    )
+    dec = "decimal(38,6)"
+    m = r.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rq").cast(dec)).alias("sx"),
+        F.sum(F.col("re").cast(dec)).alias("sy"),
+        F.sum((F.col("rq") * F.col("rq")).cast(dec)).alias("sxx"),
+        F.sum((F.col("re") * F.col("re")).cast(dec)).alias("syy"),
+        F.sum((F.col("rq") * F.col("re")).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    rho = F.round(
+        (n * sxy - sx * sy)
+        / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        6,
+    ).cast("double")
+    return m.select("p_brand", "n", rho.alias("spearman_rho")).orderBy(
+        "p_brand"
+    )
+
+
+@query(
+    "q182_decile_lift",
+    # Deciles come from ntile over a TOTAL order (acctbal DESC, custkey)
+    # so both engines assign identical membership; rates divide exact
+    # counts in identical operand order before the 1e-6 round.
+    oracle="""
+    WITH conv AS (
+        SELECT c.c_custkey, c.c_acctbal,
+               CAST(EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey) AS INT) AS y
+        FROM customer c
+    ),
+    ranked AS (
+        SELECT *, NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
+                  AS decile
+        FROM conv
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos,
+               COUNT(*) AS n FROM conv
+    ),
+    per AS (
+        SELECT decile, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_conv
+        FROM ranked GROUP BY 1
+    )
+    SELECT decile, n_cust, n_conv,
+           CAST(ROUND(CAST(n_conv AS DOUBLE) / n_cust, 6) AS DOUBLE)
+             AS conv_rate,
+           CAST(ROUND((CAST(n_conv AS DOUBLE) / n_cust)
+                      / (CAST(tot.pos AS DOUBLE) / tot.n), 6) AS DOUBLE)
+             AS lift
+    FROM per CROSS JOIN tot
+    ORDER BY decile
+    """,
+)
+def q182_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift curve — the model-evaluation/targeting report: rank
+    customers by account balance (the 'score'), cut into deciles, and
+    compare each decile's conversion rate (placed ≥1 order) to the base
+    rate. The conversion label is a left-semi-join-derived flag (never a
+    correlated per-row subquery at execution — Catalyst decorrelates,
+    q146's guarantee), the decile cut is one ntile window over a total
+    order, and lift is a projection over the O(10) decile aggregate with
+    the 1-row base rate broadcast. At 100 TB the global ntile sort is
+    the hinge: production replaces it with approx-percentile boundaries
+    (q109/q111's pattern) — documented here because at fixture scale the
+    exact cut is the oracle-checkable semantics."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    conv = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.col("o_custkey").isNotNull().cast("int").alias("y"),
+        )
+    )
+    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
+    ranked = conv.select("y", F.ntile(10).over(w).alias("decile"))
+    tot = conv.agg(
+        F.sum("y").cast("bigint").alias("pos"), F.count("*").alias("n")
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_cust"),
+        F.sum("y").cast("bigint").alias("n_conv"),
+    )
+    rate = F.col("n_conv").cast("double") / F.col("n_cust")
+    base = F.col("pos").cast("double") / F.col("n")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_cust",
+            "n_conv",
+            F.round(rate, 6).cast("double").alias("conv_rate"),
+            F.round(rate / base, 6).cast("double").alias("lift"),
+        )
+        .orderBy("decile")
+    )

@@ -473,3 +473,76 @@ def q150_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q180_range_clustered_layout",
+    # The oracle states the layout INVARIANTS (file count fixed by the
+    # range partitioner's N, zero strict range overlaps between files,
+    # exact row conservation, global day bounds); the Spark side
+    # computes them from the files actually written — a wrong layout
+    # (overlapping ranges, dropped rows, wrong fan-out) breaks the hash.
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS n_files,
+           COUNT(*) AS total_rows,
+           CAST(0 AS BIGINT) AS n_overlaps,
+           strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_day,
+           strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_day
+    FROM lineitem
+    """,
+)
+def q180_range_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered data layout: write lineitem
+    ``repartitionByRange(8, l_shipdate).sortWithinPartitions`` — the
+    1-D sibling of the z-order layout (q96) and the layout that makes
+    parquet min/max footer stats actually prune time-range scans — then
+    audit the written files: per-file day bounds from a real re-read
+    (``input_file_name`` groupBy), strict overlap count between
+    neighboring file ranges (must be 0: the range partitioner assigns
+    disjoint key ranges), row conservation, and global bounds. The
+    overlap window runs over the O(n_files) audit table, never data.
+    At 100 TB this is the recurring fact-table layout job: one range
+    shuffle (sampled boundaries), in-task sort, and the same audit
+    query validates the layout cheaply after every rewrite."""
+    base = tempfile.mkdtemp(prefix="htspark_rangelayout_")
+    path = f"{base}/lineitem_ranged"
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    from pyspark.sql.window import Window
+
+    day = F.date_format("l_shipdate", "yyyy-MM-dd")
+    per_file = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"), day.alias("day"))
+        .groupBy("f")
+        .agg(
+            F.min("day").alias("d0"),
+            F.max("day").alias("d1"),
+            F.count("*").alias("n"),
+        )
+    )
+    w = Window.orderBy("d0", "f").rowsBetween(-1, -1)
+    audited = per_file.select(
+        "n",
+        "d0",
+        "d1",
+        F.max("d1").over(w).alias("prev_d1"),
+    )
+    return audited.agg(
+        F.count("*").alias("n_files"),
+        F.sum("n").alias("total_rows"),
+        F.sum(
+            F.when(F.col("prev_d1") > F.col("d0"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_overlaps"),
+        F.min("d0").alias("min_day"),
+        F.max("d1").alias("max_day"),
+    )
