@@ -467,3 +467,42 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_stream_left_join(spark, sf_dir), "append"
     )
     return out.orderBy("click_id", "view_id")
+
+
+@query(
+    "q183_stream_windowed_topk",
+    """
+    WITH a AS (SELECT * FROM events WHERE event_id % 997 != 0),
+         wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM a),
+         counts AS (
+             SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+                    event_type, COUNT(*) AS n_events
+             FROM a, wm
+             WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                   <= w
+             GROUP BY 1, 2
+         ),
+         ranked AS (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY wstart
+                         ORDER BY n_events DESC, event_type) AS rk
+             FROM counts
+         )
+    SELECT epoch_us(wstart) AS window_start, event_type, n_events,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY window_start, rk
+    """,
+)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: top-3 event types per finalized hour
+    window, ranked in a foreachBatch sink as the watermark closes each
+    window (append mode emits a window once and in full, so the
+    per-batch rank IS the per-window global rank). Oracle re-derives the
+    emission rule (windows ending before the final watermark) over the
+    on-time subset and ranks in batch SQL."""
+    from ..streaming.jobs import stream_windowed_topk
+
+    dest = stream_windowed_topk(spark, sf_dir)
+    return spark.read.parquet(dest).select(
+        "window_start", "event_type", "n_events", "rk"
+    ).orderBy("window_start", "rk")

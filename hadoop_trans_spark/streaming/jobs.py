@@ -655,3 +655,95 @@ def late_data_drop(
         )
     )
     return run_to_memory(agg, "append")
+
+
+def stream_windowed_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    delay: str = "10 minutes",
+    late_mod: int = 997,
+) -> str:
+    """Per-window top-k event types maintained by a streaming pipeline:
+    append-mode tumbling counts (same staging + watermark construction
+    as ``late_data_drop`` — two on-time micro-batches, one late batch
+    whose rows are dropped), then a ``foreachBatch`` sink RANKS each
+    finalized window and appends only its top-k rows to the target.
+
+    Ranking inside foreachBatch is correct because append mode emits a
+    window exactly once and in full (all its groups in one batch) when
+    the watermark passes its end — so a per-batch window-partitioned
+    row_number is a per-WINDOW global rank. This is the standard
+    leaderboard/dashboard sink: the unbounded ranking Structured
+    Streaming cannot express as a stateful operator runs batch-side on
+    finalized, bounded data. State at 100 TB: the windowed count agg
+    keeps one row per (open window × type); the rank sees only one
+    window's types at a time."""
+    from pyspark.sql.window import Window
+
+    from ..catalog import table
+
+    stage = tempfile.mkdtemp(prefix="topk_stage_")
+    dest = tempfile.mkdtemp(prefix="topk_dest_") + "/out"
+    events = table(spark, sf_dir, "events")
+    batch = (
+        F.when(F.col("event_id") % late_mod == 0, F.lit(2))
+        .when(F.col("event_id") % 13 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    (
+        events.withColumn("batch", batch)
+        .repartition("batch")
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(stage)
+    )
+    t0 = 1_000_000_000
+    for i in range(3):
+        for f in os.listdir(f"{stage}/batch={i}"):
+            os.utime(f"{stage}/batch={i}/{f}", (t0 + i * 100, t0 + i * 100))
+
+    stream = (
+        spark.readStream.schema(
+            StructType([f for f in events.schema.fields])
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+    def rank_batch(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), "event_type"
+        )
+        (
+            bdf.withColumn("rk", F.row_number().over(w).cast("int"))
+            .where(F.col("rk") <= k)
+            .write.mode("append")
+            .parquet(dest)
+        )
+
+    query = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(rank_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(300):
+        query.stop()
+        raise TimeoutError("stream_windowed_topk did not finish in 300s")
+    return dest
