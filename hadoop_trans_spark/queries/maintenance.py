@@ -596,3 +596,75 @@ def q145_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+@query(
+    "q184_forget_users",
+    # The audit is fully determined by the deletion predicate, so the
+    # oracle restates it declaratively over the source table.
+    oracle="""
+    SELECT COUNT(*) AS n_rows_kept,
+           CAST((SELECT COUNT(*) FROM events WHERE user_id % 31 = 0)
+                AS BIGINT) AS n_rows_deleted,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events
+                 WHERE user_id % 31 = 0) AS BIGINT) AS n_users_forgotten,
+           CAST(0 AS BIGINT) AS n_leaked,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id
+    FROM events WHERE user_id % 31 != 0
+    """,
+)
+def q184_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten deletion pipeline: given a forget-list of
+    user keys, rewrite the events table WITHOUT those users' rows
+    (left-anti join — the keyed DELETE for plain-parquet tables, the
+    mirror of q82's MERGE upsert), write the survivor table for real,
+    then AUDIT the result by re-reading it: kept/deleted row counts,
+    forgotten-user count, and a leak check (semi-join of the written
+    table against the forget list — must be 0). The audit reads what
+    was actually written, so a deletion bug breaks the driver hash, not
+    just an in-plan assertion. At 100 TB the anti join broadcasts the
+    forget list (thousands of keys against billions of rows) and the
+    rewrite touches only partitions containing forgotten keys when the
+    table is partitioned/bucketed by the key — here the full-table
+    rewrite is the worst-case path, exercised deliberately."""
+    import tempfile
+
+    e = table(spark, sf_dir, "events")
+    forget = (
+        e.select("user_id")
+        .where(F.col("user_id") % 31 == 0)
+        .distinct()
+    )
+    dest = tempfile.mkdtemp(prefix="htspark_forget_") + "/events_clean"
+    survivors = e.join(F.broadcast(forget), "user_id", "left_anti")
+    survivors.write.mode("overwrite").parquet(dest)
+
+    cleaned = spark.read.parquet(dest)
+    n_deleted = (
+        e.join(F.broadcast(forget), "user_id", "left_semi")
+        .agg(
+            F.count("*").alias("n_rows_deleted"),
+            F.countDistinct("user_id").alias("n_users_forgotten"),
+        )
+    )
+    leaked = cleaned.join(F.broadcast(forget), "user_id", "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_leaked")
+    )
+    return (
+        cleaned.agg(
+            F.count("*").alias("n_rows_kept"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .crossJoin(F.broadcast(n_deleted))
+        .crossJoin(F.broadcast(leaked))
+        .select(
+            "n_rows_kept",
+            "n_rows_deleted",
+            "n_users_forgotten",
+            "n_leaked",
+            "min_event_id",
+            "max_event_id",
+        )
+    )

@@ -1386,3 +1386,82 @@ def q153_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(F.col("d"), 6).alias("dist_km"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q185_share_of_total",
+    # Shares divide an exact decimal nation sum by its exact region /
+    # grand totals (window sums of decimals are order-independent);
+    # casts and operand order mirror the oracle before the 1e-6 round.
+    oracle=f"""
+    WITH nat AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(38,6))) AS rev
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(ROUND(rev, 6) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(rev AS DOUBLE)
+                      / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE),
+                      6) AS DOUBLE) AS share_of_region,
+           CAST(ROUND(CAST(rev AS DOUBLE)
+                      / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS DOUBLE)
+             AS share_of_total
+    FROM nat
+    ORDER BY region, nation
+    """,
+)
+def q185_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total report: each supplier nation's revenue as a
+    share of its region and of the grand total — the two-level BI
+    ratio every dashboard needs, expressed as window aggregates OVER
+    the nation-level aggregate (25 rows), never a second pass over the
+    fact table. The empty-frame `SUM() OVER ()` grand total is computed
+    on the same 25-row table, so the 'global window' scale trap does
+    not apply: windows here cost O(dimension), the single fact shuffle
+    is the groupBy. Decimal sums make both ratios engine- and
+    partitioning-exact before rounding."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast(DEC)
+        .alias("v"),
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("v").alias("rev"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return nat.select(
+        "region",
+        "nation",
+        F.round("rev", 6).cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w_region).cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("share_of_region"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w_all).cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("share_of_total"),
+    ).orderBy("region", "nation")
