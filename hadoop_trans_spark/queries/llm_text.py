@@ -813,3 +813,95 @@ def q175_bigram_lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q188_zipf_slope",
+    # Log terms are rounded at 1e-9 before the decimal moment sums
+    # (q117's OLS closed form); slope/intercept arithmetic is written in
+    # IDENTICAL operand order in both engines before the 1e-6 round.
+    oracle="""
+    WITH toks AS (
+        SELECT g AS w
+        FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS g
+              FROM documents)
+        WHERE length(g) >= 1
+    ),
+    vocab AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+    ranked AS (
+        SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk
+        FROM vocab
+    ),
+    pts AS (
+        SELECT CAST(ROUND(ln(rnk), 9) AS DECIMAL(38,9)) AS x,
+               CAST(ROUND(ln(c), 9) AS DECIMAL(38,9)) AS y
+        FROM ranked WHERE rnk <= 200
+    ),
+    m AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+                        AS DECIMAL(38,9))) AS sxx,
+               SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 9)
+                        AS DECIMAL(38,9))) AS sxy
+        FROM pts
+    )
+    SELECT n AS n_points,
+           CAST(ROUND(
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+               6) AS DOUBLE) AS zipf_slope,
+           CAST(ROUND(
+               (CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * CAST(sx AS DOUBLE)) / n,
+               6) AS DOUBLE) AS intercept
+    FROM m
+    """,
+)
+def q188_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: OLS slope of ln(count) on ln(rank) over
+    the top-200 vocabulary — the corpus-health diagnostic (natural text
+    fits slope ≈ −1; templated or synthetic corpora deviate sharply),
+    run as a pre-training sanity gate. Plan: one token count aggregate,
+    a row_number over the O(vocab) count table cut to 200 rows, then
+    q117's closed-form OLS over decimal moments of 1e-9-rounded log
+    terms — the whole fit is a 200-row computation after the count
+    shuffle, and the vocab ranking at 100 TB uses the q130
+    frequency-band trick instead of a single-partition sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+    ).where(F.length("w") >= 1)
+    vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
+    wr = Window.orderBy(F.col("c").desc(), "w")
+    pts = (
+        vocab.select("c", F.row_number().over(wr).alias("rnk"))
+        .where(F.col("rnk") <= 200)
+        .select(
+            F.round(F.log("rnk"), 9).cast("decimal(38,9)").alias("x"),
+            F.round(F.log("c"), 9).cast("decimal(38,9)").alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("x").cast("double"), 9)
+            .cast("decimal(38,9)")
+        ).alias("sxx"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("y").cast("double"), 9)
+            .cast("decimal(38,9)")
+        ).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.alias("n_points"),
+        F.round(slope, 6).cast("double").alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).cast("double").alias("intercept"),
+    )

@@ -668,3 +668,77 @@ def q184_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_event_id",
         )
     )
+
+
+@query(
+    "q187_rolling_hll_distinct",
+    # Differential oracle (q12/q144's pattern): exact rolling distinct
+    # + a constant within-tolerance flag the Spark side must reproduce
+    # from the sketch estimate. lgConfigK=14 ≈ 0.8% rse; tolerance
+    # max(2, 2%) holds with wide margin at any sf.
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT e.user_id) AS exact_users_7d,
+           1 AS within_tol
+    FROM days d
+    JOIN events e
+      ON CAST(date_trunc('day', e.ts) AS DATE) > d.day - 7
+     AND CAST(date_trunc('day', e.ts) AS DATE) <= d.day
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q187_rolling_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day from MERGED daily HLL
+    sketches — the sliding-window variant of q144's calendar rollup and
+    the only scalable form of a rolling COUNT(DISTINCT): exact rolling
+    distincts cannot be pre-aggregated (distinct is not algebraic), but
+    one ~KB sketch per day re-merges into any window. Plan: one pass
+    builds O(days) daily sketches; a bounded range self-join (day joins
+    its trailing 7 sketch rows — the q125 EWMA shape) unions them per
+    window. The exact rolling distinct is computed ONLY for the
+    differential check, via the same bounded join on raw (day, user)
+    pairs. At 100 TB the daily sketch table is KBs × days; the rolling
+    merge never touches raw events."""
+    ev = table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", "ts"))
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    d1 = daily.select(F.col("day").alias("d"))
+    trailing = d1.join(
+        daily,
+        (F.col("day") > F.date_sub(F.col("d"), 7))
+        & (F.col("day") <= F.col("d")),
+    )
+    approx = trailing.groupBy("d").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_7d")
+    )
+    pairs = ev.select(day.alias("day"), "user_id").distinct()
+    exact = (
+        d1.join(
+            pairs,
+            (F.col("day") > F.date_sub(F.col("d"), 7))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    tol = F.greatest(F.lit(2.0), F.col("exact_users_7d") * 0.02)
+    return (
+        exact.join(approx, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "exact_users_7d",
+            (
+                F.abs(F.col("approx_7d") - F.col("exact_users_7d")) <= tol
+            )
+            .cast("int")
+            .alias("within_tol"),
+        )
+        .orderBy("day")
+    )

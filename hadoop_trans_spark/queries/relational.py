@@ -1465,3 +1465,46 @@ def q185_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("share_of_total"),
     ).orderBy("region", "nation")
+
+
+@query(
+    "q186_late_shipment_orders",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1997-01-01'
+      AND o.o_orderdate < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q186_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: one quarter's orders that
+    had at least one line item shipped more than 60 days after the
+    order date, counted per priority. The silhouette is a correlated
+    EXISTS whose predicate references BOTH sides (l_shipdate vs
+    o_orderdate + 60d) — Spark expresses it directly as a left-semi
+    join carrying the cross-side condition (the decorrelated form
+    Catalyst would produce; q146 asserts decorrelation for the scalar
+    flavor). The semi join shuffles on orderkey with the extra
+    predicate evaluated inside the join — no second pass, no
+    pre-aggregation of lineitem needed since semi stops at first
+    match. At 100 TB the quarter filter prunes the orders scan first,
+    so the join's left side is one quarter of orders."""
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
