@@ -930,7 +930,12 @@ def q178_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     total is the only broadcast."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    it = (
+    from ..operators.stage import materialize_stage
+
+    # Four downstream branches (order total, item supports, both pair
+    # sides) consume this join+distinct; materialize it once so the
+    # fact join does not re-execute per branch (the q133 tf-stage rule).
+    it = materialize_stage(
         li.join(p, li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
@@ -1033,9 +1038,7 @@ def q179_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n_events",
             matches.alias("n_funnels"),
-            (F.regexp_count(F.col("seq"), F.lit("vc*p")) > 0)
-            .cast("int")
-            .alias("converted"),
+            (matches > 0).cast("int").alias("converted"),
         )
         .orderBy("user_id")
     )

@@ -761,13 +761,20 @@ def q175_bigram_lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF-IDF shuffle shape. Backoff never hits zero because every scored
     bigram exists in the corpus it was counted from; a held-out variant
     would add the unigram floor the interpolation already provides."""
+    from ..operators.stage import materialize_stage
+
     d = table(spark, sf_dir, "documents")
-    arr = d.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower("text"), "[^a-z]+"),
-            lambda w: F.length(w) >= 1,
-        ).alias("a"),
+    # The token-array stage feeds both the unigram branch (toks→uni→tu)
+    # and the bigram branch (occ→bi + scoring join); materialize it once
+    # so tokenization doesn't re-run per branch (the q133 tf-stage rule).
+    arr = materialize_stage(
+        d.select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"),
+                lambda w: F.length(w) >= 1,
+            ).alias("a"),
+        )
     )
     toks = arr.select(F.explode("a").alias("w"))
     uni = toks.groupBy("w").agg(F.count("*").alias("c"))

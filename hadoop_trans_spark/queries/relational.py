@@ -1476,7 +1476,10 @@ def q185_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate < DATE '1997-04-01'
       AND EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                    -- CAST..AS DATE pins the same day-truncation Spark's
+                    -- date_add performs (the q158 oracle precedent), so a
+                    -- non-midnight order timestamp cannot diverge engines.
+                    AND l.l_shipdate > CAST(o.o_orderdate AS DATE) + 60)
     GROUP BY 1
     ORDER BY 1
     """,

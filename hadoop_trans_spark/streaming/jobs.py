@@ -594,6 +594,51 @@ def user_streaks_tws(
 # --- E39: watermark late-data drop -------------------------------------------
 
 
+def _stage_late_batches(
+    spark: SparkSession, sf_dir: str, late_mod: int
+) -> DataFrame:
+    """Shared three-micro-batch staging for the watermark-semantics jobs
+    (``late_data_drop``, ``stream_windowed_topk``): two on-time files,
+    then the held-back rows (``event_id % late_mod == 0``). The q59 and
+    q183 oracles BOTH re-derive the on-time subset from this exact
+    %late_mod / %13 split — one copy of the construction keeps the two
+    streams and their oracles synchronized by definition.
+
+    ONE partitioned write stages all three batch files; distinct mtimes
+    then fix the file-source processing order (``maxFilesPerTrigger=1``).
+    """
+    from ..catalog import table
+
+    stage = tempfile.mkdtemp(prefix="late_stage_")
+    events = table(spark, sf_dir, "events")
+    batch = (
+        F.when(F.col("event_id") % late_mod == 0, F.lit(2))
+        .when(F.col("event_id") % 13 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    (
+        events.withColumn("batch", batch)
+        .repartition("batch")
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(stage)
+    )
+    t0 = 1_000_000_000
+    for i in range(3):
+        for f in os.listdir(f"{stage}/batch={i}"):
+            os.utime(f"{stage}/batch={i}/{f}", (t0 + i * 100, t0 + i * 100))
+
+    return (
+        spark.readStream.schema(
+            StructType([f for f in events.schema.fields])
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+
+
 def late_data_drop(
     spark: SparkSession,
     sf_dir: str,
@@ -613,38 +658,7 @@ def late_data_drop(
     watermark ``max(on-time ts) - delay``.  Deterministic → reproducible
     by a batch oracle over the on-time subset.
     """
-    from ..catalog import table
-
-    stage = tempfile.mkdtemp(prefix="late_stage_")
-    events = table(spark, sf_dir, "events")
-    # ONE partitioned write stages all three batch files; distinct mtimes
-    # then fix the file-source processing order.
-    batch = (
-        F.when(F.col("event_id") % late_mod == 0, F.lit(2))
-        .when(F.col("event_id") % 13 == 0, F.lit(1))
-        .otherwise(F.lit(0))
-    )
-    (
-        events.withColumn("batch", batch)
-        .repartition("batch")
-        .write.mode("overwrite")
-        .partitionBy("batch")
-        .parquet(stage)
-    )
-    t0 = 1_000_000_000
-    for i in range(3):
-        for f in os.listdir(f"{stage}/batch={i}"):
-            os.utime(f"{stage}/batch={i}/{f}", (t0 + i * 100, t0 + i * 100))
-
-    stream = (
-        spark.readStream.schema(
-            StructType([f for f in events.schema.fields])
-        )
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "*.parquet")
-        .option("recursiveFileLookup", "true")
-        .parquet(stage)
-    )
+    stream = _stage_late_batches(spark, sf_dir, late_mod)
     agg = (
         stream.withWatermark("ts", delay)
         .groupBy(F.window("ts", "1 hour"))
@@ -681,37 +695,8 @@ def stream_windowed_topk(
     window's types at a time."""
     from pyspark.sql.window import Window
 
-    from ..catalog import table
-
-    stage = tempfile.mkdtemp(prefix="topk_stage_")
     dest = tempfile.mkdtemp(prefix="topk_dest_") + "/out"
-    events = table(spark, sf_dir, "events")
-    batch = (
-        F.when(F.col("event_id") % late_mod == 0, F.lit(2))
-        .when(F.col("event_id") % 13 == 0, F.lit(1))
-        .otherwise(F.lit(0))
-    )
-    (
-        events.withColumn("batch", batch)
-        .repartition("batch")
-        .write.mode("overwrite")
-        .partitionBy("batch")
-        .parquet(stage)
-    )
-    t0 = 1_000_000_000
-    for i in range(3):
-        for f in os.listdir(f"{stage}/batch={i}"):
-            os.utime(f"{stage}/batch={i}/{f}", (t0 + i * 100, t0 + i * 100))
-
-    stream = (
-        spark.readStream.schema(
-            StructType([f for f in events.schema.fields])
-        )
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "*.parquet")
-        .option("recursiveFileLookup", "true")
-        .parquet(stage)
-    )
+    stream = _stage_late_batches(spark, sf_dir, late_mod)
     agg = (
         stream.withWatermark("ts", delay)
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
@@ -721,6 +706,17 @@ def stream_windowed_topk(
             "event_type",
             "n_events",
         )
+    )
+
+    # Seed the target with a 0-row parquet of the output schema so a
+    # stream that finalizes ZERO windows still leaves a readable (empty)
+    # table — mirroring the oracle's clean 0-row result — instead of a
+    # missing path. (agg is a streaming frame; build the seed as batch.)
+    seed_schema = StructType(
+        [f for f in agg.schema.fields]
+    ).add("rk", "integer")
+    spark.createDataFrame([], seed_schema).write.mode("overwrite").parquet(
+        dest
     )
 
     def rank_batch(bdf: DataFrame, batch_id: int) -> None:

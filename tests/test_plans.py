@@ -528,8 +528,6 @@ def test_inactive_high_balance_anti_join_no_cartesian(spark, smoke_dir):
     assert "LeftAnti" in plan, plan
     # the anti join itself must be hash-based (broadcast or shuffled),
     # not the nested-loop fallback a non-equi condition would force
-    import re
-
     anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
     assert anti_lines and all(
         "HashJoin" in ln or "SortMergeJoin" in ln for ln in anti_lines
