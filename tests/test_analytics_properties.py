@@ -369,3 +369,105 @@ def test_geo_radius_join_catches_antimeridian_pair(spark, tmp_path):
     out = QUERIES["q153_geo_radius_join"](spark, str(tmp_path)).collect()
     assert len(out) == 1, out
     assert out[0]["dist_km"] <= 25.0
+
+
+def test_linear_interpolation_bounded_by_anchors(spark, smoke_dir):
+    """q176: every interpolated (is_gap=1) value must lie within the
+    [min, max] of its user's observed values, and every observed
+    (is_gap=0) grid point must carry its own value unchanged — the
+    between-anchors property that distinguishes linear fill from
+    extrapolation."""
+    from hadoop_trans_spark.queries import QUERIES
+
+    out = QUERIES["q176_linear_interpolation"](spark, smoke_dir)
+    rows = out.collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert rows, "fixture produced no grid rows"
+    for user, urows in by_user.items():
+        observed = [r.v_interp for r in urows if r.is_gap == 0]
+        lo, hi = min(observed), max(observed)
+        for r in urows:
+            if r.is_gap == 1:
+                assert lo - 1e-6 <= r.v_interp <= hi + 1e-6, (
+                    user,
+                    r.hour_us,
+                    r.v_interp,
+                    (lo, hi),
+                )
+
+
+def test_cusum_changepoint_invariant_to_input_partitioning(spark, smoke_dir):
+    """q177: the changepoint day and CUSUM value must be identical under
+    different input partitionings — the decimal-accumulation guarantee
+    (a float running sum would drift with partial order)."""
+    from hadoop_trans_spark.queries import QUERIES
+
+    base = QUERIES["q177_cusum_changepoint"](spark, smoke_dir).collect()
+    # Re-run with the events scan forced through a different layout.
+    import tempfile
+
+    from hadoop_trans_spark.catalog import table
+
+    redist = tempfile.mkdtemp(prefix="cusum_redist_") + "/events.parquet"
+    table(spark, smoke_dir, "events").repartition(13).write.mode(
+        "overwrite"
+    ).parquet(redist)
+    import os
+
+    alt_dir = os.path.dirname(redist)
+    # The query reads {dir}/events.parquet; point it at the reshuffled copy.
+    alt = QUERIES["q177_cusum_changepoint"](spark, alt_dir).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, alt))
+
+
+def test_spearman_invariant_under_monotone_transform(spark, smoke_dir):
+    """Spearman is rank-based: replacing the price column with any
+    strictly increasing transform (here exp-free: price*3+7) must leave
+    every per-brand rho unchanged. Computed through the same window+
+    moment pipeline as q181, on a small synthetic frame."""
+    import math
+
+    from pyspark.sql import Window
+
+    rows = [
+        ("A", float(q), float(e))
+        for q, e in [(1, 9.5), (2, 3.2), (2, 7.7), (5, 1.1), (9, 4.4), (9, 4.4)]
+    ] + [
+        ("B", float(q), float(e))
+        for q, e in [(3, 2.0), (4, 8.0), (4, 8.0), (8, 0.5)]
+    ]
+
+    def rho(df):
+        wq = Window.partitionBy("b").orderBy("q")
+        we = Window.partitionBy("b").orderBy("e")
+        cq = Window.partitionBy("b", "q")
+        ce = Window.partitionBy("b", "e")
+        r = df.select(
+            "b",
+            (F.rank().over(wq) + (F.count("*").over(cq) - 1) / 2.0).alias("rq"),
+            (F.rank().over(we) + (F.count("*").over(ce) - 1) / 2.0).alias("re"),
+        )
+        m = r.groupBy("b").agg(
+            F.count("*").alias("n"),
+            F.sum("rq").alias("sx"),
+            F.sum("re").alias("sy"),
+            F.sum(F.col("rq") * F.col("rq")).alias("sxx"),
+            F.sum(F.col("re") * F.col("re")).alias("syy"),
+            F.sum(F.col("rq") * F.col("re")).alias("sxy"),
+        )
+        out = {}
+        for row in m.collect():
+            num = row.n * row.sxy - row.sx * row.sy
+            den = math.sqrt(
+                (row.n * row.sxx - row.sx**2) * (row.n * row.syy - row.sy**2)
+            )
+            out[row.b] = round(num / den, 9)
+        return out
+
+    df = spark.createDataFrame(rows, "b string, q double, e double")
+    transformed = df.withColumn("e", F.col("e") * 3 + 7)
+    assert rho(df) == rho(transformed)
+    # sanity: |rho| <= 1
+    assert all(abs(v) <= 1.0 for v in rho(df).values())
