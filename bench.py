@@ -74,6 +74,10 @@ HEADLINE = [
     "q160_ohlc_bars",
     "q163_ahash_neardup",
     "q164_countmin_freq",
+    "q168_volume_shipping",
+    "q176_linear_interpolation",
+    "q178_market_basket",
+    "q187_rolling_hll_distinct",
 ]
 
 
