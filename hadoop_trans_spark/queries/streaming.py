@@ -506,3 +506,35 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dest).select(
         "window_start", "event_type", "n_events", "rk"
     ).orderBy("window_start", "rk")
+
+
+@query(
+    "q189_stream_complete_totals",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE)
+             AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-output-mode streaming totals: the final re-emitted state
+    of an unwatermarked global aggregate must equal the batch aggregate
+    over the same input — the output-mode corner append (q54-q59) and
+    update-via-foreachBatch (q89) don't cover. Legal only because the
+    grouping key is bounded (state is O(event types))."""
+    from ..streaming.jobs import complete_mode_totals
+
+    return (
+        complete_mode_totals(spark, sf_dir)
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("sum_value_dec"), 6)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

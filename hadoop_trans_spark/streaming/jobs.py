@@ -743,3 +743,22 @@ def stream_windowed_topk(
         query.stop()
         raise TimeoutError("stream_windowed_topk did not finish in 300s")
     return dest
+
+
+def complete_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-type totals in COMPLETE output mode — the third
+    output-mode corner (append: q54-q59/q183; update: via foreachBatch
+    upserts q89): complete re-emits the ENTIRE result table every
+    micro-batch, so an unwatermarked global aggregate is legal and the
+    final memory-sink state equals the batch aggregate over all input.
+    Complete mode is the dashboard-totals pattern; its cost model at
+    100 TB is the state table size (O(groups), here O(event types)),
+    NOT the stream length — acceptable precisely when the group
+    cardinality is bounded, which is why the repo's unbounded-key
+    aggregations (q132 distinct users) use watermarked append instead."""
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    totals = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value_dec"),
+    )
+    return run_to_memory(totals, "complete")
