@@ -68,6 +68,10 @@ def _build_parser() -> argparse.ArgumentParser:
     d.add_argument("name", nargs="?", default=None, help="query name, e.g. q01_pricing_summary (omit to list)")
     d.add_argument("-data", required=False, default="/root/testdata/sf0.01", dest="data_dir")
     d.add_argument("-n", type=int, default=20, help="max rows to print")
+
+    pl = sub.add_parser("pipeline", help="run a declarative JSON pipeline spec (stages of sql/query/read/write/count/verify)")
+    pl.add_argument("-spec", required=True, help="path to the pipeline JSON file")
+    pl.add_argument("-data", default=None, dest="data_dir", help="dir of <table>.parquet files to register as views")
     return p
 
 
@@ -143,6 +147,18 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         QUERIES[args.name](spark, args.data_dir).show(args.n, truncate=False)
         return 0
+
+    if args.cmd == "pipeline":
+        from .pipelines import run_pipeline_file
+
+        report = run_pipeline_file(spark, args.spec, sf_dir=args.data_dir)
+        print(json.dumps({
+            "counts": report.counts,
+            "written": report.written,
+            "verified": report.verified,
+            "ok": report.ok,
+        }, indent=2))
+        return 0 if report.ok else 1
 
     return 2  # unreachable
 

@@ -15,6 +15,7 @@ distributed scan→sink jobs, verification is a distributed aggregate.
 
 from .compact import CompactReport, compact_table
 from .migrate import MigrateJob, MigrateReport, migrate
+from .runner import PipelineReport, run_pipeline, run_pipeline_file
 from .verify import VerifyReport, fingerprint, verify
 
 __all__ = [
