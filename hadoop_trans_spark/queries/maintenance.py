@@ -742,3 +742,152 @@ def q187_rolling_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q190_snapshot_time_travel",
+    # Both snapshots derive deterministically from orders, so the
+    # oracle re-states each version's content directly; the Spark side
+    # must recover them from the written snapshot directories.
+    oracle="""
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0),
+         v2 AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                       ELSE o_totalprice END AS o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders
+         )
+    SELECT 'v1' AS snapshot, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 6)
+                AS DOUBLE) AS price_sum
+    FROM v1
+    UNION ALL
+    SELECT 'v2', COUNT(*),
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 6)
+                AS DOUBLE)
+    FROM v2
+    ORDER BY snapshot
+    """,
+)
+def q190_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel on plain parquet: write two immutable table
+    versions under `<table>/v=N/` (the copy-on-write layout every table
+    format's time travel reduces to), then read each version AS OF its
+    snapshot id and fingerprint both — proving the engine can serve 'the
+    table as it was' without a table-format dependency. Version
+    directories are written once and never mutated; readers pin
+    `v=<id>` (partition-pruned, so reading v1 never scans v2's files).
+    At 100 TB the copy-on-write cost is per-snapshot-delta when combined
+    with q82/q191's MERGE (rewrite only changed partitions); retention
+    is directory deletion. The fixture's v2 applies a deterministic
+    price adjustment and restores rows v1 had filtered, so the two
+    fingerprints differ meaningfully."""
+    import tempfile
+
+    o = table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="htspark_tt_") + "/orders_versioned"
+    v1 = o.where(F.col("o_orderkey") % 5 != 0)
+    v2 = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 100.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    v1.write.mode("overwrite").parquet(f"{base}/v=1")
+    v2.write.mode("overwrite").parquet(f"{base}/v=2")
+
+    def as_of(version: int):
+        # Partition-style pinning: only the requested snapshot's files
+        # are listed/scanned.
+        return spark.read.parquet(f"{base}/v={version}")
+
+    def fingerprint(df, tag: str):
+        return df.agg(
+            F.lit(tag).alias("snapshot"),
+            F.count("*").alias("n_rows"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 6)
+            .cast("double")
+            .alias("price_sum"),
+        ).select("snapshot", "n_rows", "price_sum")
+    return fingerprint(as_of(1), "v1").unionByName(
+        fingerprint(as_of(2), "v2")
+    ).orderBy("snapshot")
+
+
+@query(
+    "q191_cdc_apply",
+    # The change feed is derived deterministically from orders, so the
+    # oracle states the final table directly: base minus deletes, with
+    # updates applied and inserts added.
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+         final AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                       ELSE o_totalprice END AS o_totalprice
+           FROM base
+           WHERE o_orderkey % 11 <> 0
+           UNION ALL
+           SELECT o_orderkey + 50000000, 42.0
+           FROM base WHERE o_orderkey % 97 = 0
+         )
+    SELECT COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 6)
+                AS DOUBLE) AS price_sum,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM final
+    """,
+)
+def q191_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change-data feed (op codes I/U/D) onto a base table —
+    the full MERGE semantics q82's upsert lacks: deletes remove the key,
+    updates replace the row, inserts add new keys, and a key appears in
+    the feed at most once (the compacted-feed precondition; a real feed
+    is first deduplicated to its latest op per key, q18's pattern). One
+    full-outer join on the key decides every row's fate; there is no
+    per-op pass. At 100 TB this is the lakehouse CDC-apply shape:
+    shuffle keyed on the primary key, or zero-shuffle when base and feed
+    share the q120 bucketed layout."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    feed = (
+        o.where(F.col("o_orderkey") % 11 == 0)
+        .select("o_orderkey", F.lit(None).cast("double").alias("new_price"),
+                F.lit("D").alias("op"))
+        .unionByName(
+            o.where(
+                (F.col("o_orderkey") % 7 == 0)
+                & (F.col("o_orderkey") % 11 != 0)
+            ).select(
+                "o_orderkey",
+                (F.col("o_totalprice") * 1.1).alias("new_price"),
+                F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 50_000_000).alias("o_orderkey"),
+                F.lit(42.0).alias("new_price"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    applied = (
+        o.join(feed, "o_orderkey", "full_outer")
+        .where((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            F.when(F.col("op").isin("U", "I"), F.col("new_price"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    return applied.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 6)
+        .cast("double")
+        .alias("price_sum"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
