@@ -891,3 +891,84 @@ def q191_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "q192_hll_intersection",
+    # Differential oracle: exact intersection + a constant
+    # within-tolerance flag. Inclusion-exclusion compounds the error of
+    # three estimates, so the tolerance is wider than q144's:
+    # max(10, 5% of exact) comfortably covers 3x the 0.8% rse of
+    # lgConfigK=14 sketches at any fixture scale.
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click'),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM a) AS n_click,
+           (SELECT COUNT(*) FROM b) AS n_purchase,
+           (SELECT COUNT(*) FROM a JOIN b USING (user_id))
+             AS exact_intersection,
+           1 AS within_tol
+    """,
+)
+def q192_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra set intersection: |clickers ∩ purchasers| estimated
+    by inclusion-exclusion over HLL sketches (|A|+|B|−|A∪B|, the union
+    via hll_union) — the audience-overlap question every growth
+    dashboard asks, answered WITHOUT a join of the two raw user sets.
+    The two per-segment sketches are built in ONE grouped pass over
+    events; union + arithmetic is a 1-row projection. At 100 TB the
+    exact side's distinct+join (run here only for the differential
+    check) is the expensive thing being avoided: sketches make the
+    overlap query O(sketch bytes), re-usable across every segment pair
+    (pre-compute one sketch per segment, intersect any two later).
+    Error compounds across three estimates — the documented reason
+    HLL intersections need the wider tolerance and why tiny overlaps
+    of huge sets need inclusion-exclusion-free sketches (theta)."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_n"),
+    )
+    one = sk.agg(
+        F.hll_sketch_estimate(
+            F.max(F.when(F.col("event_type") == "click", F.col("sk")))
+        ).alias("est_a"),
+        F.hll_sketch_estimate(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("sk")))
+        ).alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("exact_n"))
+        ).alias("n_click"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("exact_n"))
+        ).alias("n_purchase"),
+    )
+    a = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    ).select("user_id").distinct()
+    b = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select("user_id").distinct()
+    exact = a.join(b, "user_id").agg(
+        F.count("*").alias("exact_intersection")
+    )
+    est = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    tol = F.greatest(
+        F.lit(10.0), F.col("exact_intersection") * 0.05
+    )
+    return (
+        one.crossJoin(F.broadcast(exact))
+        .select(
+            "n_click",
+            "n_purchase",
+            "exact_intersection",
+            (F.abs(est - F.col("exact_intersection")) <= tol)
+            .cast("int")
+            .alias("within_tol"),
+        )
+    )
