@@ -395,3 +395,95 @@ def q173_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q193_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               {o_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1997-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q193_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: the supplier(s) whose quarterly
+    revenue equals the maximum over all suppliers — the
+    scalar-subquery-over-an-aggregate silhouette (Q15's CREATE VIEW
+    reduces to exactly this). The revenue aggregate is computed ONCE
+    and reused by both the max and the equality filter (same logical
+    subtree; with decimal-rounded revenue the equality is exact, so
+    ties surface every maximal supplier, not an arbitrary one — the
+    semantic difference from a top-1 LIMIT). Plan: quarter-pruned fact
+    scan → supplier-keyed agg → 1-row max broadcast back — the
+    supplier join is dimension-sized. At 100 TB nothing here sorts the
+    fact stream."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_vol()).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q194_forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(38,6))), 6) AS DOUBLE)
+             AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q194_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue change: the revenue that WOULD
+    have been earned had small-quantity mid-discount lines shipped a
+    year at full price — a pure scan-filter-aggregate with three
+    conjunctive predicates and no join. This is the query that tests
+    predicate pushdown end-to-end: all three filters must reach the
+    parquet scan (row-group min/max skipping on date and discount), and
+    the aggregate is one decimal partial per task. On a date-partitioned
+    100 TB table the year predicate prunes partitions before any I/O;
+    plan-asserted in tests/test_plans.py."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(DEC)
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("revenue_delta"),
+        F.count("*").alias("n_lines"),
+    )

@@ -586,3 +586,13 @@ def test_event_pattern_match_no_window_sort(spark, smoke_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_forecast_revenue_all_predicates_pushed(spark, smoke_dir):
+    """q194 (Q6 shape): all three conjunctive predicates (ship date,
+    discount range, quantity) must reach the parquet scan as pushed
+    filters — the end-to-end pushdown query."""
+    df = QUERIES["q194_forecast_revenue"](spark, smoke_dir)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
