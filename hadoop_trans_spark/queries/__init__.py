@@ -24,6 +24,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     graph,
     advanced,
     starshapes,
+    stats,
 )
 from .base import ORACLE, QUERIES
 

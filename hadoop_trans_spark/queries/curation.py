@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..operators.curation import (
@@ -571,3 +572,59 @@ def q135_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = paired.select("doc_id", "p.*")
     return out.orderBy("doc_id", "pair_idx")
+
+
+@query(
+    "q197_k_anonymity",
+    # Pure integer counting over the quasi-identifier pair — exact in
+    # both engines; the suppression rate is one double division rounded
+    # at 1e-6.
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, group_size,
+           CAST(group_size < 5 AS INT) AS suppressed,
+           CAST(ROUND(CAST(SUM(CASE WHEN group_size < 5 THEN group_size
+                                    ELSE 0 END) OVER () AS DOUBLE)
+                      / SUM(group_size) OVER (), 6) AS DOUBLE)
+               AS corpus_suppression_rate
+    FROM g ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def q197_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (nation,
+    market segment): per-equivalence-class sizes, a k<5 suppression
+    flag, and the corpus-wide share of rows that would need suppression
+    — the release gate run before publishing a derived dataset
+    (complements the PII redaction in q74/q75). One hash agg over a
+    2-column projection; the only window runs over the equivalence
+    CLASSES (|nations|×|segments| rows, metadata-sized at any scale,
+    never the raw customer table)."""
+    g = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        (F.col("group_size") < 5).cast("int").alias("suppressed"),
+        F.round(
+            F.sum(
+                F.when(F.col("group_size") < 5, F.col("group_size")).otherwise(
+                    0
+                )
+            )
+            .over(w)
+            .cast("double")
+            / F.sum("group_size").over(w),
+            6,
+        )
+        .cast("double")
+        .alias("corpus_suppression_rate"),
+    ).orderBy("c_nationkey", "c_mktsegment")

@@ -283,3 +283,53 @@ def q147_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY suppkey
         """
     )
+
+
+@query(
+    "q200_degree_distribution",
+    # Pure integer set algebra (distinct pairs → per-node degree →
+    # histogram) — exact in both engines, no floats anywhere.
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (
+        SELECT u AS node, v AS nbr FROM pairs
+        UNION ALL SELECT v, u FROM pairs
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM und GROUP BY node
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def q200_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph (parts are
+    adjacent when they share an order). The pair generation is a
+    self-equi-join on l_orderkey, so fan-out is bounded by the per-order
+    basket size squared (~7² here), never all-pairs over the catalog;
+    degrees and the histogram are two keyed hash aggs. At 100 TB a
+    pathological mega-order would be the one skew risk — the same
+    per-key quadratic every co-occurrence mine has (q178 market basket
+    documents the cap pattern); order baskets are naturally small."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    und = pairs.selectExpr("u AS node", "v AS nbr").unionAll(
+        pairs.selectExpr("v AS node", "u AS nbr")
+    )
+    deg = und.groupBy("node").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy("degree").agg(F.count("*").alias("n_nodes")).orderBy("degree")
+    )

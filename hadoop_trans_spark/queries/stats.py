@@ -1,0 +1,394 @@
+"""Statistical-audit queries: Benford first-digit audit, daily-revenue
+autocorrelation, rank-sum AUC, and a two-proportion A/B z-test (SURVEY
+§2C extensions; no counterpart in the reference, which only migrates
+partition bytes — TransTablePartition.java:46-80).
+
+Shared determinism rules (see ``base.py``): every floating aggregate is
+summed in DECIMAL(38,6+) before division, every double expression is
+written with IDENTICAL operand order in Spark and DuckDB, and every
+emitted double is rounded at 1e-6. Scale rules: each query is one or
+two keyed hash aggregations; the only windows run over metadata-sized
+tables (9 digits, O(days) daily series, O(distinct scores) score
+groups) — nothing here sorts or windows the raw fact table globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from .base import DEC, query
+
+
+@query(
+    "q195_benford_digits",
+    # First significant digit extracted from the DECIMAL(18,2) string
+    # form (identical text in both engines; log10-based extraction is
+    # rejected because log10(10^k) may land an ulp below k). Expected
+    # Benford frequency ln(1+1/d)/ln(10) and the chi-square term are
+    # written with identical operand order, then rounded at 1e-6.
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS
+                                VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1.0
+    ),
+    obs AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
+        FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(observed) AS DOUBLE) AS n FROM obs)
+    SELECT d.digit,
+           COALESCE(o.observed, 0) AS observed,
+           CAST(ROUND(LN(1.0 + 1.0 / d.digit) / LN(10.0), 6) AS DOUBLE)
+               AS expected_freq,
+           CAST(ROUND(
+               POW(COALESCE(o.observed, 0)
+                     - n * (LN(1.0 + 1.0 / d.digit) / LN(10.0)), 2)
+                 / (n * (LN(1.0 + 1.0 / d.digit) / LN(10.0))), 6) AS DOUBLE)
+               AS chi2_term
+    FROM (SELECT UNNEST(range(1, 10)) AS digit) d
+    LEFT JOIN obs o ON o.digit = d.digit CROSS JOIN tot
+    ORDER BY d.digit
+    """,
+)
+def q195_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed digit
+    counts vs the expected log distribution, with per-digit chi-square
+    contributions (a standard fraud/data-quality screen). One hash agg
+    over orders projected to a single digit column, then a 9-row join
+    against the static digit frame — at 100 TB the scan is
+    column-pruned to o_totalprice and the post-agg work is O(9)."""
+    digits = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1.0)
+        .select(
+            F.substring(
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("observed"))
+    all_digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    n = obs.agg(F.sum("observed").cast("double").alias("n"))
+    exp_freq = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        all_digits.join(obs, "digit", "left")
+        .withColumn("observed", F.coalesce("observed", F.lit(0)))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "observed",
+            F.round(exp_freq, 6).cast("double").alias("expected_freq"),
+            F.round(
+                F.pow(F.col("observed") - F.col("n") * exp_freq, 2)
+                / (F.col("n") * exp_freq),
+                6,
+            )
+            .cast("double")
+            .alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "q196_daily_acf",
+    # Daily revenues are decimal-summed then rounded (exactly
+    # representable doubles), so the per-lag moment sums are exact
+    # decimals in both engines; the final Pearson expression is one
+    # double formula with identical operand order, rounded at 1e-6.
+    oracle="""
+    WITH daily AS (
+        SELECT l_shipdate AS day,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 6)
+                    AS DOUBLE) AS rev
+        FROM lineitem GROUP BY l_shipdate
+        -- l_shipdate is date-valued (midnight timestamps), so grouping
+        -- by the raw column equals grouping by day; the +INTERVAL join
+        -- above matches Spark's date_add on the DATE-cast day.
+    ),
+    pairs AS (
+        SELECT l.lag, a.rev AS x, b.rev AS y
+        FROM daily a
+        CROSS JOIN (SELECT UNNEST(range(1, 8)) AS lag) l
+        JOIN daily b ON b.day = a.day + CAST(l.lag AS INT) * INTERVAL 1 DAY
+    ),
+    m AS (
+        SELECT lag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+                    AS DOUBLE) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, n_pairs,
+           CAST(ROUND((n * sxy - sx * sy)
+                / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                AS DOUBLE) AS acf
+    FROM m ORDER BY lag
+    """,
+)
+def q196_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at calendar lags 1..7 days
+    (weekly-seasonality screen). The raw fact table collapses to an
+    O(days) daily series in one hash agg; the lag pairing is a
+    broadcast-sized self-join of that series (calendar join, not row
+    shift, so date gaps pair correctly). At 100 TB the fact-table agg
+    dominates and everything after is metadata-sized."""
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 6)
+        .cast("double")
+        .alias("rev")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("b.day") == F.expr("date_add(a.day, lag)"),
+        )
+        .select("lag", F.col("a.rev").alias("x"), F.col("b.rev").alias("y"))
+    )
+    # Products at scale 6×6 → exact scale-12 decimals small enough that
+    # neither engine's 38-digit cap truncates or overflows (DuckDB's
+    # scale-adding multiply overflows hugeint at 12×12).
+    d6 = "decimal(19,6)"
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum(F.col("x").cast(d6) * F.col("y").cast(d6))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x").cast(d6) * F.col("x").cast(d6))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("y").cast(d6) * F.col("y").cast(d6))
+        .cast("double")
+        .alias("syy"),
+    )
+    return m.select(
+        "lag",
+        "n_pairs",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("acf"),
+    ).orderBy("lag")
+
+
+@query(
+    "q198_auc_rank",
+    # Average ranks and the rank-sum are exact rationals at scale .5;
+    # both sides compute them in DECIMAL(38,6) and only the final AUC
+    # division produces a double, rounded at 1e-6.
+    oracle="""
+    WITH lab AS (
+        SELECT n_chars AS score, CAST(lang = 'en' AS INT) AS y
+        FROM documents
+    ),
+    grp AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM lab GROUP BY score
+    ),
+    ranked AS (
+        SELECT score, cnt, pos,
+               COALESCE(SUM(cnt) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below
+        FROM grp
+    ),
+    agg AS (
+        SELECT SUM(pos) AS npos, SUM(cnt - pos) AS nneg,
+               SUM(CAST(pos AS DECIMAL(38,6))
+                   * (CAST(below AS DECIMAL(38,6))
+                      + (CAST(cnt AS DECIMAL(38,6)) + 1) / 2)) AS possum
+        FROM ranked
+    )
+    SELECT CAST(npos AS BIGINT) AS npos,
+           CAST(nneg AS BIGINT) AS nneg,
+           CAST(ROUND(CAST(
+               (possum - CAST(npos AS DECIMAL(38,6))
+                           * (CAST(npos AS DECIMAL(38,6)) + 1) / 2)
+               AS DOUBLE)
+               / (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 6) AS DOUBLE)
+               AS auc
+    FROM agg
+    """,
+)
+def q198_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of document length as a predictor of lang='en', via the
+    Mann-Whitney rank-sum identity with midrank tie handling. The fact
+    table collapses to per-score (cnt, pos) in one hash agg; the only
+    window is the cumulative count over DISTINCT scores (metadata-sized
+    — never a global per-row rank of the corpus, which is the naive
+    formulation that dies at 100 TB). Rank sums stay exact decimals."""
+    lab = table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    grp = lab.groupBy("score").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = grp.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum("pos").alias("npos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("nneg"),
+        F.sum(
+            F.col("pos").cast(DEC)
+            * (F.col("below").cast(DEC) + (F.col("cnt").cast(DEC) + 1) / 2)
+        ).alias("possum"),
+    )
+    return agg.select(
+        F.col("npos").cast("long").alias("npos"),
+        F.col("nneg").cast("long").alias("nneg"),
+        F.round(
+            (
+                F.col("possum")
+                - F.col("npos").cast(DEC) * (F.col("npos").cast(DEC) + 1) / 2
+            ).cast("double")
+            / (F.col("npos").cast("double") * F.col("nneg").cast("double")),
+            6,
+        )
+        .cast("double")
+        .alias("auc"),
+    )
+
+
+@query(
+    "q199_ab_ztest",
+    # Variant assignment is a deterministic md5-hex-parity split on the
+    # user id string (same md5 text in both engines); counts are exact
+    # and the pooled z-score is one double formula with identical
+    # operand order, rounded at 1e-6.
+    oracle="""
+    WITH assign AS (
+        SELECT user_id,
+               CASE WHEN strpos('02468ace',
+                         substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) > 0
+                    THEN 'A' ELSE 'B' END AS variant,
+               CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 180.0
+                             THEN 1 ELSE 0 END)
+                    AS INT) AS converted
+        FROM events GROUP BY user_id,
+             CASE WHEN strpos('02468ace',
+                       substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) > 0
+                  THEN 'A' ELSE 'B' END
+    ),
+    v AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS conv
+        FROM assign GROUP BY variant
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN variant = 'A' THEN n END) AS n_a,
+               MAX(CASE WHEN variant = 'A' THEN conv END) AS conv_a,
+               MAX(CASE WHEN variant = 'B' THEN n END) AS n_b,
+               MAX(CASE WHEN variant = 'B' THEN conv END) AS conv_b
+        FROM v
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(ROUND(CASE WHEN se > 0 THEN
+             (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / se END, 6) AS DOUBLE) AS z,
+           CAST(CASE WHEN se > 0 THEN ABS(
+             (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / se) > 1.959964 END AS INT) AS significant
+    FROM (
+        SELECT *,
+               SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)) AS se
+        FROM wide)
+    """,
+)
+def q199_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test on a deterministic hash split of users
+    (md5-hex parity → variant; conversion = a 'purchase' event above the
+    180.0 value threshold, a genuinely sparse outcome — every user has
+    SOME purchase, which would give zero pooled variance). One hash agg
+    per-user, one 2-row agg per-variant, then a scalar pooled z-score —
+    the standard experiment readout. At 100 TB the per-user agg is the
+    only shuffle; everything downstream is 2 rows. A zero standard
+    error (degenerate all/none outcome) yields NULL z, not an error."""
+    ev = table(spark, sf_dir, "events")
+    variant = F.when(
+        F.instr(
+            F.lit("02468ace"),
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+        )
+        > 0,
+        "A",
+    ).otherwise("B")
+    assign = (
+        ev.select(
+            "user_id",
+            variant.alias("variant"),
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 180.0)
+            )
+            .cast("int")
+            .alias("p"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(F.max("p").alias("converted"))
+    )
+    v = assign.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("conv_b"),
+    )
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    diff = (
+        F.col("conv_a").cast("double") / F.col("n_a")
+        - F.col("conv_b").cast("double") / F.col("n_b")
+    )
+    z = F.when(F.col("se") > 0, diff / F.col("se"))
+    return wide.withColumn("se", se).select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(z, 6).cast("double").alias("z"),
+        F.when(F.col("se") > 0, F.abs(z) > 1.959964)
+        .cast("int")
+        .alias("significant"),
+    )
