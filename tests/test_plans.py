@@ -596,3 +596,43 @@ def test_forecast_revenue_all_predicates_pushed(spark, smoke_dir):
     pushed = " ".join(pushed_filters(df))
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, pushed
+
+
+def test_degree_distribution_pair_join_keyed_no_cartesian(spark, smoke_dir):
+    """q200: the co-order pair generation must stay an equi self-join
+    on l_orderkey — a CartesianProduct or nested loop here means the
+    all-pairs-over-the-catalog plan that dies at 100 TB."""
+    df = QUERIES["q200_degree_distribution"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_auc_rank_window_over_grouped_scores_only(spark, smoke_dir):
+    """q198: the cumulative-rank window must run AFTER the per-score
+    aggregation — the window's child subtree must contain the
+    HashAggregate, so the single-partition sort sees O(distinct scores)
+    rows, never the raw documents table (the naive global per-row rank
+    is the formulation that dies at 100 TB)."""
+    df = QUERIES["q198_auc_rank"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
+    agg_idx = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    assert win_idx, plan
+    # executedPlan prints children below parents: at least one
+    # HashAggregate must appear BELOW the window operator (its input).
+    assert any(a > win_idx[0] for a in agg_idx), plan
+
+
+def test_daily_acf_lag_join_no_cartesian_lags_broadcast(spark, smoke_dir):
+    """q196: the 7-row lag frame must broadcast (its cross join is the
+    only nested loop allowed) and the day-pairing join must be a keyed
+    equi join on the computed date — no cartesian over the daily
+    series."""
+    df = QUERIES["q196_daily_acf"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert broadcast_joins(df) >= 1, plan
