@@ -628,3 +628,100 @@ def q197_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("corpus_suppression_rate"),
     ).orderBy("c_nationkey", "c_mktsegment")
+
+
+@query(
+    "q206_winsorize_acctbal",
+    # Cutoffs are percentile_disc-style (smallest value whose cumulative
+    # count reaches ceil(p*n)) computed from exact integer cumulative
+    # counts — no interpolated-quantile arithmetic, which differs by
+    # ulps across engines (the q124 lesson). Clipped sums are decimal.
+    oracle="""
+    WITH vals AS (
+        SELECT c_mktsegment AS seg, c_acctbal AS v,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM customer GROUP BY c_mktsegment, c_acctbal
+    ),
+    cum AS (
+        SELECT seg, v, cnt,
+               SUM(cnt) OVER (PARTITION BY seg ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER (PARTITION BY seg) AS n
+        FROM vals
+    ),
+    cuts AS (
+        SELECT seg, CAST(MAX(n) AS BIGINT) AS n,
+               MIN(CASE WHEN cum >= CEIL(0.05 * n) THEN v END) AS p05,
+               MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN v END) AS p95
+        FROM cum GROUP BY seg
+    )
+    SELECT c.c_mktsegment AS seg, k.n, k.p05, k.p95,
+           CAST(SUM(CASE WHEN c.c_acctbal < k.p05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN c.c_acctbal > k.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           CAST(ROUND(SUM(CAST(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)
+                                AS DECIMAL(38,6))) / COUNT(*), 6) AS DOUBLE)
+               AS winsorized_mean
+    FROM customer c JOIN cuts k ON k.seg = c.c_mktsegment
+    GROUP BY c.c_mktsegment, k.n, k.p05, k.p95
+    ORDER BY seg
+    """,
+)
+def q206_winsorize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment winsorization of account balances at discrete
+    p05/p95 (outlier clipping before feature scaling — a standard
+    training-data curation step). Cutoffs use percentile_disc
+    semantics built from cumulative counts over DISTINCT values per
+    segment — the window runs on the value-histogram table, not raw
+    customers, and clipping is a broadcast-sized cutoff join back to
+    the fact. Exact at any scale; no interpolated quantiles."""
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"), F.col("c_acctbal").alias("v")
+    )
+    vals = cust.groupBy("seg", "v").agg(F.count("*").alias("cnt"))
+    wcum = (
+        Window.partitionBy("seg")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wseg = Window.partitionBy("seg")
+    cum = vals.select(
+        "seg",
+        "v",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wseg).alias("n"),
+    )
+    cuts = cum.groupBy("seg").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(0.05 * F.col("n")), F.col("v"))
+        ).alias("p05"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(0.95 * F.col("n")), F.col("v"))
+        ).alias("p95"),
+    )
+    clipped = cust.join(F.broadcast(cuts), "seg")
+    return (
+        clipped.groupBy("seg", "n", "p05", "p95")
+        .agg(
+            F.sum((F.col("v") < F.col("p05")).cast("int")).alias(
+                "n_clipped_low"
+            ),
+            F.sum((F.col("v") > F.col("p95")).cast("int")).alias(
+                "n_clipped_high"
+            ),
+            F.round(
+                F.sum(
+                    F.least(
+                        F.greatest(F.col("v"), F.col("p05")), F.col("p95")
+                    ).cast("decimal(38,6)")
+                )
+                / F.count("*"),
+                6,
+            )
+            .cast("double")
+            .alias("winsorized_mean"),
+        )
+        .orderBy("seg")
+    )

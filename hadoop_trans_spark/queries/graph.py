@@ -333,3 +333,98 @@ def q200_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         deg.groupBy("degree").agg(F.count("*").alias("n_nodes")).orderBy("degree")
     )
+
+
+@query(
+    "q204_adamic_adar",
+    # Integer set algebra for edges/degrees; the 1/ln(degree) terms sum
+    # over ≤ deg_cap common neighbors per pair — double ops in identical
+    # order, rounded at 1e-6 BEFORE the top-20 rank (ties broken on the
+    # pair key).
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (
+        SELECT u AS node, v AS nbr FROM pairs
+        UNION ALL SELECT v, u FROM pairs
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM und GROUP BY node
+    ),
+    thin AS (  -- drop hub intermediates: tiny 1/ln(deg) weight, huge fan-out
+        SELECT e.node, e.nbr, d.degree
+        FROM und e JOIN deg d ON d.node = e.node
+        WHERE d.degree <= 64
+    ),
+    cand AS (
+        SELECT a.nbr AS u, b.nbr AS v,
+               CAST(SUM(1.0 / LN(a.degree)) AS DOUBLE) AS aa,
+               CAST(COUNT(*) AS BIGINT) AS common
+        FROM thin a JOIN thin b
+          ON a.node = b.node AND a.nbr < b.nbr AND a.degree > 1
+        GROUP BY a.nbr, b.nbr
+    )
+    SELECT c.u, c.v, c.common, CAST(ROUND(c.aa, 6) AS DOUBLE) AS aa_score
+    FROM cand c
+    LEFT JOIN pairs p ON p.u = c.u AND p.v = c.v
+    WHERE p.u IS NULL
+    ORDER BY ROUND(c.aa, 6) DESC, c.u, c.v LIMIT 20
+    """,
+)
+def q204_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the part co-purchase graph: for
+    non-adjacent part pairs sharing neighbors, score Σ 1/ln(deg(n))
+    over common neighbors n; top-20 predicted links. The wedge join is
+    keyed on the shared intermediate node and hub intermediates
+    (degree > 64) are dropped FIRST — they contribute the smallest
+    per-term weight yet the quadratic fan-out, so the cap is the scale
+    lever (the same top-degree prune every production AA/common-
+    neighbors job applies); existing edges are removed by anti-join.
+    Degree-1 intermediates are excluded (ln(1)=0 would divide by
+    zero — they form no wedge anyway)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    und = pairs.selectExpr("u AS node", "v AS nbr").unionAll(
+        pairs.selectExpr("v AS node", "u AS nbr")
+    )
+    deg = und.groupBy("node").agg(F.count("*").alias("degree"))
+    thin = und.join(deg, "node").where(F.col("degree") <= 64)
+    ta, tb = thin.alias("ta"), thin.alias("tb")
+    cand = (
+        ta.join(
+            tb,
+            (F.col("ta.node") == F.col("tb.node"))
+            & (F.col("ta.nbr") < F.col("tb.nbr")),
+        )
+        .where(F.col("ta.degree") > 1)
+        .groupBy(F.col("ta.nbr").alias("u"), F.col("tb.nbr").alias("v"))
+        .agg(
+            F.sum(F.lit(1.0) / F.log(F.col("ta.degree")))
+            .cast("double")
+            .alias("aa"),
+            F.count("*").alias("common"),
+        )
+    )
+    return (
+        cand.join(pairs, ["u", "v"], "left_anti")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.round("aa", 6).cast("double").alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), "u", "v")
+        .limit(20)
+    )

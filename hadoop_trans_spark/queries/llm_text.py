@@ -912,3 +912,111 @@ def q188_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).cast("double").alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).cast("double").alias("intercept"),
     )
+
+
+@query(
+    "q201_rake_keywords",
+    # Phrase segmentation is pure regex string algebra (identical RE2/
+    # Java-regex subset in both engines; DuckDB needs the explicit 'g'
+    # flag Spark applies by default). Word freq/degree are integer
+    # counts; the degree/freq score and phrase sum are double ops in
+    # identical order, rounded at 1e-6 BEFORE the top-20 ranking so the
+    # cutoff is tie-broken identically (score DESC, phrase ASC).
+    oracle=r"""
+    WITH phr AS (
+        SELECT trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase
+        FROM (
+            SELECT UNNEST(string_split(
+                regexp_replace(
+                    regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),
+                    '\b(the|a|an|of|and|or|to|in|is|on|for|with|as|by|at|it)\b',
+                    '|', 'g'),
+                '|')) AS p
+            FROM documents)
+        WHERE trim(p) <> ''
+    ),
+    cand AS (
+        SELECT phrase, string_split(phrase, ' ') AS ws
+        FROM phr WHERE len(string_split(phrase, ' ')) BETWEEN 1 AND 4
+    ),
+    words AS (
+        SELECT UNNEST(ws) AS w, len(ws) AS plen FROM cand
+    ),
+    stats AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS degree
+        FROM words GROUP BY w
+    ),
+    dphr AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               ANY_VALUE(ws) AS ws
+        FROM cand GROUP BY phrase
+    ),
+    scored AS (
+        SELECT d.phrase, d.n_occurrences,
+               CAST(ROUND(SUM(CAST(s.degree AS DOUBLE) / s.freq), 6)
+                    AS DOUBLE) AS score
+        FROM (SELECT phrase, n_occurrences, UNNEST(ws) AS w FROM dphr) d
+        JOIN stats s ON s.w = d.w
+        GROUP BY d.phrase, d.n_occurrences
+    )
+    SELECT phrase, n_occurrences, score
+    FROM scored ORDER BY score DESC, phrase LIMIT 20
+    """,
+)
+def q201_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the corpus: candidate phrases are
+    maximal stopword-free token runs (built with two regex passes — no
+    per-doc window, no gaps-and-islands shuffle), word scores are
+    corpus-wide degree/frequency, and a phrase scores the sum of its
+    words. Everything is JVM-side string algebra + three keyed hash
+    aggs; the per-phrase word join fans out by phrase length (≤4). At
+    100 TB the word-stats table follows Heaps' law and is never
+    force-broadcast — AQE decides from measured size."""
+    stop = "the|a|an|of|and|or|to|in|is|on|for|with|as|by|at|it"
+    phrases = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.regexp_replace(F.lower("text"), "[^a-z]+", " "),
+                        rf"\b({stop})\b",
+                        "|",
+                    ),
+                    r"\|",
+                )
+            ).alias("p")
+        )
+        .select(
+            F.trim(F.regexp_replace("p", " +", " ")).alias("phrase")
+        )
+        .where(F.col("phrase") != "")
+    )
+    cand = phrases.select(
+        "phrase", F.split("phrase", " ").alias("ws")
+    ).where(F.size("ws").between(1, 4))
+    words = cand.select(
+        F.explode("ws").alias("w"), F.size("ws").alias("plen")
+    )
+    stats = words.groupBy("w").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("degree")
+    )
+    dphr = cand.groupBy("phrase").agg(
+        F.count("*").alias("n_occurrences"), F.any_value("ws").alias("ws")
+    )
+    scored = (
+        dphr.select("phrase", "n_occurrences", F.explode("ws").alias("w"))
+        .join(stats, "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.round(
+                F.sum(F.col("degree").cast("double") / F.col("freq")), 6
+            )
+            .cast("double")
+            .alias("score")
+        )
+    )
+    return scored.select("phrase", "n_occurrences", "score").orderBy(
+        F.col("score").desc(), "phrase"
+    ).limit(20)

@@ -972,3 +972,99 @@ def q192_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_tol"),
         )
     )
+
+
+@query(
+    "q205_referential_integrity",
+    # Pure integer counting over anti-joined keys — exact in both
+    # engines; the orphan rate is one double division rounded at 1e-6.
+    oracle="""
+    WITH checks AS (
+        SELECT 'lineitem.l_orderkey->orders' AS fk,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS child_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                   AS orphans
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                  WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))
+    )
+    SELECT fk, child_rows, orphans,
+           CAST(orphans = 0 AS INT) AS ok,
+           CAST(ROUND(CAST(orphans AS DOUBLE) / child_rows, 6) AS DOUBLE)
+               AS orphan_rate
+    FROM checks ORDER BY fk
+    """,
+)
+def q205_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's five
+    foreign keys: orphan counts via left-anti joins, one row per FK
+    edge — the standard warehouse DQ gate after an ingest/migrate run
+    (complements q19/q145 content checks). Each check is one anti
+    equi-join: the dimension sides (nation, customer, supplier, part)
+    broadcast or AQE-shuffle by measured size; the two lineitem checks
+    share the same scan. No orphan scan reads more than the key
+    column; the whole audit is ONE lazy plan (no driver-side counts —
+    each FK edge is a left join preserving child rows plus a
+    conditional agg, and the five 1-row results union)."""
+    def check(fk: str, child: DataFrame, key: str, parent: DataFrame,
+              pkey: str) -> DataFrame:
+        parent_keys = parent.select(F.col(pkey).alias("pk")).distinct()
+        return (
+            child.select(F.col(key).alias("k"))
+            .join(parent_keys, F.col("k") == F.col("pk"), "left")
+            .agg(
+                F.lit(fk).alias("fk"),
+                F.count("*").alias("child_rows"),
+                F.count_if(F.col("pk").isNull()).alias("orphans"),
+            )
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    checks = [
+        check("lineitem.l_orderkey->orders", li, "l_orderkey",
+              table(spark, sf_dir, "orders"), "o_orderkey"),
+        check("lineitem.l_partkey->part", li, "l_partkey",
+              table(spark, sf_dir, "part"), "p_partkey"),
+        check("lineitem.l_suppkey->supplier", li, "l_suppkey",
+              table(spark, sf_dir, "supplier"), "s_suppkey"),
+        check("orders.o_custkey->customer", table(spark, sf_dir, "orders"),
+              "o_custkey", table(spark, sf_dir, "customer"), "c_custkey"),
+        check("customer.c_nationkey->nation",
+              table(spark, sf_dir, "customer"), "c_nationkey",
+              table(spark, sf_dir, "nation"), "n_nationkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "fk",
+        "child_rows",
+        "orphans",
+        (F.col("orphans") == 0).cast("int").alias("ok"),
+        F.round(F.col("orphans").cast("double") / F.col("child_rows"), 6)
+        .cast("double")
+        .alias("orphan_rate"),
+    ).orderBy("fk")

@@ -21,6 +21,7 @@ from ..streaming import (
     stream_static_enrich,
     stream_stream_join,
     stream_stream_left_join,
+    stream_stream_full_outer_join,
     stream_upsert_sink,
     tumbling_counts,
     user_streaks,
@@ -538,3 +539,52 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q202_stream_stream_full_outer",
+    """
+    WITH clicks AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT event_id AS view_id, user_id, ts AS view_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    wm AS (SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'view'))
+               - INTERVAL '10 minutes' AS w)
+    SELECT c.click_id,
+           COALESCE(c.user_id, v.user_id) AS user_id,
+           epoch_us(c.click_ts) AS click_us,
+           v.view_id,
+           epoch_us(v.view_ts) AS view_us
+    FROM clicks c
+    FULL JOIN views v
+      ON c.user_id = v.user_id
+     AND v.view_ts >= c.click_ts - INTERVAL '30 minutes'
+     AND v.view_ts <= c.click_ts
+    CROSS JOIN wm
+    WHERE (c.click_id IS NOT NULL AND v.view_id IS NOT NULL)
+       OR (v.view_id IS NULL AND c.click_ts < wm.w)
+       OR (c.click_id IS NULL AND v.view_ts + INTERVAL '30 minutes' < wm.w)
+    ORDER BY click_id, view_id
+    """,
+)
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-outer stream-stream join (completes the q79/q148 family):
+    unmatched rows on BOTH sides emit NULL-padded under watermark
+    control. The oracle states each side's emission rule from its own
+    state horizon: matched pairs always; clicks with no view once the
+    watermark passes click_ts (they awaited views in
+    [click_ts-30m, click_ts]); views with no click once the watermark
+    passes view_ts+30m (they awaited clicks in [view_ts, view_ts+30m])
+    — rows newer than their horizon are still unresolved at
+    end-of-stream and correctly absent. State on both sides is bounded
+    by watermark + lookback; user_id partitions both stores."""
+    out = run_to_memory(
+        stream_stream_full_outer_join(spark, sf_dir), "append"
+    )
+    return out.orderBy("click_id", "view_id")

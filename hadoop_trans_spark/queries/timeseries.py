@@ -1048,3 +1048,104 @@ def q177_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q203_holt_forecast",
+    # The level/trend recursion is linear in the O(days) series, so the
+    # oracle expresses it as a recursive CTE and Spark as an array fold
+    # — both evaluate THE SAME double expressions in the same order
+    # (alpha=0.5, beta literals 0.3/0.7 written out on both sides, no
+    # derived 1-beta), so the trajectories are bitwise identical;
+    # forecasts round at 1e-6.
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT l_shipdate AS day,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 6)
+                    AS DOUBLE) AS rev
+        FROM lineitem GROUP BY l_shipdate
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS t, rev FROM daily
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+    s AS (
+        SELECT 2 AS t,
+               0.5 * y2.rev + 0.5 * (y1.rev + (y2.rev - y1.rev)) AS l,
+               0.3 * ((0.5 * y2.rev + 0.5 * (y1.rev + (y2.rev - y1.rev)))
+                      - y1.rev)
+                 + 0.7 * (y2.rev - y1.rev) AS b
+        FROM idx y1, idx y2 WHERE y1.t = 1 AND y2.t = 2
+        UNION ALL
+        SELECT s.t + 1,
+               0.5 * y.rev + 0.5 * (s.l + s.b),
+               0.3 * ((0.5 * y.rev + 0.5 * (s.l + s.b)) - s.l) + 0.7 * s.b
+        FROM s JOIN idx y ON y.t = s.t + 1, n
+        WHERE s.t < n.n
+    ),
+    fin AS (SELECT l, b FROM s, n WHERE s.t = n.n)
+    SELECT h.h,
+           CAST(ROUND(fin.l + h.h * fin.b, 6) AS DOUBLE) AS forecast
+    FROM (SELECT UNNEST(range(1, 8)) AS h) h CROSS JOIN fin
+    ORDER BY h.h
+    """,
+)
+def q203_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level+trend) over the daily
+    revenue series, with a 7-day-ahead linear forecast. The fact table
+    collapses to an O(days) series in one hash agg; the inherently
+    sequential recursion then runs as a single JVM array fold
+    (``F.aggregate``) over that metadata-sized series — the standard
+    split for recursive time-series ops at 100 TB: distribute the
+    heavy reduction, fold the small recurrence. Initialization
+    l=y1, b=y2-y1; alpha=0.5, beta=0.3."""
+    from .base import DEC
+
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 6)
+        .cast("double")
+        .alias("rev")
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "rev"))).alias("arr")
+    ).select(F.transform("arr", lambda x: x["rev"]).alias("ys"))
+    # WITH RECURSIVE above == this fold: acc = (l, b), seeded from
+    # y1/y2, advanced once per remaining element in day order.
+    fin = series.select(
+        F.aggregate(
+            F.slice(F.col("ys"), 2, F.size("ys") - 1),
+            F.struct(
+                F.element_at("ys", 1).alias("l"),
+                (F.element_at("ys", 1) - F.element_at("ys", 1)).alias("_z"),
+            ).withField(
+                "b", F.element_at("ys", 2) - F.element_at("ys", 1)
+            ).dropFields("_z"),
+            lambda acc, y: F.struct(
+                (F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["b"])).alias(
+                    "l"
+                )
+            ).withField(
+                "b",
+                F.lit(0.3)
+                * (
+                    (F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["b"]))
+                    - acc["l"]
+                )
+                + F.lit(0.7) * acc["b"],
+            ),
+        ).alias("fin")
+    )
+    hs = spark.range(1, 8).select(F.col("id").cast("long").alias("h"))
+    return (
+        hs.crossJoin(F.broadcast(fin))
+        .select(
+            "h",
+            F.round(
+                F.col("fin.l") + F.col("h") * F.col("fin.b"), 6
+            )
+            .cast("double")
+            .alias("forecast"),
+        )
+        .orderBy("h")
+    )

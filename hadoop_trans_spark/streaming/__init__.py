@@ -17,6 +17,7 @@ from .jobs import (
     stream_static_enrich,
     stream_stream_join,
     stream_stream_left_join,
+    stream_stream_full_outer_join,
     stream_upsert_sink,
     tumbling_counts,
     user_streaks,
@@ -35,6 +36,7 @@ __all__ = [
     "stream_static_enrich",
     "stream_stream_join",
     "stream_stream_left_join",
+    "stream_stream_full_outer_join",
     "stream_upsert_sink",
     "late_data_drop",
     "user_streaks",

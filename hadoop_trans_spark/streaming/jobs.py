@@ -312,6 +312,54 @@ def stream_stream_left_join(
     )
 
 
+def stream_stream_full_outer_join(
+    spark: SparkSession, sf_dir: str, lookback: str = "30 minutes"
+) -> DataFrame:
+    """Full-outer stream-stream join: matched click/view pairs emit
+    immediately; unmatched rows on EITHER side emit NULL-padded once
+    the watermark proves no partner can still arrive. The asymmetric
+    range condition gives each side its own state horizon — a click
+    waits on views in [click_ts - lookback, click_ts] so it expires
+    when the watermark passes click_ts; a view waits on clicks in
+    [view_ts, view_ts + lookback] so it expires lookback later. Both
+    horizons are bounded, so state never grows on an infinite stream;
+    user_id partitions both state stores at scale."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    return clicks.join(
+        views,
+        F.expr(
+            f"c_user = v_user AND view_ts >= click_ts - interval {lookback} "
+            "AND view_ts <= click_ts"
+        ),
+        "full_outer",
+    ).select(
+        "click_id",
+        F.coalesce("c_user", "v_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_us"),
+        "view_id",
+        F.unix_micros("view_ts").alias("view_us"),
+    )
+
+
 # --- stream-static join --------------------------------------------------------
 
 
