@@ -636,3 +636,37 @@ def test_daily_acf_lag_join_no_cartesian_lags_broadcast(spark, smoke_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert broadcast_joins(df) >= 1, plan
+
+
+def test_rake_no_python_and_no_forced_broadcast(spark, smoke_dir):
+    """q201: phrase algebra must stay JVM-side (no Python eval in the
+    plan) and the Heaps-law word-stats table must not carry a broadcast
+    hint — AQE decides from measured sizes (the q118/q175 rule)."""
+    import re
+
+    df = QUERIES["q201_rake_keywords"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    optimized = str(df._jdf.queryExecution().optimizedPlan().toString())
+    assert not re.findall(r"strategy=broadcast", optimized), optimized
+
+
+def test_adamic_adar_wedge_join_keyed_no_cartesian(spark, smoke_dir):
+    """q204: the wedge join must be an equi join on the shared
+    intermediate node — a cartesian or nested loop over the adjacency
+    lists is the all-pairs plan the hub prune exists to prevent."""
+    df = QUERIES["q204_adamic_adar"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_referential_integrity_single_lazy_plan_keyed_joins(spark, smoke_dir):
+    """q205: the audit must be one lazy plan of keyed joins — no
+    cartesian, no Python — and the nation/customer/supplier/part parent
+    sides must never degrade to nested loops."""
+    df = QUERIES["q205_referential_integrity"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
