@@ -487,3 +487,188 @@ def q194_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue_delta"),
         F.count("*").alias("n_lines"),
     )
+
+
+@query(
+    "q207_small_qty_revenue",
+    # TPC-H Q17 silhouette. The per-part average is decimal-summed
+    # (exact, order-independent) and the 0.2 threshold comparison uses
+    # the same rounded-double average in both engines; the final
+    # revenue sum is decimal then /7.0, rounded at 1e-6.
+    oracle=f"""
+    WITH avgq AS (
+        SELECT l_partkey,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                          / COUNT(*), 6) AS DOUBLE) AS aq
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(CAST(ROUND(SUM(CAST(l.l_extendedprice AS
+                                          DECIMAL(38,6))), 6) AS DOUBLE)
+                / 7.0, 6) AS DOUBLE) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avgq a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size <= 10
+      AND l.l_quantity < 0.2 * a.aq
+    """,
+)
+def q207_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 silhouette (small-quantity-order revenue): lines whose
+    quantity is below 20% of their part's average quantity, for one
+    brand's small parts (p_container doesn't exist in the fixture;
+    p_size <= 10 stands in as the second selective predicate —
+    TPC-H 2.17.3 semantics otherwise intact). The correlated AVG is
+    decorrelated into one per-part aggregate joined back on partkey —
+    never a per-row subquery; at 100 TB the brand filter prunes the
+    part side to broadcast size and AQE keys both joins on partkey."""
+    li = table(spark, sf_dir, "lineitem")
+    avgq = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_quantity").cast(DEC)) / F.count("*"), 6
+        )
+        .cast("double")
+        .alias("aq")
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avgq, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 6).cast(
+                    "double"
+                )
+                / 7.0,
+                6,
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count("*").alias("n_small_lines"),
+        )
+    )
+
+
+@query(
+    "q208_discount_brackets",
+    # TPC-H Q19 silhouette: OR-of-ANDs across the join. Revenue is
+    # decimal-summed; quantities/sizes are exact.
+    oracle=f"""
+    SELECT {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q208_discount_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 silhouette (disjunctive bracket revenue): three
+    brand/size/quantity brackets OR-ed together ACROSS the part-lineitem
+    join. The single-table parts of the disjunction (brand IN, size <=
+    15, quantity 1-30) are pre-pushed to each scan so the join input
+    shrinks before the residual OR filter — the pattern Catalyst
+    applies via constraint propagation, stated explicitly here so the
+    pushdown survives refactors; the join itself stays a keyed equi
+    join (never a nested loop over the OR)."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(1, 30)
+    )
+    p = table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size").between(1, 15))
+    )
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.where(bracket).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q209_profit_by_nation_year",
+    # TPC-H Q9 silhouette. The fixture has no partsupp table, so unit
+    # cost is the deterministic stand-in 0.9 * p_retailprice (stated in
+    # the docstring); profit sums run in DECIMAL and round at 1e-6.
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(ROUND(SUM(CAST(
+               l.l_extendedprice * (1 - l.l_discount)
+                 - 0.9 * p.p_retailprice * l.l_quantity
+               AS DECIMAL(38,6))), 6) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%a%'
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    ORDER BY nation, o_year
+    """,
+)
+def q209_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 silhouette (product-type profit by supplier nation and
+    order year): the 5-table snowflake join with a per-line profit
+    expression. The fixture carries no partsupp table, so
+    ps_supplycost is replaced by the deterministic 0.9*p_retailprice —
+    the JOIN SHAPE (fact + orders + supplier→nation + part with a
+    name-pattern filter) is what this query locks in. At 100 TB:
+    nation/supplier/filtered-part broadcast by measured size, the
+    orders join keys on orderkey, and the profit aggregate is
+    decimal-partial (map-side combine)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%a%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.9
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(profit.cast(DEC)), 6)
+            .cast("double")
+            .alias("profit")
+        )
+        .orderBy("nation", "o_year")
+    )

@@ -1149,3 +1149,65 @@ def q203_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+@query(
+    "q210_twap_per_user",
+    # Interval weights are exact integer microsecond deltas; the
+    # weighted sum runs in DECIMAL (value is 2-decimal money-like), and
+    # only the final ratio is a double, rounded at 1e-6. Tie-broken on
+    # (ts, event_id) so duplicate timestamps pair identically in both
+    # engines.
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt_us) AS BIGINT) AS span_us,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(19,6)) * dt_us)
+                           AS DOUBLE)
+                      / SUM(dt_us), 6) AS DOUBLE) AS twap
+    FROM seq WHERE dt_us IS NOT NULL AND dt_us > 0
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q210_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event value per user (the TWAP /
+    time_weight operator of time-series stores): each reading is
+    weighted by the microseconds until the user's next event, so
+    long-held values dominate regardless of sampling rate. One window
+    (lead) PARTITIONED BY user — keyed, never global — then one hash
+    agg; zero-length intervals (duplicate timestamps) carry no weight
+    and the final reading has no successor, both dropped exactly as the
+    oracle states. At 100 TB user_id partitions the sort and the
+    weighted sums are decimal-partial."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        (
+            F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dt_us"),
+    )
+    return (
+        seq.where(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dt_us").alias("span_us"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(19,6)") * F.col("dt_us"))
+                .cast("double")
+                / F.sum("dt_us"),
+                6,
+            )
+            .cast("double")
+            .alias("twap"),
+        )
+        .orderBy("user_id")
+    )
