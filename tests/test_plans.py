@@ -670,3 +670,39 @@ def test_referential_integrity_single_lazy_plan_keyed_joins(spark, smoke_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_small_qty_avg_decorrelated_single_lineitem_agg(spark, smoke_dir):
+    """q207 (Q17 shape): the correlated per-part AVG must appear as ONE
+    aggregation joined back on partkey — no nested-loop/cartesian
+    per-row subquery execution."""
+    df = QUERIES["q207_small_qty_revenue"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_discount_brackets_or_predicate_stays_keyed(spark, smoke_dir):
+    """q208 (Q19 shape): the OR-of-ANDs spanning both join sides must
+    NOT demote the part-lineitem join to a nested loop — the equi key
+    (partkey) joins, the disjunction filters after; and the
+    single-table prefilters must reach the scans."""
+    df = QUERIES["q208_discount_brackets"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed, pushed
+    assert "p_size" in pushed, pushed
+
+
+def test_profit_snowflake_all_joins_keyed(spark, smoke_dir):
+    """q209 (Q9 shape): all four joins of the snowflake must stay keyed
+    hash/merge joins, and the part name-pattern filter must prune the
+    part side before its join (pushed to the scan)."""
+    df = QUERIES["q209_profit_by_nation_year"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    pushed = " ".join(pushed_filters(df))
+    assert "p_name" in pushed, pushed
