@@ -1215,3 +1215,58 @@ def q182_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q212_price_brackets",
+    # Bracket bounds and counts are exact; the revenue per bracket is
+    # decimal-summed. The bracket dim is built inline identically in
+    # both engines.
+    oracle=f"""
+    WITH brackets(bracket, lo, hi) AS (
+        VALUES ('micro',      0.0,   20000.0),
+               ('small',  20000.0,   60000.0),
+               ('medium', 60000.0,  120000.0),
+               ('large', 120000.0,  200000.0),
+               ('jumbo', 200000.0, 1000000000.0)
+    )
+    SELECT b.bracket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {o_dsum('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN brackets b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.bracket ORDER BY b.bracket
+    """,
+)
+def q212_price_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bracket assignment via a non-equi join against a tiny bounds
+    dimension — the one plan family where BroadcastNestedLoopJoin IS
+    the right answer: the 5-row bracket table broadcasts and each fact
+    row scans 5 bounds, so cost is O(facts × 5) with zero shuffle
+    before the keyed agg. The repo's other plan tests forbid BNLJ
+    because an UNBOUNDED side nested-looping is the scale bug; a
+    constant-size side is the documented exception (same rule as the
+    1-row scalar broadcasts in q173/q178). Brackets are half-open
+    [lo, hi) so boundary values land exactly once in both engines."""
+    rows = [
+        ("micro", 0.0, 20000.0),
+        ("small", 20000.0, 60000.0),
+        ("medium", 60000.0, 120000.0),
+        ("large", 120000.0, 200000.0),
+        ("jumbo", 200000.0, 1000000000.0),
+    ]
+    brackets = spark.createDataFrame(rows, "bracket string, lo double, hi double")
+    o = table(spark, sf_dir, "orders").select("o_totalprice")
+    return (
+        o.join(
+            F.broadcast(brackets),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("bracket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("bracket")
+    )

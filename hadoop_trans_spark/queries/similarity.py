@@ -470,3 +470,101 @@ def q131_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "best_match", "cosine")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q211_embedding_covariance",
+    # Per-row products are computed in double (exact: float32 inputs
+    # cast exactly), rounded at 1e-9, then decimal-summed — the
+    # round-then-decimal pattern that makes the cross-row sum
+    # order-independent in both engines; the covariance formula is one
+    # double expression in identical operand order, rounded at 1e-6.
+    # Only the upper triangle of the top 8x8 dims is emitted (36 rows);
+    # the full 64x64 runs identically, the cap keeps the oracle's
+    # quadratic unnest cheap.
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, g.i - 1 AS i, CAST(embedding[g.i] AS DOUBLE) AS v
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i) g
+    ),
+    pairs AS (
+        SELECT a.i AS i, b.i AS j,
+               SUM(CAST(ROUND(a.v * b.v, 9) AS DECIMAL(38,9))) AS sxy,
+               COUNT(*) AS n
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    ),
+    mu AS (
+        SELECT i, SUM(CAST(ROUND(v, 9) AS DECIMAL(38,9))) AS sx
+        FROM x GROUP BY i
+    )
+    SELECT p.i, p.j,
+           CAST(ROUND(CAST(p.sxy AS DOUBLE) / p.n
+                      - (CAST(ma.sx AS DOUBLE) / p.n)
+                        * (CAST(mb.sx AS DOUBLE) / p.n), 6) AS DOUBLE)
+               AS cov
+    FROM pairs p JOIN mu ma ON ma.i = p.i JOIN mu mb ON mb.i = p.j
+    ORDER BY p.i, p.j
+    """,
+)
+def q211_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of embedding dimensions (the first PCA /
+    whitening step of an embedding pipeline): each vector emits its
+    upper-triangle outer products in-row, and a keyed hash agg sums
+    them per (i, j). The explode happens BEFORE the aggregation, so
+    map-side combine reduces the shuffle to O(partitions × d²/2) rows
+    regardless of corpus size — the distributed Gram-matrix pattern; no
+    Python touches the data path. Dims capped at 8 (36 pairs) to keep
+    the differential oracle's quadratic unnest cheap; the plan is
+    identical at d=64."""
+    d = 8
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, d).alias("e")
+    )
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("e").cast("array<double>")).alias("i", "v"),
+    )
+    # In-row upper-triangle outer products: each vector expands to its
+    # d(d+1)/2 (i, j, x_i*x_j) terms BEFORE the aggregation, so the
+    # only shuffle is the (i, j)-keyed agg with map-side combine — no
+    # self-join of the exploded table.
+    prods = emb.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(cast(e AS array<double>), (x, i) ->
+                    transform(slice(e, i + 1, size(e) - i), (y, k) ->
+                        struct(i AS i, i + k AS j,
+                               round(x * cast(y AS double), 9) AS p))))
+                """
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    pairs = prods.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,9)")).alias("sxy"),
+        F.count("*").alias("n"),
+    )
+    mu = x.groupBy("i").agg(
+        F.sum(F.round("v", 9).cast("decimal(38,9)")).alias("sx")
+    )
+    ma = mu.select(F.col("i").alias("mi"), F.col("sx").alias("sxa"))
+    mb = mu.select(F.col("i").alias("mj"), F.col("sx").alias("sxb"))
+    return (
+        pairs.join(F.broadcast(ma), pairs.i == ma.mi)
+        .join(F.broadcast(mb), pairs.j == mb.mj)
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("sxy").cast("double") / F.col("n")
+                - (F.col("sxa").cast("double") / F.col("n"))
+                * (F.col("sxb").cast("double") / F.col("n")),
+                6,
+            )
+            .cast("double")
+            .alias("cov"),
+        )
+        .orderBy("i", "j")
+    )

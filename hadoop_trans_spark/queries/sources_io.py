@@ -546,3 +546,76 @@ def q180_range_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d0").alias("min_day"),
         F.max("d1").alias("max_day"),
     )
+
+
+@query(
+    "q213_corrupt_json_ingest",
+    # The corruption pattern is deterministic (every o_orderkey % 97 ==
+    # 0 line is truncated mid-record), so the oracle derives the same
+    # good/bad split arithmetically from the orders table — it never
+    # parses the corrupt file itself.
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_valid,
+           {o_dsum('CASE WHEN o_orderkey % 97 <> 0 THEN o_totalprice END')}
+               AS valid_revenue
+    FROM orders
+    """,
+)
+def q213_corrupt_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON-lines ingest with a _corrupt_record column: the
+    orders table is written as JSONL with every 97th key's line
+    truncated mid-record, then read back with an explicit schema +
+    columnNameOfCorruptRecord. Malformed lines land in the corrupt
+    column instead of killing the job — the contract a crawl-scale
+    ingest needs (one bad record in 100 TB must not fail the batch).
+    Counts and the valid-rows revenue fingerprint prove nothing is
+    dropped OR double-counted. The corrupt column must be materialized
+    via a cache/checkpoint barrier before filtering on it (Spark's
+    documented PERMISSIVE caveat: the corrupt column is only populated
+    for rows the parser actually failed)."""
+    import os
+
+    base = tempfile.mkdtemp(prefix="htspark_badjson_")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    jdf = o.select(
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            # Truncate mid-record: unclosed brace + dangling key.
+            F.concat(
+                F.lit('{"o_orderkey": '),
+                F.col("o_orderkey").cast("string"),
+                F.lit(', "o_totalprice": '),
+            ),
+        )
+        .otherwise(F.to_json(F.struct("o_orderkey", "o_totalprice",
+                                      "o_orderstatus")))
+        .alias("value")
+    )
+    path = os.path.join(base, "orders_jsonl")
+    jdf.write.mode("overwrite").text(path)
+
+    schema = (
+        "o_orderkey long, o_totalprice double, o_orderstatus string, "
+        "_bad string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+        .cache()  # barrier: populate _bad before filtering on it
+    )
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.count_if(F.col("_bad").isNotNull()).alias("n_corrupt"),
+        F.count_if(F.col("_bad").isNull()).alias("n_valid"),
+        dsum(
+            F.when(F.col("_bad").isNull(), F.col("o_totalprice"))
+        ).alias("valid_revenue"),
+    )
