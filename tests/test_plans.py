@@ -706,3 +706,14 @@ def test_profit_snowflake_all_joins_keyed(spark, smoke_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     pushed = " ".join(pushed_filters(df))
     assert "p_name" in pushed, pushed
+
+
+def test_price_brackets_bnlj_is_broadcast_and_deliberate(spark, smoke_dir):
+    """q212: the non-equi bracket join must plan as a BROADCAST nested
+    loop over the 5-row bounds table — the documented bounded-side
+    exception. A CartesianProduct (no broadcast) or a shuffled nested
+    loop would mean the bounds table lost its broadcast."""
+    df = QUERIES["q212_price_brackets"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
