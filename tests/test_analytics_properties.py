@@ -471,3 +471,115 @@ def test_spearman_invariant_under_monotone_transform(spark, smoke_dir):
     assert rho(df) == rho(transformed)
     # sanity: |rho| <= 1
     assert all(abs(v) <= 1.0 for v in rho(df).values())
+
+
+def test_auc_rank_matches_pandas_rederivation(spark, smoke_dir):
+    from hadoop_trans_spark.queries import QUERIES
+
+    """q198's grouped-cumulative AUC must equal the textbook per-row
+    midrank formula computed independently in pandas — and flipping the
+    label must give exactly 1 - AUC (rank-sum symmetry)."""
+    import pandas as pd
+
+    row = QUERIES["q198_auc_rank"](spark, smoke_dir).collect()[0]
+    pdf = pd.read_parquet(f"{smoke_dir}/documents.parquet")[
+        ["n_chars", "lang"]
+    ]
+    y = (pdf["lang"] == "en").astype(int)
+    r = pdf["n_chars"].rank(method="average")
+    npos, nneg = int(y.sum()), int((1 - y).sum())
+    auc = (float(r[y == 1].sum()) - npos * (npos + 1) / 2) / (npos * nneg)
+    assert row["npos"] == npos and row["nneg"] == nneg
+    assert abs(row["auc"] - round(auc, 6)) < 2e-6
+    flipped = (
+        float(r[y == 0].sum()) - nneg * (nneg + 1) / 2
+    ) / (nneg * npos)
+    assert abs(auc + flipped - 1.0) < 1e-9
+
+
+def test_twap_matches_pandas_rederivation(spark, smoke_dir):
+    from hadoop_trans_spark.queries import QUERIES
+
+    """q210's window+agg TWAP must equal a per-user pandas loop over
+    (ts, event_id)-sorted events with interval weights."""
+    import pandas as pd
+
+    got = {
+        r["user_id"]: (r["n_intervals"], r["span_us"], r["twap"])
+        for r in QUERIES["q210_twap_per_user"](spark, smoke_dir).collect()
+    }
+    pdf = pd.read_parquet(f"{smoke_dir}/events.parquet")[
+        ["user_id", "ts", "value", "event_id"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    for uid, g in pdf.groupby("user_id"):
+        # normalize to epoch-us whether parquet shipped ns or us units
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        dt = us.shift(-1) - us
+        mask = dt.notna() & (dt > 0)
+        if not mask.any():
+            assert uid not in got
+            continue
+        w = dt[mask].astype("int64")
+        v = g["value"][mask]
+        twap = float((v * w).sum() / w.sum())
+        n, span, got_twap = got[int(uid)]
+        assert n == int(mask.sum()) and span == int(w.sum())
+        assert abs(got_twap - twap) < 1e-5
+
+
+def test_holt_forecast_matches_python_fold(spark, smoke_dir):
+    from hadoop_trans_spark.queries import QUERIES
+
+    """q203's array-fold recursion must equal a plain Python loop over
+    the day-sorted revenue series (alpha=.5, beta=.3, l=y1, b=y2-y1)."""
+    import pandas as pd
+
+    got = {
+        r["h"]: r["forecast"]
+        for r in QUERIES["q203_holt_forecast"](spark, smoke_dir).collect()
+    }
+    li = pd.read_parquet(f"{smoke_dir}/lineitem.parquet")[
+        ["l_shipdate", "l_extendedprice"]
+    ]
+    daily = (
+        li.groupby("l_shipdate")["l_extendedprice"]
+        .sum()
+        .round(6)
+        .sort_index()
+        .tolist()
+    )
+    l, b = daily[0], daily[1] - daily[0]
+    for y in daily[1:]:
+        l_new = 0.5 * y + 0.5 * (l + b)
+        b = 0.3 * (l_new - l) + 0.7 * b
+        l = l_new
+    for h in range(1, 8):
+        assert abs(got[h] - round(l + h * b, 6)) < 1e-4, (h, got[h], l, b)
+
+
+def test_winsorize_cutoffs_and_mean_match_pandas(spark, smoke_dir):
+    from hadoop_trans_spark.queries import QUERIES
+
+    """q206's histogram-derived p05/p95 must equal pandas' lowest-value-
+    reaching-ceil(p*n) cutoffs, and the clipped mean must match."""
+    import math
+
+    import pandas as pd
+
+    rows = {
+        r["seg"]: r
+        for r in QUERIES["q206_winsorize_acctbal"](spark, smoke_dir).collect()
+    }
+    pdf = pd.read_parquet(f"{smoke_dir}/customer.parquet")[
+        ["c_mktsegment", "c_acctbal"]
+    ]
+    for seg, g in pdf.groupby("c_mktsegment"):
+        v = g["c_acctbal"].sort_values().reset_index(drop=True)
+        n = len(v)
+        p05 = v[math.ceil(0.05 * n) - 1]
+        p95 = v[math.ceil(0.95 * n) - 1]
+        r = rows[seg]
+        assert r["n"] == n
+        assert r["p05"] == p05 and r["p95"] == p95, (seg, r, p05, p95)
+        clipped = v.clip(lower=p05, upper=p95)
+        assert abs(r["winsorized_mean"] - round(float(clipped.mean()), 6)) < 1e-5
