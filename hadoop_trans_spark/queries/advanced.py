@@ -1270,3 +1270,97 @@ def q212_price_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bracket")
     )
+
+
+@query(
+    "q215_decay_attribution",
+    # Decay weights are exact rationals 1/(1+hours) rounded at 1e-9 and
+    # summed in DECIMAL per purchase (order-independent); the credit
+    # division is one double formula in identical operand order,
+    # rounded at 1e-9 before the per-day decimal rollup.
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id AS pid, user_id, ts AS pts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    ),
+    touch AS (
+        SELECT p.pid, p.value, c.cts,
+               CAST(ROUND(1.0 / (1.0 + FLOOR(
+                   (epoch_us(p.pts) - epoch_us(c.cts)) / 3600000000.0)), 9)
+                    AS DECIMAL(38,9)) AS w
+        FROM purchases p
+        JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.cts < p.pts
+         AND c.cts >= p.pts - INTERVAL 24 HOURS
+    ),
+    shared AS (
+        SELECT pid, value, cts, w,
+               SUM(w) OVER (PARTITION BY pid) AS sw
+        FROM touch
+    )
+    SELECT strftime(date_trunc('day', cts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_touches,
+           CAST(ROUND(SUM(CAST(ROUND(
+               value * CAST(w AS DOUBLE) / CAST(sw AS DOUBLE), 9)
+               AS DECIMAL(38,9))), 6) AS DOUBLE) AS credit
+    FROM shared
+    GROUP BY day ORDER BY day
+    """,
+)
+def q215_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (q167's linear model with
+    recency weighting): a click h full hours before the purchase earns
+    weight 1/(1+h), normalized per purchase — newest touches dominate,
+    the marketing default when linear over-credits stale clicks. The
+    step decay is an exact rational (never exp(), whose libm results
+    aren't bitwise portable across engines). Same shape as q167: EQUI
+    join on user_id with the 24 h band as a post-filter, weight
+    normalization windowed per purchase id, one hash agg per day —
+    nothing global; user_id is the skew key at 100 TB."""
+    e = table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    hours = F.floor(
+        (
+            F.unix_micros(F.col("pts").cast("timestamp"))
+            - F.unix_micros(F.col("cts").cast("timestamp"))
+        )
+        / 3600000000.0
+    )
+    touch = (
+        p.join(c, "user_id")
+        .where(
+            (F.col("cts") < F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+        )
+        .withColumn(
+            "w",
+            F.round(F.lit(1.0) / (F.lit(1.0) + hours), 9).cast(
+                "decimal(38,9)"
+            ),
+        )
+        .withColumn("sw", F.sum("w").over(Window.partitionBy("pid")))
+    )
+    credit = F.round(
+        F.col("value") * F.col("w").cast("double") / F.col("sw").cast("double"),
+        9,
+    ).cast("decimal(38,9)")
+    return (
+        touch.groupBy(F.date_format("cts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.round(F.sum(credit), 6).cast("double").alias("credit"),
+        )
+        .orderBy("day")
+    )

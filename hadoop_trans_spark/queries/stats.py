@@ -392,3 +392,184 @@ def q199_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("significant"),
     )
+
+
+@query(
+    "q214_mutual_information",
+    # Cell counts are exact; each cell's PMI term is one double formula
+    # in identical operand order, rounded at 1e-9 before the decimal
+    # total so the 25-term MI sum is order-independent in both engines.
+    oracle="""
+    WITH j AS (
+        SELECT o.o_orderpriority AS x, c.c_mktsegment AS y,
+               CAST(COUNT(*) AS BIGINT) AS nxy
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY o.o_orderpriority, c.c_mktsegment
+    ),
+    m AS (
+        SELECT x, y, nxy,
+               SUM(nxy) OVER (PARTITION BY x) AS nx,
+               SUM(nxy) OVER (PARTITION BY y) AS ny,
+               SUM(nxy) OVER () AS n
+        FROM j
+    ),
+    t AS (
+        SELECT x, y, nxy,
+               CAST(ROUND(LN((CAST(nxy AS DOUBLE) / n)
+                             / ((CAST(nx AS DOUBLE) / n)
+                                * (CAST(ny AS DOUBLE) / n))), 6) AS DOUBLE)
+                   AS pmi,
+               CAST(ROUND((CAST(nxy AS DOUBLE) / n)
+                          * LN((CAST(nxy AS DOUBLE) / n)
+                               / ((CAST(nx AS DOUBLE) / n)
+                                  * (CAST(ny AS DOUBLE) / n))), 9)
+                    AS DECIMAL(38,9)) AS term
+        FROM m
+    )
+    SELECT x, y, nxy, pmi,
+           CAST(ROUND(CAST(SUM(term) OVER () AS DOUBLE), 6) AS DOUBLE)
+               AS mi_nats
+    FROM t ORDER BY x, y
+    """,
+)
+def q214_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order priority and customer segment:
+    the joint cell table (|priorities| × |segments| rows) with per-cell
+    PMI and the corpus MI total — the dependence screen run before
+    treating two categoricals as independent features. One fact join +
+    one hash agg; every window runs over the 25-cell table, never raw
+    rows. MI terms round at 1e-9 then decimal-sum (order-independent
+    cross-engine total)."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("c_mktsegment").alias("y"),
+        )
+        .agg(F.count("*").alias("nxy"))
+    )
+    m = j.select(
+        "x",
+        "y",
+        "nxy",
+        F.sum("nxy").over(Window.partitionBy("x")).alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("y")).alias("ny"),
+        F.sum("nxy").over(Window.partitionBy()).alias("n"),
+    )
+    pxy = F.col("nxy").cast("double") / F.col("n")
+    ratio = pxy / (
+        (F.col("nx").cast("double") / F.col("n"))
+        * (F.col("ny").cast("double") / F.col("n"))
+    )
+    t = m.select(
+        "x",
+        "y",
+        "nxy",
+        F.round(F.log(ratio), 6).cast("double").alias("pmi"),
+        F.round(pxy * F.log(ratio), 9).cast("decimal(38,9)").alias("term"),
+    )
+    return t.select(
+        "x",
+        "y",
+        "nxy",
+        "pmi",
+        F.round(
+            F.sum("term").over(Window.partitionBy()).cast("double"), 6
+        )
+        .cast("double")
+        .alias("mi_nats"),
+    ).orderBy("x", "y")
+
+
+@query(
+    "q216_equidepth_histogram",
+    # Boundaries are percentile_disc-style (smallest value whose
+    # cumulative count reaches ceil(j*n/10)) from exact integer
+    # cumulative counts — the q206 pattern applied to histogram
+    # construction; bucket populations difference the same cum table.
+    oracle="""
+    WITH vals AS (
+        SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_totalprice
+    ),
+    cum AS (
+        SELECT v, cnt,
+               SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               SUM(cnt) OVER () AS n
+        FROM vals
+    ),
+    b AS (
+        SELECT j.j,
+               MIN(CASE WHEN c >= CEIL(j.j * n / 10.0) THEN v END) AS hi
+        FROM cum CROSS JOIN (SELECT UNNEST(range(1, 11)) AS j) j
+        GROUP BY j.j
+    ),
+    counts AS (
+        SELECT b.j, b.hi,
+               (SELECT MAX(c) FROM cum WHERE cum.v <= b.hi) AS cum_hi
+        FROM b
+    )
+    SELECT j, hi,
+           CAST(cum_hi - COALESCE(LAG(cum_hi) OVER (ORDER BY j), 0)
+                AS BIGINT) AS n_rows
+    FROM counts ORDER BY j
+    """,
+)
+def q216_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of order totals — the
+    boundary structure a cost-based optimizer keeps per column (q104 is
+    the equi-WIDTH twin). Ten boundaries are read off the cumulative
+    distinct-value histogram at ceil(j·n/10) (exact integer logic, no
+    interpolated quantiles), and bucket populations are differences of
+    the same cumulative table — so actual depths are visibly near-equal
+    but exact, including duplicate-value pileups. Windows run over
+    DISTINCT values only; the fact table sees one hash agg."""
+    vals = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = vals.select(
+        "v",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("c"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    js = spark.range(1, 11).select(F.col("id").cast("long").alias("j"))
+    b = (
+        cum.crossJoin(F.broadcast(js))
+        .groupBy("j")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("c") >= F.ceil(F.col("j") * F.col("n") / 10.0),
+                    F.col("v"),
+                )
+            ).alias("hi")
+        )
+    )
+    cum_at = (
+        b.join(cum, cum.v <= b.hi, "left")
+        .groupBy("j", "hi")
+        .agg(F.max("c").alias("cum_hi"))
+    )
+    return cum_at.select(
+        "j",
+        "hi",
+        (
+            F.col("cum_hi")
+            - F.coalesce(
+                F.lag("cum_hi").over(Window.orderBy("j")), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_rows"),
+    ).orderBy("j")

@@ -1211,3 +1211,76 @@ def q210_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q217_transition_entropy",
+    # Transition counts are exact; each -p·ln(p) term is one double
+    # formula in identical operand order rounded at 1e-9, decimal-summed
+    # per user (≤25 terms), total rounded at 1e-6. Ordering ties break
+    # on (ts, event_id) identically in both engines.
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS a,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS b
+        FROM events
+    ),
+    trans AS (
+        SELECT user_id, a, b, CAST(COUNT(*) AS BIGINT) AS nab
+        FROM seq WHERE b IS NOT NULL GROUP BY user_id, a, b
+    ),
+    m AS (
+        SELECT user_id, nab,
+               SUM(nab) OVER (PARTITION BY user_id) AS n
+        FROM trans
+    )
+    SELECT user_id,
+           CAST(SUM(nab) AS BIGINT) AS n_transitions,
+           CAST(ROUND(CAST(SUM(CAST(ROUND(
+               -(CAST(nab AS DOUBLE) / n) * LN(CAST(nab AS DOUBLE) / n), 9)
+               AS DECIMAL(38,9))) AS DOUBLE), 6) AS DOUBLE) AS entropy_nats
+    FROM m GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q217_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral predictability: Shannon entropy (nats) of
+    the user's event-transition distribution (q106's corpus transition
+    matrix, taken to the per-user grain — low entropy = scripted/bot
+    behavior, high = diffuse browsing). One keyed lead window builds
+    transitions, one hash agg counts them, and the entropy terms
+    decimal-sum per user (≤ |event types|² terms each). At 100 TB
+    user_id partitions both the window sort and the aggs; nothing runs
+    globally."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    )
+    trans = (
+        seq.where(F.col("b").isNotNull())
+        .groupBy("user_id", "a", "b")
+        .agg(F.count("*").alias("nab"))
+    )
+    m = trans.select(
+        "user_id",
+        "nab",
+        F.sum("nab").over(Window.partitionBy("user_id")).alias("n"),
+    )
+    p = F.col("nab").cast("double") / F.col("n")
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.sum("nab").alias("n_transitions"),
+            F.round(
+                F.sum(
+                    F.round(-p * F.log(p), 9).cast("decimal(38,9)")
+                ).cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("entropy_nats"),
+        )
+        .orderBy("user_id")
+    )
