@@ -1364,3 +1364,336 @@ def q215_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q218_first_last_touch",
+    # First/last touches are argmin/argmax over (ts, event_id) structs
+    # — total order, so ties resolve identically in both engines; full
+    # purchase values credit one touch each, decimal-summed per day.
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id AS pid, user_id, ts AS pts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts AS cts, event_id AS cid
+        FROM events WHERE event_type = 'click'
+    ),
+    touch AS (
+        SELECT p.pid, p.value,
+               MIN({'cts': c.cts, 'cid': c.cid}) AS first_t,
+               MAX({'cts': c.cts, 'cid': c.cid}) AS last_t
+        FROM purchases p
+        JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.cts < p.pts
+         AND c.cts >= p.pts - INTERVAL 24 HOURS
+        GROUP BY p.pid, p.value
+    ),
+    credits AS (
+        SELECT strftime(date_trunc('day', first_t.cts), '%Y-%m-%d')
+                   AS day,
+               CAST(value AS DECIMAL(38,6)) AS fc,
+               CAST(0 AS DECIMAL(38,6)) AS lc
+        FROM touch
+        UNION ALL
+        SELECT strftime(date_trunc('day', last_t.cts), '%Y-%m-%d'),
+               CAST(0 AS DECIMAL(38,6)),
+               CAST(value AS DECIMAL(38,6))
+        FROM touch
+    )
+    SELECT day,
+           CAST(ROUND(SUM(fc), 6) AS DOUBLE) AS first_touch_credit,
+           CAST(ROUND(SUM(lc), 6) AS DOUBLE) AS last_touch_credit
+    FROM credits GROUP BY day ORDER BY day
+    """,
+)
+def q218_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch and last-touch attribution side by side (completing
+    the q167 linear / q215 decay family): each purchase credits its
+    full value once to the day of its earliest qualifying click and
+    once to its latest. The touch scan aggregates straight to
+    argmin/argmax structs per purchase — no window, no per-touch
+    fan-out rows — then a 2-way union rolls credits up by day. Same
+    scale profile as q167: one user-keyed join, hash aggs after."""
+    e = table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    touch = (
+        p.join(c, "user_id")
+        .where(
+            (F.col("cts") < F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("pid", "value")
+        .agg(
+            F.min(F.struct("cts", "cid")).alias("first_t"),
+            F.max(F.struct("cts", "cid")).alias("last_t"),
+        )
+    )
+    first = touch.select(
+        F.date_format("first_t.cts", "yyyy-MM-dd").alias("day"),
+        F.col("value").cast(DEC).alias("fc"),
+        F.lit(0).cast(DEC).alias("lc"),
+    )
+    last = touch.select(
+        F.date_format("last_t.cts", "yyyy-MM-dd").alias("day"),
+        F.lit(0).cast(DEC).alias("fc"),
+        F.col("value").cast(DEC).alias("lc"),
+    )
+    return (
+        first.unionAll(last)
+        .groupBy("day")
+        .agg(
+            F.round(F.sum("fc"), 6).cast("double").alias("first_touch_credit"),
+            F.round(F.sum("lc"), 6).cast("double").alias("last_touch_credit"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q219_fulfillment_latency",
+    # Latencies are exact integer day diffs; percentiles are
+    # percentile_disc-style off the cumulative latency histogram (the
+    # q206/q216 pattern) — no interpolation anywhere.
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderkey,
+               CAST(datediff('day', o.o_orderdate, MIN(l.l_shipdate))
+                    AS BIGINT) AS days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    hist AS (
+        SELECT days, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lat GROUP BY days
+    ),
+    cum AS (
+        SELECT days, cnt,
+               SUM(cnt) OVER (ORDER BY days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               SUM(cnt) OVER () AS n
+        FROM hist
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_orders,
+           MIN(CASE WHEN c >= CEIL(0.50 * n) THEN days END) AS p50_days,
+           MIN(CASE WHEN c >= CEIL(0.90 * n) THEN days END) AS p90_days,
+           MIN(CASE WHEN c >= CEIL(0.99 * n) THEN days END) AS p99_days,
+           MAX(days) AS max_days
+    FROM cum
+    """,
+)
+def q219_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment latency SLA report: days from order date to
+    the order's FIRST shipment, with discrete p50/p90/p99 read off the
+    cumulative latency histogram — the ops dashboard query every
+    warehouse runs. The per-order MIN is one orderkey-keyed agg
+    (map-side combined); the percentile scan then works on the
+    O(distinct latencies) histogram, never the order table — exact
+    tail percentiles at any scale without a global sort."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.datediff(
+                F.col("first_ship").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("long")
+            .alias("days")
+        )
+    )
+    hist = lat.groupBy("days").agg(F.count("*").alias("cnt"))
+    cum = hist.select(
+        "days",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("days").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("c"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    def disc(p: float, name: str):
+        return F.min(
+            F.when(F.col("c") >= F.ceil(F.lit(p) * F.col("n")), F.col("days"))
+        ).alias(name)
+
+    return cum.agg(
+        F.max("n").cast("long").alias("n_orders"),
+        disc(0.50, "p50_days"),
+        disc(0.90, "p90_days"),
+        disc(0.99, "p99_days"),
+        F.max("days").alias("max_days"),
+    )
+
+
+@query(
+    "q220_rfm_segments",
+    # All three metrics are exact (day diffs, counts, decimal-rounded
+    # spend); quintile cutoffs are percentile_disc off each metric's
+    # cumulative histogram and bins count strict cutoff exceedances —
+    # integer logic end to end except the decimal-avg output.
+    oracle="""
+    WITH m AS (
+        SELECT o_custkey,
+               CAST(datediff('day', MAX(o_orderdate),
+                    (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS rec,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 6)
+                    AS DOUBLE) AS mon
+        FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+        SELECT
+          (SELECT MIN(CASE WHEN c >= CEIL(j.j * n / 5.0) THEN v END)
+           FROM (SELECT v, SUM(cnt) OVER (ORDER BY v ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+                     SUM(cnt) OVER () AS n
+                 FROM (SELECT rec AS v, COUNT(*) AS cnt FROM m GROUP BY rec))
+          ) AS rc,
+          (SELECT MIN(CASE WHEN c >= CEIL(j.j * n / 5.0) THEN v END)
+           FROM (SELECT v, SUM(cnt) OVER (ORDER BY v ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+                     SUM(cnt) OVER () AS n
+                 FROM (SELECT freq AS v, COUNT(*) AS cnt FROM m GROUP BY freq))
+          ) AS fc,
+          (SELECT MIN(CASE WHEN c >= CEIL(j.j * n / 5.0) THEN v END)
+           FROM (SELECT v, SUM(cnt) OVER (ORDER BY v ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+                     SUM(cnt) OVER () AS n
+                 FROM (SELECT mon AS v, COUNT(*) AS cnt FROM m GROUP BY mon))
+          ) AS mc,
+          j.j
+        FROM (SELECT UNNEST(range(1, 5)) AS j) j
+    ),
+    binned AS (
+        SELECT m.o_custkey, m.mon,
+               1 + CAST(SUM(CASE WHEN m.rec > cuts.rc THEN 1 ELSE 0 END)
+                        AS INT) AS r_bin,
+               1 + CAST(SUM(CASE WHEN m.freq > cuts.fc THEN 1 ELSE 0 END)
+                        AS INT) AS f_bin,
+               1 + CAST(SUM(CASE WHEN m.mon > cuts.mc THEN 1 ELSE 0 END)
+                        AS INT) AS m_bin
+        FROM m CROSS JOIN cuts
+        GROUP BY m.o_custkey, m.mon
+    )
+    SELECT r_bin, f_bin, m_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(CAST(mon AS DECIMAL(38,6))) / COUNT(*), 6)
+                AS DOUBLE) AS avg_monetary
+    FROM binned
+    GROUP BY r_bin, f_bin, m_bin
+    ORDER BY r_bin, f_bin, m_bin
+    """,
+)
+def q220_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    anchored to the corpus max date — no wall clock), frequency, and
+    monetary value, each quintile-binned by discrete cutoffs off its
+    own cumulative histogram (bin = 1 + strict exceedances of the 4
+    cutoffs; higher bin = larger raw value, so r_bin 1 is MOST recent).
+    The standard CRM segmentation — and a three-fold reuse of the
+    percentile_disc histogram pattern (q206/q216/q219), each cutoff
+    table 4 rows and broadcast. Per-customer metrics are one orders
+    agg; nothing global touches raw rows."""
+    o = table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    m = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_o"),
+            F.count("*").alias("freq"),
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6)
+            .cast("double")
+            .alias("mon"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mx").cast("date"), F.col("last_o").cast("date"))
+            .cast("long")
+            .alias("rec"),
+            "freq",
+            "mon",
+        )
+    )
+
+    def cuts(col: str):
+        hist = m.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
+        cum = hist.select(
+            "v",
+            F.sum("cnt")
+            .over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("c"),
+            F.sum("cnt").over(Window.partitionBy()).alias("n"),
+        )
+        js = m.sparkSession.range(1, 5).select(
+            F.col("id").cast("long").alias("j")
+        )
+        return (
+            cum.crossJoin(F.broadcast(js))
+            .groupBy("j")
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("c") >= F.ceil(F.col("j") * F.col("n") / 5.0),
+                        F.col("v"),
+                    )
+                ).alias(f"{col}_cut")
+            )
+        )
+
+    binned = (
+        m.crossJoin(
+            F.broadcast(
+                cuts("rec")
+                .join(cuts("freq"), "j")
+                .join(cuts("mon"), "j")
+            )
+        )
+        .groupBy("o_custkey", "mon")
+        .agg(
+            (
+                1
+                + F.sum((F.col("rec") > F.col("rec_cut")).cast("int"))
+            ).cast("int").alias("r_bin"),
+            (
+                1
+                + F.sum((F.col("freq") > F.col("freq_cut")).cast("int"))
+            ).cast("int").alias("f_bin"),
+            (
+                1
+                + F.sum((F.col("mon") > F.col("mon_cut")).cast("int"))
+            ).cast("int").alias("m_bin"),
+        )
+    )
+    return (
+        binned.groupBy("r_bin", "f_bin", "m_bin")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum(F.col("mon").cast(DEC)) / F.count("*"), 6
+            )
+            .cast("double")
+            .alias("avg_monetary"),
+        )
+        .orderBy("r_bin", "f_bin", "m_bin")
+    )
