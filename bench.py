@@ -78,6 +78,11 @@ HEADLINE = [
     "q176_linear_interpolation",
     "q178_market_basket",
     "q187_rolling_hll_distinct",
+    "q196_daily_acf",
+    "q204_adamic_adar",
+    "q211_embedding_covariance",
+    "q216_equidepth_histogram",
+    "q220_rfm_segments",
 ]
 
 

@@ -1068,3 +1068,58 @@ def q205_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("orphan_rate"),
     ).orderBy("fk")
+
+
+@query(
+    "q222_key_sequence_gaps",
+    # Pure integer bucket arithmetic: per-bucket expected span minus
+    # observed distinct count — exact in both engines.
+    oracle="""
+    WITH k AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+    b AS (
+        SELECT key // 1000 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MIN(key) AS BIGINT) AS lo,
+               CAST(MAX(key) AS BIGINT) AS hi
+        FROM k GROUP BY key // 1000
+    )
+    SELECT bucket, n_keys, lo, hi,
+           CAST(hi - lo + 1 - n_keys AS BIGINT) AS missing_in_span
+    FROM b
+    WHERE hi - lo + 1 - n_keys > 0
+    ORDER BY bucket
+    """,
+)
+def q222_key_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-sequence continuity audit: find ranges of the orderkey space
+    with missing ids — the ingest-completeness check run after a
+    migration or CDC replay (did every source row arrive?). The
+    scalable formulation: bucket keys by range (key div 1000) and
+    compare each bucket's span (hi-lo+1) to its distinct count — gaps
+    localize to O(buckets) rows WITHOUT the global sort + lag() the
+    naive adjacent-difference audit needs. One hash agg on the bucket
+    id; emits only buckets that actually have holes."""
+    k = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key")
+    ).distinct()
+    b = (
+        # integer DIV, not double "/": exact for keys beyond 2^53
+        k.groupBy(F.expr("key DIV 1000").cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.min("key").cast("long").alias("lo"),
+            F.max("key").cast("long").alias("hi"),
+        )
+    )
+    missing = F.col("hi") - F.col("lo") + 1 - F.col("n_keys")
+    return (
+        b.select(
+            "bucket",
+            "n_keys",
+            "lo",
+            "hi",
+            missing.cast("long").alias("missing_in_span"),
+        )
+        .where(missing > 0)
+        .orderBy("bucket")
+    )

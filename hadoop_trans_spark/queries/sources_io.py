@@ -619,3 +619,68 @@ def q213_corrupt_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_bad").isNull(), F.col("o_totalprice"))
         ).alias("valid_revenue"),
     )
+
+
+@query(
+    "q221_nested_parquet_roundtrip",
+    # The nested file is built from orders+lineitem and immediately
+    # re-flattened; the oracle computes the same fingerprint from the
+    # flat tables directly, so any shredding/assembly corruption in the
+    # nested write or read breaks the match. Line arrays are sorted by
+    # linenumber, so array order is deterministic.
+    oracle=f"""
+    SELECT o.o_orderstatus AS status,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN l.l_linenumber = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_first_lines,
+           {o_dsum('l.l_extendedprice')} AS line_revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus ORDER BY status
+    """,
+)
+def q221_nested_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-parquet boundary check: orders with their lineitems
+    collected into an array<struct> column (sorted by linenumber),
+    written as nested parquet, read back, re-exploded, and
+    fingerprinted against the flat join — proving the writer's
+    Dremel-style shredding and the reader's assembly preserve nested
+    content exactly (the document-shaped layout a crawl/label store
+    uses). The nest step is one orderkey-keyed collect_list agg;
+    re-reading prunes to the nested columns actually referenced."""
+    base = tempfile.mkdtemp(prefix="htspark_nested_")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("l_linenumber", "l_extendedprice")
+                )
+            ).alias("lines")
+        )
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .select("o_orderkey", "o_orderstatus", "lines")
+    )
+    path = f"{base}/orders_nested"
+    nested.write.mode("overwrite").parquet(path)
+
+    back = spark.read.parquet(path)
+    lines = back.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.explode("lines").alias("ln"),
+    )
+    return (
+        lines.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count_if(F.col("ln.l_linenumber") == 1).alias("n_first_lines"),
+            dsum(F.col("ln.l_extendedprice")).alias("line_revenue"),
+        )
+        .orderBy("status")
+    )
