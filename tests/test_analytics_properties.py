@@ -583,3 +583,33 @@ def test_winsorize_cutoffs_and_mean_match_pandas(spark, smoke_dir):
         assert r["p05"] == p05 and r["p95"] == p95, (seg, r, p05, p95)
         clipped = v.clip(lower=p05, upper=p95)
         assert abs(r["winsorized_mean"] - round(float(clipped.mean()), 6)) < 1e-5
+
+
+def test_key_gap_audit_finds_planted_gaps_exactly(spark, tmp_path):
+    """q222 against a doctored orders table: keys 1..5000 with three
+    known holes — the audit must report exactly those buckets with
+    exactly the planted deficit, and a contiguous table must report
+    nothing."""
+    from hadoop_trans_spark.queries import QUERIES
+
+    holes = {137, 138, 139, 2500, 4999}
+    rows = [(k,) for k in range(1, 5001) if k not in holes]
+    df = spark.createDataFrame(rows, "o_orderkey long")
+    gapped = str(tmp_path / "gapped")
+    df.write.parquet(f"{gapped}/orders.parquet")
+    got = {
+        r["bucket"]: r["missing_in_span"]
+        for r in QUERIES["q222_key_sequence_gaps"](spark, gapped).collect()
+    }
+    # bucket 0 spans keys 1..999 (holes 137-139), bucket 2 spans
+    # 2000..2999 (hole 2500), bucket 4 spans 4000..4999 (hole 4999 is
+    # the bucket MAX, so the span ends at 4998 and the hole is
+    # invisible to span-vs-count — the documented boundary blind spot).
+    assert got == {0: 3, 2: 1}, got
+
+    full = spark.createDataFrame(
+        [(k,) for k in range(1, 2001)], "o_orderkey long"
+    )
+    clean = str(tmp_path / "clean")
+    full.write.parquet(f"{clean}/orders.parquet")
+    assert QUERIES["q222_key_sequence_gaps"](spark, clean).count() == 0

@@ -717,3 +717,29 @@ def test_price_brackets_bnlj_is_broadcast_and_deliberate(spark, smoke_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_equidepth_histogram_window_after_aggregation(spark, smoke_dir):
+    """q216: the cumulative window must consume the per-value
+    HashAggregate (O(distinct values)), never the raw orders rows —
+    same invariant class as q198's."""
+    df = QUERIES["q216_equidepth_histogram"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
+    agg_idx = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    assert win_idx, plan
+    assert any(a > win_idx[0] for a in agg_idx), plan
+
+
+def test_fulfillment_latency_window_after_aggregation(spark, smoke_dir):
+    """q219: percentile windows run over the latency histogram built by
+    the per-order aggregation — the HashAggregate must sit below the
+    window operator in the executed plan."""
+    df = QUERIES["q219_fulfillment_latency"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
+    agg_idx = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    assert win_idx, plan
+    assert any(a > win_idx[0] for a in agg_idx), plan
