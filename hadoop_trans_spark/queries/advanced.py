@@ -1697,3 +1697,287 @@ def q220_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_bin", "f_bin", "m_bin")
     )
+
+
+@query(
+    "q223_percent_of_parent",
+    # Shares divide decimal-rounded revenue sums at each level — the
+    # ratio is one double division rounded at 1e-6; windows run over
+    # the 25-row nation aggregate only.
+    oracle="""
+    WITH nat AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 6)
+                    AS DOUBLE) AS rev
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, rev,
+           CAST(ROUND(rev / SUM(rev) OVER (PARTITION BY region), 6)
+                AS DOUBLE) AS share_of_region,
+           CAST(ROUND(SUM(rev) OVER (PARTITION BY region)
+                      / SUM(rev) OVER (), 6) AS DOUBLE)
+               AS region_share_of_total
+    FROM nat ORDER BY region, nation
+    """,
+)
+def q223_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchy report (region → nation revenue):
+    each nation's share of its region and each region's share of the
+    corpus — the drill-down layout every BI rollup renders. One
+    fact-side join chain (dims broadcast by measured size) collapses to
+    the 25-row nation aggregate; both share windows run over THAT
+    table, so the report layer is O(|nations|) at any fact scale."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6)
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    return nat.select(
+        "region",
+        "nation",
+        "rev",
+        F.round(F.col("rev") / F.sum("rev").over(wr), 6)
+        .cast("double")
+        .alias("share_of_region"),
+        F.round(F.sum("rev").over(wr) / F.sum("rev").over(wt), 6)
+        .cast("double")
+        .alias("region_share_of_total"),
+    ).orderBy("region", "nation")
+
+
+@query(
+    "q224_cross_correlation",
+    # Daily type-volumes are exact counts; the per-lag Pearson formula
+    # is q196's, operand order identical, rounded at 1e-6. Lags -3..3
+    # cover lead AND lag directions.
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS clicks,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS buys
+        FROM events GROUP BY date_trunc('day', ts)
+    ),
+    pairs AS (
+        SELECT l.lag, a.clicks AS x, b.buys AS y
+        FROM daily a
+        CROSS JOIN (SELECT UNNEST(range(-3, 4)) AS lag) l
+        JOIN daily b ON b.day = a.day + CAST(l.lag AS INT) * INTERVAL 1 DAY
+    ),
+    m AS (
+        SELECT lag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, n_pairs,
+           CAST(ROUND((n * sxy - sx * sy)
+                / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                AS DOUBLE) AS xcorr
+    FROM m ORDER BY lag
+    """,
+)
+def q224_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between daily click volume and purchase
+    volume at calendar lags −3..+3 (does click traffic LEAD purchases?
+    — q196's autocorrelation generalized to two series). Counts are
+    integers so the moment sums are exact without decimal staging; the
+    series pairing is the same broadcast-lag calendar join. O(days)
+    after one events agg."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_if(F.col("event_type") == "click").alias("clicks"),
+        F.count_if(F.col("event_type") == "purchase").alias("buys"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("b.day")
+            == F.expr("cast(date_add(cast(a.day AS date), lag) AS timestamp)"),
+        )
+        .select("lag", F.col("a.clicks").alias("x"), F.col("b.buys").alias("y"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.count("*").alias("n_pairs"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    return m.select(
+        "lag",
+        "n_pairs",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("xcorr"),
+    ).orderBy("lag")
+
+
+@query(
+    "q225_kaplan_meier",
+    # Event/censor day counts are exact integers; at-risk is a reverse
+    # cumulative sum over the O(days) histogram; the survival curve is
+    # exp of an ORDERED cumulative sum of ln terms — ordered window
+    # accumulation is sequential in both engines, so the double sums
+    # agree bitwise; outputs round at 1e-6.
+    oracle="""
+    WITH su AS (
+        SELECT user_id, MIN(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+        SELECT su.user_id, su.s_ts, MIN(e.ts) AS p_ts
+        FROM su LEFT JOIN events e
+          ON e.user_id = su.user_id AND e.event_type = 'purchase'
+         AND e.ts > su.s_ts
+        GROUP BY su.user_id, su.s_ts
+    ),
+    mx AS (SELECT MAX(ts) AS m FROM events),
+    t AS (
+        SELECT CASE WHEN p_ts IS NOT NULL THEN
+                   CAST(FLOOR((epoch_us(p_ts) - epoch_us(s_ts))
+                              / 86400000000.0) AS BIGINT)
+               ELSE
+                   CAST(FLOOR((epoch_us(mx.m) - epoch_us(s_ts))
+                              / 86400000000.0) AS BIGINT)
+               END AS day,
+               CAST(p_ts IS NOT NULL AS INT) AS converted
+        FROM pu CROSS JOIN mx
+    ),
+    h AS (
+        SELECT day,
+               CAST(SUM(converted) AS BIGINT) AS d,
+               CAST(SUM(1 - converted) AS BIGINT) AS c
+        FROM t GROUP BY day
+    ),
+    r AS (
+        SELECT day, d, c,
+               SUM(d + c) OVER (ORDER BY day DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_risk
+        FROM h
+    )
+    SELECT day, n_risk, d, c,
+           CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE CAST(ROUND(EXP(SUM(
+                    CASE WHEN d < n_risk
+                         THEN LN(1.0 - CAST(d AS DOUBLE) / n_risk)
+                         ELSE 0.0 END)
+                    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)), 6) AS DOUBLE)
+           END AS survival
+    FROM r WHERE d > 0 OR c > 0
+    ORDER BY day
+    """,
+)
+def q225_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-convert curve: per signup user, days until
+    the first subsequent purchase (censored at the corpus horizon for
+    never-converters — no wall clock). The survival estimator
+    Π(1 − d/n) runs as exp(cumsum(ln ·)) over the O(days) duration
+    histogram: at-risk counts are a REVERSE cumulative sum and the
+    product a forward one, both windows over days, never users. At
+    100 TB the per-user reduction is the only fact-scale work; the
+    curve itself is metadata-sized."""
+    e = table(spark, sf_dir, "events")
+    su = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    pu_src = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    pu = (
+        su.join(
+            pu_src,
+            (su.user_id == F.col("p_user")) & (F.col("pts") > su.s_ts),
+            "left",
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("pts").alias("p_ts"))
+    )
+    mx = e.agg(F.max("ts").alias("m"))
+    us = lambda col: F.unix_micros(F.col(col).cast("timestamp"))
+    t = pu.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("p_ts").isNotNull(),
+            F.floor((us("p_ts") - us("s_ts")) / 86400000000.0),
+        )
+        .otherwise(F.floor((us("m") - us("s_ts")) / 86400000000.0))
+        .cast("long")
+        .alias("day"),
+        F.col("p_ts").isNotNull().cast("int").alias("converted"),
+    )
+    h = t.groupBy("day").agg(
+        F.sum("converted").alias("d"),
+        F.sum(1 - F.col("converted")).alias("c"),
+    )
+    w_rev = Window.orderBy(F.col("day").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = h.withColumn("n_risk", F.sum(F.col("d") + F.col("c")).over(w_rev))
+    w_fwd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # The final event day can have d == n_risk (everyone remaining
+    # converts): ln(0) is an error in DuckDB and NULL in Spark, so the
+    # curve is absorbed at exactly 0 from the first such day onward.
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    absorbed = (
+        F.max((F.col("d") >= F.col("n_risk")).cast("int")).over(w_fwd) == 1
+    )
+    return (
+        r.where((F.col("d") > 0) | (F.col("c") > 0))
+        .select(
+            "day",
+            "n_risk",
+            "d",
+            "c",
+            F.when(absorbed, F.lit(0.0))
+            .otherwise(
+                F.round(F.exp(F.sum(term).over(w_fwd)), 6).cast("double")
+            )
+            .alias("survival"),
+        )
+        .orderBy("day")
+    )
