@@ -613,3 +613,83 @@ def test_key_gap_audit_finds_planted_gaps_exactly(spark, tmp_path):
     clean = str(tmp_path / "clean")
     full.write.parquet(f"{clean}/orders.parquet")
     assert QUERIES["q222_key_sequence_gaps"](spark, clean).count() == 0
+
+
+def test_kaplan_meier_matches_python_and_is_monotone(spark, smoke_dir):
+    """q225's windowed KM curve must equal the textbook sequential
+    product computed in plain Python from the same per-user durations,
+    and survival must be non-increasing in [0, 1]."""
+    import pandas as pd
+
+    from hadoop_trans_spark.queries import QUERIES
+
+    rows = QUERIES["q225_kaplan_meier"](spark, smoke_dir).collect()
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+
+    ev = pd.read_parquet(f"{smoke_dir}/events.parquet")[
+        ["user_id", "ts", "event_type"]
+    ]
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    mx = int(ev["us"].max())
+    durations = []
+    for uid, g in ev.groupby("user_id"):
+        s = g[g["event_type"] == "signup"]["us"]
+        if s.empty:
+            continue
+        s0 = int(s.min())
+        p = g[(g["event_type"] == "purchase") & (g["us"] > s0)]["us"]
+        if p.empty:
+            durations.append(((mx - s0) // 86400000000, 0))
+        else:
+            durations.append(((int(p.min()) - s0) // 86400000000, 1))
+    from collections import Counter
+
+    d_cnt = Counter(d for d, c in durations if c == 1)
+    c_cnt = Counter(d for d, c in durations if c == 0)
+    days = sorted(set(d_cnt) | set(c_cnt))
+    at_risk = len(durations)
+    s_model, got_i = 1.0, 0
+    import math
+
+    for day in days:
+        d, c = d_cnt.get(day, 0), c_cnt.get(day, 0)
+        if d >= at_risk:
+            s_model = 0.0
+        elif d > 0:
+            s_model *= math.exp(math.log(1.0 - d / at_risk))
+        r = rows[got_i]
+        assert (r["day"], r["n_risk"], r["d"], r["c"]) == (
+            day,
+            at_risk,
+            d,
+            c,
+        ), (r, day, at_risk, d, c)
+        assert abs(r["survival"] - s_model) < 1e-5, (r, s_model)
+        at_risk -= d + c
+        got_i += 1
+    assert got_i == len(rows)
+
+
+def test_cross_correlation_lag0_equals_direct_pearson(spark, smoke_dir):
+    """q224 at lag 0 must equal the plain Pearson correlation of the
+    two daily series computed independently in pandas."""
+    import pandas as pd
+
+    from hadoop_trans_spark.queries import QUERIES
+
+    rows = {
+        r["lag"]: r["xcorr"]
+        for r in QUERIES["q224_cross_correlation"](spark, smoke_dir).collect()
+    }
+    ev = pd.read_parquet(f"{smoke_dir}/events.parquet")[["ts", "event_type"]]
+    ev["day"] = ev["ts"].astype("datetime64[us]").dt.floor("D")
+    daily = (
+        ev.pivot_table(
+            index="day", columns="event_type", aggfunc="size", fill_value=0
+        )
+        .reindex(columns=["click", "purchase"], fill_value=0)
+    )
+    want = daily["click"].corr(daily["purchase"])
+    assert abs(rows[0] - want) < 1e-5, (rows[0], want)
