@@ -725,3 +725,118 @@ def q206_winsorize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@query(
+    "q227_neyman_sample",
+    # Per-stratum std is computed from decimal moments with one double
+    # formula (identical operand order); sampling rates derive from
+    # those doubles and each row's inclusion test compares an exact
+    # md5-derived uniform against the rate — bit-identical decisions in
+    # both engines, so sampled counts are EXACT, not statistical.
+    oracle="""
+    WITH m AS (
+        SELECT c_mktsegment AS seg,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(19,6))
+                        * CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS sxx
+        FROM customer GROUP BY c_mktsegment
+    ),
+    s AS (
+        SELECT seg, n,
+               SQRT((sxx - sx * sx / n) / (n - 1)) AS sd
+        FROM m
+    ),
+    alloc AS (
+        SELECT seg, n, sd,
+               LEAST(1.0, (1000.0 * (n * sd) / SUM(n * sd) OVER ()) / n)
+                   AS rate
+        FROM s
+    ),
+    drawn AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled
+        FROM customer c JOIN alloc a ON a.seg = c.c_mktsegment
+        WHERE CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)),
+                                   1, 8)) AS BIGINT)
+              / 4294967296.0 < a.rate
+        GROUP BY c.c_mktsegment
+    )
+    SELECT a.seg, a.n,
+           CAST(ROUND(a.sd, 6) AS DOUBLE) AS sd,
+           CAST(ROUND(a.rate, 6) AS DOUBLE) AS rate,
+           COALESCE(d.n_sampled, 0) AS n_sampled
+    FROM alloc a LEFT JOIN drawn d ON d.seg = a.seg
+    ORDER BY a.seg
+    """,
+)
+def q227_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: a 1000-row budget is
+    allocated across market segments proportional to N_h·S_h (stratum
+    size × stratum std of account balance — the variance-minimizing
+    design from survey sampling, vs q73/q77's proportional splits).
+    Two passes: a per-stratum moment agg derives the rates, then a
+    deterministic md5-uniform inclusion test draws rows — the same
+    reproducible-sampling hash used repo-wide, so the draw is exact
+    and engine-portable, never RNG. At 100 TB both passes are one
+    shuffle each and the 5-row rate table broadcasts."""
+    from .base import DEC
+
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        F.col("c_acctbal").alias("v"),
+    )
+    d6 = "decimal(19,6)"
+    m = cust.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("v").cast(d6) * F.col("v").cast(d6))
+        .cast("double")
+        .alias("sxx"),
+    )
+    s = m.select(
+        "seg",
+        "n",
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    alloc = s.select(
+        "seg",
+        "n",
+        "sd",
+        F.least(
+            F.lit(1.0),
+            (
+                F.lit(1000.0)
+                * (F.col("n") * F.col("sd"))
+                / F.sum(F.col("n") * F.col("sd")).over(Window.partitionBy())
+            )
+            / F.col("n"),
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    drawn = (
+        cust.join(F.broadcast(alloc), "seg")
+        .where(u < F.col("rate"))
+        .groupBy("seg")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        alloc.join(drawn, "seg", "left")
+        .select(
+            "seg",
+            "n",
+            F.round("sd", 6).cast("double").alias("sd"),
+            F.round("rate", 6).cast("double").alias("rate"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+        .orderBy("seg")
+    )

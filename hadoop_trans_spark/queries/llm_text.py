@@ -1020,3 +1020,84 @@ def q201_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("phrase", "n_occurrences", "score").orderBy(
         F.col("score").desc(), "phrase"
     ).limit(20)
+
+
+@query(
+    "q226_vocab_coverage",
+    # Token counts are exact integers; rank ties break on (count DESC,
+    # token ASC) identically; coverage ratios are one double division
+    # rounded at 1e-6.
+    oracle=r"""
+    WITH toks AS (
+        SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks WHERE w <> '' GROUP BY w
+    ),
+    ranked AS (
+        SELECT cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rk,
+               SUM(cnt) OVER () AS total
+        FROM vocab
+    )
+    SELECT k.k,
+           CAST(SUM(CASE WHEN rk <= k.k THEN cnt ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           CAST(MAX(total) AS BIGINT) AS total_tokens,
+           CAST(ROUND(CAST(SUM(CASE WHEN rk <= k.k THEN cnt ELSE 0 END)
+                           AS DOUBLE) / MAX(total), 6) AS DOUBLE)
+               AS coverage
+    FROM ranked CROSS JOIN (SELECT UNNEST([10, 50, 100, 500, 1000]) AS k) k
+    GROUP BY k.k ORDER BY k.k
+    """,
+)
+def q226_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of all corpus tokens the
+    top-k vocabulary entries cover, at k ∈ {10,50,100,500,1000} — the
+    first question of tokenizer/vocab design (Zipf's law makes small k
+    cover most mass; q188 fits the slope, this reads the curve). One
+    corpus hash agg builds the vocab; the rank runs over the O(vocab)
+    count table (the q130 pattern — vocabulary, never raw tokens), and
+    the five cutoffs evaluate in one grouped pass."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower("text"), "[^a-z]+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    ranked = vocab.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "w"))
+        .alias("rk"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    ks = spark.createDataFrame(
+        [(10,), (50,), (100,), (500,), (1000,)], "k long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.max("total").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rk") <= F.col("k"), F.col("cnt")).otherwise(0)
+                ).cast("double")
+                / F.max("total"),
+                6,
+            )
+            .cast("double")
+            .alias("coverage"),
+        )
+        .orderBy("k")
+    )
