@@ -693,3 +693,40 @@ def test_cross_correlation_lag0_equals_direct_pearson(spark, smoke_dir):
     )
     want = daily["click"].corr(daily["purchase"])
     assert abs(rows[0] - want) < 1e-5, (rows[0], want)
+
+
+def test_equidepth_depths_sum_to_total_and_are_balanced(spark, smoke_dir):
+    """q216: bucket populations must sum exactly to the table row count
+    and no bucket may exceed 2x the ideal depth on the fixture (ties
+    can imbalance, but not pathologically here)."""
+    import pandas as pd
+
+    from hadoop_trans_spark.queries import QUERIES
+
+    rows = QUERIES["q216_equidepth_histogram"](spark, smoke_dir).collect()
+    n = len(pd.read_parquet(f"{smoke_dir}/orders.parquet"))
+    depths = [r["n_rows"] for r in rows]
+    assert sum(depths) == n
+    assert len(depths) == 10
+    assert max(depths) <= 2 * (n / 10)
+    # boundaries strictly increase
+    his = [r["hi"] for r in rows]
+    assert his == sorted(his) and len(set(his)) == 10
+
+
+def test_rfm_bins_in_range_and_cover_all_customers(spark, smoke_dir):
+    """q220: every bin index must lie in 1..5 and segment sizes must
+    sum to the customer count."""
+    import pandas as pd
+
+    from hadoop_trans_spark.queries import QUERIES
+
+    rows = QUERIES["q220_rfm_segments"](spark, smoke_dir).collect()
+    n_cust = (
+        pd.read_parquet(f"{smoke_dir}/orders.parquet")["o_custkey"]
+        .nunique()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        for k in ("r_bin", "f_bin", "m_bin"):
+            assert 1 <= r[k] <= 5, r

@@ -743,3 +743,15 @@ def test_fulfillment_latency_window_after_aggregation(spark, smoke_dir):
     agg_idx = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
     assert win_idx, plan
     assert any(a > win_idx[0] for a in agg_idx), plan
+
+
+def test_vocab_coverage_rank_over_vocab_not_tokens(spark, smoke_dir):
+    """q226: the global rank must consume the vocabulary HashAggregate
+    (O(distinct tokens)), never the raw exploded token stream."""
+    df = QUERIES["q226_vocab_coverage"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
+    agg_idx = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    assert win_idx, plan
+    assert any(a > win_idx[0] for a in agg_idx), plan
