@@ -573,3 +573,97 @@ def q216_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rows"),
     ).orderBy("j")
+
+
+@query(
+    "q228_psi_drift",
+    # Bin populations are exact integers per period; shares and each
+    # (p-q)·ln(p/q) term are double formulas in identical operand
+    # order, terms rounded at 1e-9 and decimal-summed for the total.
+    # Bins empty on either side contribute NULL terms and are excluded
+    # from the total on BOTH sides (flagged in the output).
+    oracle="""
+    WITH binned AS (
+        SELECT LEAST(CAST(FLOOR(o_totalprice / 30000) AS BIGINT), 19) AS bin,
+               CAST(o_orderdate < TIMESTAMP '1996-01-01' AS INT) AS ref
+        FROM orders
+    ),
+    h AS (
+        SELECT bin,
+               CAST(SUM(ref) AS BIGINT) AS n_ref,
+               CAST(SUM(1 - ref) AS BIGINT) AS n_cur
+        FROM binned GROUP BY bin
+    ),
+    s AS (
+        SELECT bin, n_ref, n_cur,
+               CAST(n_ref AS DOUBLE) / SUM(n_ref) OVER () AS p,
+               CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER () AS q
+        FROM h
+    ),
+    t AS (
+        SELECT bin, n_ref, n_cur,
+               CAST(n_ref = 0 OR n_cur = 0 AS INT) AS degenerate,
+               CASE WHEN n_ref > 0 AND n_cur > 0
+                    THEN CAST(ROUND((p - q) * LN(p / q), 9)
+                              AS DECIMAL(38,9)) END AS term
+        FROM s
+    )
+    SELECT bin, n_ref, n_cur, degenerate,
+           CAST(ROUND(CAST(SUM(term) OVER () AS DOUBLE), 6) AS DOUBLE)
+               AS psi_total
+    FROM t ORDER BY bin
+    """,
+)
+def q228_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between pre-1996 (reference) and
+    1996+ (current) order-total distributions — the standard
+    model-monitoring drift gate (PSI < 0.1 stable, > 0.25 action).
+    Fixed-width bins (q104's scheme) make bin populations pure integer
+    arithmetic; the Σ(p−q)·ln(p/q) total decimal-sums 1e-9-rounded
+    terms over the 20-bin table. One fact agg; everything after is
+    O(bins). Bins empty on either side are flagged degenerate and
+    excluded, not epsilon-fudged."""
+    o = table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(
+            # explicit FLOOR: DuckDB's double->BIGINT cast rounds to
+            # nearest, Spark's truncates — floor on both sides agrees
+            F.floor(F.col("o_totalprice") / 30000).cast("long"), F.lit(19)
+        ).alias("bin"),
+        (F.col("o_orderdate") < "1996-01-01").cast("int").alias("ref"),
+    )
+    h = binned.groupBy("bin").agg(
+        F.sum("ref").alias("n_ref"),
+        F.sum(1 - F.col("ref")).alias("n_cur"),
+    )
+    w = Window.partitionBy()
+    s = h.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        (F.col("n_ref").cast("double") / F.sum("n_ref").over(w)).alias("p"),
+        (F.col("n_cur").cast("double") / F.sum("n_cur").over(w)).alias("q"),
+    )
+    t = s.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") == 0) | (F.col("n_cur") == 0))
+        .cast("int")
+        .alias("degenerate"),
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.round(
+                (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 9
+            ).cast("decimal(38,9)"),
+        ).alias("term"),
+    )
+    return t.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        "degenerate",
+        F.round(F.sum("term").over(w).cast("double"), 6)
+        .cast("double")
+        .alias("psi_total"),
+    ).orderBy("bin")
