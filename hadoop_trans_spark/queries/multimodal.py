@@ -329,3 +329,40 @@ def q163_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("ahash")
         .orderBy("min_doc")
     )
+
+
+@query(
+    "q229_spectral_dominant",
+    # Closed-form oracle for the numpy-rFFT decode: the tone sits
+    # exactly on bin k = 3 + id%17 of the length-512 DFT (no leakage),
+    # so argmax is k with certainty; hz = k·8000/512 = k·15.625 (an
+    # exact binary fraction) and peak = A (cos(0)=1 survives rounding).
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               3 + doc_id % 17 AS k,
+               8000 + (doc_id % 5) * 1000 AS amp
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(512 AS BIGINT) AS n_frames,
+           CAST(k AS BIGINT) AS dominant_bin,
+           CAST(k * 15.625 AS DOUBLE) AS dominant_hz,
+           CAST(amp AS BIGINT) AS peak
+    FROM p ORDER BY doc_id
+    """,
+)
+def q229_spectral_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END frequency-domain audio analysis: pure-tone PCM16 WAVs
+    (synthesized at exact DFT bins) are RIFF-parsed and rFFT'd with
+    numpy inside Arrow-batched mapInPandas, reporting each clip's
+    dominant bin/frequency and peak — the pitch-screening stage of an
+    audio curation pipeline, and the proof that REAL numerical kernels
+    (FFT) run vectorized in the Python lane without touching per-row
+    UDFs. Every output has a closed form in doc_id (see operator
+    docstring), so the byte-level decode + transform is SQL-checkable."""
+    from ..operators.multimodal import attach_tone_wav, decode_spectral
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return decode_spectral(attach_tone_wav(docs)).orderBy("doc_id")
