@@ -667,3 +667,235 @@ def q228_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("psi_total"),
     ).orderBy("bin")
+
+
+@query(
+    "q230_wilson_intervals",
+    # Conversion counts are exact; the Wilson 95% bounds are one double
+    # formula with identical operand order (z is the same literal both
+    # sides), rounded at 1e-6.
+    oracle="""
+    WITH conv AS (
+        SELECT c.c_nationkey AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey
+    )
+    SELECT nation, n, k,
+           CAST(ROUND(CAST(k AS DOUBLE) / n, 6) AS DOUBLE) AS p_hat,
+           CAST(ROUND(
+             ((CAST(k AS DOUBLE) / n) + 1.959964 * 1.959964 / (2.0 * n)
+              - 1.959964 * SQRT((CAST(k AS DOUBLE) / n)
+                    * (1.0 - CAST(k AS DOUBLE) / n) / n
+                    + 1.959964 * 1.959964 / (4.0 * n * n)))
+             / (1.0 + 1.959964 * 1.959964 / n), 6) AS DOUBLE) AS wilson_lo,
+           CAST(ROUND(
+             ((CAST(k AS DOUBLE) / n) + 1.959964 * 1.959964 / (2.0 * n)
+              + 1.959964 * SQRT((CAST(k AS DOUBLE) / n)
+                    * (1.0 - CAST(k AS DOUBLE) / n) / n
+                    + 1.959964 * 1.959964 / (4.0 * n * n)))
+             / (1.0 + 1.959964 * 1.959964 / n), 6) AS DOUBLE) AS wilson_hi
+    FROM conv ORDER BY nation
+    """,
+)
+def q230_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation rate estimation with Wilson 95% score intervals (the
+    interval that stays sane at small n and extreme p, unlike the Wald
+    ±z√(pq/n) taught first): share of fulfilled ('F') orders per
+    customer nation with lower/upper bounds — the uncertainty-aware
+    readout a dashboard should show instead of bare rates (q199's
+    z-test is the two-sample twin). One fact join + one hash agg; the
+    interval math is O(|nations|)."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    conv = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("o_orderstatus") == "F").cast("int")).alias("k"),
+        )
+    )
+    z = F.lit(1.959964)
+    p = F.col("k").cast("double") / F.col("n")
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / F.col("n")
+        + z * z / (F.lit(4.0) * F.col("n") * F.col("n"))
+    )
+    center = p + z * z / (F.lit(2.0) * F.col("n"))
+    denom = F.lit(1.0) + z * z / F.col("n")
+    return conv.select(
+        "nation",
+        "n",
+        "k",
+        F.round(p, 6).cast("double").alias("p_hat"),
+        F.round((center - half) / denom, 6).cast("double").alias("wilson_lo"),
+        F.round((center + half) / denom, 6).cast("double").alias("wilson_hi"),
+    ).orderBy("nation")
+
+
+@query(
+    "q231_audience_jaccard",
+    # Pure integer set algebra: per-user type flags, pairwise
+    # intersection counts, |A∪B| = |A|+|B|−|A∩B|; one double division
+    # rounded at 1e-6.
+    oracle="""
+    WITH flags AS (
+        SELECT user_id, event_type
+        FROM events GROUP BY user_id, event_type
+    ),
+    sizes AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM flags GROUP BY event_type
+    ),
+    inter AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(COUNT(*) AS BIGINT) AS nab
+        FROM flags a JOIN flags b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.ta, i.tb, sa.n AS n_a, sb.n AS n_b, i.nab,
+           CAST(ROUND(CAST(i.nab AS DOUBLE) / (sa.n + sb.n - i.nab), 6)
+                AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.ta
+    JOIN sizes sb ON sb.event_type = i.tb
+    ORDER BY i.ta, i.tb
+    """,
+)
+def q231_audience_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Jaccard similarity of event-type audiences (which
+    behaviors share users?) — the EXACT small-cardinality counterpart
+    of the q192 HLL overlap and the q39/q40 document-level dedup
+    Jaccards. Distinct (user, type) flags come from one hash agg; the
+    pairwise intersection is a self-join keyed on user_id whose fan-out
+    is bounded by types-per-user squared (≤ 25); unions come free from
+    the inclusion-exclusion identity, no second pass."""
+    e = table(spark, sf_dir, "events")
+    flags = e.select("user_id", "event_type").distinct()
+    sizes = flags.groupBy("event_type").agg(F.count("*").alias("n"))
+    a, b = flags.alias("a"), flags.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.count("*").alias("nab"))
+    )
+    sa = sizes.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .select(
+            "ta",
+            "tb",
+            "n_a",
+            "n_b",
+            "nab",
+            F.round(
+                F.col("nab").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("nab")),
+                6,
+            )
+            .cast("double")
+            .alias("jaccard"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+@query(
+    "q232_gini_spend",
+    # Gini from the spend-value histogram: all cumulative quantities
+    # are exact decimals/integers (spend is decimal-rounded), and only
+    # the final ratio is a double, rounded at 1e-6. The trapezoid
+    # identity G = 1 - Σ c_v·(S_prev + S_cur)/(N·S_total) needs no
+    # per-row ranks.
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 6)
+                    AS DOUBLE) AS v
+        FROM orders GROUP BY o_custkey
+    ),
+    hist AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM spend GROUP BY v
+    ),
+    cum AS (
+        SELECT v, c,
+               SUM(c) OVER w AS cn,
+               SUM(CAST(v AS DECIMAL(19,6)) * c) OVER w AS cs,
+               SUM(c) OVER () AS n,
+               SUM(CAST(v AS DECIMAL(19,6)) * c) OVER () AS s
+        FROM hist
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(ROUND(CAST(MAX(s) AS DOUBLE), 6) AS DOUBLE) AS total_spend,
+           CAST(ROUND(1.0 - CAST(SUM(CAST(c AS DECIMAL(38,6))
+                     * (CAST(cs AS DECIMAL(38,6)) * 2
+                        - CAST(v AS DECIMAL(19,6)) * c)) AS DOUBLE)
+                / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(s) AS DOUBLE)), 6)
+                AS DOUBLE) AS gini
+    FROM cum
+    """,
+)
+def q232_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend (inequality of revenue
+    concentration — the scalar twin of q165's share table and q182's
+    lift curve). Computed from the DISTINCT-spend histogram with the
+    trapezoid identity: cumulative counts and decimal spend sums give
+    G without ranking individual customers, so the only window runs
+    over O(distinct spend values). Exact decimal staging end-to-end;
+    one double division at the finish."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6)
+        .cast("double")
+        .alias("v")
+    )
+    hist = spend.groupBy("v").agg(F.count("*").alias("c"))
+    d6 = "decimal(19,6)"
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.partitionBy()
+    cum = hist.select(
+        "v",
+        "c",
+        F.sum("c").over(wc).alias("cn"),
+        F.sum(F.col("v").cast(d6) * F.col("c")).over(wc).alias("cs"),
+        F.sum("c").over(wa).alias("n"),
+        F.sum(F.col("v").cast(d6) * F.col("c")).over(wa).alias("s"),
+    )
+    return cum.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(F.max("s").cast("double"), 6)
+        .cast("double")
+        .alias("total_spend"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(
+                F.col("c").cast(DEC)
+                * (
+                    F.col("cs").cast(DEC) * 2
+                    - F.col("v").cast(d6) * F.col("c")
+                )
+            ).cast("double")
+            / (F.max("n").cast("double") * F.max("s").cast("double")),
+            6,
+        )
+        .cast("double")
+        .alias("gini"),
+    )
