@@ -899,3 +899,167 @@ def q232_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("gini"),
     )
+
+
+@query(
+    "q233_ks_test",
+    # The KS statistic is a max over |cn_a/n_a − cn_b/n_b| at merged
+    # distinct values — cumulative counts are exact integers and each
+    # difference is one double formula in identical operand order; D
+    # and the decision round/compare at 1e-6. The 1.358·√((n+m)/nm)
+    # 95% threshold uses the same literals both sides.
+    oracle="""
+    WITH v AS (
+        SELECT o_totalprice AS x,
+               CAST(o_orderdate < TIMESTAMP '1996-01-01' AS INT) AS grp
+        FROM orders
+    ),
+    h AS (
+        SELECT x,
+               CAST(SUM(grp) AS BIGINT) AS ca,
+               CAST(SUM(1 - grp) AS BIGINT) AS cb
+        FROM v GROUP BY x
+    ),
+    cum AS (
+        SELECT SUM(ca) OVER w AS cna, SUM(cb) OVER w AS cnb,
+               SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        FROM h
+        WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_ref,
+           CAST(MAX(nb) AS BIGINT) AS n_cur,
+           CAST(ROUND(MAX(ABS(CAST(cna AS DOUBLE) / na
+                               - CAST(cnb AS DOUBLE) / nb)), 6) AS DOUBLE)
+               AS ks_d,
+           CAST(ROUND(1.358 * SQRT((CAST(MAX(na) AS DOUBLE) + MAX(nb))
+                      / (CAST(MAX(na) AS DOUBLE) * MAX(nb))), 6) AS DOUBLE)
+               AS d_crit_95,
+           CAST(MAX(ABS(CAST(cna AS DOUBLE) / na
+                        - CAST(cnb AS DOUBLE) / nb))
+                > 1.358 * SQRT((CAST(MAX(na) AS DOUBLE) + MAX(nb))
+                               / (CAST(MAX(na) AS DOUBLE) * MAX(nb)))
+                AS INT) AS reject_same_dist
+    FROM cum
+    """,
+)
+def q233_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between pre-1996 and 1996+
+    order totals — the nonparametric companion to q228's PSI (no
+    binning choice to defend): D = max |ECDF_ref − ECDF_cur| evaluated
+    at merged distinct values via cumulative integer counts, plus the
+    large-sample 95% critical value. The only window runs over the
+    DISTINCT-value histogram; the ECDF never materializes per row. One
+    fact agg → O(distinct prices) → 1 row."""
+    v = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderdate") < "1996-01-01").cast("int").alias("grp"),
+    )
+    h = v.groupBy("x").agg(
+        F.sum("grp").alias("ca"),
+        F.sum(1 - F.col("grp")).alias("cb"),
+    )
+    wc = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.partitionBy()
+    cum = h.select(
+        F.sum("ca").over(wc).alias("cna"),
+        F.sum("cb").over(wc).alias("cnb"),
+        F.sum("ca").over(wa).alias("na"),
+        F.sum("cb").over(wa).alias("nb"),
+    )
+    diff = F.abs(
+        F.col("cna").cast("double") / F.col("na")
+        - F.col("cnb").cast("double") / F.col("nb")
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.max("na").cast("double") + F.max("nb"))
+        / (F.max("na").cast("double") * F.max("nb"))
+    )
+    return cum.agg(
+        F.max("na").cast("long").alias("n_ref"),
+        F.max("nb").cast("long").alias("n_cur"),
+        F.round(F.max(diff), 6).cast("double").alias("ks_d"),
+        F.round(crit, 6).cast("double").alias("d_crit_95"),
+        (F.max(diff) > crit).cast("int").alias("reject_same_dist"),
+    )
+
+
+@query(
+    "q234_rank_movers",
+    # Weekly revenues are decimal-rounded; ranks break ties on the
+    # brand key, so both engines produce identical orderings; the top
+    # movers cut sorts on (|Δrank| DESC, brand) — fully deterministic.
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_brand AS brand,
+               CAST(l.l_shipdate >= TIMESTAMP '1996-01-01' AS INT) AS cur,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))), 6)
+                    AS DOUBLE) AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand, CAST(l.l_shipdate >= TIMESTAMP '1996-01-01'
+                                 AS INT)
+    ),
+    ranked AS (
+        SELECT brand, cur, rev,
+               ROW_NUMBER() OVER (PARTITION BY cur
+                                  ORDER BY rev DESC, brand) AS rk
+        FROM rev
+    )
+    SELECT a.brand,
+           a.rk AS rank_before, b.rk AS rank_after,
+           CAST(a.rk - b.rk AS BIGINT) AS delta
+    FROM ranked a JOIN ranked b
+      ON a.brand = b.brand AND a.cur = 0 AND b.cur = 1
+    ORDER BY ABS(a.rk - b.rk) DESC, a.brand LIMIT 10
+    """,
+)
+def q234_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biggest rank movers: brand revenue ranks before vs after the
+    1996 boundary, top-10 by absolute rank swing — the trend-detection
+    report behind 'what's rising'. Ranks are windows PARTITIONED BY
+    period over the O(|brands|) revenue aggregate (never raw lineitem),
+    tie-broken on the brand key so the movers cut is deterministic;
+    the before/after join is brand-keyed on a broadcast-sized table."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.col("l_shipdate") >= "1996-01-01").cast("int").alias("cur"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 6)
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    ranked = rev.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cur").orderBy(F.col("rev").desc(), "brand")
+        ),
+    )
+    a = ranked.where(F.col("cur") == 0).select(
+        "brand", F.col("rk").alias("rank_before")
+    )
+    b = ranked.where(F.col("cur") == 1).select(
+        "brand", F.col("rk").alias("rank_after")
+    )
+    return (
+        a.join(b, "brand")
+        .select(
+            "brand",
+            "rank_before",
+            "rank_after",
+            (F.col("rank_before") - F.col("rank_after"))
+            .cast("long")
+            .alias("delta"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), "brand")
+        .limit(10)
+    )
