@@ -1063,3 +1063,113 @@ def q234_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("delta")).desc(), "brand")
         .limit(10)
     )
+
+
+@query(
+    "q236_runs_test",
+    # Signs come from comparing each day's decimal-rounded revenue to
+    # the discrete median (percentile_disc off the cum histogram —
+    # exact); runs count via an ordered lag over O(days); the z-score
+    # is one double formula in identical operand order, rounded 1e-6.
+    oracle="""
+    WITH daily AS (
+        SELECT l_shipdate AS day,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 6)
+                    AS DOUBLE) AS rev
+        FROM lineitem GROUP BY l_shipdate
+    ),
+    med AS (
+        SELECT MIN(CASE WHEN c >= CEIL(0.5 * n) THEN rev END) AS m
+        FROM (SELECT rev,
+                     SUM(1) OVER (ORDER BY rev ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS c,
+                     COUNT(*) OVER () AS n
+              FROM daily)
+    ),
+    signs AS (
+        SELECT day, CAST(rev > med.m AS INT) AS s
+        FROM daily CROSS JOIN med WHERE rev <> med.m
+    ),
+    runs AS (
+        SELECT s,
+               CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+                         OR LAG(s) OVER (ORDER BY day) <> s
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    )
+    SELECT CAST(SUM(new_run) AS BIGINT) AS n_runs,
+           CAST(SUM(s) AS BIGINT) AS n_above,
+           CAST(SUM(1 - s) AS BIGINT) AS n_below,
+           CAST(ROUND(
+             (SUM(new_run)
+              - (2.0 * SUM(s) * SUM(1 - s) / (SUM(s) + SUM(1 - s)) + 1.0))
+             / SQRT(2.0 * SUM(s) * SUM(1 - s)
+                    * (2.0 * SUM(s) * SUM(1 - s) - SUM(s) - SUM(1 - s))
+                    / ((SUM(s) + SUM(1 - s)) * (SUM(s) + SUM(1 - s))
+                       * (SUM(s) + SUM(1 - s) - 1.0))), 6) AS DOUBLE) AS z
+    FROM runs
+    """,
+)
+def q236_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue: is the above/below-
+    median sign sequence random, or does it trend/cluster? (The
+    randomness screen behind q177's CUSUM — too few runs means regime
+    persistence.) Median is discrete off the cumulative day histogram;
+    the sign sequence and run boundaries live in one ordered window
+    over O(days); the normal-approximation z uses exact run/sign
+    counts. Fact table → daily agg → metadata-sized everything."""
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 6)
+        .cast("double")
+        .alias("rev")
+    )
+    wc = Window.orderBy("rev").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.partitionBy()
+    med = (
+        daily.select(
+            "rev",
+            F.sum(F.lit(1)).over(wc).alias("c"),
+            F.count("*").over(wa).alias("n"),
+        )
+        .agg(
+            F.min(
+                F.when(
+                    F.col("c") >= F.ceil(0.5 * F.col("n")), F.col("rev")
+                )
+            ).alias("m")
+        )
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("rev") != F.col("m"))
+        .select("day", (F.col("rev") > F.col("m")).cast("int").alias("s"))
+    )
+    lag_s = F.lag("s").over(Window.orderBy("day"))
+    runs = signs.select(
+        "s",
+        F.when(lag_s.isNull() | (lag_s != F.col("s")), 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    r = F.sum("new_run").cast("double")
+    na = F.sum("s").cast("double")
+    nb = F.sum(1 - F.col("s")).cast("double")
+    expected = 2.0 * na * nb / (na + nb) + 1.0
+    var = (
+        2.0
+        * na
+        * nb
+        * (2.0 * na * nb - na - nb)
+        / ((na + nb) * (na + nb) * (na + nb - 1.0))
+    )
+    return runs.agg(
+        F.sum("new_run").cast("long").alias("n_runs"),
+        F.sum("s").cast("long").alias("n_above"),
+        F.sum(1 - F.col("s")).cast("long").alias("n_below"),
+        F.round((r - expected) / F.sqrt(var), 6)
+        .cast("double")
+        .alias("z"),
+    )

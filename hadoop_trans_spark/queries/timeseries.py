@@ -1284,3 +1284,90 @@ def q217_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q235_cohort_ltv",
+    # Cohort revenue sums stage in DECIMAL; the cumulative LTV divides
+    # a decimal running sum by the exact cohort size — windows run over
+    # the O(cohorts × offsets) aggregate only.
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        FROM first_seen GROUP BY cohort
+    ),
+    rev AS (
+        SELECT f.cohort,
+               CAST(FLOOR((epoch_us(date_trunc('week', e.ts))
+                           - epoch_us(f.cohort))
+                          / (7 * 86400000000.0)) AS BIGINT) AS offset_w,
+               SUM(CAST(e.value AS DECIMAL(38,6))) AS v
+        FROM events e
+        JOIN first_seen f ON f.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY f.cohort, 2
+    )
+    SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort,
+           r.offset_w,
+           s.cohort_users,
+           CAST(ROUND(SUM(r.v) OVER (PARTITION BY r.cohort ORDER BY r.offset_w
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      / s.cohort_users, 6) AS DOUBLE) AS cum_ltv_per_user
+    FROM rev r JOIN sizes s ON s.cohort = r.cohort
+    ORDER BY cohort, offset_w
+    """,
+)
+def q235_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-seen week,
+    purchase revenue accumulated per week-offset, divided by cohort
+    size — the money twin of q100's retention counts and the curve
+    every growth model is fit against. The per-(cohort, offset) sums
+    are one keyed agg after a user-keyed first-seen join; the running
+    LTV windows over the O(cohorts × offsets) table. Decimal revenue
+    staging keeps the curve exact."""
+    from .base import DEC
+
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    week_delta_us = F.unix_micros(
+        F.date_trunc("week", "ts").cast("timestamp")
+    ) - F.unix_micros(F.col("cohort").cast("timestamp"))
+    rev = (
+        e.where(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort",
+            F.floor(week_delta_us / (7 * 86400000000.0))
+            .cast("long")
+            .alias("offset_w"),
+        )
+        .agg(F.sum(F.col("value").cast(DEC)).alias("v"))
+    )
+    sizes = first_seen.groupBy("cohort").agg(
+        F.count("*").alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("offset_w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(sizes, "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "offset_w",
+            "cohort_users",
+            F.round(
+                F.sum("v").over(w) / F.col("cohort_users"), 6
+            )
+            .cast("double")
+            .alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort", "offset_w")
+    )
