@@ -1371,3 +1371,146 @@ def q235_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "offset_w")
     )
+
+
+@query(
+    "q237_seasonality_strength",
+    # Daily revenues are decimal-rounded doubles; all moment sums stage
+    # in DECIMAL (scale-6 squares at 19,6 — the q196 overflow rule) and
+    # the eta-squared ratio is one double formula, rounded at 1e-6.
+    oracle="""
+    WITH daily AS (
+        SELECT l_shipdate AS day,
+               CAST(strftime(l_shipdate, '%w') AS INT) AS dow,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 6)
+                    AS DOUBLE) AS rev
+        FROM lineitem GROUP BY l_shipdate
+    ),
+    g AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(rev AS DECIMAL(19,6))
+                        * CAST(rev AS DECIMAL(19,6))) AS DOUBLE) AS sxx
+        FROM daily GROUP BY dow
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_days,
+           CAST(ROUND(
+             (SUM(sx * sx / n) - SUM(sx) * SUM(sx) / SUM(n))
+             / (SUM(sxx) - SUM(sx) * SUM(sx) / SUM(n)), 6) AS DOUBLE)
+               AS eta_sq_dow
+    FROM g
+    """,
+)
+def q237_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength of daily revenue: eta-squared —
+    the share of total variance explained by the day-of-week factor
+    (between-group SS / total SS), the one-number screen run before
+    bothering with q159's seasonal baselines or q196's ACF. All moments
+    reduce per weekday (7 groups) with decimal staging; the ratio is
+    O(7) arithmetic. Note SUM(sx*sx/n) must aggregate the PER-GROUP
+    ratio — written identically in both engines."""
+    from .base import DEC
+
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 6)
+        .cast("double")
+        .alias("rev"),
+    ).select(
+        "rev",
+        # DuckDB strftime %w: Sunday=0. Spark dayofweek: Sunday=1.
+        (F.dayofweek("day") - 1).cast("int").alias("dow"),
+    )
+    d6 = "decimal(19,6)"
+    g = daily.groupBy("dow").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rev").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("rev").cast(d6) * F.col("rev").cast(d6))
+        .cast("double")
+        .alias("sxx"),
+    )
+    between = F.sum(F.col("sx") * F.col("sx") / F.col("n")) - F.sum(
+        "sx"
+    ) * F.sum("sx") / F.sum("n")
+    total = F.sum("sxx") - F.sum("sx") * F.sum("sx") / F.sum("n")
+    return g.agg(
+        F.sum("n").cast("long").alias("n_days"),
+        F.round(between / total, 6).cast("double").alias("eta_sq_dow"),
+    )
+
+
+@query(
+    "q238_revenue_peaks",
+    # Peak detection is pure comparisons of decimal-rounded daily
+    # revenues against lagged/led neighbors and a decimal-exact global
+    # mean threshold — integer/exact logic, deterministic top-10 cut on
+    # (rev DESC, day).
+    oracle="""
+    WITH daily AS (
+        SELECT l_shipdate AS day,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 6)
+                    AS DOUBLE) AS rev
+        FROM lineitem GROUP BY l_shipdate
+    ),
+    ctx AS (
+        SELECT day, rev,
+               LAG(rev) OVER (ORDER BY day) AS prev,
+               LEAD(rev) OVER (ORDER BY day) AS next,
+               CAST(ROUND(SUM(CAST(rev AS DECIMAL(38,6))) OVER ()
+                          / COUNT(*) OVER (), 6) AS DOUBLE) AS mean_rev
+        FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, rev,
+           CAST(ROUND(rev / mean_rev, 6) AS DOUBLE) AS rel_height
+    FROM ctx
+    WHERE prev IS NOT NULL AND next IS NOT NULL
+      AND rev > prev AND rev > next AND rev > 1.5 * mean_rev
+    ORDER BY rev DESC, day LIMIT 10
+    """,
+)
+def q238_revenue_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection on the daily revenue series: days strictly
+    above both calendar neighbors AND 1.5× the corpus mean — the spike
+    report behind incident/promo forensics (q159 finds hour-of-day
+    anomalies; this finds day-level bursts). Neighbor comparisons are
+    one ordered window over O(days); the mean threshold is decimal-
+    exact; the top-10 cut is tie-broken on (rev DESC, day)."""
+    from .base import DEC
+
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 6)
+        .cast("double")
+        .alias("rev")
+    )
+    wd = Window.orderBy("day")
+    wa = Window.partitionBy()
+    ctx = daily.select(
+        "day",
+        "rev",
+        F.lag("rev").over(wd).alias("prev"),
+        F.lead("rev").over(wd).alias("next"),
+        F.round(
+            F.sum(F.col("rev").cast(DEC)).over(wa) / F.count("*").over(wa), 6
+        )
+        .cast("double")
+        .alias("mean_rev"),
+    )
+    return (
+        ctx.where(
+            F.col("prev").isNotNull()
+            & F.col("next").isNotNull()
+            & (F.col("rev") > F.col("prev"))
+            & (F.col("rev") > F.col("next"))
+            & (F.col("rev") > 1.5 * F.col("mean_rev"))
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "rev",
+            F.round(F.col("rev") / F.col("mean_rev"), 6)
+            .cast("double")
+            .alias("rel_height"),
+        )
+        .orderBy(F.col("rev").desc(), "day")
+        .limit(10)
+    )
