@@ -1514,3 +1514,99 @@ def q238_revenue_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rev").desc(), "day")
         .limit(10)
     )
+
+
+def _markov_oracle(steps: int = 16) -> str:
+    """Unrolled power-iteration oracle: DuckDB's recursive CTEs forbid
+    aggregation in the recursive member, so each of the ``steps``
+    matrix-vector products is its own CTE. Per-step products round at
+    1e-12 then decimal-sum (order-independent), exactly mirroring the
+    Spark loop."""
+    ctes = ["""
+    seq AS (
+        SELECT user_id, event_type AS a,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS b
+        FROM events
+    ),
+    t AS (
+        SELECT a, b,
+               CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY a) AS p
+        FROM seq WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    states AS (SELECT DISTINCT a AS s FROM t),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM states),
+    v0 AS (SELECT s, 1.0 / n.k AS p FROM states, n)"""]
+    for i in range(1, steps + 1):
+        ctes.append(f"""
+    v{i} AS (
+        SELECT t.b AS s,
+               CAST(SUM(CAST(ROUND(v{i-1}.p * t.p, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS p
+        FROM v{i-1} JOIN t ON t.a = v{i-1}.s
+        GROUP BY t.b
+    )""")
+    return (
+        "    WITH" + ",".join(ctes) + f"""
+    SELECT s AS state, CAST(ROUND(p, 6) AS DOUBLE) AS stationary_p
+    FROM v{steps} ORDER BY state
+    """
+    )
+
+
+@query("q239_markov_stationary", oracle=_markov_oracle())
+def q239_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain (q106's
+    transition matrix taken to its fixed point): 16 synchronized
+    power-iteration steps from the uniform vector — both engines
+    compute the IDENTICAL 16-step trajectory (per-step products round
+    at 1e-12 and decimal-sum), so the check is exact without claiming
+    numerical convergence. The chain lives on |event types| states, so
+    every iteration is a 25-cell join — the same distribute-the-
+    reduction / iterate-the-small-state split as q203's Holt fold; the
+    one fact-scale stage is the transition count."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    )
+    t = (
+        seq.where(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("nab"))
+        .withColumn(
+            "p",
+            F.col("nab").cast("double")
+            / F.sum("nab").over(Window.partitionBy("a")),
+        )
+        .select("a", "b", F.col("p").alias("tp"))
+    )
+    states = t.select(F.col("a").alias("s")).distinct()
+    k = states.agg(F.count("*").cast("double").alias("k"))
+    v = states.crossJoin(F.broadcast(k)).select(
+        "s", (F.lit(1.0) / F.col("k")).alias("p")
+    )
+    # 25-cell matrix and 5-row vector: cache both so the 16-step loop
+    # doesn't replay the fact-scale transition count per iteration.
+    t = t.cache()
+    for _ in range(16):
+        v = (
+            v.join(t, t.a == v.s)
+            .groupBy(F.col("b").alias("s_next"))
+            .agg(
+                F.sum(
+                    F.round(F.col("p") * F.col("tp"), 12).cast(
+                        "decimal(38,12)"
+                    )
+                )
+                .cast("double")
+                .alias("p")
+            )
+            .select(F.col("s_next").alias("s"), "p")
+        )
+    return v.select(
+        F.col("s").alias("state"),
+        F.round("p", 6).cast("double").alias("stationary_p"),
+    ).orderBy("state")
