@@ -1173,3 +1173,93 @@ def q236_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("z"),
     )
+
+
+@query(
+    "q240_lorenz_curve",
+    # Decile boundaries come from the cumulative spend histogram
+    # (exact integers); cumulative spend by decile stages in DECIMAL
+    # and only the share ratio is a double, rounded at 1e-6.
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 6)
+                    AS DOUBLE) AS v
+        FROM orders GROUP BY o_custkey
+    ),
+    hist AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+               SUM(CAST(v AS DECIMAL(19,6))) AS s
+        FROM spend GROUP BY v
+    ),
+    cum AS (
+        SELECT v, c, s,
+               SUM(c) OVER w AS cn,
+               SUM(s) OVER w AS cs,
+               SUM(c) OVER () AS n,
+               SUM(s) OVER () AS st
+        FROM hist
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT d.d AS decile,
+           MIN(CASE WHEN cn >= CEIL(d.d * n / 10.0) THEN v END) AS cutoff,
+           CAST(ROUND(CAST(MIN(CASE WHEN cn >= CEIL(d.d * n / 10.0)
+                                    THEN cs END) AS DOUBLE)
+                      / CAST(MAX(st) AS DOUBLE), 6) AS DOUBLE)
+               AS cum_spend_share
+    FROM cum CROSS JOIN (SELECT UNNEST(range(1, 11)) AS d) d
+    GROUP BY d.d ORDER BY d.d
+    """,
+)
+def q240_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at customer-spend deciles: the cumulative share of
+    revenue held by the bottom d/10 of customers — the curve whose gap
+    from the diagonal q232's Gini summarizes (and the 'bottom 50% hold
+    X%' numbers analysts actually quote). Boundaries and cumulative
+    spend both read off the DISTINCT-spend histogram (the repo's
+    percentile_disc pattern carrying a decimal spend accumulator);
+    nothing ranks individual customers."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6)
+        .cast("double")
+        .alias("v")
+    )
+    d6 = "decimal(19,6)"
+    hist = spend.groupBy("v").agg(
+        F.count("*").alias("c"),
+        F.sum(F.col("v").cast(d6)).alias("s"),
+    )
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.partitionBy()
+    cum = hist.select(
+        "v",
+        F.sum("c").over(wc).alias("cn"),
+        F.sum("s").over(wc).alias("cs"),
+        F.sum("c").over(wa).alias("n"),
+        F.sum("s").over(wa).alias("st"),
+    )
+    ds = spark.range(1, 11).select(F.col("id").cast("long").alias("decile"))
+    at_cut = F.when(
+        F.col("cn") >= F.ceil(F.col("decile") * F.col("n") / 10.0), F.col("v")
+    )
+    cs_cut = F.when(
+        F.col("cn") >= F.ceil(F.col("decile") * F.col("n") / 10.0),
+        F.col("cs"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(ds))
+        .groupBy("decile")
+        .agg(
+            F.min(at_cut).alias("cutoff"),
+            F.round(
+                F.min(cs_cut).cast("double") / F.max("st").cast("double"), 6
+            )
+            .cast("double")
+            .alias("cum_spend_share"),
+        )
+        .orderBy("decile")
+    )
