@@ -97,7 +97,7 @@ _SWEEP_PRIORITY = [
     "q48_media_features",
     "q63_simhash_neardup",
     # --- 50-query window boundary ---
-    # Round-5 plan: q153-q239 (round-4, below the boundary) and any NEW
+    # Round-5 plan: q153-q240 (round-4, below the boundary) and any NEW
     # round-5 queries go to the FRONT, then the
     # remaining r2-only greens (q01-q32, q61/q62/q65-q67, q80/q81,
     # q92/q94-q96/q99, q104, q109, q111, q114, q116, q117), then r3
