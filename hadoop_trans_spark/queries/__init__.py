@@ -102,6 +102,59 @@ _SWEEP_PRIORITY = [
     # remaining r2-only greens (q01-q32, q61/q62/q65-q67, q80/q81,
     # q92/q94-q96/q99, q104, q109, q111, q114, q116, q117), then r3
     # greens oldest-first.
+    # Concrete staged r5 window (uncomment these 50 and move them to
+    # the FRONT of this list at the start of round 5; q203-q240 then
+    # fill round 6):
+    # "q153_geo_radius_join",
+    # "q154_pareto_frontier",
+    # "q155_chisq_terms",
+    # "q156_weighted_median",
+    # "q157_sorted_neighborhood",
+    # "q158_shipping_priority",
+    # "q159_seasonal_anomaly",
+    # "q160_ohlc_bars",
+    # "q161_incremental_rollup",
+    # "q162_large_volume_orders",
+    # "q163_ahash_neardup",
+    # "q164_countmin_freq",
+    # "q165_revenue_concentration",
+    # "q166_null_semantics",
+    # "q167_linear_attribution",
+    # "q168_volume_shipping",
+    # "q169_market_share",
+    # "q170_returned_revenue",
+    # "q171_order_count_distribution",
+    # "q172_promo_revenue",
+    # "q173_inactive_high_balance",
+    # "q174_boilerplate_coverage",
+    # "q175_bigram_lm_interp",
+    # "q176_linear_interpolation",
+    # "q177_cusum_changepoint",
+    # "q178_market_basket",
+    # "q179_event_pattern_match",
+    # "q180_range_clustered_layout",
+    # "q181_spearman_by_brand",
+    # "q182_decile_lift",
+    # "q183_stream_windowed_topk",
+    # "q184_forget_users",
+    # "q185_share_of_total",
+    # "q186_late_shipment_orders",
+    # "q187_rolling_hll_distinct",
+    # "q188_zipf_slope",
+    # "q189_stream_complete_totals",
+    # "q190_snapshot_time_travel",
+    # "q191_cdc_apply",
+    # "q192_hll_intersection",
+    # "q193_top_supplier",
+    # "q194_forecast_revenue",
+    # "q195_benford_digits",
+    # "q196_daily_acf",
+    # "q197_k_anonymity",
+    # "q198_auc_rank",
+    # "q199_ab_ztest",
+    # "q200_degree_distribution",
+    # "q201_rake_keywords",
+    # "q202_stream_stream_full_outer",
 ]
 
 
