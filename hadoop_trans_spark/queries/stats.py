@@ -1263,3 +1263,122 @@ def q240_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q241_odds_ratio",
+    # The 2x2 cell counts are exact (exposure uses the discrete median
+    # from the cum histogram); OR and its log-space Wald CI are one
+    # double formula each in identical operand order, rounded at 1e-6.
+    oracle="""
+    WITH med AS (
+        SELECT MIN(CASE WHEN c >= CEIL(0.5 * n) THEN v END) AS m
+        FROM (SELECT v, SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS c,
+                     SUM(cnt) OVER () AS n
+              FROM (SELECT c_acctbal AS v, COUNT(*) AS cnt
+                    FROM customer GROUP BY c_acctbal))
+    ),
+    base AS (
+        SELECT c.c_custkey,
+               CAST(c.c_acctbal > med.m AS INT) AS exposed,
+               CAST(MAX(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS INT) AS outcome
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        CROSS JOIN med
+        GROUP BY c.c_custkey, CAST(c.c_acctbal > med.m AS INT)
+    ),
+    cells AS (
+        SELECT CAST(SUM(exposed * outcome) AS BIGINT) AS a,
+               CAST(SUM(exposed * (1 - outcome)) AS BIGINT) AS b,
+               CAST(SUM((1 - exposed) * outcome) AS BIGINT) AS c,
+               CAST(SUM((1 - exposed) * (1 - outcome)) AS BIGINT) AS d
+        FROM base
+    )
+    SELECT a, b, c, d,
+           CAST(ROUND((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c), 6)
+                AS DOUBLE) AS odds_ratio,
+           CAST(ROUND(EXP(LN((CAST(a AS DOUBLE) * d)
+                             / (CAST(b AS DOUBLE) * c))
+                          - 1.959964 * SQRT(1.0 / a + 1.0 / b
+                                            + 1.0 / c + 1.0 / d)), 6)
+                AS DOUBLE) AS or_lo,
+           CAST(ROUND(EXP(LN((CAST(a AS DOUBLE) * d)
+                             / (CAST(b AS DOUBLE) * c))
+                          + 1.959964 * SQRT(1.0 / a + 1.0 / b
+                                            + 1.0 / c + 1.0 / d)), 6)
+                AS DOUBLE) AS or_hi
+    FROM cells
+    """,
+)
+def q241_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 odds ratio with a log-space Wald 95% CI: does an
+    above-median account balance associate with having a fulfilled
+    order? (Completes the inference toolkit next to q199's z-test,
+    q230's Wilson bounds, and q233's KS.) The exposure cut is the
+    discrete median off the cumulative balance histogram; one customer-
+    keyed outcome agg builds the 2×2 table; the OR math is O(1). The
+    CI uses exp/ln only on scalar cell counts — a 1-row computation,
+    not a data-path libm dependence."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("v")
+    )
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.partitionBy()
+    med = (
+        cust.groupBy("v")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "v",
+            F.sum("cnt").over(wc).alias("c"),
+            F.sum("cnt").over(wa).alias("n"),
+        )
+        .agg(
+            F.min(
+                F.when(F.col("c") >= F.ceil(0.5 * F.col("n")), F.col("v"))
+            ).alias("m")
+        )
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    base = (
+        cust.crossJoin(F.broadcast(med))
+        .join(o, cust.c_custkey == o.o_custkey)
+        .groupBy(
+            "c_custkey", (F.col("v") > F.col("m")).cast("int").alias("exposed")
+        )
+        .agg(
+            F.max((F.col("o_orderstatus") == "F").cast("int")).alias(
+                "outcome"
+            )
+        )
+    )
+    cells = base.agg(
+        F.sum(F.col("exposed") * F.col("outcome")).cast("long").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("outcome")))
+        .cast("long")
+        .alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("outcome"))
+        .cast("long")
+        .alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("outcome")))
+        .cast("long")
+        .alias("d"),
+    )
+    orr = (F.col("a").cast("double") * F.col("d")) / (
+        F.col("b").cast("double") * F.col("c")
+    )
+    half = F.lit(1.959964) * F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(orr, 6).cast("double").alias("odds_ratio"),
+        F.round(F.exp(F.log(orr) - half), 6).cast("double").alias("or_lo"),
+        F.round(F.exp(F.log(orr) + half), 6).cast("double").alias("or_hi"),
+    )
