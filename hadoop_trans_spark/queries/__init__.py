@@ -97,13 +97,13 @@ _SWEEP_PRIORITY = [
     "q48_media_features",
     "q63_simhash_neardup",
     # --- 50-query window boundary ---
-    # Round-5 plan: q153-q240 (round-4, below the boundary) and any NEW
+    # Round-5 plan: q153-q241 (round-4, below the boundary) and any NEW
     # round-5 queries go to the FRONT, then the
     # remaining r2-only greens (q01-q32, q61/q62/q65-q67, q80/q81,
     # q92/q94-q96/q99, q104, q109, q111, q114, q116, q117), then r3
     # greens oldest-first.
     # Concrete staged r5 window (uncomment these 50 and move them to
-    # the FRONT of this list at the start of round 5; q203-q240 then
+    # the FRONT of this list at the start of round 5; q203-q241 then
     # fill round 6):
     # "q153_geo_radius_join",
     # "q154_pareto_frontier",
