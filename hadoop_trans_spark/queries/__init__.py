@@ -36,125 +36,83 @@ from .base import ORACLE, QUERIES
 # tracks which queries have a green row per round; rotate this list each
 # round until every query has one.
 _SWEEP_PRIORITY = [
-    # Round-4 rotation (applied per VERDICT r3 item 1).
-    # Slots 1-20: the NEW round-4 queries (registered this round, no
-    # driver row yet by construction).
-    "q133_bm25_topk",
-    "q134_token_entropy",
-    "q135_contrastive_pairs",
-    "q136_agg_battery_modern",
-    "q137_key_skew_profile",
-    "q138_bloom_prefilter_join",
-    "q139_map_in_arrow",
-    "q140_triangle_count",
-    "q141_stream_chained_rollup",
-    "q142_shingle_containment",
-    "q143_event_paths",
-    "q144_hll_sketch_rollup",
-    "q145_dq_audit",
-    "q146_correlated_subquery",
-    "q147_recursive_bfs",
-    "q148_stream_stream_left_join",
-    "q149_text_source",
-    "q150_binaryfile_source",
-    "q151_wav_decode",
-    "q152_ppm_decode",
-    # Slots 21-37: the queries that have NEVER had a driver
-    # CORRECTNESS row (q84, q93, q100-q102, q121, and the round-3
-    # additions q122-q132).
-    "q84_frame_sample",
-    "q93_observe_metrics",
-    "q100_cohort_retention",
-    "q101_funnel_stages",
-    "q102_column_profile",
-    "q121_raw_decode",
-    "q122_xml_roundtrip",
-    "q123_pagerank",
-    "q124_mad_outliers",
-    "q125_ewma",
-    "q126_pmi_bigrams",
-    "q127_session_concurrency",
-    "q128_new_vs_returning",
-    "q129_heavy_hitters",
-    "q130_token_ids",
-    "q131_tfidf_cosine_pairs",
-    "q132_stream_approx_distinct",
-    # Slots 38-50: round-1-only greens (q46/q47 yield to the two
-    # new REAL-decode queries; their struct/binary surface is covered
-    # by q84/q91/q121/q150 inside the window), unconfirmed since round 1
-    # (two rounds of shared-code refactors since their last row).
-    "q33_migrate_fidelity",
-    "q34_compact_fidelity",
-    "q35_text_stats",
-    "q36_corpus_quality_profile",
-    "q37_lang_id",
-    "q38_doc_fingerprint",
-    "q39_exact_dedup",
-    "q40_minhash_lsh_neardup",
-    "q42_ngram_jaccard",
-    "q43_embedding_neardup",
-    "q44_cosine_topk",
-    "q48_media_features",
-    "q63_simhash_neardup",
+    # Round-5 rotation (APPLIED per VERDICT r4 item 1): the 50 oldest
+    # never-driver-verified queries (q153-q202, all registered in round
+    # 4 below the round-4 window boundary) fill the whole window.
+    "q153_geo_radius_join",
+    "q154_pareto_frontier",
+    "q155_chisq_terms",
+    "q156_weighted_median",
+    "q157_sorted_neighborhood",
+    "q158_shipping_priority",
+    "q159_seasonal_anomaly",
+    "q160_ohlc_bars",
+    "q161_incremental_rollup",
+    "q162_large_volume_orders",
+    "q163_ahash_neardup",
+    "q164_countmin_freq",
+    "q165_revenue_concentration",
+    "q166_null_semantics",
+    "q167_linear_attribution",
+    "q168_volume_shipping",
+    "q169_market_share",
+    "q170_returned_revenue",
+    "q171_order_count_distribution",
+    "q172_promo_revenue",
+    "q173_inactive_high_balance",
+    "q174_boilerplate_coverage",
+    "q175_bigram_lm_interp",
+    "q176_linear_interpolation",
+    "q177_cusum_changepoint",
+    "q178_market_basket",
+    "q179_event_pattern_match",
+    "q180_range_clustered_layout",
+    "q181_spearman_by_brand",
+    "q182_decile_lift",
+    "q183_stream_windowed_topk",
+    "q184_forget_users",
+    "q185_share_of_total",
+    "q186_late_shipment_orders",
+    "q187_rolling_hll_distinct",
+    "q188_zipf_slope",
+    "q189_stream_complete_totals",
+    "q190_snapshot_time_travel",
+    "q191_cdc_apply",
+    "q192_hll_intersection",
+    "q193_top_supplier",
+    "q194_forecast_revenue",
+    "q195_benford_digits",
+    "q196_daily_acf",
+    "q197_k_anonymity",
+    "q198_auc_rank",
+    "q199_ab_ztest",
+    "q200_degree_distribution",
+    "q201_rake_keywords",
+    "q202_stream_stream_full_outer",
     # --- 50-query window boundary ---
-    # Round-5 plan: q153-q241 (round-4, below the boundary) and any NEW
-    # round-5 queries go to the FRONT, then the
-    # remaining r2-only greens (q01-q32, q61/q62/q65-q67, q80/q81,
-    # q92/q94-q96/q99, q104, q109, q111, q114, q116, q117), then r3
-    # greens oldest-first.
-    # Concrete staged r5 window (uncomment these 50 and move them to
-    # the FRONT of this list at the start of round 5; q203-q241 then
-    # fill round 6):
-    # "q153_geo_radius_join",
-    # "q154_pareto_frontier",
-    # "q155_chisq_terms",
-    # "q156_weighted_median",
-    # "q157_sorted_neighborhood",
-    # "q158_shipping_priority",
-    # "q159_seasonal_anomaly",
-    # "q160_ohlc_bars",
-    # "q161_incremental_rollup",
-    # "q162_large_volume_orders",
-    # "q163_ahash_neardup",
-    # "q164_countmin_freq",
-    # "q165_revenue_concentration",
-    # "q166_null_semantics",
-    # "q167_linear_attribution",
-    # "q168_volume_shipping",
-    # "q169_market_share",
-    # "q170_returned_revenue",
-    # "q171_order_count_distribution",
-    # "q172_promo_revenue",
-    # "q173_inactive_high_balance",
-    # "q174_boilerplate_coverage",
-    # "q175_bigram_lm_interp",
-    # "q176_linear_interpolation",
-    # "q177_cusum_changepoint",
-    # "q178_market_basket",
-    # "q179_event_pattern_match",
-    # "q180_range_clustered_layout",
-    # "q181_spearman_by_brand",
-    # "q182_decile_lift",
-    # "q183_stream_windowed_topk",
-    # "q184_forget_users",
-    # "q185_share_of_total",
-    # "q186_late_shipment_orders",
-    # "q187_rolling_hll_distinct",
-    # "q188_zipf_slope",
-    # "q189_stream_complete_totals",
-    # "q190_snapshot_time_travel",
-    # "q191_cdc_apply",
-    # "q192_hll_intersection",
-    # "q193_top_supplier",
-    # "q194_forecast_revenue",
-    # "q195_benford_digits",
-    # "q196_daily_acf",
-    # "q197_k_anonymity",
-    # "q198_auc_rank",
-    # "q199_ab_ztest",
-    # "q200_degree_distribution",
-    # "q201_rake_keywords",
-    # "q202_stream_stream_full_outer",
+    # Round-6 plan: the remaining 39 never-verified queries q203-q241
+    # go to the FRONT (plus any new round-5 queries, kept to a handful
+    # so the backlog closes), then the oldest previously-green queries
+    # (r2-only greens q01-q32 etc.) fill the remaining ~11 slots.
+    # Staged r6 window (move to FRONT at the start of round 6):
+    # q203_holt_forecast, q204_adamic_adar, q205_referential_integrity,
+    # q206_winsorize_acctbal, q207_small_qty_revenue,
+    # q208_discount_brackets, q209_profit_by_nation_year,
+    # q210_twap_per_user, q211_embedding_covariance, q212_price_brackets,
+    # q213_corrupt_json_ingest, q214_mutual_information,
+    # q215_decay_attribution, q216_equidepth_histogram,
+    # q217_transition_entropy, q218_first_last_touch,
+    # q219_fulfillment_latency, q220_rfm_segments,
+    # q221_nested_parquet_roundtrip, q222_key_sequence_gaps,
+    # q223_percent_of_parent, q224_cross_correlation, q225_kaplan_meier,
+    # q226_vocab_coverage, q227_neyman_sample, q228_psi_drift,
+    # q229_spectral_dominant, q230_wilson_intervals,
+    # q231_audience_jaccard, q232_gini_spend, q233_ks_test,
+    # q234_rank_movers, q235_cohort_ltv, q236_runs_test,
+    # q237_seasonality_strength, q238_revenue_peaks,
+    # q239_markov_stationary, q240_lorenz_curve, q241_odds_ratio,
+    # plus any new round-5 queries, then q01, q02, ...
+    # oldest-green-first to fill the remaining slots.
 ]
 
 
