@@ -730,10 +730,13 @@ def q206_winsorize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q227_neyman_sample",
     # Per-stratum std is computed from decimal moments with one double
-    # formula (identical operand order); sampling rates derive from
-    # those doubles and each row's inclusion test compares an exact
-    # md5-derived uniform against the rate — bit-identical decisions in
-    # both engines, so sampled counts are EXACT, not statistical.
+    # formula (identical operand order); the allocation denominator
+    # Σ n_h·sd_h is staged deterministically (each term rounded at 1e-9,
+    # summed through DECIMAL(38,9), cast back to double) so its value
+    # does not depend on window-aggregation order; each row's inclusion
+    # test then compares an exact md5-derived uniform against the rate —
+    # bit-identical decisions in both engines, so sampled counts are
+    # EXACT, not statistical.
     oracle="""
     WITH m AS (
         SELECT c_mktsegment AS seg,
@@ -750,8 +753,9 @@ def q206_winsorize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     alloc AS (
         SELECT seg, n, sd,
-               LEAST(1.0, (1000.0 * (n * sd) / SUM(n * sd) OVER ()) / n)
-                   AS rate
+               LEAST(1.0, (1000.0 * (n * sd)
+                   / CAST(SUM(CAST(ROUND(n * sd, 9) AS DECIMAL(38,9)))
+                          OVER () AS DOUBLE)) / n) AS rate
         FROM s
     ),
     drawn AS (
@@ -813,7 +817,11 @@ def q227_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.lit(1000.0)
                 * (F.col("n") * F.col("sd"))
-                / F.sum(F.col("n") * F.col("sd")).over(Window.partitionBy())
+                / F.sum(
+                    F.round(F.col("n") * F.col("sd"), 9).cast("decimal(38,9)")
+                )
+                .over(Window.partitionBy())
+                .cast("double")
             )
             / F.col("n"),
         ).alias("rate"),

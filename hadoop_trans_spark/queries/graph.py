@@ -337,10 +337,12 @@ def q200_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q204_adamic_adar",
-    # Integer set algebra for edges/degrees; the 1/ln(degree) terms sum
-    # over ≤ deg_cap common neighbors per pair — double ops in identical
-    # order, rounded at 1e-6 BEFORE the top-20 rank (ties broken on the
-    # pair key).
+    # Integer set algebra for edges/degrees; each 1/ln(degree) term is
+    # rounded at 1e-9 and summed through DECIMAL(38,9) (order-free exact
+    # addition — the q214/q217/q228 determinism pattern), then the total
+    # is rounded at 1e-6 BEFORE the top-20 rank (ties broken on the
+    # pair key). A raw double SUM would depend on aggregation order,
+    # which differs between engines and across Spark task schedules.
     oracle="""
     WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -362,7 +364,7 @@ def q200_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cand AS (
         SELECT a.nbr AS u, b.nbr AS v,
-               CAST(SUM(1.0 / LN(a.degree)) AS DOUBLE) AS aa,
+               SUM(CAST(ROUND(1.0 / LN(a.degree), 9) AS DECIMAL(38,9))) AS aa,
                CAST(COUNT(*) AS BIGINT) AS common
         FROM thin a JOIN thin b
           ON a.node = b.node AND a.nbr < b.nbr AND a.degree > 1
@@ -372,7 +374,7 @@ def q200_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand c
     LEFT JOIN pairs p ON p.u = c.u AND p.v = c.v
     WHERE p.u IS NULL
-    ORDER BY ROUND(c.aa, 6) DESC, c.u, c.v LIMIT 20
+    ORDER BY CAST(ROUND(c.aa, 6) AS DOUBLE) DESC, c.u, c.v LIMIT 20
     """,
 )
 def q204_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,9 +413,11 @@ def q204_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ta.degree") > 1)
         .groupBy(F.col("ta.nbr").alias("u"), F.col("tb.nbr").alias("v"))
         .agg(
-            F.sum(F.lit(1.0) / F.log(F.col("ta.degree")))
-            .cast("double")
-            .alias("aa"),
+            F.sum(
+                F.round(F.lit(1.0) / F.log(F.col("ta.degree")), 9).cast(
+                    "decimal(38,9)"
+                )
+            ).alias("aa"),
             F.count("*").alias("common"),
         )
     )

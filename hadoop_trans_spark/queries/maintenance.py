@@ -1073,7 +1073,10 @@ def q205_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q222_key_sequence_gaps",
     # Pure integer bucket arithmetic: per-bucket expected span minus
-    # observed distinct count — exact in both engines.
+    # observed distinct count — exact in both engines. Interior buckets
+    # are audited against their FIXED span (bucket*1000 .. +999) so
+    # holes at a bucket's own min/max key are caught; only the two
+    # global edge buckets fall back to the observed global min/max.
     oracle="""
     WITH k AS (SELECT DISTINCT o_orderkey AS key FROM orders),
     b AS (
@@ -1082,11 +1085,20 @@ def q205_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MIN(key) AS BIGINT) AS lo,
                CAST(MAX(key) AS BIGINT) AS hi
         FROM k GROUP BY key // 1000
+    ),
+    g AS (SELECT MIN(lo) AS gmin, MAX(hi) AS gmax FROM b),
+    e AS (
+        SELECT b.bucket, b.n_keys, b.lo, b.hi,
+               CASE WHEN b.bucket = g.gmin // 1000 THEN g.gmin
+                    ELSE b.bucket * 1000 END AS exp_lo,
+               CASE WHEN b.bucket = g.gmax // 1000 THEN g.gmax
+                    ELSE b.bucket * 1000 + 999 END AS exp_hi
+        FROM b CROSS JOIN g
     )
     SELECT bucket, n_keys, lo, hi,
-           CAST(hi - lo + 1 - n_keys AS BIGINT) AS missing_in_span
-    FROM b
-    WHERE hi - lo + 1 - n_keys > 0
+           CAST(exp_hi - exp_lo + 1 - n_keys AS BIGINT) AS missing_in_span
+    FROM e
+    WHERE exp_hi - exp_lo + 1 - n_keys > 0
     ORDER BY bucket
     """,
 )
@@ -1095,10 +1107,16 @@ def q222_key_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     with missing ids — the ingest-completeness check run after a
     migration or CDC replay (did every source row arrive?). The
     scalable formulation: bucket keys by range (key div 1000) and
-    compare each bucket's span (hi-lo+1) to its distinct count — gaps
-    localize to O(buckets) rows WITHOUT the global sort + lag() the
-    naive adjacent-difference audit needs. One hash agg on the bucket
-    id; emits only buckets that actually have holes."""
+    compare each bucket's observed distinct count to its EXPECTED span
+    — the fixed 1000-key span for interior buckets (so holes sitting at
+    a bucket's own min or max key are still caught), clipped to the
+    observed global min/max for the two edge buckets. Gaps localize to
+    O(buckets) rows WITHOUT the global sort + lag() the naive
+    adjacent-difference audit needs: one hash agg on the bucket id plus
+    a broadcast of the 1-row global-extent agg. Blind spot (documented,
+    accepted): a bucket in which EVERY key is missing emits no row —
+    whole-bucket loss shows up as a bucket-id discontinuity, which is
+    an O(buckets) follow-up scan, not a per-key audit."""
     k = table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("key")
     ).distinct()
@@ -1111,9 +1129,26 @@ def q222_key_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("key").cast("long").alias("hi"),
         )
     )
-    missing = F.col("hi") - F.col("lo") + 1 - F.col("n_keys")
+    g = b.agg(F.min("lo").alias("gmin"), F.max("hi").alias("gmax"))
+    e = b.crossJoin(F.broadcast(g)).select(
+        "bucket",
+        "n_keys",
+        "lo",
+        "hi",
+        F.when(
+            F.col("bucket") == F.expr("gmin DIV 1000"), F.col("gmin")
+        )
+        .otherwise(F.col("bucket") * 1000)
+        .alias("exp_lo"),
+        F.when(
+            F.col("bucket") == F.expr("gmax DIV 1000"), F.col("gmax")
+        )
+        .otherwise(F.col("bucket") * 1000 + 999)
+        .alias("exp_hi"),
+    )
+    missing = F.col("exp_hi") - F.col("exp_lo") + 1 - F.col("n_keys")
     return (
-        b.select(
+        e.select(
             "bucket",
             "n_keys",
             "lo",

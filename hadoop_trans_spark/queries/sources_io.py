@@ -454,15 +454,23 @@ def q150_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     source contract stays (path, mtime, length, content). Fixture text
     is ASCII, so length(text) chars == utf-8 byte count in both
     engines."""
-    import pathlib
-
-    base = pathlib.Path(tempfile.mkdtemp(prefix="htspark_bin_"))
+    base = tempfile.mkdtemp(prefix="htspark_bin_")
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
-    # Test-scale blob materialization (the operator under test is the
-    # READ side); a real pipeline's blobs already live in object store.
-    for r in d.select("doc_id", "text").collect():
-        (base / f"{r['doc_id']}.txt").write_bytes(r["text"].encode("utf-8"))
-    back = spark.read.format("binaryFile").load(str(base))
+
+    # Blob materialization for the READ-side operator under test runs
+    # EXECUTOR-side (foreachPartition): each task writes its own rows,
+    # so no blob ever serializes through the driver. On a real cluster
+    # `base` must be shared storage (object store / DFS) — which is
+    # where a real pipeline's blobs already live.
+    def _write_blobs(rows) -> None:
+        import pathlib
+
+        p = pathlib.Path(base)
+        for r in rows:
+            (p / f"{r['doc_id']}.txt").write_bytes(r["text"].encode("utf-8"))
+
+    d.select("doc_id", "text").foreachPartition(_write_blobs)
+    back = spark.read.format("binaryFile").load(base)
     return (
         back.select(
             F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1)

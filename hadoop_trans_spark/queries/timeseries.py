@@ -1376,8 +1376,11 @@ def q235_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q237_seasonality_strength",
     # Daily revenues are decimal-rounded doubles; all moment sums stage
-    # in DECIMAL (scale-6 squares at 19,6 — the q196 overflow rule) and
-    # the eta-squared ratio is one double formula, rounded at 1e-6.
+    # in DECIMAL (scale-6 squares at 19,6 — the q196 overflow rule).
+    # The final 7-term reductions over the per-dow rows (Σsx, Σsxx,
+    # Σsx²/n) are ALSO decimal-staged (round 1e-9 → DECIMAL(38,9) sum)
+    # so no unordered double addition remains; the eta-squared ratio is
+    # then one double formula, rounded at 1e-6.
     oracle="""
     WITH daily AS (
         SELECT l_shipdate AS day,
@@ -1392,13 +1395,22 @@ def q235_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(rev AS DECIMAL(19,6))
                         * CAST(rev AS DECIMAL(19,6))) AS DOUBLE) AS sxx
         FROM daily GROUP BY dow
+    ),
+    g2 AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_days,
+               CAST(SUM(CAST(ROUND(sx * sx / n, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) AS sb,
+               CAST(SUM(CAST(ROUND(sx, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) AS ssx,
+               CAST(SUM(CAST(ROUND(sxx, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) AS ssxx
+        FROM g
     )
-    SELECT CAST(SUM(n) AS BIGINT) AS n_days,
+    SELECT n_days,
            CAST(ROUND(
-             (SUM(sx * sx / n) - SUM(sx) * SUM(sx) / SUM(n))
-             / (SUM(sxx) - SUM(sx) * SUM(sx) / SUM(n)), 6) AS DOUBLE)
-               AS eta_sq_dow
-    FROM g
+             (sb - ssx * ssx / n_days)
+             / (ssxx - ssx * ssx / n_days), 6) AS DOUBLE) AS eta_sq_dow
+    FROM g2
     """,
 )
 def q237_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1429,12 +1441,21 @@ def q237_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sxx"),
     )
-    between = F.sum(F.col("sx") * F.col("sx") / F.col("n")) - F.sum(
-        "sx"
-    ) * F.sum("sx") / F.sum("n")
-    total = F.sum("sxx") - F.sum("sx") * F.sum("sx") / F.sum("n")
-    return g.agg(
+    d9 = "decimal(38,9)"
+    g2 = g.agg(
         F.sum("n").cast("long").alias("n_days"),
+        F.sum(
+            F.round(F.col("sx") * F.col("sx") / F.col("n"), 9).cast(d9)
+        )
+        .cast("double")
+        .alias("sb"),
+        F.sum(F.round(F.col("sx"), 9).cast(d9)).cast("double").alias("ssx"),
+        F.sum(F.round(F.col("sxx"), 9).cast(d9)).cast("double").alias("ssxx"),
+    )
+    between = F.col("sb") - F.col("ssx") * F.col("ssx") / F.col("n_days")
+    total = F.col("ssxx") - F.col("ssx") * F.col("ssx") / F.col("n_days")
+    return g2.select(
+        "n_days",
         F.round(between / total, 6).cast("double").alias("eta_sq_dow"),
     )
 

@@ -601,11 +601,12 @@ def test_key_gap_audit_finds_planted_gaps_exactly(spark, tmp_path):
         r["bucket"]: r["missing_in_span"]
         for r in QUERIES["q222_key_sequence_gaps"](spark, gapped).collect()
     }
-    # bucket 0 spans keys 1..999 (holes 137-139), bucket 2 spans
-    # 2000..2999 (hole 2500), bucket 4 spans 4000..4999 (hole 4999 is
-    # the bucket MAX, so the span ends at 4998 and the hole is
-    # invisible to span-vs-count — the documented boundary blind spot).
-    assert got == {0: 3, 2: 1}, got
+    # bucket 0 is the global-min edge bucket (expected 1..999, holes
+    # 137-139); buckets 2 and 4 are interior so they audit against
+    # their FIXED spans 2000..2999 and 4000..4999 — hole 4999 sits at
+    # bucket 4's own max and is caught exactly because the expected
+    # span is fixed, not observed (the round-4 blind spot, closed).
+    assert got == {0: 3, 2: 1, 4: 1}, got
 
     full = spark.createDataFrame(
         [(k,) for k in range(1, 2001)], "o_orderkey long"
