@@ -64,11 +64,14 @@ HEADLINE = [
     "q32_hash_funcs",
     "q40_minhash_lsh_neardup",
     "q41_simhash",
+    "q42_ngram_jaccard",
     "q105_kmeans_clusters",
     "q123_pagerank",
     "q127_session_concurrency",
     "q133_bm25_topk",
     "q140_triangle_count",
+    "q142_shingle_containment",
+    "q147_recursive_bfs",
     "q154_pareto_frontier",
     "q157_sorted_neighborhood",
     "q160_ohlc_bars",
@@ -77,6 +80,7 @@ HEADLINE = [
     "q168_volume_shipping",
     "q176_linear_interpolation",
     "q178_market_basket",
+    "q183_stream_windowed_topk",
     "q187_rolling_hll_distinct",
     "q196_daily_acf",
     "q204_adamic_adar",

@@ -1885,9 +1885,9 @@ def q224_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
         SELECT day, d, c,
-               SUM(d + c) OVER (ORDER BY day DESC
+               CAST(SUM(d + c) OVER (ORDER BY day DESC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS n_risk
+                   AS BIGINT) AS n_risk
         FROM h
     )
     SELECT day, n_risk, d, c,

@@ -356,25 +356,34 @@ def q172_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS totacctbal
     FROM customer c CROSS JOIN thr
     WHERE c.c_acctbal > thr.avg_bal
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= DATE '2000-01-01')
     GROUP BY 1
     ORDER BY 1
     """,
 )
 def q173_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22-shaped sales opportunity: customers whose balance beats
-    the positive-balance average but who have never ordered, grouped by
-    market segment. Two silhouettes compose: a scalar aggregate subquery
-    (1-row threshold broadcast into the filter — Spark never recomputes
-    it per row) and a left-anti join against orders for the NOT EXISTS.
-    The anti join is the scale hinge: it shuffles on custkey (or
-    broadcasts the filtered customer side when small), never a NOT IN
-    that degenerates to a nested loop under nullable keys — custkey is
-    non-null by schema, and q166 pins the null-semantics rules this
-    shape depends on. At 100 TB the orders side only ships its custkey
-    column into the anti join (column pruning at the scan)."""
+    """TPC-H Q22-shaped churn opportunity: customers whose balance beats
+    the positive-balance average but who have placed NO order since
+    2000-01-01 (every fixture customer has ordered at least once, so
+    the Q22 "never ordered" literal reading is vacuously empty — the
+    recency cutoff keeps the result non-trivial at every SF while
+    preserving both silhouettes). Two silhouettes compose: a scalar
+    aggregate subquery (1-row threshold broadcast into the filter —
+    Spark never recomputes it per row) and a left-anti join against
+    the date-filtered orders for the NOT EXISTS. The anti join is the
+    scale hinge: it shuffles on custkey (or broadcasts the filtered
+    customer side when small), never a NOT IN that degenerates to a
+    nested loop under nullable keys — custkey is non-null by schema,
+    and q166 pins the null-semantics rules this shape depends on. At
+    100 TB the orders side pushes the date predicate to the scan and
+    ships only its custkey column into the anti join."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
     thr = (
         c.where(F.col("c_acctbal") > 0)
         .agg(

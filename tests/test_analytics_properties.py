@@ -731,3 +731,97 @@ def test_rfm_bins_in_range_and_cover_all_customers(spark, smoke_dir):
     for r in rows:
         for k in ("r_bin", "f_bin", "m_bin"):
             assert 1 <= r[k] <= 5, r
+
+
+def test_markov_stationary_invariant_to_input_partitioning(spark, smoke_dir, tmp_path):
+    """q239 under a shuffled, repartitioned copy of events must emit the
+    BIT-IDENTICAL stationary vector: every per-step product is rounded
+    at 1e-12 and decimal-summed, so no task-schedule or partition-order
+    effect may survive. Any drift means a float sum escaped staging."""
+    from hadoop_trans_spark.queries import QUERIES
+
+    base = sorted(
+        (r["state"], r["stationary_p"])
+        for r in QUERIES["q239_markov_stationary"](spark, smoke_dir).collect()
+    )
+    perm = str(tmp_path / "perm")
+    (
+        table(spark, smoke_dir, "events")
+        .orderBy(F.rand(7))
+        .repartition(7)
+        .write.parquet(f"{perm}/events.parquet")
+    )
+    got = sorted(
+        (r["state"], r["stationary_p"])
+        for r in QUERIES["q239_markov_stationary"](spark, perm).collect()
+    )
+    assert got == base
+
+
+def test_spectral_tiebreak_and_two_tone_dominance(spark):
+    """decode_spectral edge rules: (a) an impulse clip has an EXACTLY
+    flat magnitude spectrum — every bin ties, and the dominant bin must
+    be the LOWEST non-DC bin (np.argmax first-match, the documented tie
+    rule; a "two equal tones" tie is NOT exact after int16 quantization,
+    which is why the tie case must be the impulse); (b) on genuine
+    two-tone clips the stronger tone must win regardless of bin order."""
+    import hashlib
+    import io
+    import math
+    import struct
+    import wave
+
+    from hadoop_trans_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        WAV_MIME,
+        decode_spectral,
+    )
+
+    def wav_of(samples, sr=8000) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    def two_tone(k1, a1, k2, a2, n=512) -> bytes:
+        return wav_of(
+            [
+                int(
+                    round(
+                        a1 * math.cos(2 * math.pi * k1 * i / n)
+                        + a2 * math.cos(2 * math.pi * k2 * i / n)
+                    )
+                )
+                for i in range(n)
+            ]
+        )
+
+    cases = [
+        # impulse: |rFFT| == 9000 at EVERY bin -> all-bin tie -> bin 1
+        (1, wav_of([9000] + [0] * 511)),
+        # stronger high tone must win even though the low bin comes first
+        (2, two_tone(5, 3000, 9, 9000)),
+        # stronger low tone wins
+        (3, two_tone(4, 9000, 11, 3000)),
+    ]
+    rows = [
+        (
+            doc_id,
+            payload,
+            {
+                "mime": WAV_MIME,
+                "n_bytes": len(payload),
+                "checksum": hashlib.sha256(payload).hexdigest(),
+            },
+        )
+        for doc_id, payload in cases
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["doc_id"]: r["dominant_bin"]
+        for r in decode_spectral(media).collect()
+    }
+    assert got == {1: 1, 2: 9, 3: 4}, got

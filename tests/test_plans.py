@@ -755,3 +755,71 @@ def test_vocab_coverage_rank_over_vocab_not_tokens(spark, smoke_dir):
     agg_idx = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
     assert win_idx, plan
     assert any(a > win_idx[0] for a in agg_idx), plan
+
+
+def test_key_gap_audit_extent_join_broadcasts_no_shuffle_join(spark, smoke_dir):
+    """q222: the global-extent row (1-row agg of the O(buckets) table)
+    must reach the per-bucket side as a BROADCAST nested loop — a
+    CartesianProduct or a sort-merge join here would shuffle the bucket
+    table just to attach two scalars."""
+    df = QUERIES["q222_key_sequence_gaps"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_neyman_rate_table_broadcasts_to_draw_scan(spark, smoke_dir):
+    """q227: the 5-row allocation table must broadcast into the draw
+    pass over customer — the draw is one scan plus a broadcast hash
+    join, never a shuffle of the fact side."""
+    df = QUERIES["q227_neyman_sample"](spark, smoke_dir)
+    assert broadcast_joins(df) >= 1, explain_formatted(df)
+
+
+def test_adamic_adar_aggregates_decimal_not_raw_double(spark, smoke_dir):
+    """q204: the AA score must be the order-free DECIMAL(38,9) sum of
+    1e-9-rounded terms (the determinism contract), not a raw double
+    sum whose value depends on task schedule."""
+    df = QUERIES["q204_adamic_adar"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "sum(cast(round(" in plan.lower(), plan
+
+
+def test_shingle_containment_candidate_join_equi_on_gram(spark, smoke_dir):
+    """q142: candidate generation must stay an equi-join on
+    (lang, gram) between A's rare-first prefix and B's postings — a
+    CartesianProduct / nested loop here is the all-pairs plan the
+    AllPairs prefix filter exists to avoid, and any Python eval means
+    the gram algebra fell off the JVM."""
+    df = QUERIES["q142_shingle_containment"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_recursive_bfs_edges_materialized_outside_recursion(spark, smoke_dir):
+    """q147: the recursion body must consume the PRE-MATERIALIZED edge
+    table, never re-derive the pair aggregation per level (measured
+    8.8 s vs 2.4 s at sf0.1, SCALE.md). The lineitem scan feeding edge
+    derivation must therefore appear a BOUNDED number of times in the
+    executed plan — re-derivation per recursion level multiplies it."""
+    df = QUERIES["q147_recursive_bfs"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_countmin_shuffles_cells_not_keys(spark, smoke_dir):
+    """q164: the sketch aggregation must reduce to the d*w cell grain —
+    the plan's aggregate keys are (j, cell), never the raw part key, so
+    the shuffle carries <= 4096 cells regardless of data volume; and the
+    probe side must broadcast-join against the cell table."""
+    import re
+
+    df = QUERIES["q164_countmin_freq"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"HashAggregate\(keys=\[j#\d+, cell#\d+", plan), plan
+    assert broadcast_joins(df) >= 1, plan
+    assert "CartesianProduct" not in plan, plan

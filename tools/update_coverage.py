@@ -1,0 +1,82 @@
+"""Regenerate COVERAGE.md's per-query table from CORRECTNESS_r*.json.
+
+The prose sections (round outcomes, next-window plan) stay hand-written;
+everything below the ``## Per-query driver history`` marker is replaced
+with a table compiled from the driver's own correctness records, so the
+table can never drift from the facts again.
+
+Usage: python tools/update_coverage.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MARKER = "## Per-query driver history"
+
+
+def load_rounds() -> dict[int, dict]:
+    rounds: dict[int, dict] = {}
+    for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        with open(p) as fh:
+            rounds[int(m.group(1))] = json.load(fh)
+    return rounds
+
+
+def main() -> None:
+    from hadoop_trans_spark.queries import QUERIES
+
+    rounds = load_rounds()
+    history: dict[str, list[tuple[int, str]]] = {}
+    for rnd, data in rounds.items():
+        for name, row in data.items():
+            ok = bool(
+                row.get("hash_match")
+                or (row.get("rows_match") and row.get("oracle_rows") is None)
+            )
+            status = "green" if ok else "RED"
+            history.setdefault(name, []).append((rnd, status))
+
+    lines = [MARKER, "", "| # | query | driver rows | latest |", "|---|---|---|---|"]
+    n_green = n_never = 0
+    for i, name in enumerate(QUERIES, 1):
+        h = history.get(name, [])
+        if not h:
+            n_never += 1
+            cells = ("—", "never checked")
+        else:
+            if any(s == "green" for _, s in h):
+                n_green += 1
+            cells = (
+                ", ".join(f"r{r}:{s}" for r, s in h),
+                f"r{h[-1][0]} {h[-1][1]}",
+            )
+        lines.append(f"| {i} | {name} | {cells[0]} | {cells[1]} |")
+    lines += [
+        "",
+        f"Totals: {len(QUERIES)} declared — {n_green} ever-green, "
+        f"{n_never} never driver-checked, "
+        f"{len(QUERIES) - n_green - n_never} checked-but-never-green.",
+        "",
+    ]
+
+    path = os.path.join(REPO, "COVERAGE.md")
+    with open(path) as fh:
+        head = fh.read().split(MARKER)[0].rstrip()
+    with open(path, "w") as fh:
+        fh.write(head + "\n\n" + "\n".join(lines))
+    print(f"COVERAGE.md: {len(QUERIES)} queries, {n_green} ever-green, {n_never} never checked")
+
+
+if __name__ == "__main__":
+    main()
