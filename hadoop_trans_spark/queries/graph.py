@@ -17,6 +17,13 @@ def _pagerank_oracle(iters: int = 3) -> str:
     0.15 literal — IEEE 1.0-0.85 is 0.15000000000000002 and both engines
     must compute the same double), per-edge contributions rounded to
     1e-12 and summed through DECIMAL(38,12), ranks re-rounded to 1e-12.
+
+    The OUTPUT rounds at 1e-9, three orders coarser than the internal
+    staging grain (the repo-wide ratio, cf. 1e-9 terms → 1e-6 outputs):
+    Spark's double ROUND (BigDecimal HALF_UP on the shortest decimal
+    repr) and DuckDB's can disagree by one unit in the last place on
+    half-boundary values, so an output at the staging grain itself has
+    zero absorption margin — observed as a 1e-12 flip at sf0.1.
     """
     sql = """
     WITH pairs AS (
@@ -46,7 +53,8 @@ def _pagerank_oracle(iters: int = 3) -> str:
                       + 85e-2 * CAST(COALESCE(c.s, 0) AS DOUBLE), 12) AS pr
              FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"""
     sql += f"""
-    SELECT 's' || CAST(node // 2 AS VARCHAR) AS node, pr
+    SELECT 's' || CAST(node // 2 AS VARCHAR) AS node,
+           CAST(ROUND(pr, 9) AS DOUBLE) AS pr
     FROM p{iters} WHERE node % 2 = 1 ORDER BY node
     """
     return sql
@@ -89,7 +97,9 @@ def q123_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.expr("CAST(node DIV 2 AS STRING)")).alias(
                 "node"
             ),
-            "pr",
+            # output at 1e-9: three orders coarser than the 1e-12
+            # staging grain (see _pagerank_oracle docstring)
+            F.round("pr", 9).cast("double").alias("pr"),
         )
         .orderBy("node")
     )

@@ -226,10 +226,12 @@ def q81_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(
             F.lag("ts").over(w).isNull()
+            # microsecond-exact gap (the oracle's INTERVAL comparison):
+            # cast("long") truncates to whole seconds, which can split a
+            # sub-second-straddling 30-minute gap differently.
             | (
-                F.col("ts").cast("long")
-                - F.lag("ts").over(w).cast("long")
-                >= 30 * 60
+                ts_micros("ts") - F.lag(ts_micros("ts")).over(w)
+                >= 30 * 60 * 1_000_000
             ),
             1,
         )
