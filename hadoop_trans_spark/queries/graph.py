@@ -24,6 +24,14 @@ def _pagerank_oracle(iters: int = 3) -> str:
     repr) and DuckDB's can disagree by one unit in the last place on
     half-boundary values, so an output at the staging grain itself has
     zero absorption margin — observed as a 1e-12 flip at sf0.1.
+
+    The output rounding itself goes THROUGH THE DECIMAL DOMAIN
+    (CAST(pr AS DECIMAL(38,12)) then ROUND(·, 9)): pr is exactly a
+    1e-12-grid value by construction, both engines recover that grid
+    value exactly on the decimal cast, and decimal HALF_UP rounding is
+    identical in both — so even an exact ...500 half-tie at 1e-9 (one
+    output row in ~1000) cannot flip, which a double-domain ROUND(pr,9)
+    still could (~2% of such ties, measured).
     """
     sql = """
     WITH pairs AS (
@@ -54,7 +62,7 @@ def _pagerank_oracle(iters: int = 3) -> str:
              FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"""
     sql += f"""
     SELECT 's' || CAST(node // 2 AS VARCHAR) AS node,
-           CAST(ROUND(pr, 9) AS DOUBLE) AS pr
+           CAST(ROUND(CAST(pr AS DECIMAL(38,12)), 9) AS DOUBLE) AS pr
     FROM p{iters} WHERE node % 2 = 1 ORDER BY node
     """
     return sql
@@ -97,9 +105,13 @@ def q123_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.expr("CAST(node DIV 2 AS STRING)")).alias(
                 "node"
             ),
-            # output at 1e-9: three orders coarser than the 1e-12
-            # staging grain (see _pagerank_oracle docstring)
-            F.round("pr", 9).cast("double").alias("pr"),
+            # output at 1e-9 via the DECIMAL domain: pr is exactly a
+            # 1e-12-grid value, the decimal cast recovers it exactly in
+            # both engines, and decimal HALF_UP is engine-identical even
+            # on exact half-ties (see _pagerank_oracle docstring)
+            F.round(F.col("pr").cast("decimal(38,12)"), 9)
+            .cast("double")
+            .alias("pr"),
         )
         .orderBy("node")
     )

@@ -35,7 +35,19 @@ def main() -> None:
 
     for t in COPY_ASIS:
         s, d = f"{src}/{t}.parquet", f"{dst}/{t}.parquet"
-        if os.path.exists(s) and not os.path.exists(d):
+        if not os.path.exists(s):
+            continue
+        # Always refresh: a reused dst with a different src would
+        # otherwise silently mix old dimensions with new facts.
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        elif os.path.exists(d):
+            os.remove(d)
+        # src may be a single file (driver fixtures) or a Spark-written
+        # parquet directory (e.g. this tool's own output).
+        if os.path.isdir(s):
+            shutil.copytree(s, d)
+        else:
             shutil.copy(s, d)
 
     okey_off = (

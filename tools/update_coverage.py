@@ -62,11 +62,24 @@ def main() -> None:
                 f"r{h[-1][0]} {h[-1][1]}",
             )
         lines.append(f"| {i} | {name} | {cells[0]} | {cells[1]} |")
+    orphans = sorted(set(history) - set(QUERIES))
+    if orphans:
+        lines += [
+            "",
+            "Orphan CORRECTNESS records (driver rows whose query name is "
+            "no longer registered — renamed/removed queries; their history "
+            "must not silently vanish):",
+        ]
+        lines += [
+            f"- {name}: " + ", ".join(f"r{r}:{s}" for r, s in history[name])
+            for name in orphans
+        ]
     lines += [
         "",
         f"Totals: {len(QUERIES)} declared — {n_green} ever-green, "
         f"{n_never} never driver-checked, "
-        f"{len(QUERIES) - n_green - n_never} checked-but-never-green.",
+        f"{len(QUERIES) - n_green - n_never} checked-but-never-green"
+        + (f"; {len(orphans)} orphan record(s) listed above." if orphans else "."),
         "",
     ]
 
