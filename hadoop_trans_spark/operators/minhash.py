@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .stage import materialize_stage
+from .stage import materialize_stage, parallelize_stage
 
 
 def shingle_array(text_col="text", k: int = 3) -> F.Column:
@@ -189,7 +189,9 @@ def near_duplicates(
     # otherwise re-tokenize the full corpus from the scan (3× the
     # dominant cost). At cluster scale this is a cached/checkpointed
     # intermediate — standard for any multi-consumer pipeline stage.
-    grams_df = df.select(
+    # parallelize_stage first: the shingle+signature projection is the
+    # CPU stage, and a coarsely-split input would serialize it.
+    grams_df = parallelize_stage(df).select(
         F.col(id_col).alias("id"),
         shingle_array(text_col, shingle_k).alias("grams"),
     )
@@ -222,13 +224,13 @@ def near_duplicates_between(
     band signatures are per-doc, so a split is a filter, never a
     recompute."""
     go = materialize_stage(
-        corpus.select(
+        parallelize_stage(corpus).select(
             F.col(id_col).alias("id"),
             shingle_array(text_col, shingle_k).alias("grams"),
         )
     )
     gn = materialize_stage(
-        new.select(
+        parallelize_stage(new).select(
             F.col(id_col).alias("id"),
             shingle_array(text_col, shingle_k).alias("grams"),
         )

@@ -215,10 +215,20 @@ def signlsh_near_duplicates(
     so the same hot-bucket/AQE-skew guards apply."""
     r = n_planes // bands
     planes = random_hyperplanes(n_planes, dim)
-    pre = corpus.select(
-        F.col(id_col).alias("id"),
-        _dbl(F.col(vec)).alias("v"),
-        norm(F.col(vec)).alias("n"),
+    # parallelize_stage: the 32 literal-hyperplane dot products are the
+    # CPU stage, and the embeddings table is typically one small scan
+    # split — without the repartition the signature projection runs on
+    # one core. materialize_stage: three branches consume pre (the
+    # signature projection and both verification fetches); without the
+    # cut each re-derives the cast+norm from the scan (operators/stage.py).
+    from .stage import materialize_stage, parallelize_stage
+
+    pre = materialize_stage(
+        parallelize_stage(corpus).select(
+            F.col(id_col).alias("id"),
+            _dbl(F.col(vec)).alias("v"),
+            norm(F.col(vec)).alias("n"),
+        )
     )
     bits = [
         F.when(

@@ -17,7 +17,7 @@ from ..operators.minhash import (
 )
 from ..operators.simhash import simhash
 from ..operators.similarity import embedding_near_duplicates
-from ..operators.stage import materialize_stage
+from ..operators.stage import materialize_stage, parallelize_stage
 from ..operators.textstats import normalize_text
 from .base import query
 
@@ -58,12 +58,17 @@ def grams3_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized (id, grams) word-3-gram shingle stage on `documents`,
     shared by the whole MinHash family (q40/q64/q68/q70 self-join pairs,
     q86 incremental corpus/new split) — the shingle build happens once
-    per session per sf_dir, not once per query."""
+    per session per sf_dir, not once per query. The scan is parallelized
+    first (operators/stage.py parallelize_stage): a small consolidated
+    documents file is one scan split, which would serialize the
+    md5-dominated signature pipeline downstream."""
     return _memo_stage(
         spark,
         sf_dir,
         "grams3",
-        lambda: table(spark, sf_dir, "documents").select(
+        lambda: parallelize_stage(
+            table(spark, sf_dir, "documents")
+        ).select(
             F.col("doc_id").alias("id"),
             shingle_array("text", 3).alias("grams"),
         ),
@@ -108,7 +113,9 @@ def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "simhash",
-        lambda: simhash(table(spark, sf_dir, "documents")),
+        lambda: simhash(
+            parallelize_stage(table(spark, sf_dir, "documents"))
+        ),
     )
 
 
@@ -352,9 +359,11 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Materialized once: the token explode, the light join sides, and
     # both verification fetches all consume w — without the checkpoint
-    # each branch re-tokenizes the corpus from the scan.
+    # each branch re-tokenizes the corpus from the scan. Parallelized
+    # first: the tokenize projection is the CPU stage and a small
+    # consolidated file is one scan split.
     w = materialize_stage(
-        d.select(
+        parallelize_stage(d).select(
             "doc_id",
             "lang",
             (F.col("n_chars") / 200).cast("long").alias("len_bucket"),
@@ -846,7 +855,7 @@ def q142_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = materialize_stage(
-        d.select("doc_id", "lang", grams.alias("grams"))
+        parallelize_stage(d).select("doc_id", "lang", grams.alias("grams"))
     )
     light = w.select("doc_id", F.size("grams").alias("n"))
     toks = w.select("doc_id", "lang", F.explode("grams").alias("g"))
