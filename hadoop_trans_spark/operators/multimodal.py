@@ -207,6 +207,9 @@ def attach_raw_rgb(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     media row (payload = raw-RGB bytes with pixel i = (id + i) mod 256,
     width = 8 + id mod 5, height = 6). The arithmetic pixel rule is what
     lets a SQL oracle reproduce the decoded statistics exactly."""
+    from .stage import parallelize_stage
+
+    df = parallelize_stage(df)  # Python-side encode is the CPU stage
     import hashlib
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -275,6 +278,9 @@ def encode_wav_square(doc_id: int, sr: int = 8000) -> bytes:
 
 def attach_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Rows → decodable WAV media rows (MEDIA_SCHEMA)."""
+    from .stage import parallelize_stage
+
+    df = parallelize_stage(df)  # Python-side encode is the CPU stage
     import hashlib
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -373,6 +379,9 @@ def encode_ppm(doc_id: int) -> bytes:
 
 def attach_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Rows → decodable PPM media rows (MEDIA_SCHEMA)."""
+    from .stage import parallelize_stage
+
+    df = parallelize_stage(df)  # Python-side encode is the CPU stage
     import hashlib
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -455,6 +464,9 @@ def attach_banded_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     threshold keeps exactly the band cells — so images with the same
     band position are visual near-duplicates with DIFFERENT bytes,
     the ground truth the perceptual-hash query verifies against."""
+    from .stage import parallelize_stage
+
+    df = parallelize_stage(df)  # Python-side encode is the CPU stage
     import hashlib
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -588,6 +600,9 @@ def encode_wav_tone(doc_id: int, sr: int = 8000, n: int = 512) -> bytes:
 
 def attach_tone_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Rows → decodable pure-tone WAV media rows (MEDIA_SCHEMA)."""
+    from .stage import parallelize_stage
+
+    df = parallelize_stage(df)  # Python-side encode is the CPU stage
     import hashlib
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
