@@ -47,11 +47,15 @@ def decontaminate(
     100 TB the scan dominates and parallelizes embarrassingly; nothing
     quadratic exists anywhere.
     """
+    from .stage import parallelize_stage
+
     bench_grams = (
         benchmark.select(F.explode(word_grams(text_col, k)).alias("gram"))
         .distinct()
     )
-    corpus_grams = corpus.select(
+    # parallelize the corpus side: the k-gram explode is the CPU stage
+    # and a small consolidated file is one scan split (stage.py).
+    corpus_grams = parallelize_stage(corpus).select(
         F.col(id_col).alias("id"), F.explode(word_grams(text_col, k)).alias("gram")
     )
     return (
@@ -73,6 +77,9 @@ def repetition_stats(
     volume is distinct terms per doc, never raw words), then reduced per
     doc. Mean word length rides the word branch (Σ n·len(term) / Σ n),
     so no extra scan or join exists anywhere."""
+    from .stage import parallelize_stage
+
+    df = parallelize_stage(df)  # tokenize/explode is the CPU stage
     lowered = F.trim(F.lower(F.col(text_col)))
     words = df.select(
         F.col(id_col).alias("id"),

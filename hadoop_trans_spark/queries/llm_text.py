@@ -761,14 +761,15 @@ def q175_bigram_lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF-IDF shuffle shape. Backoff never hits zero because every scored
     bigram exists in the corpus it was counted from; a held-out variant
     would add the unigram floor the interpolation already provides."""
-    from ..operators.stage import materialize_stage
+    from ..operators.stage import materialize_stage, parallelize_stage
 
     d = table(spark, sf_dir, "documents")
     # The token-array stage feeds both the unigram branch (toks→uni→tu)
     # and the bigram branch (occ→bi + scoring join); materialize it once
-    # so tokenization doesn't re-run per branch (the q133 tf-stage rule).
+    # so tokenization doesn't re-run per branch (the q133 tf-stage rule),
+    # parallelized first (tokenize is the CPU stage on a one-split scan).
     arr = materialize_stage(
-        d.select(
+        parallelize_stage(d).select(
             "doc_id",
             F.filter(
                 F.split(F.lower("text"), "[^a-z]+"),

@@ -391,8 +391,12 @@ def q131_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum through decimal(38,9) — ln ulp differences can't move the 1e-4
     cosine. At 100 TB: postings shard by term (the tf groupBy IS the
     shard), candidates bounded per term by the df cap."""
+    from ..operators.stage import parallelize_stage
+
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
+    # tokenize/explode is the CPU stage; a small consolidated file is
+    # one scan split (operators/stage.py parallelize_stage)
+    toks = parallelize_stage(d).select(
         "doc_id",
         F.explode(
             F.filter(
