@@ -823,3 +823,21 @@ def test_countmin_shuffles_cells_not_keys(spark, smoke_dir):
     assert re.search(r"HashAggregate\(keys=\[j#\d+, cell#\d+", plan), plan
     assert broadcast_joins(df) >= 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cpu_heavy_stages_do_not_inherit_single_scan_split(spark, smoke_dir):
+    """The md5-dominated shingle stage must not run on the scan's
+    partitioning when that is a single split (a small consolidated file
+    is ONE split regardless of cores — parallelize_stage exists exactly
+    for this; losing it silently serializes the dedup pipeline)."""
+    from hadoop_trans_spark.catalog import table as _table
+    from hadoop_trans_spark.operators.stage import parallelize_stage
+    from hadoop_trans_spark.queries.dedup import clear_stage_memo, grams3_table
+
+    clear_stage_memo({"grams3"})
+    g = grams3_table(spark, smoke_dir)
+    assert g.rdd.getNumPartitions() > 1, g.rdd.getNumPartitions()
+
+    # and the helper is a no-op when the input is already parallel
+    li = _table(spark, smoke_dir, "lineitem").repartition(64)
+    assert parallelize_stage(li) is li
