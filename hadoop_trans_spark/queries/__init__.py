@@ -32,11 +32,16 @@ from .base import ORACLE, QUERIES
 # (observed: exactly the first 50 registered, per round). To convert
 # "passes the local oracle suite" into externally verified rows, queries
 # that have never had a driver CORRECTNESS row are surfaced first; the
-# already-verified relational/scalar/window surface goes last. COVERAGE.md
-# tracks which queries have a green row per round; rotate this list each
-# round until every query has one.
+# already-verified relational/scalar/window surface goes last.
+#
+# The window is now GENERATED: run `python tools/rotate_sweep.py` at the
+# start of each round (after the driver wrote CORRECTNESS_r{N}.json) and
+# commit the rewritten list — tests/test_plans.py's rotation-staleness
+# test goes red if this is forgotten, the failure mode rounds 3 and 4
+# both hit. COVERAGE.md (tools/update_coverage.py) tracks per-round rows.
 _SWEEP_PRIORITY = [
-    # Round-5 rotation (APPLIED per VERDICT r4 item 1): the 50 oldest
+    # Round-5 rotation (APPLIED per VERDICT r4 item 1; reproduced
+    # byte-for-byte by tools/rotate_sweep.py): the 50 oldest
     # never-driver-verified queries (q153-q202, all registered in round
     # 4 below the round-4 window boundary) fill the whole window.
     "q153_geo_radius_join",
@@ -90,11 +95,10 @@ _SWEEP_PRIORITY = [
     "q201_rake_keywords",
     "q202_stream_stream_full_outer",
     # --- 50-query window boundary ---
-    # Round-6 plan: the remaining 39 never-verified queries q203-q241
-    # go to the FRONT (plus any new round-5 queries, kept to a handful
-    # so the backlog closes), then the oldest previously-green queries
-    # (r2-only greens q01-q32 etc.) fill the remaining ~11 slots.
-    # Staged r6 window (move to FRONT at the start of round 6):
+    # Round-6: run `python tools/rotate_sweep.py` as the FIRST commit —
+    # with a green r5 it computes exactly: the 39 never-verified queries
+    # q203-q241, then q46/q47 (r1-green) and q01-q09 (r2-green), i.e.
+    # the window below (verified by simulating CORRECTNESS_r05):
     # q203_holt_forecast, q204_adamic_adar, q205_referential_integrity,
     # q206_winsorize_acctbal, q207_small_qty_revenue,
     # q208_discount_brackets, q209_profit_by_nation_year,
@@ -111,8 +115,13 @@ _SWEEP_PRIORITY = [
     # q234_rank_movers, q235_cohort_ltv, q236_runs_test,
     # q237_seasonality_strength, q238_revenue_peaks,
     # q239_markov_stationary, q240_lorenz_curve, q241_odds_ratio,
-    # plus any new round-5 queries, then q01, q02, ...
-    # oldest-green-first to fill the remaining slots.
+    # q46_struct_nested, q47_binary_payload, q01_pricing_summary,
+    # q02_projection_cast, q03_filter_predicates, q04_broadcast_join,
+    # q05_revenue_by_nation, q06_outer_join_order_counts,
+    # q07_full_outer_reconcile, q08_semi_anti_customers,
+    # q09_theta_size_bucket.
+    # (Round 5 added zero new queries per the VERDICT r4 freeze, so the
+    # backlog closes completely in round 6.)
 ]
 
 

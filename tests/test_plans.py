@@ -841,3 +841,24 @@ def test_cpu_heavy_stages_do_not_inherit_single_scan_split(spark, smoke_dir):
     # and the helper is a no-op when the input is already parallel
     li = _table(spark, smoke_dir, "lineitem").repartition(64)
     assert parallelize_stage(li) is li
+
+
+def test_sweep_window_matches_computed_rotation():
+    """The driver verifies exactly the FIRST 50 registered queries, so a
+    stale _SWEEP_PRIORITY wastes the round's external verification —
+    the #1 verdict finding in rounds 3 AND 4. This test goes red the
+    moment new CORRECTNESS_r*.json history makes the committed window
+    stale; the fix is one command:
+
+        python tools/rotate_sweep.py   # then commit the rewritten file
+    """
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/rotate_sweep.py", "--check"],
+        capture_output=True,
+        text=True,
+        cwd=__file__.rsplit("/tests/", 1)[0],
+    )
+    assert r.returncode == 0, f"{r.stdout}\n{r.stderr}"
