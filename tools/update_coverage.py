@@ -38,7 +38,10 @@ def main() -> None:
 
     rounds = load_rounds()
     history: dict[str, list[tuple[int, str]]] = {}
-    for rnd, data in rounds.items():
+    # Iterate by numeric round so history rows (and the "latest" cell)
+    # stay correct even if filenames stop zero-padding (r10 vs r2).
+    for rnd in sorted(rounds):
+        data = rounds[rnd]
         for name, row in data.items():
             ok = bool(
                 row.get("hash_match")
