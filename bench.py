@@ -83,10 +83,15 @@ HEADLINE = [
     "q183_stream_windowed_topk",
     "q187_rolling_hll_distinct",
     "q196_daily_acf",
+    "q203_holt_forecast",
     "q204_adamic_adar",
+    "q209_profit_by_nation_year",
     "q211_embedding_covariance",
     "q216_equidepth_histogram",
     "q220_rfm_segments",
+    "q229_spectral_dominant",
+    "q231_audience_jaccard",
+    "q239_markov_stationary",
 ]
 
 

@@ -22,6 +22,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# (session id, plan semanticHash) -> scan partition count. The RDD probe in
+# parallelize_stage forces physical planning; most call sites probe the same
+# handful of raw table scans (documents/lineitem), so one probe per distinct
+# plan per session covers a whole 241-query bench run. Staleness caveat: if
+# the files behind an identical plan are rewritten mid-session the cached
+# count survives — acceptable because every call site probes immutable
+# input tables, never a path the engine itself rewrites.
+_PART_COUNT_CACHE: dict[tuple[int, int], int] = {}
+
+
+def _input_partitions(df: DataFrame) -> int:
+    key = (id(df.sparkSession), df.semanticHash())
+    n = _PART_COUNT_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if len(_PART_COUNT_CACHE) > 512:  # bound growth across many sessions
+            _PART_COUNT_CACHE.clear()
+        _PART_COUNT_CACHE[key] = n
+    return n
+
 
 def parallelize_stage(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition the input of a compute-heavy NARROW stage up to the
@@ -43,7 +63,7 @@ def parallelize_stage(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _input_partitions(df) < target:
         return df.repartition(target)
     return df
 

@@ -442,7 +442,9 @@ def q149_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
 )
-def q150_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q150_binaryfile_source(
+    spark: SparkSession, sf_dir: str, blob_base: str | None = None
+) -> DataFrame:
     """binaryFile data source — the ingest boundary for opaque blobs
     (images/audio in the multimodal tables, reference's byte-stream file
     model R7): one file per blob on disk, read back as (path, length,
@@ -454,14 +456,25 @@ def q150_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     source contract stays (path, mtime, length, content). Fixture text
     is ASCII, so length(text) chars == utf-8 byte count in both
     engines."""
-    base = tempfile.mkdtemp(prefix="htspark_bin_")
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
-
     # Blob materialization for the READ-side operator under test runs
     # EXECUTOR-side (foreachPartition): each task writes its own rows,
-    # so no blob ever serializes through the driver. On a real cluster
-    # `base` must be shared storage (object store / DFS) — which is
-    # where a real pipeline's blobs already live.
+    # so no blob ever serializes through the driver. The executor-side
+    # writes land under `blob_base`, which must therefore be visible to
+    # BOTH executors and the read-back scan: on a cluster pass shared
+    # storage (object store / DFS — where a real pipeline's blobs
+    # already live); the driver-local tempdir default is only valid in
+    # local mode, and that is now enforced rather than assumed.
+    if blob_base is None:
+        master = spark.sparkContext.master
+        if not master.startswith("local"):
+            raise ValueError(
+                "q150_binaryfile_source: default blob dir is driver-local "
+                f"tempfs, invalid under master={master!r}; pass blob_base="
+                "<shared storage path> (e.g. hdfs://... or s3a://...)"
+            )
+        blob_base = tempfile.mkdtemp(prefix="htspark_bin_")
+    base = blob_base
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
     def _write_blobs(rows) -> None:
         import pathlib
 

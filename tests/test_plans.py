@@ -5,6 +5,8 @@ a plan regression here costs nothing at sf0.01 and everything at 100 TB.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -807,7 +809,13 @@ def test_recursive_bfs_edges_materialized_outside_recursion(spark, smoke_dir):
     executed plan — re-derivation per recursion level multiplies it."""
     df = QUERIES["q147_recursive_bfs"](spark, smoke_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") <= 4, plan
+    # Count scans of the lineitem relation itself (identified by its
+    # column signature) rather than the "Scan parquet" node label, which
+    # is Spark-version and datasource dependent. The recursion body
+    # consumes the checkpointed edge RDD, so lineitem's relation appears
+    # only in the bounded pre-recursion derivation.
+    lineitem_scans = len(re.findall(r"\[l_orderkey#[^\]]*\] parquet", plan))
+    assert 1 <= lineitem_scans <= 4, plan
     assert "CartesianProduct" not in plan, plan
 
 
@@ -841,6 +849,23 @@ def test_cpu_heavy_stages_do_not_inherit_single_scan_split(spark, smoke_dir):
     # and the helper is a no-op when the input is already parallel
     li = _table(spark, smoke_dir, "lineitem").repartition(64)
     assert parallelize_stage(li) is li
+
+
+def test_binaryfile_source_refuses_driver_local_dir_on_cluster():
+    """q150's executor-side blob writes land in a driver-created local
+    tempdir by default; that is only coherent when driver and executors
+    share a filesystem (local mode). On a real cluster the default must
+    be REFUSED loudly, not silently produce an empty read-back."""
+    from hadoop_trans_spark.queries.sources_io import q150_binaryfile_source
+
+    class _FakeSC:
+        master = "yarn"
+
+    class _FakeSpark:
+        sparkContext = _FakeSC()
+
+    with pytest.raises(ValueError, match="shared storage"):
+        q150_binaryfile_source(_FakeSpark(), "unused")
 
 
 def test_sweep_window_matches_computed_rotation():

@@ -10,6 +10,13 @@ dimension tables (and events/embeddings) are copied unchanged. This is the
 Usage:
   python tools/replicate_facts.py /root/testdata/sf0.1 /tmp/sf0.1_x10 10
   python tools/time_queries.py q204 --sf ...   # then time against both
+
+``--with-events`` / ``--with-embeddings`` additionally replicate the
+events table (event_id AND user_id shifted per copy, so user-grained
+self-joins — q231 audiences, q239 transition count — see 10× users
+with 10× rows, not 10× artificial duplicate rows that a distinct
+collapses) and the embeddings table (vec_id shifted). Off by default
+to keep parity with the round-4/5 audit tables.
 """
 
 from __future__ import annotations
@@ -29,11 +36,20 @@ COPY_ASIS = ["region", "nation", "customer", "supplier", "part", "events", "embe
 
 
 def main() -> None:
-    src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    with_events = "--with-events" in sys.argv
+    with_embeddings = "--with-embeddings" in sys.argv
+    src, dst, n = argv[0], argv[1], int(argv[2])
     os.makedirs(dst, exist_ok=True)
     spark = get_spark(app_name="replicate_facts")
 
-    for t in COPY_ASIS:
+    copy_asis = [
+        t
+        for t in COPY_ASIS
+        if not (t == "events" and with_events)
+        and not (t == "embeddings" and with_embeddings)
+    ]
+    for t in copy_asis:
         s, d = f"{src}/{t}.parquet", f"{dst}/{t}.parquet"
         if not os.path.exists(s):
             continue
@@ -81,7 +97,32 @@ def main() -> None:
         .write.mode("overwrite")
         .parquet(f"{dst}/documents.parquet")
     )
-    for t in ["orders", "lineitem", "documents"]:
+    replicated = ["orders", "lineitem", "documents"]
+    if with_events:
+        ev = table(spark, src, "events")
+        eid_off = ev.agg(F.max("event_id")).first()[0] + 1
+        uid_off = ev.agg(F.max("user_id")).first()[0] + 1
+        (
+            ev.crossJoin(copies)
+            .withColumn("event_id", F.col("event_id") + F.col("copy") * eid_off)
+            .withColumn("user_id", F.col("user_id") + F.col("copy") * uid_off)
+            .drop("copy")
+            .write.mode("overwrite")
+            .parquet(f"{dst}/events.parquet")
+        )
+        replicated.append("events")
+    if with_embeddings:
+        emb = table(spark, src, "embeddings")
+        vid_off = emb.agg(F.max("vec_id")).first()[0] + 1
+        (
+            emb.crossJoin(copies)
+            .withColumn("vec_id", F.col("vec_id") + F.col("copy") * vid_off)
+            .drop("copy")
+            .write.mode("overwrite")
+            .parquet(f"{dst}/embeddings.parquet")
+        )
+        replicated.append("embeddings")
+    for t in replicated:
         print(t, spark.read.parquet(f"{dst}/{t}.parquet").count())
 
 
