@@ -29,11 +29,14 @@ def main() -> None:
     prefixes = tuple(args)
     names = [n for n in QUERIES if n.startswith(prefixes)] if prefixes else list(QUERIES)
     spark = get_spark(app_name="time_queries")
-    QUERIES["q01_pricing_summary"](spark, f"/root/testdata/{sfs[0]}").count()  # warm-up
+    warm = sfs[0] if os.path.isabs(sfs[0]) else f"/root/testdata/{sfs[0]}"
+    QUERIES["q01_pricing_summary"](spark, warm).count()  # warm-up
 
     results: dict[str, list[float]] = {}
     for sf in sfs:
-        sf_dir = f"/root/testdata/{sf}"
+        # Absolute paths pass through (the replicate_facts 10x fixtures
+        # live under /tmp); bare names resolve under /root/testdata.
+        sf_dir = sf if os.path.isabs(sf) else f"/root/testdata/{sf}"
         for name in names:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
