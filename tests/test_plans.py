@@ -887,3 +887,29 @@ def test_sweep_window_matches_computed_rotation():
         cwd=__file__.rsplit("/tests/", 1)[0],
     )
     assert r.returncode == 0, f"{r.stdout}\n{r.stderr}"
+
+
+def test_sweep_latest_status_wins_by_round_number_not_filename_order():
+    """A red in r2 overridden by a green in r10 must read green even
+    though 'r10' sorts lexicographically before 'r2' — the rotation
+    (and COVERAGE) must key on the parsed round NUMBER."""
+    import importlib.util
+    import os
+
+    repo = __file__.rsplit("/tests/", 1)[0]
+    spec = importlib.util.spec_from_file_location(
+        "rotate_sweep", os.path.join(repo, "tools", "rotate_sweep.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    red = {"rows_match": False, "schema_match": True, "hash_match": False}
+    rounds = {10: {"qx": green}, 2: {"qx": red, "qy": green}}
+    last_round, last_ok = mod.latest_status(rounds, {"qx", "qy"})
+    assert last_round == {"qx": 10, "qy": 2}
+    assert last_ok == {"qx": True, "qy": True}
+    # and the reverse: a red in the LATER round must win over old green
+    rounds = {10: {"qx": red}, 2: {"qx": green}}
+    _, last_ok = mod.latest_status(rounds, {"qx"})
+    assert last_ok == {"qx": False}
