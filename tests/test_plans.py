@@ -851,6 +851,52 @@ def test_cpu_heavy_stages_do_not_inherit_single_scan_split(spark, smoke_dir):
     assert parallelize_stage(li) is li
 
 
+def test_holt_fold_single_fact_aggregation_no_python(spark, smoke_dir):
+    """q203: the fact table must collapse to the O(days) series in ONE
+    hash aggregate; the Holt recurrence is a JVM array fold
+    (F.aggregate) over that metadata-sized series — no Python eval, no
+    window over the raw facts, no second scan of lineitem."""
+    df = QUERIES["q203_holt_forecast"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # q203 reads only lineitem, column-pruned to (l_shipdate,
+    # l_extendedprice) — exactly one parquet scan in the whole plan.
+    # Node renders as `FileScan parquet [cols...]` (physical) or
+    # `Relation [cols...] parquet` (logical reuse subtree).
+    parquet_scans = len(
+        re.findall(r"parquet \[l_\w+#|\[l_\w+#[^\]]*\] parquet", plan)
+    )
+    assert parquet_scans == 1, plan
+    assert "l_extendedprice" in plan and "l_shipdate" in plan, plan
+
+
+def test_embedding_covariance_no_exploded_self_join(spark, smoke_dir):
+    """q211: the Gram matrix must come from IN-ROW outer products +
+    one (i, j)-keyed agg with map-side combine — a self-join of the
+    exploded (vec, dim) table is the O(N·d²)-shuffle plan this design
+    exists to avoid. Only the two tiny mean tables may join, and they
+    must broadcast."""
+    df = QUERIES["q211_embedding_covariance"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_audience_jaccard_user_keyed_self_join_broadcast_sizes(spark, smoke_dir):
+    """q231: the pairwise intersection must be an equi self-join keyed
+    on user_id (fan-out bounded by types-per-user², ≤25) and the two
+    audience-size tables must broadcast — a shuffle join on the
+    O(|types|) size tables or a cartesian over audiences is wrong at
+    any scale."""
+    df = QUERIES["q231_audience_jaccard"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
 def test_binaryfile_source_refuses_driver_local_dir_on_cluster():
     """q150's executor-side blob writes land in a driver-created local
     tempdir by default; that is only coherent when driver and executors
