@@ -22,24 +22,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# (session id, plan semanticHash) -> scan partition count. The RDD probe in
-# parallelize_stage forces physical planning; most call sites probe the same
-# handful of raw table scans (documents/lineitem), so one probe per distinct
-# plan per session covers a whole 241-query bench run. Staleness caveat: if
-# the files behind an identical plan are rewritten mid-session the cached
-# count survives — acceptable because every call site probes immutable
-# input tables, never a path the engine itself rewrites.
-_PART_COUNT_CACHE: dict[tuple[int, int], int] = {}
-
-
 def _input_partitions(df: DataFrame) -> int:
-    key = (id(df.sparkSession), df.semanticHash())
-    n = _PART_COUNT_CACHE.get(key)
+    """Partition count of `df`, memoized per (session, plan semanticHash).
+
+    The RDD probe forces physical planning; most call sites probe the
+    same handful of raw table scans (documents/lineitem), so one probe
+    per distinct plan covers a whole 241-query bench run. The cache
+    lives ON the session object so it dies with the session (a global
+    keyed on id(session) could collide after CPython id reuse, and a
+    different master/parallelism can legitimately change the split
+    count for the same plan). Staleness caveat: if the files behind an
+    identical plan are rewritten mid-session the cached count survives
+    — acceptable because every call site probes immutable input
+    tables, never a path the engine itself rewrites.
+    """
+    session = df.sparkSession
+    cache = getattr(session, "_ht_part_count_cache", None)
+    if cache is None:
+        cache = {}
+        session._ht_part_count_cache = cache
+    key = df.semanticHash()
+    n = cache.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()
-        if len(_PART_COUNT_CACHE) > 512:  # bound growth across many sessions
-            _PART_COUNT_CACHE.clear()
-        _PART_COUNT_CACHE[key] = n
+        if len(cache) > 512:  # bound growth over a long-lived session
+            cache.clear()
+        cache[key] = n
     return n
 
 
