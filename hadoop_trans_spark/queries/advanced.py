@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
+from ..operators.cooccur import copurchase_pairs
 from ..operators.globalrank import global_row_number
 from ..operators.skyline import pareto_frontier
 from .base import DEC, dsum, o_dsum, query, ts_micros
@@ -921,10 +922,11 @@ def q178_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand pairs bought together in one order, with support and lift —
     the recommendation/affinity primitive. The A-priori pruning is the
     scale hinge: items below the single-item support floor are
-    semi-joined OUT before the pair self-join, so pair fan-out is
-    bounded by frequent items only; the self-join is keyed on the
-    order (never a global cross of the item vocabulary) and the `<`
-    ordering halves it. Per-order fan-out is C(k,2) in basket size k —
+    semi-joined OUT before pair generation, so pair fan-out is
+    bounded by frequent items only; pairs come from the shared
+    operators/cooccur.py shape — keyed on the order (never a global
+    cross of the item vocabulary), u < v emitted once per basket.
+    Per-order fan-out is C(k,2) in basket size k —
     at 100 TB skewed mega-baskets would be capped or salted; fixture
     baskets are ~4 items. Lift divides exact counts; the 1-row order
     total is the only broadcast."""
@@ -947,12 +949,16 @@ def q178_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") >= 20)
     )
     fit = it.join(freq.select("p_brand"), "p_brand", "left_semi")
-    a = fit.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b1"))
-    b = fit.select(F.col("l_orderkey").alias("k2"), F.col("p_brand").alias("b2"))
+    # Pair supports via the shared co-occurrence operator: one shuffle
+    # keyed on the order + in-array C(k,2) expansion, instead of
+    # shuffling the frequent-item rows twice through a self-join.
     pairs = (
-        a.join(b, (F.col("k") == F.col("k2")) & (F.col("b1") < F.col("b2")))
-        .groupBy("b1", "b2")
-        .agg(F.count("*").alias("support"))
+        copurchase_pairs(fit, "l_orderkey", "p_brand", weighted=True)
+        .select(
+            F.col("u").alias("b1"),
+            F.col("v").alias("b2"),
+            F.col("w").alias("support"),
+        )
         .where(F.col("support") >= 50)
     )
     f1 = freq.select(F.col("p_brand").alias("f1b"), F.col("c").alias("c1"))

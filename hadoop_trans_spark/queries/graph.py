@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.cooccur import copurchase_pairs
 from ..operators.graph import pagerank
 from .base import query
 
@@ -123,22 +124,9 @@ def _supplier_backbone(spark: SparkSession, sf_dir: str):
     (triangles) and q147 (recursive BFS); a single edge budget and tie
     order keeps the two queries' "same graph" docstring claims true by
     construction. Returns the oriented (u < v) edge DataFrame."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
-        .agg(F.count("*").alias("w"))
+        copurchase_pairs(li, "l_orderkey", "l_suppkey", weighted=True)
         .orderBy(F.col("w").desc(), "u", "v")
         .limit(2000)
         .select("u", "v")
@@ -331,23 +319,16 @@ def q147_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q200_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the part co-purchase graph (parts are
-    adjacent when they share an order). The pair generation is a
-    self-equi-join on l_orderkey, so fan-out is bounded by the per-order
-    basket size squared (~7² here), never all-pairs over the catalog;
-    degrees and the histogram are two keyed hash aggs. At 100 TB a
-    pathological mega-order would be the one skew risk — the same
-    per-key quadratic every co-occurrence mine has (q178 market basket
-    documents the cap pattern); order baskets are naturally small."""
+    adjacent when they share an order). Pair generation is the shared
+    operators/cooccur.py shape — one order-keyed shuffle, then a narrow
+    C(k, 2) expansion bounded by the per-order basket size (~7 here),
+    never all-pairs over the catalog; degrees and the histogram are two
+    keyed hash aggs. At 100 TB a pathological mega-order would be the
+    one skew risk — the same per-key quadratic every co-occurrence mine
+    has (q178 market basket documents the cap pattern); order baskets
+    are naturally small."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
+    pairs = copurchase_pairs(li, "l_orderkey", "l_partkey")
     und = pairs.selectExpr("u AS node", "v AS nbr").unionAll(
         pairs.selectExpr("v AS node", "u AS nbr")
     )
@@ -411,15 +392,7 @@ def q204_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degree-1 intermediates are excluded (ln(1)=0 would divide by
     zero — they form no wedge anyway)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
+    pairs = copurchase_pairs(li, "l_orderkey", "l_partkey")
     und = pairs.selectExpr("u AS node", "v AS nbr").unionAll(
         pairs.selectExpr("v AS node", "u AS nbr")
     )

@@ -72,3 +72,71 @@ def test_pagerank_rejects_sink_nodes(spark):
     )
     with pytest.raises(ValueError, match="out-degree 0"):
         pagerank(e, iters=1)
+
+
+# --- operators/cooccur.py ----------------------------------------------------
+
+
+def _brute_pairs(rows):
+    """Reference pair table: distinct items per key, all u < v combos."""
+    from collections import defaultdict
+
+    baskets = defaultdict(set)
+    for k, item in rows:
+        baskets[k].add(item)
+    out = defaultdict(int)
+    for items in baskets.values():
+        s = sorted(items)
+        for i, u in enumerate(s):
+            for v in s[i + 1 :]:
+                out[(u, v)] += 1
+    return dict(out)
+
+
+def test_copurchase_pairs_matches_bruteforce_weighted(spark):
+    from hadoop_trans_spark.operators.cooccur import copurchase_pairs
+
+    rows = [
+        (1, "b"), (1, "a"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (2, "a"),          # duplicate (key, item) must not inflate w
+        (3, "z"),          # singleton basket: no pairs
+        (4, "a"), (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "k long, item string")
+    got = {
+        (r["u"], r["v"]): r["w"]
+        for r in copurchase_pairs(df, "k", "item", weighted=True).collect()
+    }
+    assert got == _brute_pairs(rows)
+    assert all(u < v for u, v in got)
+
+
+def test_copurchase_pairs_distinct_and_int_items(spark):
+    from hadoop_trans_spark.operators.cooccur import copurchase_pairs
+
+    rows = [(1, 30), (1, 10), (1, 20), (2, 10), (2, 30), (3, 7)]
+    df = spark.createDataFrame(rows, "k long, item long")
+    got = {
+        (r["u"], r["v"])
+        for r in copurchase_pairs(df, "k", "item").collect()
+    }
+    assert got == set(_brute_pairs(rows))
+    # int ordering, not string ordering: (7, ...) pairs would differ
+    assert (10, 20) in got and (10, 30) in got and (20, 30) in got
+
+
+def test_copurchase_pairs_plan_has_no_join(spark):
+    """The operator's point: pair generation is agg + in-array
+    expansion — a plan containing any join node would mean the fact
+    rows are being shuffled twice through a self-join again."""
+    from hadoop_trans_spark.operators.cooccur import copurchase_pairs
+
+    df = spark.createDataFrame([(1, "a"), (1, "b")], "k long, item string")
+    plan = (
+        copurchase_pairs(df, "k", "item", weighted=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
