@@ -41,6 +41,8 @@ from hadoop_trans_spark.session import get_spark  # noqa: E402
 MEMOIZED = {
     "q40_minhash_lsh_neardup": {"grams3", "bandsig8x4", "minhash_pairs"},
     "q41_simhash": {"simhash"},
+    "q59_stream_late_drop": {"late_stage_997"},
+    "q183_stream_windowed_topk": {"late_stage_997"},
 }
 
 # Headline set: one per operator family, weighted toward the plans whose

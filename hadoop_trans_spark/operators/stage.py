@@ -88,3 +88,40 @@ def materialize_stage(df: DataFrame, reliable: bool | None = None) -> DataFrame:
     if reliable is None:
         reliable = sc.getCheckpointDir() is not None
     return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+
+# Per-process memo for pipeline stages shared by several declared queries
+# (MinHash pairs, SimHash fingerprints, the streaming late-batch staging
+# dir). Values are whatever the build produced — a materialized DataFrame
+# or a staged path. Keyed by Spark applicationId so a fresh session never
+# sees a stale handle; bench.py clears a query's OWN tags between its two
+# timed runs (see clear_stage_memo).
+_STAGE_CACHE: dict[tuple, object] = {}
+
+
+def memo_stage(spark, sf_dir: str, tag: str, build):
+    """Return the memoized result of ``build()`` for (tag, session,
+    sf_dir), computing it once per session. The builder decides what to
+    memoize — a `materialize_stage`d DataFrame, a staged directory path —
+    the memo only guarantees one build per session, the same "stage once
+    for many consumers" rule lifted across queries."""
+    key = (tag, spark.sparkContext.applicationId, sf_dir)
+    if key not in _STAGE_CACHE:
+        _STAGE_CACHE[key] = build()
+    return _STAGE_CACHE[key]
+
+
+def clear_stage_memo(tags: set[str] | None = None) -> None:
+    """Drop memoized stage handles — all of them, or only the given
+    stage tags. bench.py clears a query's OWN stages between its two
+    timed runs so best-of-2 measures the real pipeline twice, not one
+    build plus one memo hit (0.06 s vs 2.6 s at sf0.001 — a fake 40x);
+    clearing selectively keeps the memo honest for the other families
+    (wiping the MinHash stages before re-timing SimHash would force
+    every later MinHash consumer to rebuild a stage a real session
+    computes once)."""
+    if tags is None:
+        _STAGE_CACHE.clear()
+        return
+    for key in [k for k in _STAGE_CACHE if k[0] in tags]:
+        del _STAGE_CACHE[key]

@@ -21,37 +21,22 @@ from ..operators.stage import materialize_stage, parallelize_stage
 from ..operators.textstats import normalize_text
 from .base import query
 
-# Per-process memo for pipeline stages shared by several declared queries
-# (q40/q64/q68 reuse the verified MinHash pairs; q41/q63 the SimHash
-# fingerprints). The materialized tables are tiny (pairs: O(dups) rows;
-# fingerprints: 16 B/doc) while recomputing them re-runs the md5-dominated
-# shingle pipeline — the same "checkpoint a multi-consumer stage once"
-# rule near_duplicates applies internally, lifted across queries. Keyed by
-# Spark applicationId so a fresh session never sees a stale handle.
-_STAGE_CACHE: dict[tuple, DataFrame] = {}
+# The per-process stage memo lives in operators/stage.py (shared with the
+# streaming late-batch staging); q40/q64/q68 reuse the verified MinHash
+# pairs, q41/q63 the SimHash fingerprints. The materialized tables are
+# tiny (pairs: O(dups) rows; fingerprints: 16 B/doc) while recomputing
+# them re-runs the md5-dominated shingle pipeline — the same "checkpoint
+# a multi-consumer stage once" rule near_duplicates applies internally,
+# lifted across queries.
+from ..operators.stage import (  # noqa: F401
+    _STAGE_CACHE,
+    clear_stage_memo,
+    memo_stage,
+)
 
 
 def _memo_stage(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
-    key = (tag, spark.sparkContext.applicationId, sf_dir)
-    if key not in _STAGE_CACHE:
-        _STAGE_CACHE[key] = materialize_stage(build())
-    return _STAGE_CACHE[key]
-
-
-def clear_stage_memo(tags: set[str] | None = None) -> None:
-    """Drop memoized stage handles — all of them, or only the given
-    stage tags. bench.py clears a query's OWN stages between its two
-    timed runs so best-of-2 measures the real md5-dominated pipeline
-    twice, not one build plus one memo hit (0.06 s vs 2.6 s at sf0.001 —
-    a fake 40x); clearing selectively keeps the memo honest for the
-    other family (wiping the MinHash stages before re-timing SimHash
-    would force every later MinHash consumer to rebuild a stage a real
-    session computes once)."""
-    if tags is None:
-        _STAGE_CACHE.clear()
-        return
-    for key in [k for k in _STAGE_CACHE if k[0] in tags]:
-        del _STAGE_CACHE[key]
+    return memo_stage(spark, sf_dir, tag, lambda: materialize_stage(build()))
 
 
 def grams3_table(spark: SparkSession, sf_dir: str) -> DataFrame:

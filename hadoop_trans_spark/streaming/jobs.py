@@ -654,28 +654,40 @@ def _stage_late_batches(
 
     ONE partitioned write stages all three batch files; distinct mtimes
     then fix the file-source processing order (``maxFilesPerTrigger=1``).
+    The staged DIRECTORY is memoized per (session, sf_dir): q59 and q183
+    read the identical staging, and the files are immutable once written
+    — each caller still starts its own streaming query with a fresh
+    checkpoint over them (bench.py clears the tag between its two timed
+    runs, operators/stage.py clear_stage_memo).
     """
     from ..catalog import table
+    from ..operators.stage import memo_stage
 
-    stage = tempfile.mkdtemp(prefix="late_stage_")
+    def _build() -> str:
+        stage = tempfile.mkdtemp(prefix="late_stage_")
+        events = table(spark, sf_dir, "events")
+        batch = (
+            F.when(F.col("event_id") % late_mod == 0, F.lit(2))
+            .when(F.col("event_id") % 13 == 0, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        (
+            events.withColumn("batch", batch)
+            .repartition("batch")
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .parquet(stage)
+        )
+        t0 = 1_000_000_000
+        for i in range(3):
+            for f in os.listdir(f"{stage}/batch={i}"):
+                os.utime(
+                    f"{stage}/batch={i}/{f}", (t0 + i * 100, t0 + i * 100)
+                )
+        return stage
+
+    stage = memo_stage(spark, sf_dir, f"late_stage_{late_mod}", _build)
     events = table(spark, sf_dir, "events")
-    batch = (
-        F.when(F.col("event_id") % late_mod == 0, F.lit(2))
-        .when(F.col("event_id") % 13 == 0, F.lit(1))
-        .otherwise(F.lit(0))
-    )
-    (
-        events.withColumn("batch", batch)
-        .repartition("batch")
-        .write.mode("overwrite")
-        .partitionBy("batch")
-        .parquet(stage)
-    )
-    t0 = 1_000_000_000
-    for i in range(3):
-        for f in os.listdir(f"{stage}/batch={i}"):
-            os.utime(f"{stage}/batch={i}/{f}", (t0 + i * 100, t0 + i * 100))
-
     return (
         spark.readStream.schema(
             StructType([f for f in events.schema.fields])
