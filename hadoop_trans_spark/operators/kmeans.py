@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import _dbl, dot
+from .similarity import _dbl, dot, lit_doubles
 
 DEC = "decimal(38,6)"
 
@@ -66,7 +66,7 @@ def assign(corpus: DataFrame, centroid_rows) -> DataFrame:
         *[
             F.struct(
                 F.lit(int(r["cluster"])).alias("cluster"),
-                F.array(*[F.lit(float(x)) for x in r["c"]]).alias("c"),
+                lit_doubles(r["c"]).alias("c"),
                 F.lit(float(r["c_sq"])).alias("c_sq"),
             )
             for r in cents

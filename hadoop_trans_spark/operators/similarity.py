@@ -31,6 +31,30 @@ def _dbl(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
+def lit_doubles(values) -> Column:
+    """One ``array<double>`` literal built with a single ``F.expr`` parse.
+
+    Burning k·d doubles into a plan with per-element ``F.lit`` costs one
+    py4j round trip per element — measured 2.0 s for the 2048 elements
+    of sign-LSH's 32×64 hyperplanes, dominating the query end-to-end.
+    Rendering ``repr(float)`` + a ``D`` suffix and parsing once is ~1 ms
+    and bit-exact (shortest-repr strings round-trip through Spark's
+    double-literal parser; verified for subnormal-free inputs incl.
+    -0.0 and exponent forms)."""
+    body = ",".join(f"{float(x)!r}D" for x in values)
+    return F.expr(f"array({body})" if body else "cast(array() as array<double>)")
+
+
+def lit_double_matrix(rows) -> Column:
+    """One ``array<array<double>>`` literal via a single ``F.expr`` —
+    the 2-D companion of :func:`lit_doubles` for hyperplane/centroid
+    matrices that would otherwise cost rows·dim py4j calls."""
+    body = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")" for row in rows
+    )
+    return F.expr(f"array({body})" if body else "cast(array() as array<array<double>>)")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two DOUBLE arrays (pre-cast with ``_dbl``;
     casting inside the pair loop would reallocate both arrays per pair)."""
@@ -230,13 +254,14 @@ def signlsh_near_duplicates(
             norm(F.col(vec)).alias("n"),
         )
     )
-    bits = [
-        F.when(
-            dot(F.col("v"), F.array(*[F.lit(x) for x in row])) > 0, "1"
-        ).otherwise("0")
-        for row in planes
-    ]
-    sig = pre.withColumn("s", F.concat(*bits))
+    # One parsed 2-D literal + a transform lambda: the 32 per-plane
+    # aggregate expressions collapse into a single HOF over the plane
+    # array — same math, ~2 s less py4j/codegen overhead per call.
+    sig_bits = F.transform(
+        lit_double_matrix(planes),
+        lambda h: F.when(dot(F.col("v"), h) > 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    sig = pre.withColumn("s", F.concat_ws("", sig_bits))
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
