@@ -26,6 +26,7 @@ Scale notes (100 TB / 1000-executor design):
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import uuid
@@ -80,6 +81,23 @@ def read_events_stream(
     return normalize_event_ts(df)
 
 
+@contextlib.contextmanager
+def _pinned_state_partitions(spark: SparkSession, n: int = 4):
+    """Pin ``spark.sql.shuffle.partitions`` low while a streaming query
+    starts: each stateful operator materializes one state store per
+    shuffle partition per micro-batch — pure overhead at fixture scale
+    (a cluster job raises it; the value is baked into the checkpoint at
+    first start, so it must wrap ``start()``, not just plan building).
+    Queries here run sequentially with fresh checkpoints, so the
+    save/restore is race-free."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_to_memory(
     sdf: DataFrame, output_mode: str, timeout_sec: int = 300
 ) -> DataFrame:
@@ -94,10 +112,8 @@ def run_to_memory(
     it; the value is baked into the checkpoint at first start).
     """
     spark = sdf.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"sink_{uuid.uuid4().hex}"
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    with _pinned_state_partitions(spark):
         query = (
             sdf.writeStream.format("memory")
             .queryName(name)
@@ -113,8 +129,6 @@ def run_to_memory(
             raise TimeoutError(
                 f"streaming query {name} did not finish in {timeout_sec}s"
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -429,15 +443,16 @@ def stream_upsert_sink(
         .parquet(stage)
     )
     stream = normalize_event_ts(stream)
-    query = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not query.awaitTermination(300):
-        query.stop()
-        raise TimeoutError("stream_upsert_sink did not finish in 300s")
+    with _pinned_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError("stream_upsert_sink did not finish in 300s")
     return dest
 
 
@@ -792,16 +807,17 @@ def stream_windowed_topk(
             .parquet(dest)
         )
 
-    query = (
-        agg.writeStream.outputMode("append")
-        .foreachBatch(rank_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not query.awaitTermination(300):
-        query.stop()
-        raise TimeoutError("stream_windowed_topk did not finish in 300s")
+    with _pinned_state_partitions(spark):
+        query = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(rank_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError("stream_windowed_topk did not finish in 300s")
     return dest
 
 
