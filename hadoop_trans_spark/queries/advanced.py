@@ -648,11 +648,15 @@ def q164_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     not keys; probes broadcast-join against the cell table."""
     # ONE md5 per row, sliced into the 4 row-hashes (8 hex chars each)
     # — 4× less hashing than per-(row, j) digests, and the slices of a
-    # single md5 are as independent as CM needs.
-    li = table(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").alias("k"),
-        F.md5(F.col("l_partkey").cast("string")).alias("hh"),
-    )
+    # single md5 are as independent as CM needs. parallelize_stage: the
+    # per-row md5+conv+aggregate hashing is the CPU stage and lineitem
+    # scans as a few coarse splits locally (2.5 s -> 1.0 s at sf0.1);
+    # gated no-op on well-split cluster inputs.
+    from ..operators.stage import parallelize_stage
+
+    li = parallelize_stage(
+        table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    ).withColumn("hh", F.md5(F.col("k").cast("string")))
     rows4 = F.broadcast(
         spark.range(0, 4).select(F.col("id").cast("int").alias("j"))
     )
