@@ -406,7 +406,14 @@ def q131_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     )
     n = d.count()
-    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    # tf feeds three consumers (df counts, weights, postings); cut the
+    # lineage so tokenize+count runs once, not per branch (3.2 -> 2.4 s
+    # at sf0.1; reliable checkpoint on a cluster via operators/stage.py).
+    from ..operators.stage import materialize_stage
+
+    tf = materialize_stage(
+        toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    )
     dfs = tf.groupBy("w").agg(F.count("*").alias("df"))
     tw = tf.join(dfs, "w").select(
         "doc_id",
