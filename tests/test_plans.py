@@ -823,7 +823,9 @@ def test_countmin_shuffles_cells_not_keys(spark, smoke_dir):
     """q164: the sketch aggregation must reduce to the d*w cell grain —
     the plan's aggregate keys are (j, cell), never the raw part key, so
     the shuffle carries <= 4096 cells regardless of data volume; and the
-    probe side must broadcast-join against the cell table."""
+    probe side must broadcast-join against the cell table. The md5/conv
+    sketch stage must also not inherit the fixture's coarse scan split
+    (parallelize_stage round-robins it across the session's cores)."""
     import re
 
     df = QUERIES["q164_countmin_freq"](spark, smoke_dir)
@@ -831,6 +833,19 @@ def test_countmin_shuffles_cells_not_keys(spark, smoke_dir):
     assert re.search(r"HashAggregate\(keys=\[j#\d+, cell#\d+", plan), plan
     assert broadcast_joins(df) >= 1, plan
     assert "CartesianProduct" not in plan, plan
+    assert "RoundRobinPartitioning" in plan, plan
+
+
+def test_tfidf_tokenize_stage_materialized_once(spark, smoke_dir):
+    """q131: the term-frequency table feeds three consumers (df counts,
+    weights, postings); after the lineage cut the final plan must read
+    the checkpointed stage, never re-derive tokenize+count from the
+    documents parquet (a branch-count regression silently re-runs the
+    most expensive stage per consumer)."""
+    df = QUERIES["q131_tfidf_cosine_pairs"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan
 
 
 def test_cpu_heavy_stages_do_not_inherit_single_scan_split(spark, smoke_dir):

@@ -48,3 +48,25 @@ def test_rocksdb_provider_matches_default_provider(spark, smoke_dir):
             spark.conf.set(CONF, prev)
     assert default_rows, "fixture produced no windows"
     assert rocks_rows == default_rows
+
+
+def test_pinned_state_partitions_restores_conf(spark):
+    """Every streaming start site wraps _pinned_state_partitions; the
+    pin must restore the session's shuffle-partition conf on BOTH the
+    normal and the exception path (a leak would silently re-plan every
+    later batch query in the shared driver session at 4 partitions)."""
+    import pytest
+
+    from hadoop_trans_spark.streaming.jobs import _pinned_state_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    with _pinned_state_partitions(spark):
+        assert spark.conf.get(key) == "4"
+    assert spark.conf.get(key) == prev
+
+    with pytest.raises(RuntimeError):
+        with _pinned_state_partitions(spark, n=2):
+            assert spark.conf.get(key) == "2"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == prev
