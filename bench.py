@@ -42,6 +42,7 @@ MEMOIZED = {
     "q40_minhash_lsh_neardup": {"grams3", "bandsig8x4", "minhash_pairs"},
     "q41_simhash": {"simhash"},
     "q59_stream_late_drop": {"late_stage_997"},
+    "q140_triangle_count": {"supplier_backbone"},
     "q183_stream_windowed_topk": {"late_stage_997"},
 }
 

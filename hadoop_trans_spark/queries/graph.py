@@ -123,14 +123,40 @@ def _supplier_backbone(spark: SparkSession, sf_dir: str):
     broken by vertex ids — the ONE backbone definition shared by q140
     (triangles) and q147 (recursive BFS); a single edge budget and tie
     order keeps the two queries' "same graph" docstring claims true by
-    construction. Returns the oriented (u < v) edge DataFrame."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    return (
-        copurchase_pairs(li, "l_orderkey", "l_suppkey", weighted=True)
-        .orderBy(F.col("w").desc(), "u", "v")
-        .limit(2000)
-        .select("u", "v")
-    )
+    construction. Returns the oriented (u < v) edge DataFrame.
+
+    Memoized per (session, sf_dir) and materialized: both consumers pay
+    the full pair-mine + top-k once, then read the 2000-row edge table
+    (the dedup-family shared-stage rule; bench.py clears the tag between
+    its timed runs)."""
+    from ..operators.stage import materialize_stage, memo_stage
+
+    def build() -> DataFrame:
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        return materialize_stage(
+            copurchase_pairs(li, "l_orderkey", "l_suppkey", weighted=True)
+            .orderBy(F.col("w").desc(), "u", "v")
+            .limit(2000)
+            .select("u", "v")
+        )
+
+    return memo_stage(spark, sf_dir, "supplier_backbone", build)
+
+
+def _part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT part co-purchase pair table (u < v) shared by q200
+    (degree distribution) and q204 (Adamic-Adar) — one definition, NOT
+    materialized: a measured attempt to memoize+checkpoint it (~1.2M
+    rows at sf0.1) made q204 SLOWER (7.0 vs 3.4 s at sf0.01 — the
+    eager cut forfeits AQE's view of the wedge join) and the resident
+    checkpoint plus the anti-join broadcast OOM'd a default-memory
+    driver session on the second call. Catalyst's exchange reuse
+    already dedups the identical pair subtrees within one query plan;
+    cross-query sharing is not worth the residency here."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return copurchase_pairs(li, "l_orderkey", "l_partkey")
 
 
 @query(
@@ -327,8 +353,7 @@ def q200_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     one skew risk — the same per-key quadratic every co-occurrence mine
     has (q178 market basket documents the cap pattern); order baskets
     are naturally small."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = copurchase_pairs(li, "l_orderkey", "l_partkey")
+    pairs = _part_pairs(spark, sf_dir)
     und = pairs.selectExpr("u AS node", "v AS nbr").unionAll(
         pairs.selectExpr("v AS node", "u AS nbr")
     )
@@ -391,8 +416,7 @@ def q204_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors job applies); existing edges are removed by anti-join.
     Degree-1 intermediates are excluded (ln(1)=0 would divide by
     zero — they form no wedge anyway)."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = copurchase_pairs(li, "l_orderkey", "l_partkey")
+    pairs = _part_pairs(spark, sf_dir)
     und = pairs.selectExpr("u AS node", "v AS nbr").unionAll(
         pairs.selectExpr("v AS node", "u AS nbr")
     )
