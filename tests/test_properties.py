@@ -58,3 +58,34 @@ def test_enumerator_single_day_inclusive(spark):
     assert enumerate_partition_keys(spark, "2024-02-29", "2024-02-29", "yyyyMMdd") == [
         "20240229"
     ]
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        min_size=0,
+        max_size=24,
+    )
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lit_doubles_roundtrips_bit_exactly(spark, values):
+    """lit_doubles renders shortest-repr double literals into ONE parsed
+    SQL expression (the py4j-per-element F.lit replacement); the parse
+    must reproduce every IEEE double bit-exactly — including -0.0,
+    subnormals, and exponent forms — or sign-LSH signatures and k-means
+    assignments would silently drift from their oracles."""
+    import struct
+
+    from hadoop_trans_spark.operators.similarity import lit_doubles
+
+    got = spark.range(1).select(lit_doubles(values).alias("a")).collect()[0]["a"]
+    assert len(got) == len(values)
+    for orig, back in zip(values, got):
+        assert struct.pack("d", float(orig)) == struct.pack("d", back), (
+            orig,
+            back,
+        )
