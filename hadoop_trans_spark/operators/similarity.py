@@ -341,7 +341,16 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Near-dup pairs by cosine within a blocking key (E34 embedding
     variant): (id_a, id_b, cos). Blocking bounds the quadratic join the
-    same way LSH banding does for text."""
+    same way LSH banding does for text.
+
+    parallelize_stage: the broadcast block-join preserves the probe
+    side's scan partitioning, so the per-pair dot products (the CPU
+    stage — |block|² pairs × dim multiplies) would run on a small
+    fixture's single split (measured 1.35 -> 0.5 s at sf0.1); gated
+    no-op on well-split inputs."""
+    from .stage import parallelize_stage
+
+    corpus = parallelize_stage(corpus)
     pre = corpus.select(
         F.col(block),
         F.col(id_col).alias("id"),
