@@ -105,7 +105,11 @@ def memo_stage(spark, sf_dir: str, tag: str, build):
     memoize — a `materialize_stage`d DataFrame, a staged directory path —
     the memo only guarantees one build per session, the same "stage once
     for many consumers" rule lifted across queries."""
-    key = (tag, spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    stale = [k for k in _STAGE_CACHE if k[1] != app_id]
+    for k in stale:  # drop handles from dead sessions (their blocks are
+        del _STAGE_CACHE[k]  # gone; holding the DataFrames leaks plans)
+    key = (tag, app_id, sf_dir)
     if key not in _STAGE_CACHE:
         _STAGE_CACHE[key] = build()
     return _STAGE_CACHE[key]

@@ -256,6 +256,26 @@ def test_stage_memo_selective_clear_keeps_other_family(spark):
     assert not _STAGE_CACHE
 
 
+def test_stage_memo_evicts_dead_session_entries(spark):
+    """memo_stage must drop entries keyed to a different applicationId:
+    handles from a stopped session hold unreachable block references
+    (localCheckpoint blocks die with their session), and across session
+    restarts in one long process the cache would grow without bound."""
+    from hadoop_trans_spark.operators.stage import _STAGE_CACHE, memo_stage
+
+    clear = lambda: _STAGE_CACHE.clear()  # noqa: E731
+    clear()
+    try:
+        _STAGE_CACHE[("old_tag", "app-dead-123", "sf")] = "stale-handle"
+        got = memo_stage(spark, "sf", "fresh_tag", lambda: "built")
+        assert got == "built"
+        apps = {k[1] for k in _STAGE_CACHE}
+        assert apps == {spark.sparkContext.applicationId}
+        assert ("old_tag", "app-dead-123", "sf") not in _STAGE_CACHE
+    finally:
+        clear()
+
+
 def test_chained_rollup_multi_batch_equals_single_batch(spark, smoke_dir, tmp_path):
     """q141's two stateful operators across MULTIPLE micro-batches: the
     same events split into two files (processed oldest-first with
