@@ -507,13 +507,29 @@ def q12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rsd=0.01 is deterministic for a given dataset, so the flag is stable);
     the oracle recomputes the exact count and expects the flag to be 1.
     A drifting estimator fails the hash gate instead of hiding behind a
-    rows-only check."""
+    rows-only check.
+
+    Shape note: the exact and approx distinct are deliberately computed
+    AFTER a (flag, orderkey) dedup rather than side by side in one agg.
+    Mixing countDistinct with approx_count_distinct in a single agg makes
+    Spark partial-aggregate at the (flag, orderkey) grain with a full HLL
+    sketch buffer (rsd=0.01 -> 1,639 longs, ~13 KB) attached to EVERY
+    partial row, so the shuffle carries |distinct keys| x 13 KB — ~27 s at
+    sf0.1 and catastrophic at 100 TB. Deduping first shuffles only the two
+    narrow key columns; the sketches then exist only at one-per-flag-per-
+    partition granularity. HLL++ is duplicate-insensitive, so the estimate
+    over the deduped set is bit-identical to the estimate over the raw
+    rows."""
     li = table(spark, sf_dir, "lineitem")
+    deduped = (
+        li.select(F.col("l_returnflag").alias("flag"), "l_orderkey")
+        .dropDuplicates(["flag", "l_orderkey"])
+    )
     return (
-        li.groupBy(F.col("l_returnflag").alias("flag"))
+        deduped.groupBy("flag")
         .agg(
             F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.count("*").alias("exact_orders"),
         )
         .select(
             "flag",

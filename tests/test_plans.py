@@ -974,3 +974,22 @@ def test_sweep_latest_status_wins_by_round_number_not_filename_order():
     rounds = {10: {"qx": red}, 2: {"qx": green}}
     _, last_ok = mod.latest_status(rounds, {"qx"})
     assert last_ok == {"qx": False}
+
+
+def test_approx_distinct_sketches_built_per_flag_not_per_key(spark, smoke_dir):
+    """q12: the HLL sketch (rsd=0.01 -> ~13 KB of buffer per partial row)
+    must be built only at per-flag granularity. Mixing countDistinct and
+    approx_count_distinct in one agg makes Spark attach the sketch to
+    every (flag, orderkey) partial row, shuffling |distinct keys| x 13 KB
+    (~27 s at sf0.1, catastrophic at 100 TB). The dedup-first shape keeps
+    l_orderkey out of every sketch-building aggregate's grouping keys."""
+    df = QUERIES["q12_approx_distinct"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    sketch_lines = [
+        ln for ln in plan.splitlines() if "approx_count_distinct" in ln
+    ]
+    assert sketch_lines, plan
+    for ln in sketch_lines:
+        m = re.search(r"keys=\[([^\]]*)\]", ln)
+        assert m is not None, ln
+        assert "l_orderkey" not in m.group(1), ln
