@@ -163,8 +163,11 @@ def ivf_topk(
     cent_cos = dot(F.col("q_vec"), F.col("centroid")) / (
         F.col("q_n") * F.sqrt(dot(F.col("centroid"), F.col("centroid")))
     )
+    # cents is O(number of cells) by construction — broadcast explicitly
+    # rather than trusting post-aggregation size estimates, so the probe
+    # never degrades to a CartesianProduct at scale.
     probed = (
-        q.crossJoin(cents)
+        q.crossJoin(F.broadcast(cents))
         .withColumn("cell_cos", cent_cos)
         .withColumn("cell_rank", F.row_number().over(cw))
         .where(F.col("cell_rank") <= n_probe)
