@@ -56,6 +56,7 @@ HEADLINE = [
     "q08_semi_anti_customers",
     "q10_asof_click_to_view",
     "q11_agg_battery",
+    "q12_approx_distinct",
     "q14_cube",
     "q18_dedup_keep_first",
     "q20_window_rank",
