@@ -929,9 +929,19 @@ def q192_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
     )
-    sk = ev.groupBy("event_type").agg(
+    # Dedup to (event_type, user_id) BEFORE aggregating (the q12 shape):
+    # mixing countDistinct with hll_sketch_agg in one agg would make
+    # Spark build a KB-sized sketch partial per (event_type, user_id)
+    # row and shuffle |users| x sketch bytes. Deduping first shuffles
+    # only the two narrow key columns; HLL is duplicate-insensitive, so
+    # the sketch over the deduped set is identical, and count(*) over it
+    # IS the exact distinct.
+    dedup = ev.select("event_type", "user_id").dropDuplicates(
+        ["event_type", "user_id"]
+    )
+    sk = dedup.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
-        F.countDistinct("user_id").alias("exact_n"),
+        F.count("*").alias("exact_n"),
     )
     one = sk.agg(
         F.hll_sketch_estimate(

@@ -993,3 +993,20 @@ def test_approx_distinct_sketches_built_per_flag_not_per_key(spark, smoke_dir):
         m = re.search(r"keys=\[([^\]]*)\]", ln)
         assert m is not None, ln
         assert "l_orderkey" not in m.group(1), ln
+
+
+def test_hll_intersection_sketches_built_per_segment_not_per_user(
+    spark, smoke_dir
+):
+    """q192: same contract as q12 — the lgConfigK=14 sketch (KB-sized
+    partial buffer) must be built only at per-event_type granularity,
+    never per (event_type, user_id) partial row. The dedup-first shape
+    keeps user_id out of every sketch-building aggregate's keys."""
+    df = QUERIES["q192_hll_intersection"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    sketch_lines = [ln for ln in plan.splitlines() if "hll_sketch_agg" in ln]
+    assert sketch_lines, plan
+    for ln in sketch_lines:
+        m = re.search(r"keys=\[([^\]]*)\]", ln)
+        assert m is not None, ln
+        assert "user_id" not in m.group(1), ln
