@@ -86,6 +86,7 @@ HEADLINE = [
     "q178_market_basket",
     "q183_stream_windowed_topk",
     "q187_rolling_hll_distinct",
+    "q192_hll_intersection",
     "q196_daily_acf",
     "q203_holt_forecast",
     "q204_adamic_adar",
