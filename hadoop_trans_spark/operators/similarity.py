@@ -101,8 +101,13 @@ def cosine_topk(
         _dbl(F.col(vec)).alias("c_vec"),
         norm(F.col(vec)).alias("c_n"),
     )
+    # The query set is the small side by contract (|queries| ≪ corpus);
+    # broadcast it explicitly so the all-pairs scan streams the corpus
+    # against an in-memory query table instead of ever materializing a
+    # shuffled CartesianProduct (stats on a filtered query subset can
+    # misestimate at scale).
     scored = (
-        q.crossJoin(c)
+        F.broadcast(q).crossJoin(c)
         .where(F.col(query_id) != F.col(corpus_id))
         .withColumn(
             "cos",
