@@ -1059,11 +1059,19 @@ def q226_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k vocabulary entries cover, at k ∈ {10,50,100,500,1000} — the
     first question of tokenizer/vocab design (Zipf's law makes small k
     cover most mass; q188 fits the slope, this reads the curve). One
-    corpus hash agg builds the vocab; the rank runs over the O(vocab)
-    count table (the q130 pattern — vocabulary, never raw tokens), and
-    the five cutoffs evaluate in one grouped pass."""
+    corpus hash agg builds the vocab; only ranks <= max(k)=1000 can
+    contribute, so the rank runs AFTER a distributed top-1000 cut
+    (orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    partial top-k, never the full vocabulary through one window task;
+    same shape as q133/q188) and the in-window frame is 1000 rows at
+    any scale. The corpus total is a plain aggregate, and the five
+    cutoffs evaluate in one grouped pass over 1000x5 rows. The vocab
+    table materializes once (tokenize runs a single time for its two
+    consumers: the total aggregate and the top-1000 cut)."""
+    from ..operators.stage import materialize_stage, parallelize_stage
+
     toks = (
-        table(spark, sf_dir, "documents")
+        parallelize_stage(table(spark, sf_dir, "documents"))
         .select(
             F.explode(
                 F.split(F.lower("text"), "[^a-z]+")
@@ -1071,14 +1079,17 @@ def q226_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("w") != "")
     )
-    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
-    ranked = vocab.select(
+    vocab = materialize_stage(
+        toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    )
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    top = vocab.orderBy(F.col("cnt").desc(), "w").limit(1000)
+    ranked = top.select(
         "cnt",
         F.row_number()
         .over(Window.orderBy(F.col("cnt").desc(), "w"))
         .alias("rk"),
-        F.sum("cnt").over(Window.partitionBy()).alias("total"),
-    )
+    ).crossJoin(F.broadcast(tot))
     ks = spark.createDataFrame(
         [(10,), (50,), (100,), (500,), (1000,)], "k long"
     )

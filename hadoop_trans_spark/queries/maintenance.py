@@ -328,42 +328,66 @@ def q137_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key count, hottest-key share, exact p50/p99 per-key frequencies,
     and the Gini coefficient of the frequency distribution (0 = uniform,
     →1 = one key owns the table). Plan shape: one hash aggregate per key
-    column reduces the table to O(distinct keys); every statistic after
-    that operates on the reduced table (the rank window sorts keys, not
-    rows — at 100 TB distinct keys are ~1e6-1e8, and the single window
-    can be banded by count range exactly like q130's vocabulary ranks).
-    Quantiles are pre-rounded at 1e-9 (q124 pattern); the Gini rank sum
-    is exact integer arithmetic in both engines."""
+    column reduces the table to O(distinct keys), a second collapses
+    that to the distinct-COUNT histogram (c, m keys sharing count c) —
+    and every statistic reads off the histogram. Keys tied at count c
+    occupy consecutive ranks (ties broken by key), so their rank sum is
+    m·off + m(m+1)/2 independent of key order: the Gini rank sum needs
+    no per-key rank at all. (The naive per-key row_number window pushes
+    1e6-1e8 keys through ONE task at 100 TB; the histogram window sees
+    only distinct counts — thousands at any scale.) Quantiles use
+    percentile's frequency argument over the same histogram, pre-rounded
+    at 1e-9 (q124 pattern); the rank sum is exact integer arithmetic in
+    both engines (m(m+1) is even, so DIV 2 is exact)."""
 
     def leg(df: DataFrame, key: str) -> DataFrame:
         counts = df.groupBy(F.col(key).alias("k")).agg(
             F.count("*").alias("c")
         )
-        w = Window.orderBy("c", "k")
-        ranked = counts.select("c", F.row_number().over(w).alias("rk"))
-        agged = ranked.agg(
-            F.count("*").alias("n_keys"),
-            F.sum("c").alias("n_rows"),
+        hist = counts.groupBy("c").agg(F.count("*").alias("m"))
+        woff = Window.orderBy("c").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        h = hist.withColumn(
+            "off", F.coalesce(F.sum("m").over(woff), F.lit(0))
+        )
+        agged = h.agg(
+            F.sum("m").alias("n_keys"),
+            F.sum(F.col("c") * F.col("m")).alias("n_rows"),
             F.max("c").alias("max_c"),
-            F.round(F.max("c").cast("double") / F.sum("c"), 6)
+            F.round(
+                F.max("c").cast("double")
+                / F.sum(F.col("c") * F.col("m")),
+                6,
+            )
             .cast("double")
             .alias("max_share"),
-            F.round(F.round(F.expr("percentile(c, 0.5)"), 9), 6)
+            F.round(F.round(F.expr("percentile(c, 0.5D, m)"), 9), 6)
             .cast("double")
             .alias("p50_c"),
-            F.round(F.round(F.expr("percentile(c, 0.99)"), 9), 6)
+            F.round(F.round(F.expr("percentile(c, 0.99D, m)"), 9), 6)
             .cast("double")
             .alias("p99_c"),
+            F.expr("sum(c * (m * off + (m * (m + 1)) div 2))").alias(
+                "rksum"
+            ),
+        )
+        return agged.select(
+            "n_keys",
+            "n_rows",
+            "max_c",
+            "max_share",
+            "p50_c",
+            "p99_c",
             F.round(
-                F.lit(2.0) * F.sum(F.col("rk") * F.col("c"))
-                / (F.count("*") * F.sum("c"))
-                - (F.count("*") + F.lit(1.0)) / F.count("*"),
+                F.lit(2.0) * F.col("rksum")
+                / (F.col("n_keys") * F.col("n_rows"))
+                - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys"),
                 6,
             )
             .cast("double")
             .alias("gini"),
-        )
-        return agged.withColumn("key_col", F.lit(key))
+        ).withColumn("key_col", F.lit(key))
 
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")

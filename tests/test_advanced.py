@@ -290,3 +290,101 @@ def test_linear_attribution_matches_python_model(spark, smoke_dir):
     for day, (n, credit) in got.items():
         assert n == want[day][0]
         assert abs(credit - round(want[day][1], 6)) < 1e-6, day
+
+
+def test_banded_row_number_numeric_band_with_negatives(spark):
+    """floor(v/width) banding must stay order-consistent across zero
+    (floor, not truncate-toward-zero) and reproduce the single-window
+    rank exactly."""
+    from hadoop_trans_spark.operators.globalrank import (
+        global_row_number_banded,
+    )
+
+    rows = [(i, v) for i, v in enumerate([-250, -101, -100, -1, 0, 1, 99, 100, 250])]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_number_banded(
+            df, F.floor(F.col("v") / 100), ["v", "id"], rank_col="rn"
+        ).collect()
+    }
+    ref = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == ref
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(max_examples=6, deadline=None)
+def test_banded_cumsum_matches_single_window(spark, seed):
+    """Inclusive and exclusive banded running totals must equal the
+    single-window cumulative sums for long AND decimal columns — the
+    histogram shapes the stats family feeds it (duplicate-free ordered
+    keys, skewed band occupancy, empty bands)."""
+    from decimal import Decimal
+
+    from hadoop_trans_spark.operators.globalrank import banded_cumsum
+
+    rng = random.Random(seed)
+    vals = sorted(rng.sample(range(-500, 2000), rng.randint(1, 80)))
+    rows = [
+        (v, rng.randint(1, 9), Decimal(rng.randint(-999, 999)) / 100)
+        for v in vals
+    ]
+    df = spark.createDataFrame(rows, "v long, c long, s decimal(19,6)")
+    out = banded_cumsum(
+        df,
+        "v",
+        F.floor(F.col("v") / 100),
+        {"cn": "c", "cs": "s"},
+    )
+    out_ex = banded_cumsum(
+        df,
+        "v",
+        F.floor(F.col("v") / 100),
+        {"bn": "c"},
+        exclusive=True,
+    )
+    got = {r["v"]: (r["cn"], r["cs"]) for r in out.collect()}
+    got_ex = {r["v"]: r["bn"] for r in out_ex.collect()}
+    run_c, run_s = 0, Decimal(0)
+    for v, c, s in rows:
+        assert got_ex[v] == run_c, (v, seed)
+        run_c += c
+        run_s += s
+        assert got[v] == (run_c, run_s), (v, seed)
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(max_examples=6, deadline=None)
+def test_freq_banded_ids_match_single_window(spark, seed):
+    """Two-level (count, token-prefix) id assignment must equal the
+    single-window row_number over (count DESC, token ASC) — including
+    hapax pileups (many tokens tied at count 1), prefix collisions, and
+    tokens shorter than the prefix."""
+    from hadoop_trans_spark.operators.globalrank import freq_banded_ids
+
+    rng = random.Random(seed)
+    alphabet = ["a", "ab", "abc", "abd", "b", "ba", "bb", "z", "zz", "x"]
+    toks = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 2)))
+        for _ in range(rng.randint(1, 120))
+    ]
+    counts = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    df = spark.createDataFrame(list(counts.items()), "w string, c long")
+    got = {
+        r["w"]: r["tok_id"] for r in freq_banded_ids(df).collect()
+    }
+    ref = {
+        r["w"]: r["rn"]
+        for r in df.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), "w")),
+        ).collect()
+    }
+    assert got == ref
