@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..operators.cooccur import copurchase_pairs
-from ..operators.globalrank import global_row_number
+from ..operators.globalrank import banded_cumsum, global_row_number
 from ..operators.skyline import pareto_frontier
 from .base import DEC, dsum, o_dsum, query, ts_micros
 
@@ -1642,18 +1642,21 @@ def q220_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def cuts(col: str):
+    def cuts(col: str, band_width: int):
+        # Banded cumulative histogram (see banded_cumsum): the monetary
+        # leg's distinct values scale with the customer count, so even
+        # the distinct-value cumsum must not funnel one task.
         hist = m.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
-        cum = hist.select(
-            "v",
-            F.sum("cnt")
-            .over(
-                Window.orderBy("v").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
+        tot = hist.agg(F.sum("cnt").alias("n"))
+        cum = (
+            banded_cumsum(
+                hist,
+                "v",
+                F.floor(F.col("v") / band_width),
+                {"c": "cnt"},
             )
-            .alias("c"),
-            F.sum("cnt").over(Window.partitionBy()).alias("n"),
+            .select("v", "c")
+            .crossJoin(F.broadcast(tot))
         )
         js = m.sparkSession.range(1, 5).select(
             F.col("id").cast("long").alias("j")
@@ -1674,9 +1677,9 @@ def q220_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = (
         m.crossJoin(
             F.broadcast(
-                cuts("rec")
-                .join(cuts("freq"), "j")
-                .join(cuts("mon"), "j")
+                cuts("rec", 100)
+                .join(cuts("freq", 8), "j")
+                .join(cuts("mon", 10000), "j")
             )
         )
         .groupBy("o_custkey", "mon")

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
+from ..operators.globalrank import banded_cumsum
 from .base import DEC, query
 
 
@@ -240,10 +241,11 @@ def q196_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q198_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUC of document length as a predictor of lang='en', via the
     Mann-Whitney rank-sum identity with midrank tie handling. The fact
-    table collapses to per-score (cnt, pos) in one hash agg; the only
-    window is the cumulative count over DISTINCT scores (metadata-sized
-    — never a global per-row rank of the corpus, which is the naive
-    formulation that dies at 100 TB). Rank sums stay exact decimals."""
+    table collapses to per-score (cnt, pos) in one hash agg; the
+    cumulative count over DISTINCT scores is band-decomposed
+    (banded_cumsum, floor(score/1000) bands — never a global per-row
+    rank of the corpus, and no single task sees the whole score
+    histogram either). Rank sums stay exact decimals."""
     lab = table(spark, sf_dir, "documents").select(
         F.col("n_chars").alias("score"),
         (F.col("lang") == "en").cast("int").alias("y"),
@@ -251,12 +253,12 @@ def q198_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = lab.groupBy("score").agg(
         F.count("*").alias("cnt"), F.sum("y").alias("pos")
     )
-    w = (
-        Window.orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = grp.withColumn(
-        "below", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ranked = banded_cumsum(
+        grp,
+        "score",
+        F.floor(F.col("score") / 1000),
+        {"below": "cnt"},
+        exclusive=True,
     )
     agg = ranked.agg(
         F.sum("pos").alias("npos"),
@@ -525,23 +527,24 @@ def q216_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-value histogram at ceil(j·n/10) (exact integer logic, no
     interpolated quantiles), and bucket populations are differences of
     the same cumulative table — so actual depths are visibly near-equal
-    but exact, including duplicate-value pileups. Windows run over
-    DISTINCT values only; the fact table sees one hash agg."""
+    but exact, including duplicate-value pileups. The cumulative count
+    runs over DISTINCT values only AND band-decomposed (banded_cumsum,
+    floor(v/10000) bands): distinct near-continuous prices scale with
+    the data, so even the distinct-value window must never be a single
+    task; the grand total is a plain aggregate joined back as one
+    broadcast row."""
     vals = (
         table(spark, sf_dir, "orders")
         .groupBy(F.col("o_totalprice").alias("v"))
         .agg(F.count("*").alias("cnt"))
     )
-    cum = vals.select(
-        "v",
-        F.sum("cnt")
-        .over(
-            Window.orderBy("v").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
+    tot = vals.agg(F.sum("cnt").alias("n"))
+    cum = (
+        banded_cumsum(
+            vals, "v", F.floor(F.col("v") / 10000), {"c": "cnt"}
         )
-        .alias("c"),
-        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+        .select("v", "c")
+        .crossJoin(F.broadcast(tot))
     )
     js = spark.range(1, 11).select(F.col("id").cast("long").alias("j"))
     b = (
@@ -856,29 +859,27 @@ def q232_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentration — the scalar twin of q165's share table and q182's
     lift curve). Computed from the DISTINCT-spend histogram with the
     trapezoid identity: cumulative counts and decimal spend sums give
-    G without ranking individual customers, so the only window runs
-    over O(distinct spend values). Exact decimal staging end-to-end;
-    one double division at the finish."""
+    G without ranking individual customers; the distinct-spend
+    cumulatives are band-decomposed (banded_cumsum, floor(v/10000)
+    bands — distinct spends scale with the customer count, so no
+    single task may see them all) and the totals are a plain aggregate
+    broadcast back. Exact decimal staging end-to-end (banding
+    re-associates only exact long/decimal sums); one double division
+    at the finish."""
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6)
         .cast("double")
         .alias("v")
     )
-    hist = spend.groupBy("v").agg(F.count("*").alias("c"))
     d6 = "decimal(19,6)"
-    wc = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    hist = spend.groupBy("v").agg(F.count("*").alias("c")).withColumn(
+        "vs", F.col("v").cast(d6) * F.col("c")
     )
-    wa = Window.partitionBy()
-    cum = hist.select(
-        "v",
-        "c",
-        F.sum("c").over(wc).alias("cn"),
-        F.sum(F.col("v").cast(d6) * F.col("c")).over(wc).alias("cs"),
-        F.sum("c").over(wa).alias("n"),
-        F.sum(F.col("v").cast(d6) * F.col("c")).over(wa).alias("s"),
-    )
+    tot = hist.agg(F.sum("c").alias("n"), F.sum("vs").alias("s"))
+    cum = banded_cumsum(
+        hist, "v", F.floor(F.col("v") / 10000), {"cn": "c", "cs": "vs"}
+    ).crossJoin(F.broadcast(tot))
     return cum.agg(
         F.max("n").cast("long").alias("n_customers"),
         F.round(F.max("s").cast("double"), 6)
@@ -948,9 +949,11 @@ def q233_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     order totals — the nonparametric companion to q228's PSI (no
     binning choice to defend): D = max |ECDF_ref − ECDF_cur| evaluated
     at merged distinct values via cumulative integer counts, plus the
-    large-sample 95% critical value. The only window runs over the
-    DISTINCT-value histogram; the ECDF never materializes per row. One
-    fact agg → O(distinct prices) → 1 row."""
+    large-sample 95% critical value. The cumulatives run over the
+    DISTINCT-value histogram, band-decomposed (banded_cumsum,
+    floor(x/10000) bands — distinct prices scale with the data); the
+    ECDF never materializes per row. One fact agg → O(distinct
+    prices, partitioned) → 1 row."""
     v = table(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("x"),
         (F.col("o_orderdate") < "1996-01-01").cast("int").alias("grp"),
@@ -959,15 +962,13 @@ def q233_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("grp").alias("ca"),
         F.sum(1 - F.col("grp")).alias("cb"),
     )
-    wc = Window.orderBy("x").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wa = Window.partitionBy()
-    cum = h.select(
-        F.sum("ca").over(wc).alias("cna"),
-        F.sum("cb").over(wc).alias("cnb"),
-        F.sum("ca").over(wa).alias("na"),
-        F.sum("cb").over(wa).alias("nb"),
+    tot = h.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    cum = (
+        banded_cumsum(
+            h, "x", F.floor(F.col("x") / 10000), {"cna": "ca", "cnb": "cb"}
+        )
+        .select("cna", "cnb")
+        .crossJoin(F.broadcast(tot))
     )
     diff = F.abs(
         F.col("cna").cast("double") / F.col("na")
@@ -1218,8 +1219,10 @@ def q240_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the diagonal q232's Gini summarizes (and the 'bottom 50% hold
     X%' numbers analysts actually quote). Boundaries and cumulative
     spend both read off the DISTINCT-spend histogram (the repo's
-    percentile_disc pattern carrying a decimal spend accumulator);
-    nothing ranks individual customers."""
+    percentile_disc pattern carrying a decimal spend accumulator),
+    band-decomposed via banded_cumsum (floor(v/10000) bands) so no
+    single task sees the full histogram; nothing ranks individual
+    customers."""
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6)
@@ -1231,16 +1234,13 @@ def q240_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("c"),
         F.sum(F.col("v").cast(d6)).alias("s"),
     )
-    wc = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wa = Window.partitionBy()
-    cum = hist.select(
-        "v",
-        F.sum("c").over(wc).alias("cn"),
-        F.sum("s").over(wc).alias("cs"),
-        F.sum("c").over(wa).alias("n"),
-        F.sum("s").over(wa).alias("st"),
+    tot = hist.agg(F.sum("c").alias("n"), F.sum("s").alias("st"))
+    cum = (
+        banded_cumsum(
+            hist, "v", F.floor(F.col("v") / 10000), {"cn": "c", "cs": "s"}
+        )
+        .select("v", "cn", "cs")
+        .crossJoin(F.broadcast(tot))
     )
     ds = spark.range(1, 11).select(F.col("id").cast("long").alias("decile"))
     at_cut = F.when(
@@ -1317,25 +1317,21 @@ def q241_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     above-median account balance associate with having a fulfilled
     order? (Completes the inference toolkit next to q199's z-test,
     q230's Wilson bounds, and q233's KS.) The exposure cut is the
-    discrete median off the cumulative balance histogram; one customer-
+    discrete median off the cumulative balance histogram (banded_cumsum
+    over floor(v/500) bands — the balance domain is fixed but the
+    distinct-value pileup still never funnels one task); one customer-
     keyed outcome agg builds the 2×2 table; the OR math is O(1). The
     CI uses exp/ln only on scalar cell counts — a 1-row computation,
     not a data-path libm dependence."""
     cust = table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_acctbal").alias("v")
     )
-    wc = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wa = Window.partitionBy()
+    bal = cust.groupBy("v").agg(F.count("*").alias("cnt"))
+    tot = bal.agg(F.sum("cnt").alias("n"))
     med = (
-        cust.groupBy("v")
-        .agg(F.count("*").alias("cnt"))
-        .select(
-            "v",
-            F.sum("cnt").over(wc).alias("c"),
-            F.sum("cnt").over(wa).alias("n"),
-        )
+        banded_cumsum(bal, "v", F.floor(F.col("v") / 500), {"c": "cnt"})
+        .select("v", "c")
+        .crossJoin(F.broadcast(tot))
         .agg(
             F.min(
                 F.when(F.col("c") >= F.ceil(0.5 * F.col("n")), F.col("v"))

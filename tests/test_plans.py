@@ -1010,3 +1010,49 @@ def test_hll_intersection_sketches_built_per_segment_not_per_user(
         m = re.search(r"keys=\[([^\]]*)\]", ln)
         assert m is not None, ln
         assert "user_id" not in m.group(1), ln
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q198_auc_rank",
+        "q216_equidepth_histogram",
+        "q232_gini_spend",
+        "q233_ks_test",
+        "q240_lorenz_curve",
+        "q241_odds_ratio",
+        "q220_rfm_segments",
+    ],
+)
+def test_cumulative_histograms_are_band_partitioned(name, spark, smoke_dir):
+    """The distinct-value cumulative histograms (ECDF / percentile-disc
+    family) must run their running totals through banded_cumsum: the
+    executed plan carries a window PARTITIONED on the band column
+    (_bkt), so no single task ever sorts the whole distinct-value
+    table — distinct near-continuous values scale with the data. The
+    only unpartitioned windows left consume metadata-sized frames (the
+    band-offsets table, literal bin frames)."""
+    df = QUERIES[name](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan, f"{name}: banded window missing\n{plan}"
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_key_skew_profile_needs_no_per_key_rank(spark, smoke_dir):
+    """q137: the Gini rank sum folds to the distinct-count histogram
+    (consecutive-rank identity), so NO row_number / rank window may
+    appear in the plan at all — the former per-key global rank pushed
+    every distinct key through one task."""
+    df = QUERIES["q137_key_skew_profile"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan, plan
+    assert "percentile" in plan, plan
+
+
+def test_vocab_coverage_rank_after_distributed_top1000(spark, smoke_dir):
+    """q226: only ranks <= 1000 contribute, so the rank window must sit
+    above a TakeOrderedAndProject(limit=1000) — per-partition partial
+    top-k — never over the full vocabulary (the q133/q188 shape)."""
+    df = QUERIES["q226_vocab_coverage"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=1000" in plan, plan
