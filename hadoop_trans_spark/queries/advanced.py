@@ -21,7 +21,11 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..operators.cooccur import copurchase_pairs
-from ..operators.globalrank import banded_cumsum, global_row_number
+from ..operators.globalrank import (
+    banded_cumsum,
+    global_row_number,
+    global_row_number_banded,
+)
 from ..operators.skyline import pareto_frontier
 from .base import DEC, dsum, o_dsum, query, ts_micros
 
@@ -1187,26 +1191,46 @@ def q182_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare each decile's conversion rate (placed ≥1 order) to the base
     rate. The conversion label is a left-semi-join-derived flag (never a
     correlated per-row subquery at execution — Catalyst decorrelates,
-    q146's guarantee), the decile cut is one ntile window over a total
-    order, and lift is a projection over the O(10) decile aggregate with
-    the 1-row base rate broadcast. At 100 TB the global ntile sort is
-    the hinge: production replaces it with approx-percentile boundaries
-    (q109/q111's pattern) — documented here because at fixture scale the
-    exact cut is the oracle-checkable semantics."""
+    q146's guarantee), and lift is a projection over the O(10) decile
+    aggregate with the 1-row base rate broadcast. The decile cut is
+    NTILE over a total order, computed scalably: a banded global row
+    number (global_row_number_banded, floor(-acctbal/100) bands — the
+    plain ntile window is a single-task global sort of every customer
+    at 100 TB) plus NTILE's exact closed form from (rank, n): the
+    first n%10 tiles hold n/10+1 rows, the rest n/10 — integer DIV
+    arithmetic, bit-identical to the window ntile."""
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     o = table(spark, sf_dir, "orders").select("o_custkey").distinct()
-    conv = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .select(
+    from ..operators.stage import materialize_stage
+
+    # conv feeds three consumers (base-rate total, band counts, ranked
+    # join-back); it is customer-dimension-sized, so one materialization
+    # beats recomputing the semi-join flag per consumer.
+    conv = materialize_stage(
+        c.join(o, c.c_custkey == o.o_custkey, "left").select(
             "c_custkey",
             "c_acctbal",
             F.col("o_custkey").isNotNull().cast("int").alias("y"),
         )
     )
-    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
-    ranked = conv.select("y", F.ntile(10).over(w).alias("decile"))
     tot = conv.agg(
         F.sum("y").cast("bigint").alias("pos"), F.count("*").alias("n")
+    )
+    rk = global_row_number_banded(
+        conv,
+        F.floor(F.col("c_acctbal") / F.lit(-100)),
+        [F.desc("c_acctbal"), "c_custkey"],
+        rank_col="rk",
+    )
+    ranked = rk.crossJoin(F.broadcast(tot)).select(
+        "y",
+        F.expr(
+            "CAST(CASE WHEN n < 10 THEN rk"
+            " WHEN rk <= (n % 10) * (n DIV 10 + 1)"
+            " THEN (rk - 1) DIV (n DIV 10 + 1) + 1"
+            " ELSE (n % 10) + (rk - (n % 10) * (n DIV 10 + 1) - 1)"
+            "      DIV (n DIV 10) + 1 END AS INT)"
+        ).alias("decile"),
     )
     per = ranked.groupBy("decile").agg(
         F.count("*").alias("n_cust"),

@@ -395,12 +395,17 @@ def q130_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer dictionary encoding: build a frequency-ranked vocabulary
     (id 1 = most common token, ties by token text) and re-encode each
     document's token stream as ids — the step between raw text and any
-    training tensor. The id assignment is a row_number over the O(vocab)
-    count table (at 100 TB vocabularies, assign ids as frequency-band ×
-    within-band rank so no single-partition sort sees the whole vocab);
-    the encode itself is a plain token→id equi-join (never broadcast —
-    Heaps' law) with order carried by posexplode position. Output keeps
+    training tensor. The id assignment runs over the O(vocab) count
+    table as frequency-band × within-band rank (freq_banded_ids: exact
+    count bands whose offset table is distinct-count-sized, then a
+    token-prefix split inside each count so the hapax pileup never
+    sorts in one task — the single-window row_number would funnel the
+    whole vocabulary through one partition at 100 TB); the encode
+    itself is a plain token→id equi-join (never broadcast — Heaps'
+    law) with order carried by posexplode position. Output keeps
     the first 12 ids per doc as a string so the result stays narrow."""
+    from ..operators.globalrank import freq_banded_ids
+
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -411,9 +416,15 @@ def q130_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "w"),
     )
-    vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
-    wv = Window.orderBy(F.col("c").desc(), F.col("w"))
-    ids = vocab.select("w", F.row_number().over(wv).alias("tok_id"))
+    from ..operators.stage import materialize_stage
+
+    # freq_banded_ids consumes the vocab twice ((count, prefix) band
+    # table + the ranked join-back) and exchange reuse does not dedup
+    # the tokenize subtree — materialize it once.
+    vocab = materialize_stage(
+        toks.groupBy("w").agg(F.count("*").alias("c"))
+    )
+    ids = freq_banded_ids(vocab, "c", "w", "tok_id").select("w", "tok_id")
     return (
         toks.join(ids, "w")
         .groupBy("doc_id")

@@ -1056,3 +1056,27 @@ def test_vocab_coverage_rank_after_distributed_top1000(spark, smoke_dir):
     df = QUERIES["q226_vocab_coverage"](spark, smoke_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject(limit=1000" in plan, plan
+
+
+def test_token_ids_rank_is_frequency_banded(spark, smoke_dir):
+    """q130: the vocabulary id assignment must carry the two-level
+    (count, token-prefix) banded windows — partition markers _p from
+    freq_banded_ids — never a single unpartitioned row_number over the
+    whole vocab table."""
+    df = QUERIES["q130_token_ids"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_p" in plan, plan
+    win_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "_p" in ln, ln  # every rank window is band-partitioned
+
+
+def test_decile_lift_ntile_is_banded_rank(spark, smoke_dir):
+    """q182: the decile cut must come from the banded global row number
+    (partition marker _bkt) plus the closed-form NTILE arithmetic — the
+    plain ntile window is a single-task global sort of every customer."""
+    df = QUERIES["q182_decile_lift"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan, plan
+    assert "ntile" not in plan, plan
