@@ -99,6 +99,7 @@ def banded_cumsum(
     band: Column,
     cum_cols: dict[str, str],
     exclusive: bool = False,
+    totals: dict[str, str] | None = None,
 ) -> DataFrame:
     """Append running totals under ``ORDER BY order_col`` (ascending).
 
@@ -110,11 +111,26 @@ def banded_cumsum(
     with domain-bounded cardinality; ``order_col`` must be unique per
     row (a histogram key) and non-null. ``exclusive=True`` sums strictly
     preceding rows only (frame ``(unbounded, -1)``).
+
+    ``totals`` maps grand-total output name -> a ``cum_cols`` output
+    name; each is the exact sum of that column's source over the whole
+    frame, computed from the band-totals table (sum of band sums — no
+    second pass over ``df``, which matters because exchange reuse does
+    not dedup the histogram subtree) and cross-joined back as one
+    broadcast row.
     """
     b = df.withColumn("_bkt", band)
     per = b.groupBy("_bkt").agg(
         *[F.sum(src).alias(f"_t_{out}") for out, src in cum_cols.items()]
     )
+    if totals:
+        # per feeds both the offsets and the grand totals; it is
+        # band-cardinality-sized (metadata), so materializing it once
+        # keeps the data-sized input from being recomputed per consumer
+        # (exchange reuse does not dedup the shared subtree).
+        from .stage import materialize_stage
+
+        per = materialize_stage(per)
     woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = per.select(
         "_bkt",
@@ -138,7 +154,16 @@ def banded_cumsum(
             F.coalesce(F.sum(src).over(win), F.lit(0))
             + F.col(f"_off_{name}"),
         )
-    return out.drop("_bkt", *[f"_off_{n}" for n in cum_cols])
+    out = out.drop("_bkt", *[f"_off_{n}" for n in cum_cols])
+    if totals:
+        tot = per.agg(
+            *[
+                F.sum(f"_t_{cum_name}").alias(total_name)
+                for total_name, cum_name in totals.items()
+            ]
+        )
+        out = out.crossJoin(F.broadcast(tot))
+    return out
 
 
 def freq_banded_ids(

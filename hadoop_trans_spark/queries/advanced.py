@@ -1671,17 +1671,13 @@ def q220_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # leg's distinct values scale with the customer count, so even
         # the distinct-value cumsum must not funnel one task.
         hist = m.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
-        tot = hist.agg(F.sum("cnt").alias("n"))
-        cum = (
-            banded_cumsum(
-                hist,
-                "v",
-                F.floor(F.col("v") / band_width),
-                {"c": "cnt"},
-            )
-            .select("v", "c")
-            .crossJoin(F.broadcast(tot))
-        )
+        cum = banded_cumsum(
+            hist,
+            "v",
+            F.floor(F.col("v") / band_width),
+            {"c": "cnt"},
+            totals={"n": "c"},
+        ).select("v", "c", "n")
         js = m.sparkSession.range(1, 5).select(
             F.col("id").cast("long").alias("j")
         )

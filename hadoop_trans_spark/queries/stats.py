@@ -538,14 +538,13 @@ def q216_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_totalprice").alias("v"))
         .agg(F.count("*").alias("cnt"))
     )
-    tot = vals.agg(F.sum("cnt").alias("n"))
-    cum = (
-        banded_cumsum(
-            vals, "v", F.floor(F.col("v") / 10000), {"c": "cnt"}
-        )
-        .select("v", "c")
-        .crossJoin(F.broadcast(tot))
-    )
+    cum = banded_cumsum(
+        vals,
+        "v",
+        F.floor(F.col("v") / 10000),
+        {"c": "cnt"},
+        totals={"n": "c"},
+    ).select("v", "c", "n")
     js = spark.range(1, 11).select(F.col("id").cast("long").alias("j"))
     b = (
         cum.crossJoin(F.broadcast(js))
@@ -876,10 +875,13 @@ def q232_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = spend.groupBy("v").agg(F.count("*").alias("c")).withColumn(
         "vs", F.col("v").cast(d6) * F.col("c")
     )
-    tot = hist.agg(F.sum("c").alias("n"), F.sum("vs").alias("s"))
     cum = banded_cumsum(
-        hist, "v", F.floor(F.col("v") / 10000), {"cn": "c", "cs": "vs"}
-    ).crossJoin(F.broadcast(tot))
+        hist,
+        "v",
+        F.floor(F.col("v") / 10000),
+        {"cn": "c", "cs": "vs"},
+        totals={"n": "cn", "s": "cs"},
+    )
     return cum.agg(
         F.max("n").cast("long").alias("n_customers"),
         F.round(F.max("s").cast("double"), 6)
@@ -962,14 +964,13 @@ def q233_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("grp").alias("ca"),
         F.sum(1 - F.col("grp")).alias("cb"),
     )
-    tot = h.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
-    cum = (
-        banded_cumsum(
-            h, "x", F.floor(F.col("x") / 10000), {"cna": "ca", "cnb": "cb"}
-        )
-        .select("cna", "cnb")
-        .crossJoin(F.broadcast(tot))
-    )
+    cum = banded_cumsum(
+        h,
+        "x",
+        F.floor(F.col("x") / 10000),
+        {"cna": "ca", "cnb": "cb"},
+        totals={"na": "cna", "nb": "cnb"},
+    ).select("cna", "cnb", "na", "nb")
     diff = F.abs(
         F.col("cna").cast("double") / F.col("na")
         - F.col("cnb").cast("double") / F.col("nb")
@@ -1234,14 +1235,13 @@ def q240_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("c"),
         F.sum(F.col("v").cast(d6)).alias("s"),
     )
-    tot = hist.agg(F.sum("c").alias("n"), F.sum("s").alias("st"))
-    cum = (
-        banded_cumsum(
-            hist, "v", F.floor(F.col("v") / 10000), {"cn": "c", "cs": "s"}
-        )
-        .select("v", "cn", "cs")
-        .crossJoin(F.broadcast(tot))
-    )
+    cum = banded_cumsum(
+        hist,
+        "v",
+        F.floor(F.col("v") / 10000),
+        {"cn": "c", "cs": "s"},
+        totals={"n": "cn", "st": "cs"},
+    ).select("v", "cn", "cs", "n", "st")
     ds = spark.range(1, 11).select(F.col("id").cast("long").alias("decile"))
     at_cut = F.when(
         F.col("cn") >= F.ceil(F.col("decile") * F.col("n") / 10.0), F.col("v")
@@ -1327,16 +1327,16 @@ def q241_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.col("c_acctbal").alias("v")
     )
     bal = cust.groupBy("v").agg(F.count("*").alias("cnt"))
-    tot = bal.agg(F.sum("cnt").alias("n"))
-    med = (
-        banded_cumsum(bal, "v", F.floor(F.col("v") / 500), {"c": "cnt"})
-        .select("v", "c")
-        .crossJoin(F.broadcast(tot))
-        .agg(
-            F.min(
-                F.when(F.col("c") >= F.ceil(0.5 * F.col("n")), F.col("v"))
-            ).alias("m")
-        )
+    med = banded_cumsum(
+        bal,
+        "v",
+        F.floor(F.col("v") / 500),
+        {"c": "cnt"},
+        totals={"n": "c"},
+    ).agg(
+        F.min(
+            F.when(F.col("c") >= F.ceil(0.5 * F.col("n")), F.col("v"))
+        ).alias("m")
     )
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
     base = (

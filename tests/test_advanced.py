@@ -340,6 +340,7 @@ def test_banded_cumsum_matches_single_window(spark, seed):
         "v",
         F.floor(F.col("v") / 100),
         {"cn": "c", "cs": "s"},
+        totals={"n": "cn", "st": "cs"},
     )
     out_ex = banded_cumsum(
         df,
@@ -349,6 +350,7 @@ def test_banded_cumsum_matches_single_window(spark, seed):
         exclusive=True,
     )
     got = {r["v"]: (r["cn"], r["cs"]) for r in out.collect()}
+    tots = {(r["n"], r["st"]) for r in out.collect()}
     got_ex = {r["v"]: r["bn"] for r in out_ex.collect()}
     run_c, run_s = 0, Decimal(0)
     for v, c, s in rows:
@@ -356,6 +358,7 @@ def test_banded_cumsum_matches_single_window(spark, seed):
         run_c += c
         run_s += s
         assert got[v] == (run_c, run_s), (v, seed)
+    assert tots == {(run_c, run_s)}, seed
 
 
 @given(seed=st.integers(0, 10_000))
