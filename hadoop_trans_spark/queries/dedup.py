@@ -469,7 +469,11 @@ def q68_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate cluster and `cluster_id` (the component minimum) is the doc
     the cluster-canonical keep rule retains — chains A≈B≈C keep exactly A
     even when the pair (A,C) was never observed, which the pairwise rule
-    (q64) cannot guarantee."""
+    (q64) cannot guarantee. The members string is cluster-sized by the
+    query's own semantics (it IS the member list); at 100 TB a
+    boilerplate mega-cluster would make that one output row huge — cap
+    with slice() (q110's prefix pattern) if the full roster is not
+    required."""
     from ..operators.components import connected_components
 
     comp = connected_components(minhash_pairs(spark, sf_dir))

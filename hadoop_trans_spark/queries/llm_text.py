@@ -171,12 +171,20 @@ def q38_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q110_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build (the search-side twin of the corpus: term →
     document frequency + posting list): lowercase alpha tokens ≥ 4 chars,
-    distinct per doc, one hash aggregation per term. Postings are carried
-    as the first-10 sorted doc ids joined to a string — at 100 TB the
-    full posting lists shard by term (this same groupBy IS the sharding)
-    and the capped prefix is what a dictionary/stats table stores."""
+    distinct per doc. Postings are carried as the first-10 sorted doc
+    ids joined to a string, taken via a rank-limited per-term window
+    (row_number <= 10 compiles to WindowGroupLimit — each map task
+    forwards at most 10 ids per term, so a stopword-like term never
+    builds a df-sized aggregation buffer the way collect-then-slice
+    would); df is a plain count aggregate on the same term key, joined
+    back co-partitioned. The terms table materializes once for its two
+    consumers (the q133 tf convention). At 100 TB the full posting
+    lists shard by term (the groupBy IS the sharding) and the capped
+    prefix is what a dictionary/stats table stores."""
+    from ..operators.stage import materialize_stage
+
     d = table(spark, sf_dir, "documents")
-    terms = (
+    terms = materialize_stage(
         d.select(
             "doc_id",
             F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
@@ -184,16 +192,22 @@ def q110_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("term") >= 4)
         .distinct()
     )
-    return (
-        terms.groupBy("term")
+    stats = terms.groupBy("term").agg(F.count("*").alias("df"))
+    wt = Window.partitionBy("term").orderBy("doc_id")
+    top = (
+        terms.withColumn("rk", F.row_number().over(wt))
+        .where(F.col("rk") <= 10)
+        .groupBy("term")
         .agg(
-            F.count("*").alias("df"),
             F.concat_ws(
-                ",",
-                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10),
-            ).alias("postings10"),
+                ",", F.sort_array(F.collect_list("doc_id"))
+            ).alias("postings10")
         )
+    )
+    return (
+        stats.join(top, "term")
         .where(F.col("df") >= 25)
+        .select("term", "df", "postings10")
         .orderBy("term")
     )
 

@@ -1080,3 +1080,13 @@ def test_decile_lift_ntile_is_banded_rank(spark, smoke_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "_bkt" in plan, plan
     assert "ntile" not in plan, plan
+
+
+def test_inverted_index_postings_rank_limited(spark, smoke_dir):
+    """q110: the 10-id posting prefix must come from a rank-limited
+    per-term window (WindowGroupLimit partial top-k) so no aggregation
+    buffer ever holds a stopword-sized posting list; collect_list runs
+    over at most 10 rows per term."""
+    df = QUERIES["q110_inverted_index"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
