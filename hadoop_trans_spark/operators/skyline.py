@@ -33,7 +33,13 @@ from pyspark.sql import functions as F
 def pareto_frontier(
     df: DataFrame, low: str, high: str, buckets: int = 32
 ) -> DataFrame:
-    """Rows of ``df`` on the Pareto frontier (minimize low, maximize high)."""
+    """Rows of ``df`` on the Pareto frontier (minimize low, maximize high).
+
+    Each phase-1 bucket materializes as one pandas frame (~n/buckets
+    rows), so size ``buckets`` to the input — rows/buckets must fit a
+    worker's memory; the default 32 suits fixture scale, a 100 TB run
+    wants O(cluster cores) or a per-bucket row target.
+    """
     schema = df.schema
     cols = df.columns
 
