@@ -97,6 +97,16 @@ HEADLINE = [
     "q229_spectral_dominant",
     "q231_audience_jaccard",
     "q239_markov_stationary",
+    "q110_inverted_index",
+    "q130_token_ids",
+    "q137_key_skew_profile",
+    "q182_decile_lift",
+    "q198_auc_rank",
+    "q226_vocab_coverage",
+    "q232_gini_spend",
+    "q233_ks_test",
+    "q240_lorenz_curve",
+    "q241_odds_ratio",
 ]
 
 
