@@ -139,15 +139,19 @@ def q03_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q04_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact ⋈ small dim: explicit broadcast — zero shuffle of the fact table.
+    """Fact ⋈ small dim via broadcast — zero shuffle of the fact table.
 
-    Scale: ``part`` at 100 TB-scale TPC-H is ~GBs; if it outgrows the
-    broadcast threshold AQE falls back to shuffle join automatically.
+    Scale: the hint is deliberately DECLARED, not forced. An explicit
+    ``F.broadcast`` is honored at ANY size (AQE never demotes a hint),
+    so hinting a dim that grows with the data is a driver OOM at
+    100 TB; ``part`` scales with SF, so the optimizer chooses — it
+    broadcasts below the threshold (every fixture SF; plan-asserted)
+    and falls back to a shuffle join beyond it.
     """
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").where(F.col("p_size") <= 20)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
@@ -175,11 +179,16 @@ def q04_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: fact tables shuffle on keys, dims broadcast.
+    """Star join: fact tables shuffle on keys, bounded dims broadcast.
 
-    Scale: lineitem⋈orders is the only real shuffle (both huge, equi-key);
-    customer/nation/region broadcast. Filter on r_name prunes before the
-    join via dynamic filters. AQE re-plans if a side is small post-filter.
+    Scale: lineitem⋈orders and (beyond the auto-broadcast threshold)
+    orders⋈customer are the real shuffles; nation/region are
+    domain-bounded (25/5 rows) and carry explicit broadcast hints.
+    customer SCALES with the data, so it is deliberately unhinted — the
+    optimizer broadcasts it at fixture SFs (plan-asserted) and shuffles
+    at 100 TB, where a forced hint would be a driver OOM (AQE never
+    demotes an explicit hint). Filter on r_name prunes before the join
+    via dynamic filters; AQE re-plans if a side is small post-filter.
     """
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").where(
@@ -190,7 +199,7 @@ def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
@@ -900,8 +909,11 @@ def q66_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
+    # customer scales with the data: no broadcast hint (the optimizer
+    # broadcasts it at fixture SFs, shuffles at 100 TB); nation is
+    # domain-bounded and stays hinted.
     joined = o.join(
-        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+        c, o["o_custkey"] == c["c_custkey"]
     ).join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
     pivoted = (
         joined.groupBy("n_name")

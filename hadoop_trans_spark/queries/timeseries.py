@@ -252,9 +252,13 @@ def q100_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users bucketed by first-active week
     (integer week index — portable, no engine week-start convention),
     then the share of each cohort active k weeks later. The distinct
-    (user, week) projection collapses events before any join, the cohort
-    and cohort-size tables are user-count sized (broadcast at any corpus
-    scale), so the only big shuffle is the initial distinct."""
+    (user, week) projection collapses events before any join. The
+    cohort table is USER-count sized — it scales with the corpus, so it
+    carries no broadcast hint (the optimizer broadcasts it at fixture
+    SFs; at 100 TB the activity⋈cohort join shuffles on user_id, the
+    same key the groupBy already needs). The cohort-SIZE table is
+    calendar-bounded and stays hinted. The only big shuffle is the
+    initial distinct."""
     e = table(spark, sf_dir, "events")
     activity = e.select(
         "user_id",
@@ -269,7 +273,7 @@ def q100_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cohort_size")
     )
     return (
-        activity.join(F.broadcast(cohort), "user_id")
+        activity.join(cohort, "user_id")
         .join(F.broadcast(sizes), "cohort_week")
         .groupBy(
             "cohort_week",
@@ -305,10 +309,12 @@ def q101_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view → later click → later purchase) counted per
     user. Each stage is one conditional-min aggregation joined to the
     previous stage's per-user anchor time — stage tables shrink
-    monotonically and are per-user (broadcastable), so the plan is a
-    chain of pruned-scan + broadcast-join + hash-agg; the ordering
-    predicate `ts > anchor` is what makes it a true sequence funnel
-    rather than a set-membership count."""
+    monotonically but are PER-USER, i.e. they scale with the corpus, so
+    they carry no broadcast hints (the optimizer broadcasts them at
+    fixture SFs; at 100 TB each stage join shuffles on user_id — the
+    key every stage aggregates on anyway, so the exchanges line up);
+    the ordering predicate `ts > anchor` is what makes it a true
+    sequence funnel rather than a set-membership count."""
     e = table(spark, sf_dir, "events")
     v = (
         e.where(F.col("event_type") == "view")
@@ -317,14 +323,14 @@ def q101_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         e.where(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     p = (
         e.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .where(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
@@ -438,7 +444,9 @@ def q107_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") - 1
     )
     z = (
-        daily.join(F.broadcast(stats), "user_id")
+        # stats is per-user (corpus-scaled): unhinted — auto-broadcast
+        # at fixture SFs, user_id-shuffle join at 100 TB.
+        daily.join(stats, "user_id")
         .where((F.col("sq") - F.col("s") * F.col("s") / F.col("n")) > 0)
         .select(
             "user_id",
