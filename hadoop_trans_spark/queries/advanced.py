@@ -1666,18 +1666,34 @@ def q220_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def cuts(col: str, band_width: int):
-        # Banded cumulative histogram (see banded_cumsum): the monetary
-        # leg's distinct values scale with the customer count, so even
-        # the distinct-value cumsum must not funnel one task.
+    def cuts(col: str, band_width: int | None):
+        # Only the MONETARY leg's distinct values scale with the
+        # customer count, so only it pays for the banded cumsum
+        # (band_width set). rec is calendar-bounded and freq is
+        # bounded by per-customer order counts — their plain
+        # metadata-sized windows stay (band_width None), saving two
+        # band-stage checkpoints per run.
         hist = m.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
-        cum = banded_cumsum(
-            hist,
-            "v",
-            F.floor(F.col("v") / band_width),
-            {"c": "cnt"},
-            totals={"n": "c"},
-        ).select("v", "c", "n")
+        if band_width is None:
+            cum = hist.select(
+                "v",
+                F.sum("cnt")
+                .over(
+                    Window.orderBy("v").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                .alias("c"),
+                F.sum("cnt").over(Window.partitionBy()).alias("n"),
+            )
+        else:
+            cum = banded_cumsum(
+                hist,
+                "v",
+                F.floor(F.col("v") / band_width),
+                {"c": "cnt"},
+                totals={"n": "c"},
+            ).select("v", "c", "n")
         js = m.sparkSession.range(1, 5).select(
             F.col("id").cast("long").alias("j")
         )
@@ -1697,8 +1713,8 @@ def q220_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = (
         m.crossJoin(
             F.broadcast(
-                cuts("rec", 100)
-                .join(cuts("freq", 8), "j")
+                cuts("rec", None)
+                .join(cuts("freq", None), "j")
                 .join(cuts("mon", 10000), "j")
             )
         )
