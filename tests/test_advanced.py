@@ -391,3 +391,47 @@ def test_freq_banded_ids_match_single_window(spark, seed):
         ).collect()
     }
     assert got == ref
+
+
+@given(n=st.integers(1, 97))
+@settings(max_examples=10, deadline=None)
+def test_closed_form_ntile_matches_window_ntile(spark, n):
+    """q182's decile arithmetic: the closed form from (rank, n) must
+    equal Spark's ntile(10) for every population size — including
+    n < 10 (one row per tile), n % 10 == 0 (equal tiles), and the
+    general first-r-tiles-get-one-extra case."""
+    rows = [(i, float(n - i)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    ref = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id",
+            F.ntile(10)
+            .over(Window.orderBy(F.desc("score"), "id"))
+            .alias("t"),
+        ).collect()
+    }
+    from hadoop_trans_spark.operators.globalrank import (
+        global_row_number_banded,
+    )
+
+    rk = global_row_number_banded(
+        df,
+        F.floor(F.col("score") / F.lit(-3)),
+        [F.desc("score"), "id"],
+        rank_col="rk",
+    ).withColumn("n", F.lit(n).cast("long"))
+    got = {
+        r["id"]: r["t"]
+        for r in rk.select(
+            "id",
+            F.expr(
+                "CAST(CASE WHEN n < 10 THEN rk"
+                " WHEN rk <= (n % 10) * (n DIV 10 + 1)"
+                " THEN (rk - 1) DIV (n DIV 10 + 1) + 1"
+                " ELSE (n % 10) + (rk - (n % 10) * (n DIV 10 + 1) - 1)"
+                "      DIV (n DIV 10) + 1 END AS INT)"
+            ).alias("t"),
+        ).collect()
+    }
+    assert got == ref, n
