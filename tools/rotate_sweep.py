@@ -17,7 +17,11 @@ Priority rule (deterministic given CORRECTNESS_r*.json):
      (oldest additions first — they've waited longest);
   2. queries whose latest driver row is a FAIL, oldest round first
      (a red must re-enter the window after its fix);
-  3. queries with green rows, least-recently-checked round first,
+  3. queries listed in RESHAPED whose latest driver row PREDATES the
+     round their implementation was reshaped in — the existing green
+     proves the OLD code, so they must re-enter the window until a
+     post-reshape row lands (then the pin self-clears);
+  4. queries with green rows, least-recently-checked round first,
      query-number tiebreak.
 
 Run it at the START of a round, after the driver wrote the previous
@@ -39,6 +43,27 @@ INIT = os.path.join(REPO, "hadoop_trans_spark", "queries", "__init__.py")
 WINDOW = 50
 BEGIN = "_SWEEP_PRIORITY = ["
 END = "]"
+
+# Query-name prefix -> round whose code reshape invalidated the prior
+# driver row's vintage. A green driver row from an EARLIER round proved
+# the pre-reshape implementation; pin the query into the window until a
+# row with round >= the reshape round exists, after which the pin is
+# inert (safe to leave entries here forever).
+RESHAPED: dict[str, int] = {
+    # round-6 100x-scale reshapes (banded global windows / rank-cuts /
+    # WindowGroupLimit) whose latest driver rows predate the new code.
+    "q110": 6,
+    "q130": 6,
+    "q137": 6,
+    "q182": 6,
+    "q198": 6,
+}
+
+
+def reshape_round(name: str) -> int:
+    """Round whose reshape the query must be re-proven against (0 if none)."""
+    m = re.match(r"(q\d+)_", name)
+    return RESHAPED.get(m.group(1), 0) if m else 0
 
 
 def qnum(name: str) -> int:
@@ -83,10 +108,13 @@ def compute_window() -> list[str]:
 
     def key(name: str) -> tuple:
         if name not in last_round:
-            return (0, qnum(name))  # never checked: oldest additions first
+            return (0, 0, qnum(name))  # never checked: oldest additions first
         if not last_ok[name]:
             return (1, last_round[name], qnum(name))  # latest row red
-        return (2, last_round[name], qnum(name))  # green: oldest round first
+        if last_round[name] < reshape_round(name):
+            # green, but the row proves pre-reshape code: re-prove next.
+            return (2, last_round[name], qnum(name))
+        return (3, last_round[name], qnum(name))  # green: oldest round first
 
     ordered = sorted(QUERIES, key=key)
     return ordered[:WINDOW]

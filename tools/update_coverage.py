@@ -86,6 +86,42 @@ def main() -> None:
         "",
     ]
 
+    # Latest-green vintage histogram: how stale is each query's newest
+    # green driver row? The re-confirmation target is "no green older
+    # than 3 rounds"; this section makes that checkable at a glance.
+    latest_green: dict[str, int] = {}
+    for name in QUERIES:
+        greens = [r for r, s in history.get(name, []) if s == "green"]
+        if greens:
+            latest_green[name] = max(greens)
+    if latest_green:
+        newest = max(max(rounds), max(latest_green.values()))
+        hist: dict[int, int] = {}
+        for r in latest_green.values():
+            hist[r] = hist.get(r, 0) + 1
+        lines += [
+            "## Latest-green vintage histogram",
+            "",
+            "| latest green round | queries | age (rounds) |",
+            "|---|---|---|",
+        ]
+        lines += [
+            f"| r{r} | {hist[r]} | {newest - r} |" for r in sorted(hist)
+        ]
+        over = sorted(
+            n for n, r in latest_green.items() if newest - r > 3
+        )
+        lines += [
+            "",
+            f"Re-confirmation target: no green older than 3 rounds — "
+            + (
+                f"{len(over)} over target: " + ", ".join(over)
+                if over
+                else "met (0 over target)."
+            ),
+            "",
+        ]
+
     path = os.path.join(REPO, "COVERAGE.md")
     with open(path) as fh:
         head = fh.read().split(MARKER)[0].rstrip()
