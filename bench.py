@@ -43,6 +43,7 @@ MEMOIZED = {
     "q41_simhash": {"simhash"},
     "q59_stream_late_drop": {"late_stage_997"},
     "q140_triangle_count": {"supplier_backbone"},
+    "q147_recursive_bfs": {"supplier_backbone"},
     "q183_stream_windowed_topk": {"late_stage_997"},
 }
 

@@ -23,6 +23,8 @@ inside the join dominate everything else.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -40,9 +42,21 @@ def lit_doubles(values) -> Column:
     Rendering ``repr(float)`` + a ``D`` suffix and parsing once is ~1 ms
     and bit-exact (shortest-repr strings round-trip through Spark's
     double-literal parser; verified for subnormal-free inputs incl.
-    -0.0 and exponent forms)."""
-    body = ",".join(f"{float(x)!r}D" for x in values)
+    -0.0 and exponent forms). Inputs must be FINITE — ``repr(inf)``
+    renders ``infD`` which Spark's parser rejects with an opaque
+    AnalysisException, so non-finite values fail fast here instead."""
+    body = ",".join(_finite_repr(x) for x in values)
     return F.expr(f"array({body})" if body else "cast(array() as array<double>)")
+
+
+def _finite_repr(x) -> str:
+    v = float(x)
+    if not math.isfinite(v):
+        raise ValueError(
+            f"lit_doubles/lit_double_matrix require finite values, got {v!r} "
+            "(inf/nan have no Spark double-literal form)"
+        )
+    return f"{v!r}D"
 
 
 def lit_double_matrix(rows) -> Column:
@@ -50,7 +64,7 @@ def lit_double_matrix(rows) -> Column:
     the 2-D companion of :func:`lit_doubles` for hyperplane/centroid
     matrices that would otherwise cost rows·dim py4j calls."""
     body = ",".join(
-        "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")" for row in rows
+        "array(" + ",".join(_finite_repr(x) for x in row) + ")" for row in rows
     )
     return F.expr(f"array({body})" if body else "cast(array() as array<array<double>>)")
 

@@ -99,17 +99,25 @@ def materialize_stage(df: DataFrame, reliable: bool | None = None) -> DataFrame:
 _STAGE_CACHE: dict[tuple, object] = {}
 
 
-def memo_stage(spark, sf_dir: str, tag: str, build):
+def memo_stage(spark, sf_dir: str, tag: str, build, valid=None):
     """Return the memoized result of ``build()`` for (tag, session,
     sf_dir), computing it once per session. The builder decides what to
     memoize — a `materialize_stage`d DataFrame, a staged directory path —
     the memo only guarantees one build per session, the same "stage once
-    for many consumers" rule lifted across queries."""
+    for many consumers" rule lifted across queries.
+
+    ``valid``, if given, re-checks a cached value on every hit and
+    rebuilds (re-memoizing) when it returns False — used by stages whose
+    value is a filesystem path that an external tmp reaper could remove
+    mid-session (a vanished staging dir would otherwise stream as
+    silently empty)."""
     app_id = spark.sparkContext.applicationId
     stale = [k for k in _STAGE_CACHE if k[1] != app_id]
     for k in stale:  # drop handles from dead sessions (their blocks are
         del _STAGE_CACHE[k]  # gone; holding the DataFrames leaks plans)
     key = (tag, app_id, sf_dir)
+    if key in _STAGE_CACHE and valid is not None and not valid(_STAGE_CACHE[key]):
+        del _STAGE_CACHE[key]
     if key not in _STAGE_CACHE:
         _STAGE_CACHE[key] = build()
     return _STAGE_CACHE[key]

@@ -960,8 +960,13 @@ def q192_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only the two narrow key columns; HLL is duplicate-insensitive, so
     # the sketch over the deduped set is identical, and count(*) over it
     # IS the exact distinct.
-    dedup = ev.select("event_type", "user_id").dropDuplicates(
-        ["event_type", "user_id"]
+    # NULL user_ids are dropped before the dedup: count(*) over the
+    # deduped set must keep countDistinct/HLL ignore-NULL semantics (a
+    # NULL key would otherwise survive as one extra "distinct" row).
+    dedup = (
+        ev.select("event_type", "user_id")
+        .where(F.col("user_id").isNotNull())
+        .dropDuplicates(["event_type", "user_id"])
     )
     sk = dedup.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),

@@ -528,10 +528,14 @@ def q12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow key columns; the sketches then exist only at one-per-flag-per-
     partition granularity. HLL++ is duplicate-insensitive, so the estimate
     over the deduped set is bit-identical to the estimate over the raw
-    rows."""
+    rows. NULL keys are filtered before the dedup so ``count(*)`` keeps
+    countDistinct's ignore-NULL semantics (a NULL key would otherwise
+    survive dropDuplicates as one extra "distinct" row that neither
+    countDistinct nor the HLL sketch would count)."""
     li = table(spark, sf_dir, "lineitem")
     deduped = (
         li.select(F.col("l_returnflag").alias("flag"), "l_orderkey")
+        .where(F.col("l_orderkey").isNotNull())
         .dropDuplicates(["flag", "l_orderkey"])
     )
     return (

@@ -701,7 +701,12 @@ def _stage_late_batches(
                 )
         return stage
 
-    stage = memo_stage(spark, sf_dir, f"late_stage_{late_mod}", _build)
+    # valid= guards the memo hit: the value is a tempdir path, and a tmp
+    # reaper (or manual cleanup) removing it mid-session would otherwise
+    # make q59/q183 stream from a missing dir instead of rebuilding.
+    stage = memo_stage(
+        spark, sf_dir, f"late_stage_{late_mod}", _build, valid=os.path.isdir
+    )
     events = table(spark, sf_dir, "events")
     return (
         spark.readStream.schema(

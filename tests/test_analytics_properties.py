@@ -276,6 +276,62 @@ def test_stage_memo_evicts_dead_session_entries(spark):
         clear()
 
 
+def test_stage_memo_valid_callback_rebuilds_vanished_value(spark):
+    """memo_stage(valid=...) must re-run the build when a cached value no
+    longer validates: the streaming late-batch stage memoizes a tempdir
+    PATH, and a tmp reaper removing it mid-session would otherwise make
+    q59/q183 stream from a missing directory as silently empty."""
+    from hadoop_trans_spark.operators.stage import _STAGE_CACHE, memo_stage
+
+    _STAGE_CACHE.clear()
+    try:
+        builds = []
+
+        def build():
+            builds.append(1)
+            return f"path-{len(builds)}"
+
+        alive = {"path-1": True, "path-2": True}
+        got = memo_stage(spark, "sf", "vtag", build, valid=alive.get)
+        assert got == "path-1" and len(builds) == 1
+        # healthy hit: no rebuild
+        got = memo_stage(spark, "sf", "vtag", build, valid=alive.get)
+        assert got == "path-1" and len(builds) == 1
+        # value vanishes (reaped tempdir) -> rebuild and re-memoize
+        alive["path-1"] = False
+        got = memo_stage(spark, "sf", "vtag", build, valid=alive.get)
+        assert got == "path-2" and len(builds) == 2
+        # and the NEW value is what later hits return
+        got = memo_stage(spark, "sf", "vtag", build, valid=alive.get)
+        assert got == "path-2" and len(builds) == 2
+    finally:
+        _STAGE_CACHE.clear()
+
+
+def test_lit_doubles_rejects_non_finite_with_clear_error(spark):
+    """lit_doubles/lit_double_matrix render repr(float)+'D' into one SQL
+    parse; repr(inf) -> 'infD' which Spark rejects with an opaque
+    AnalysisException, so the helpers must fail fast with a ValueError
+    naming the offending value instead."""
+    import math
+
+    import pytest
+
+    from hadoop_trans_spark.operators.similarity import (
+        lit_double_matrix,
+        lit_doubles,
+    )
+
+    for bad in (math.inf, -math.inf, math.nan):
+        with pytest.raises(ValueError, match="finite"):
+            lit_doubles([1.0, bad, 2.0])
+        with pytest.raises(ValueError, match="finite"):
+            lit_double_matrix([[1.0, 2.0], [bad]])
+    # finite inputs still build a usable literal
+    got = spark.range(1).select(lit_doubles([1.5, -0.0]).alias("a")).collect()
+    assert got[0]["a"] == [1.5, -0.0]
+
+
 def test_chained_rollup_multi_batch_equals_single_batch(spark, smoke_dir, tmp_path):
     """q141's two stateful operators across MULTIPLE micro-batches: the
     same events split into two files (processed oldest-first with
