@@ -522,6 +522,14 @@ def q180_range_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighboring file ranges (must be 0: the range partitioner assigns
     disjoint key ranges), row conservation, and global bounds. The
     overlap window runs over the O(n_files) audit table, never data.
+
+    Scale contract for the audit step: the neighbor-overlap window is a
+    single-task sort over ONE ROW PER FILE (metadata, never data — here
+    exactly 8 rows by construction). That is the right trade up to
+    ~1e6 files (a few MB of (f, d0, d1, n) rows); pointing this audit at
+    a 1e7+-file lake needs the banded decomposition in
+    ``operators/globalrank.py`` or a per-range-bucket pre-grouping —
+    don't lift the pattern without that change.
     At 100 TB this is the recurring fact-table layout job: one range
     shuffle (sampled boundaries), in-task sort, and the same audit
     query validates the layout cheaply after every rewrite."""

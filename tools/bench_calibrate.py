@@ -1,0 +1,132 @@
+"""Machine-drift calibration for round-over-round bench comparison.
+
+Raw bench totals are not comparable across rounds: round 6 re-ran the
+round-5-end code on the round-6 machine and measured 190.2 s where round
+5 had recorded 166.3 s — ~15% pure machine drift that a naive
+BENCH_r6-vs-BENCH_r5 diff misreads as a code regression. This tool makes
+that protocol a one-command artifact:
+
+  1. check out the PREVIOUS round's end commit into a temp git worktree;
+  2. run its own bench.py there at $SPARK_GRAFT_SF_DIR (driver default
+     /root/testdata/sf0.1) on today's machine;
+  3. write calibration.json at the repo root:
+       {"prev_round": N, "prev_commit": sha,
+        "prev_recorded_s": <BENCH_rN.json parsed.value>,
+        "prev_rerun_s": <today's rerun>, "sf": ...}
+
+bench.py embeds calibration.json (when present) into bench_results.json
+and a compact slice into its stdout line, so BENCH_r{N+1}.json carries
+the drift factor machine-readably: code delta = current_total /
+(prev_recorded * prev_rerun / prev_recorded) — i.e. compare
+current_total against prev_rerun_s, not against the stale recording.
+
+Usage: python tools/bench_calibrate.py [prev_commit]
+  prev_commit defaults to the parent of the latest driver round-artifact
+  commit ("round N: verdict/..."), i.e. the code state the driver
+  benchmarked at the end of the previous round.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def sh(*args: str, cwd: str = REPO, env: dict | None = None) -> str:
+    return subprocess.run(
+        args, cwd=cwd, env=env, check=True, capture_output=True, text=True
+    ).stdout
+
+
+def latest_bench() -> tuple[int, float]:
+    """(round, recorded total) from the newest BENCH_r{N}.json."""
+    best = None
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        n = int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
+        if best is None or n > best[0]:
+            with open(p) as fh:
+                data = json.load(fh)
+            value = (data.get("parsed") or {}).get("value")
+            best = (n, value)
+    if best is None:
+        raise SystemExit("no BENCH_r*.json found — nothing to calibrate against")
+    return best
+
+
+def default_prev_commit(prev_round: int) -> str:
+    """The code state the driver benchmarked: the parent of the driver's
+    'round N: ...' artifact commit (artifact files don't affect bench)."""
+    out = sh(
+        "git", "log", "--format=%H %s", "--grep", f"^round {prev_round}:", "-n", "1"
+    ).strip()
+    if not out:
+        raise SystemExit(
+            f"no 'round {prev_round}:' driver commit found — pass prev_commit"
+        )
+    sha = out.split()[0]
+    return sh("git", "rev-parse", f"{sha}^").strip()
+
+
+def main() -> None:
+    prev_round, prev_recorded = latest_bench()
+    prev_commit = (
+        sys.argv[1] if len(sys.argv) > 1 else default_prev_commit(prev_round)
+    )
+    prev_commit = sh("git", "rev-parse", "--short", prev_commit).strip()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    wt = tempfile.mkdtemp(prefix="bench_calib_")
+    try:
+        sh("git", "worktree", "add", "--detach", wt, prev_commit)
+        env = dict(os.environ)
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+        # Isolate the worktree run's Python path from the main repo.
+        env.pop("PYTHONPATH", None)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(wt, "bench.py")],
+            cwd=wt,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        if proc.returncode != 0:
+            raise SystemExit(
+                f"prev-commit bench failed rc={proc.returncode}:\n"
+                + proc.stderr[-2000:]
+            )
+        line = proc.stdout.strip().splitlines()[-1]
+        rerun = json.loads(line)
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=REPO,
+            capture_output=True,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
+
+    calib = {
+        "prev_round": prev_round,
+        "prev_commit": prev_commit,
+        "prev_recorded_s": prev_recorded,
+        "prev_rerun_s": rerun["value"],
+        "drift_factor": (
+            round(rerun["value"] / prev_recorded, 4) if prev_recorded else None
+        ),
+        "sf": rerun.get("sf"),
+    }
+    with open(os.path.join(REPO, "calibration.json"), "w") as fh:
+        json.dump(calib, fh, indent=1)
+    print(json.dumps(calib))
+
+
+if __name__ == "__main__":
+    main()
