@@ -55,8 +55,12 @@ def asof_join(
     for vc in value_cols:
         l_marked = l_marked.withColumn(vc, F.lit(None).cast(right.schema[vc].dataType))
 
+    # Keep right_ts through the projection even when it isn't an attached
+    # value column — __ts is computed from it (callers that don't attach
+    # the match timestamp used to crash with UNRESOLVED_COLUMN here).
+    r_cols = list(dict.fromkeys([*keys, right_ts, *value_cols]))
     r_marked = (
-        right.select(*keys, *value_cols)
+        right.select(*r_cols)
         .withColumn("__ts", F.col(right_ts))
         .withColumn("__side", F.lit(0 if not strict else 1))
     )

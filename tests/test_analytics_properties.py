@@ -901,3 +901,110 @@ def test_spectral_tiebreak_and_two_tone_dominance(spark):
         for r in decode_spectral(media).collect()
     }
     assert got == {1: 1, 2: 9, 3: 4}, got
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    """asof_join (the union + per-key window formulation, E12) must agree
+    row-for-row with pandas.merge_asof on randomized keyed series —
+    backward semantics, per-key isolation, left rows before any right row
+    getting NULL, and exact-timestamp matches included (non-strict) or
+    excluded (strict). Right (key, ts) pairs are generated unique so the
+    comparison is tie-free (the operator's same-ts tie-break is its own
+    documented rule; pandas uses input order)."""
+    import pandas as pd
+
+    from hadoop_trans_spark.operators.asof import asof_join
+
+    keys = st.integers(min_value=0, max_value=3)
+    ts = st.integers(min_value=0, max_value=50)
+    left_rows = data.draw(
+        st.lists(st.tuples(keys, ts), min_size=1, max_size=25)
+    )
+    right_pairs = data.draw(
+        st.lists(st.tuples(keys, ts), min_size=1, max_size=25, unique=True)
+    )
+    strict = data.draw(st.booleans())
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        "k long, lts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for (k, t) in right_pairs],
+        "k long, rts long, rval long",
+    )
+    got = {
+        r["lid"]: r["rval"]
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            value_cols=["rval"], strict=strict,
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        columns=["k", "lts", "lid"],
+    ).sort_values("lts", kind="stable")
+    rpd = pd.DataFrame(
+        [(k, t, k * 1000 + t) for (k, t) in right_pairs],
+        columns=["k", "rts", "rval"],
+    ).sort_values("rts", kind="stable")
+    want_df = pd.merge_asof(
+        lpd, rpd, left_on="lts", right_on="rts", by="k",
+        direction="backward", allow_exact_matches=not strict,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rval) else int(r.rval))
+        for r in want_df.itertuples()
+    }
+    assert got == want, (strict, got, want)
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_minhash_near_duplicates_sound_and_finds_exact_dups(spark, data):
+    """near_duplicates soundness on random corpora: every reported pair's
+    jaccard must equal the exact shingle-set Jaccard of the Python model
+    (split-on-space word k-grams, short docs collapsing to one shingle)
+    and clear the threshold; and the one pair LSH can never miss — two
+    IDENTICAL docs (equal signatures ⇒ equal band keys ⇒ guaranteed
+    candidate) — must always be reported with jaccard 1."""
+    from hadoop_trans_spark.operators.minhash import near_duplicates
+
+    K, THRESH = 3, 0.3
+    word = st.sampled_from(["a", "b", "c", "d"])
+    texts = data.draw(
+        st.lists(
+            st.lists(word, min_size=1, max_size=12).map(" ".join),
+            min_size=2,
+            max_size=7,
+        )
+    )
+    texts = [texts[0]] + texts  # doc 0 and doc 1 identical by construction
+
+    def shingles(t: str) -> frozenset:
+        ws = t.split(" ")
+        return frozenset(
+            " ".join(ws[i : i + K]) for i in range(max(len(ws) - K + 1, 1))
+        )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = near_duplicates(
+        df, shingle_k=K, n_hashes=8, bands=4, threshold=THRESH
+    ).collect()
+
+    reported = {}
+    for r in got:
+        a, b = r["id_a"], r["id_b"]
+        assert a != b
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        exact = len(sa & sb) / len(sa | sb)
+        assert exact >= THRESH, (a, b, exact)
+        assert abs(r["jaccard"] - exact) < 1e-6, (a, b, r["jaccard"], exact)
+        reported[frozenset((a, b))] = r["jaccard"]
+
+    assert reported.get(frozenset((0, 1))) == 1.0, reported

@@ -976,6 +976,42 @@ def test_sweep_latest_status_wins_by_round_number_not_filename_order():
     assert last_ok == {"qx": False}
 
 
+def test_sweep_reshape_pins_outrank_green_vintage_until_reproven():
+    """A RESHAPED pin (code reshaped in round R, latest driver row from
+    an EARLIER round) must sort ahead of ordinary green re-confirmations
+    — the old green proved pre-reshape code — and must self-clear once a
+    row with round >= R exists, so stale pin entries are inert."""
+    import importlib.util
+    import os
+
+    repo = __file__.rsplit("/tests/", 1)[0]
+    spec = importlib.util.spec_from_file_location(
+        "rotate_sweep", os.path.join(repo, "tools", "rotate_sweep.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert mod.RESHAPED.get("q110") == 6  # the round-6 pin set
+    # stale green (r3 row, reshape r6): bucket 2 — after never-checked
+    # (0) and reds (1), BEFORE plain greens (3) of ANY vintage
+    try:
+        mod.RESHAPED["q998"] = 6
+        green = {"rows_match": True, "schema_match": True, "hash_match": True}
+
+        def key_for(name, rounds):
+            last_round, last_ok = mod.latest_status(rounds, {name})
+            return mod.priority_key(name, last_round, last_ok)
+
+        pinned = key_for("q998_reshaped", {3: {"q998_reshaped": green}})
+        oldest_green = key_for("q001_old", {2: {"q001_old": green}})
+        assert pinned < oldest_green, (pinned, oldest_green)
+        # post-reshape row (r6 >= pin round 6): pin inert, plain green
+        reproven = key_for("q998_reshaped", {6: {"q998_reshaped": green}})
+        assert reproven[0] == 3, reproven
+    finally:
+        del mod.RESHAPED["q998"]
+
+
 def test_approx_distinct_sketches_built_per_flag_not_per_key(spark, smoke_dir):
     """q12: the HLL sketch (rsd=0.01 -> ~13 KB of buffer per partial row)
     must be built only at per-flag granularity. Mixing countDistinct and

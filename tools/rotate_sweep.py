@@ -96,6 +96,20 @@ def latest_status(
     return last_round, last_ok
 
 
+def priority_key(name: str, last_round: dict, last_ok: dict) -> tuple:
+    """Window sort key — buckets: 0 never-checked, 1 latest-row-red,
+    2 green-but-reshape-stale (row predates the RESHAPED pin round),
+    3 plain green oldest-round-first."""
+    if name not in last_round:
+        return (0, 0, qnum(name))  # never checked: oldest additions first
+    if not last_ok[name]:
+        return (1, last_round[name], qnum(name))  # latest row red
+    if last_round[name] < reshape_round(name):
+        # green, but the row proves pre-reshape code: re-prove next.
+        return (2, last_round[name], qnum(name))
+    return (3, last_round[name], qnum(name))  # green: oldest round first
+
+
 def compute_window() -> list[str]:
     from hadoop_trans_spark.queries import QUERIES
 
@@ -105,18 +119,9 @@ def compute_window() -> list[str]:
         with open(p) as fh:
             rounds[rnd] = json.load(fh)
     last_round, last_ok = latest_status(rounds, set(QUERIES))
-
-    def key(name: str) -> tuple:
-        if name not in last_round:
-            return (0, 0, qnum(name))  # never checked: oldest additions first
-        if not last_ok[name]:
-            return (1, last_round[name], qnum(name))  # latest row red
-        if last_round[name] < reshape_round(name):
-            # green, but the row proves pre-reshape code: re-prove next.
-            return (2, last_round[name], qnum(name))
-        return (3, last_round[name], qnum(name))  # green: oldest round first
-
-    ordered = sorted(QUERIES, key=key)
+    ordered = sorted(
+        QUERIES, key=lambda n: priority_key(n, last_round, last_ok)
+    )
     return ordered[:WINDOW]
 
 

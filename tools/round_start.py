@@ -40,6 +40,11 @@ def main() -> None:
     run("update_coverage.py")
     run("rotate_sweep.py", "--check")
     print("round_start: window rotated, COVERAGE.md regenerated — commit both.")
+    print(
+        "next: python tools/bench_calibrate.py  (re-runs the previous "
+        "round's end commit so this round's bench carries the machine-"
+        "drift calibration)"
+    )
 
 
 if __name__ == "__main__":
