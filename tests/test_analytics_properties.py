@@ -1008,3 +1008,73 @@ def test_minhash_near_duplicates_sound_and_finds_exact_dups(spark, data):
         reported[frozenset((a, b))] = r["jaccard"]
 
     assert reported.get(frozenset((0, 1))) == 1.0, reported
+
+
+@given(data=st.data())
+@settings(max_examples=6, deadline=None)
+def test_sessionize_matches_python_fold_with_duplicate_timestamps(
+    spark, data, tmp_path_factory
+):
+    """q81 batch sessionization vs an independent Python fold on random
+    event streams that the fixture can't guarantee to contain: duplicate
+    (user, ts) pairs (tie-broken by event_id), gaps exactly AT the
+    30-minute boundary (>= semantics), and sub-second straddles. Session
+    numbering, per-session counts and sums must all agree."""
+    import datetime as dt
+
+    from hadoop_trans_spark.queries import QUERIES
+
+    users = st.integers(min_value=1, max_value=3)
+    # seconds offsets up to 2h, drawn coarse so boundary gaps (exactly
+    # 1800 s) and duplicates are common
+    secs = st.integers(min_value=0, max_value=7200).map(lambda s: s - s % 300)
+    rows = data.draw(
+        st.lists(st.tuples(users, secs), min_size=1, max_size=30)
+    )
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    events = [
+        (
+            i,  # event_id: unique, the tie-break
+            base + dt.timedelta(seconds=s),
+            u,
+            "click",
+            float(i % 7) + 0.25,
+            "{}",
+        )
+        for i, (u, s) in enumerate(rows)
+    ]
+    d = tmp_path_factory.mktemp("sess")
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    got = [
+        (r["user_id"], r["session_no"], r["session_start"], r["n_events"],
+         round(r["value_sum"], 6))
+        for r in QUERIES["q81_sessionize_batch"](spark, str(d)).collect()
+    ]
+
+    # independent model: sort by (ts, event_id) per user, gap >= 1800 s
+    # opens a session
+    want = []
+    byu: dict[int, list] = {}
+    for eid, ts, u, _t, v, _p in events:
+        byu.setdefault(u, []).append((ts, eid, v))
+    for u in sorted(byu):
+        sid = 0
+        prev = None
+        sess: dict[int, list] = {}
+        for ts, eid, v in sorted(byu[u]):
+            if prev is None or (ts - prev).total_seconds() >= 1800:
+                sid += 1
+            sess.setdefault(sid, []).append((ts, v))
+            prev = ts
+        for s in sorted(sess):
+            pts = sess[s]
+            us = int(min(t for t, _ in pts).timestamp() * 1_000_000)
+            want.append(
+                (u, s, us, len(pts), round(sum(v for _, v in pts), 6))
+            )
+    assert got == want, (got, want)
