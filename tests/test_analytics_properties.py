@@ -1078,3 +1078,106 @@ def test_sessionize_matches_python_fold_with_duplicate_timestamps(
                 (u, s, us, len(pts), round(sum(v for _, v in pts), 6))
             )
     assert got == want, (got, want)
+
+
+@given(data=st.data())
+@settings(max_examples=6, deadline=None)
+def test_simhash_matches_python_model_and_blocking_is_exact(spark, data):
+    """simhash fingerprints must equal the independent Python model
+    (md5 hex-digit parity votes per lowercased word-3-gram shingle), and
+    hamming_pairs' segment blocking must be EXACT — by pigeonhole any
+    pair within the distance budget shares a segment, so the result must
+    equal brute-force all-pairs hamming: every close pair reported once
+    with the right distance, no far pair reported."""
+    import hashlib as hl
+
+    from hadoop_trans_spark.operators.simhash import hamming_pairs, simhash
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    texts = data.draw(
+        st.lists(
+            st.lists(word, min_size=1, max_size=10).map(" ".join),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    # plant one exact duplicate so at least one 0-distance pair exists
+    texts = texts + [texts[0]]
+
+    def model_fp(t: str) -> int:
+        ws = t.lower().split(" ")
+        sh = {
+            " ".join(ws[i : i + 3]) for i in range(max(len(ws) - 2, 1))
+        }
+        votes = [0] * 32
+        for tok in sh:
+            dig = hl.md5(tok.encode()).hexdigest()
+            for b in range(32):
+                votes[b] += int(dig[b], 16) % 2
+        return sum(1 << b for b in range(32) if 2 * votes[b] - len(sh) > 0)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sim = simhash(df)
+    got_fp = {r["id"]: r["simhash"] for r in sim.collect()}
+    want_fp = {i: model_fp(t) for i, t in enumerate(texts)}
+    assert got_fp == want_fp
+
+    got_pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(sim, max_distance=3).collect()
+    }
+    want_pairs = {}
+    ids = sorted(want_fp)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = bin(want_fp[i] ^ want_fp[j]).count("1")
+                if d <= 3:
+                    want_pairs[(i, j)] = d
+    assert got_pairs == want_pairs, (got_pairs, want_pairs)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_zvalue_spark_sql_and_python_models_agree(spark, pts):
+    """The Morton code is emitted twice (Spark Column ops, DuckDB SQL
+    string) from the same bit loop; both must equal an independent
+    Python interleave for all 8-bit inputs, or z-order layouts and
+    their oracles silently diverge."""
+    import duckdb
+
+    from hadoop_trans_spark.operators.zorder import zvalue, zvalue_sql
+
+    def morton(x: int, y: int) -> int:
+        return sum(
+            (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))
+            for i in range(8)
+        )
+
+    df = spark.createDataFrame(pts, "x int, y int")
+    got_spark = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zvalue(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    con = duckdb.connect()
+    got_sql = {
+        (x, y): con.execute(
+            f"SELECT {zvalue_sql(str(x), str(y))}"
+        ).fetchone()[0]
+        for (x, y) in set(pts)
+    }
+    for x, y in set(pts):
+        want = morton(x, y)
+        assert got_spark[(x, y)] == want, (x, y, got_spark[(x, y)], want)
+        assert got_sql[(x, y)] == want, (x, y, got_sql[(x, y)], want)
