@@ -68,12 +68,20 @@ def events_stream_schema(spark: SparkSession, sf_dir: str) -> StructType:
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str = "events.parquet",
 ) -> DataFrame:
-    """events.parquet as a stream (file source needs a dir → glob filter)."""
+    """events.parquet as a stream (file source needs a dir → glob filter).
+
+    ``glob`` widens the watched set for continuous-arrival sources (a
+    real migrate loop watches a landing dir where files keep arriving,
+    e.g. ``events*.parquet``); the default pins the fixture file so the
+    other fixture tables in the same dir never leak into the stream."""
     reader = (
         spark.readStream.schema(events_stream_schema(spark, sf_dir))
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -478,7 +486,11 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_migrate(
-    spark: SparkSession, sf_dir: str, dest: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    dest: str | None = None,
+    checkpoint: str | None = None,
+    glob: str = "events.parquet",
 ) -> str:
     """Continuously append new source files into a parquet destination.
 
@@ -487,13 +499,20 @@ def stream_migrate(
     replaces the manual "does dest partition exist" bookkeeping (reference
     ``TransTablePartition.java:126-131``) — each input file is processed
     exactly once, restarts resume from the checkpoint.
+
+    ``checkpoint`` is the resume identity: a production deployment MUST
+    pass a stable directory and reuse it together with ``dest`` on every
+    (re)run — the file-source log inside it is what makes a restart pick
+    up only files it has not yet committed. Left as None (fixture runs),
+    a fresh tempdir is minted and the run processes everything once.
     """
     dest = dest or tempfile.mkdtemp(prefix="stream_migrate_")
-    stream = read_events_stream(spark, sf_dir)
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
+    stream = read_events_stream(spark, sf_dir, glob=glob)
     query = (
         stream.writeStream.format("parquet")
         .option("path", dest)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

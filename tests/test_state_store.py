@@ -70,3 +70,39 @@ def test_pinned_state_partitions_restores_conf(spark):
             assert spark.conf.get(key) == "2"
             raise RuntimeError("boom")
     assert spark.conf.get(key) == prev
+
+
+def test_stream_migrate_restart_resumes_from_checkpoint(
+    spark, smoke_dir, tmp_path
+):
+    """The E41 continuous-migrate contract: re-running stream_migrate
+    with the SAME dest + checkpoint after new files landed must append
+    ONLY the not-yet-committed files (the file-source log is the resume
+    identity). Run 1 ingests one file (n rows); a second identical file
+    lands; run 2 must bring dest to exactly 2n — 3n would mean the
+    restart reprocessed file 1, n would mean it ignored file 2."""
+    import shutil
+
+    from hadoop_trans_spark.streaming.jobs import stream_migrate
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    shutil.copyfile(
+        f"{smoke_dir}/events.parquet", src / "events.parquet"
+    )
+    n = spark.read.parquet(f"{smoke_dir}/events.parquet").count()
+    dest, ckpt = str(tmp_path / "dest"), str(tmp_path / "ckpt")
+
+    out = stream_migrate(
+        spark, str(src), dest=dest, checkpoint=ckpt, glob="events*.parquet"
+    )
+    assert spark.read.parquet(out).count() == n
+
+    shutil.copyfile(
+        f"{smoke_dir}/events.parquet", src / "events_late.parquet"
+    )
+    out2 = stream_migrate(
+        spark, str(src), dest=dest, checkpoint=ckpt, glob="events*.parquet"
+    )
+    assert out2 == dest
+    assert spark.read.parquet(dest).count() == 2 * n
