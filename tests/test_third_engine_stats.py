@@ -1,0 +1,208 @@
+"""Third-engine rederivations for the statistical queries.
+
+The driver's DuckDB oracles are an independent ENGINE but share the
+repo-authored SQL, so a misconception encoded in both the Spark code and
+its oracle string would pass every sweep. These tests break that
+correlation: each statistic is re-derived from the raw parquet with
+numpy/pandas from the TEXTBOOK definition (no repo SQL, no repo
+operators) and compared to the query's full output.
+
+Definitions pinned here: Gini via the sorted-rank identity
+2Σi·x_i/(nΣx) − (n+1)/n; two-sample KS as sup|ECDF_a − ECDF_b| with the
+1.358√((n+m)/nm) 95% critical value; Wilson score interval; the
+Wald-Wolfowitz runs z with ties-at-median dropped; the 2×2 odds ratio
+with a log-space Wald CI; mutual information Σ p(x,y)·ln(p(x,y)/p(x)p(y));
+Lorenz shares at ceil(d·n/10) rank cuts; PSI Σ(p−q)·ln(p/q) over
+fixed-width bins with one-sided-empty bins excluded.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from hadoop_trans_spark.queries import QUERIES
+
+Z95 = 1.959964
+
+
+def _df(sql: str) -> pd.DataFrame:
+    return duckdb.sql(sql).df()
+
+
+def _rows(spark, smoke_dir, name):
+    return [r.asDict() for r in QUERIES[name](spark, smoke_dir).collect()]
+
+
+def test_gini_matches_sorted_rank_identity(spark, smoke_dir):
+    got = _rows(spark, smoke_dir, "q232_gini_spend")[0]
+    sp = _df(
+        f"select o_custkey, cast(round(sum(cast(o_totalprice as "
+        f"decimal(38,6))),6) as double) as v from "
+        f"read_parquet('{smoke_dir}/orders.parquet') group by 1"
+    )
+    x = np.sort(sp["v"].to_numpy())
+    n = len(x)
+    i = np.arange(1, n + 1)
+    gini = 2 * np.sum(i * x) / (n * np.sum(x)) - (n + 1) / n
+    assert got["n_customers"] == n
+    assert got["total_spend"] == round(float(np.sum(x)), 6)
+    assert got["gini"] == round(float(gini), 6)
+
+
+def test_ks_matches_ecdf_sup(spark, smoke_dir):
+    got = _rows(spark, smoke_dir, "q233_ks_test")[0]
+    o = _df(
+        f"select o_totalprice as x, o_orderdate as d from "
+        f"read_parquet('{smoke_dir}/orders.parquet')"
+    )
+    pre = o[o["d"] < pd.Timestamp("1996-01-01")]["x"].to_numpy()
+    cur = o[o["d"] >= pd.Timestamp("1996-01-01")]["x"].to_numpy()
+    allv = np.unique(np.concatenate([pre, cur]))
+    fa = np.searchsorted(np.sort(pre), allv, side="right") / len(pre)
+    fb = np.searchsorted(np.sort(cur), allv, side="right") / len(cur)
+    d = float(np.max(np.abs(fa - fb)))
+    crit = 1.358 * math.sqrt((len(pre) + len(cur)) / (len(pre) * len(cur)))
+    assert got["n_ref"] == len(pre) and got["n_cur"] == len(cur)
+    assert got["ks_d"] == round(d, 6)
+    assert got["d_crit_95"] == round(crit, 6)
+    assert got["reject_same_dist"] == int(d > crit)
+
+
+def test_wilson_matches_score_interval(spark, smoke_dir):
+    got = {r["nation"]: r for r in _rows(spark, smoke_dir, "q230_wilson_intervals")}
+    t = _df(
+        f"select c.c_nationkey as nation, count(*) as n, "
+        f"sum(cast(o.o_orderstatus='F' as int)) as k "
+        f"from read_parquet('{smoke_dir}/orders.parquet') o "
+        f"join read_parquet('{smoke_dir}/customer.parquet') c "
+        f"on o.o_custkey=c.c_custkey group by 1"
+    )
+    assert set(got) == set(t["nation"].astype(int))
+    for _, r in t.iterrows():
+        n, k = float(r["n"]), float(r["k"])
+        p = k / n
+        center = p + Z95 * Z95 / (2 * n)
+        half = Z95 * math.sqrt(p * (1 - p) / n + Z95 * Z95 / (4 * n * n))
+        den = 1 + Z95 * Z95 / n
+        g = got[int(r["nation"])]
+        assert (g["n"], g["k"]) == (int(n), int(k))
+        assert g["p_hat"] == round(p, 6)
+        assert g["wilson_lo"] == round((center - half) / den, 6)
+        assert g["wilson_hi"] == round((center + half) / den, 6)
+
+
+def test_runs_test_matches_wald_wolfowitz(spark, smoke_dir):
+    got = _rows(spark, smoke_dir, "q236_runs_test")[0]
+    daily = _df(
+        f"select l_shipdate as d, cast(round(sum(cast(l_extendedprice as "
+        f"decimal(38,6))),6) as double) as rev from "
+        f"read_parquet('{smoke_dir}/lineitem.parquet') group by 1 order by 1"
+    )
+    rev = daily["rev"].to_numpy()
+    srt = np.sort(rev)
+    m = srt[int(np.ceil(0.5 * len(srt))) - 1]  # discrete median
+    s = (rev[rev != m] > m).astype(int)  # in day order, ties dropped
+    runs = 1 + int(np.sum(s[1:] != s[:-1]))
+    na, nb = float(s.sum()), float(len(s) - s.sum())
+    exp = 2 * na * nb / (na + nb) + 1
+    var = 2 * na * nb * (2 * na * nb - na - nb) / ((na + nb) ** 2 * (na + nb - 1))
+    assert got["n_runs"] == runs
+    assert (got["n_above"], got["n_below"]) == (int(na), int(nb))
+    assert got["z"] == round((runs - exp) / math.sqrt(var), 6)
+
+
+def test_odds_ratio_matches_2x2_wald(spark, smoke_dir):
+    got = _rows(spark, smoke_dir, "q241_odds_ratio")[0]
+    cust = _df(
+        f"select c_custkey, c_acctbal from "
+        f"read_parquet('{smoke_dir}/customer.parquet')"
+    )
+    v = np.sort(cust["c_acctbal"].to_numpy())
+    m = v[int(np.ceil(0.5 * len(v))) - 1]
+    outc = _df(
+        f"select o_custkey, max(cast(o_orderstatus='F' as int)) as y from "
+        f"read_parquet('{smoke_dir}/orders.parquet') group by 1"
+    )
+    mg = cust.merge(outc, left_on="c_custkey", right_on="o_custkey")
+    e = (mg["c_acctbal"] > m).astype(int)
+    y = mg["y"].astype(int)
+    a = int(((e == 1) & (y == 1)).sum())
+    b = int(((e == 1) & (y == 0)).sum())
+    c = int(((e == 0) & (y == 1)).sum())
+    d = int(((e == 0) & (y == 0)).sum())
+    orr = a * d / (b * c)
+    half = Z95 * math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    assert (got["a"], got["b"], got["c"], got["d"]) == (a, b, c, d)
+    assert got["odds_ratio"] == round(orr, 6)
+    assert got["or_lo"] == round(math.exp(math.log(orr) - half), 6)
+    assert got["or_hi"] == round(math.exp(math.log(orr) + half), 6)
+
+
+def test_mutual_information_matches_definition(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q214_mutual_information")
+    j = _df(
+        f"select o_orderpriority as x, c_mktsegment as y, count(*) as nxy "
+        f"from read_parquet('{smoke_dir}/orders.parquet') o "
+        f"join read_parquet('{smoke_dir}/customer.parquet') c "
+        f"on o.o_custkey=c.c_custkey group by 1,2"
+    )
+    n = j["nxy"].sum()
+    nx = j.groupby("x")["nxy"].sum()
+    ny = j.groupby("y")["nxy"].sum()
+    mi = 0.0
+    pmi = {}
+    for _, r in j.iterrows():
+        pxy = r["nxy"] / n
+        ratio = pxy / ((nx[r["x"]] / n) * (ny[r["y"]] / n))
+        pmi[(r["x"], r["y"])] = round(math.log(ratio), 6)
+        mi += round(pxy * math.log(ratio), 9)
+    assert len(rows) == len(j)
+    for g in rows:
+        assert g["pmi"] == pmi[(g["x"], g["y"])], (g, pmi[(g["x"], g["y"])])
+        assert g["mi_nats"] == round(mi, 6)
+
+
+def test_lorenz_matches_rank_cut_shares(spark, smoke_dir):
+    got = {r["decile"]: r for r in _rows(spark, smoke_dir, "q240_lorenz_curve")}
+    sp = _df(
+        f"select o_custkey, cast(round(sum(cast(o_totalprice as "
+        f"decimal(38,6))),6) as double) as v from "
+        f"read_parquet('{smoke_dir}/orders.parquet') group by 1"
+    )
+    v = np.sort(sp["v"].to_numpy())
+    n = len(v)
+    cum = np.cumsum(v)
+    for d in range(1, 11):
+        k = int(np.ceil(d * n / 10.0))
+        assert got[d]["cutoff"] == round(float(v[k - 1]), 6)
+        assert got[d]["cum_spend_share"] == round(float(cum[k - 1] / cum[-1]), 6)
+
+
+def test_psi_matches_definition(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q228_psi_drift")
+    o = _df(
+        f"select o_totalprice as x, "
+        f"(o_orderdate < timestamp '1996-01-01') as is_ref from "
+        f"read_parquet('{smoke_dir}/orders.parquet')"
+    )
+    b = np.minimum(np.floor(o["x"].to_numpy() / 30000).astype(int), 19)
+    ref = o["is_ref"].to_numpy()
+    n_r, n_c = int(ref.sum()), int(len(ref) - ref.sum())
+    psi = 0.0
+    per_bin = {}
+    for bin_ in np.unique(b):
+        nr = int(((b == bin_) & ref).sum())
+        nc = int(((b == bin_) & ~ref).sum())
+        per_bin[int(bin_)] = (nr, nc)
+        if nr > 0 and nc > 0:
+            p, q = nr / n_r, nc / n_c
+            psi += round((p - q) * math.log(p / q), 9)
+    for g in rows:
+        nr, nc = per_bin[g["bin"]]
+        assert (g["n_ref"], g["n_cur"]) == (nr, nc)
+        assert g["degenerate"] == int(nr == 0 or nc == 0)
+        assert g["psi_total"] == round(psi, 6)
