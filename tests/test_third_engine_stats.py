@@ -206,3 +206,48 @@ def test_psi_matches_definition(spark, smoke_dir):
         assert (g["n_ref"], g["n_cur"]) == (nr, nc)
         assert g["degenerate"] == int(nr == 0 or nc == 0)
         assert g["psi_total"] == round(psi, 6)
+
+
+def test_benford_matches_decimal_first_digit_model(spark, smoke_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = {r["digit"]: r for r in _rows(spark, smoke_dir, "q195_benford_digits")}
+    o = _df(
+        f"select o_totalprice as x from "
+        f"read_parquet('{smoke_dir}/orders.parquet') where o_totalprice >= 1.0"
+    )
+    counts = {d: 0 for d in range(1, 10)}
+    for x in o["x"]:
+        # decimal(18,2) cast = HALF_UP quantize of the decimal the float
+        # prints as (totals originate from 2-dp decimal data)
+        s = str(Decimal(repr(float(x))).quantize(Decimal("0.01"), ROUND_HALF_UP))
+        counts[int(s[0])] += 1
+    n = sum(counts.values())
+    for d in range(1, 10):
+        exp = math.log10(1 + 1 / d)
+        g = got[d]
+        assert g["observed"] == counts[d]
+        assert g["expected_freq"] == round(exp, 6)
+        assert g["chi2_term"] == round((counts[d] - n * exp) ** 2 / (n * exp), 6)
+
+
+def test_daily_acf_matches_numpy_pearson_at_calendar_lags(spark, smoke_dir):
+    got = {r["lag"]: r for r in _rows(spark, smoke_dir, "q196_daily_acf")}
+    daily = _df(
+        f"select l_shipdate as d, cast(round(sum(cast(l_extendedprice as "
+        f"decimal(38,6))),6) as double) as rev from "
+        f"read_parquet('{smoke_dir}/lineitem.parquet') group by 1"
+    )
+    rev = dict(zip(pd.to_datetime(daily["d"]), daily["rev"]))
+    for lag in range(1, 8):
+        xs, ys = [], []
+        for day, x in rev.items():
+            other = day + pd.Timedelta(days=lag)
+            if other in rev:
+                xs.append(x)
+                ys.append(rev[other])
+        r = float(np.corrcoef(np.array(xs), np.array(ys))[0, 1])
+        assert got[lag]["n_pairs"] == len(xs)
+        # numpy's centered two-pass Pearson vs the query's decimal-exact
+        # moment formula: equal to well under the 1e-6 output rounding
+        assert abs(got[lag]["acf"] - r) <= 2e-6, (lag, got[lag]["acf"], r)
