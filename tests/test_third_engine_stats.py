@@ -251,3 +251,117 @@ def test_daily_acf_matches_numpy_pearson_at_calendar_lags(spark, smoke_dir):
         # numpy's centered two-pass Pearson vs the query's decimal-exact
         # moment formula: equal to well under the 1e-6 output rounding
         assert abs(got[lag]["acf"] - r) <= 2e-6, (lag, got[lag]["acf"], r)
+
+
+def test_key_skew_profile_matches_numpy_histogram_stats(spark, smoke_dir):
+    got = {r["key_col"]: r for r in _rows(spark, smoke_dir, "q137_key_skew_profile")}
+    for key_col, tbl, col in (
+        ("l_suppkey", "lineitem", "l_suppkey"),
+        ("o_custkey", "orders", "o_custkey"),
+    ):
+        counts = _df(
+            f"select {col} as k, count(*) as c from "
+            f"read_parquet('{smoke_dir}/{tbl}.parquet') group by 1"
+        )["c"].to_numpy()
+        g = got[key_col]
+        n_keys, n_rows = len(counts), int(counts.sum())
+        assert (g["n_keys"], g["n_rows"], g["max_c"]) == (
+            n_keys,
+            n_rows,
+            int(counts.max()),
+        )
+        assert g["max_share"] == round(float(counts.max()) / n_rows, 6)
+        # Spark percentile(col, p, freq) == numpy linear interpolation
+        # over the expanded per-key count array
+        p50, p99 = np.percentile(counts, [50, 99], method="linear")
+        assert g["p50_c"] == round(round(float(p50), 9), 6)
+        assert g["p99_c"] == round(round(float(p99), 9), 6)
+        c = np.sort(counts)
+        i = np.arange(1, n_keys + 1)
+        gini = 2 * np.sum(i * c) / (n_keys * np.sum(c)) - (n_keys + 1) / n_keys
+        assert g["gini"] == round(float(gini), 6)
+
+
+def test_decile_lift_matches_pandas_rank_cut(spark, smoke_dir):
+    got = {r["decile"]: r for r in _rows(spark, smoke_dir, "q182_decile_lift")}
+    c = _df(
+        f"select c_custkey, c_acctbal from "
+        f"read_parquet('{smoke_dir}/customer.parquet')"
+    )
+    buyers = set(
+        _df(
+            f"select distinct o_custkey as k from "
+            f"read_parquet('{smoke_dir}/orders.parquet')"
+        )["k"]
+    )
+    c = c.sort_values(
+        ["c_acctbal", "c_custkey"], ascending=[False, True], kind="stable"
+    ).reset_index(drop=True)
+    y = c["c_custkey"].isin(buyers).astype(int).to_numpy()
+    n = len(c)
+    base = y.sum() / n
+    # NTILE: first n%10 tiles get n//10+1 rows, the rest n//10
+    sizes = [(n // 10 + 1) if t < n % 10 else n // 10 for t in range(10)]
+    start = 0
+    for t, sz in enumerate(sizes, start=1):
+        seg = y[start : start + sz]
+        start += sz
+        g = got[t]
+        assert (g["n_cust"], g["n_conv"]) == (sz, int(seg.sum()))
+        rate = seg.sum() / sz
+        assert g["conv_rate"] == round(rate, 6)
+        assert g["lift"] == round(rate / base, 6)
+    assert start == n
+
+
+def test_inverted_index_matches_python_model(spark, smoke_dir):
+    import re
+
+    got = {r["term"]: r for r in _rows(spark, smoke_dir, "q110_inverted_index")}
+    docs = _df(
+        f"select doc_id, text from read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    postings: dict[str, set] = {}
+    for _, r in docs.iterrows():
+        for t in set(re.split(r"[^a-z]+", str(r["text"]).lower())):
+            if len(t) >= 4:
+                postings.setdefault(t, set()).add(int(r["doc_id"]))
+    want = {
+        t: (len(ids), ",".join(str(i) for i in sorted(ids)[:10]))
+        for t, ids in postings.items()
+        if len(ids) >= 25
+    }
+    assert len(got) == len(want) > 0
+    for t, (df_, p10) in want.items():
+        assert (got[t]["df"], got[t]["postings10"]) == (df_, p10), t
+
+
+def test_token_ids_match_python_frequency_ranked_vocab(spark, smoke_dir):
+    import re
+    from collections import Counter
+
+    got = {r["doc_id"]: r for r in _rows(spark, smoke_dir, "q130_token_ids")}
+    docs = _df(
+        f"select doc_id, text from read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    streams = {}
+    counts: Counter = Counter()
+    for _, r in docs.iterrows():
+        toks = [
+            t
+            for t in re.split(r"[^a-z]+", str(r["text"]).lower())
+            if len(t) >= 1
+        ]
+        streams[int(r["doc_id"])] = toks
+        counts.update(toks)
+    vocab = {
+        w: i + 1
+        for i, (w, _) in enumerate(
+            sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    assert len(got) == len(streams)
+    for doc_id, toks in streams.items():
+        g = got[doc_id]
+        assert g["n_tokens"] == len(toks)
+        assert g["ids12"] == ",".join(str(vocab[t]) for t in toks[:12])
