@@ -365,3 +365,86 @@ def test_token_ids_match_python_frequency_ranked_vocab(spark, smoke_dir):
         g = got[doc_id]
         assert g["n_tokens"] == len(toks)
         assert g["ids12"] == ",".join(str(vocab[t]) for t in toks[:12])
+
+
+def test_group_trend_ols_matches_numpy_lstsq(spark, smoke_dir):
+    got = {r["prio"]: r for r in _rows(spark, smoke_dir, "q117_group_trend_ols")}
+    daily = _df(
+        f"select o_orderpriority as prio, "
+        f"datediff('day', date '1970-01-01', cast(o_orderdate as date)) as x, "
+        f"count(*) as y from read_parquet('{smoke_dir}/orders.parquet') "
+        f"group by 1,2"
+    )
+    for prio, grp in daily.groupby("prio"):
+        x = grp["x"].to_numpy(dtype=float)
+        y = grp["y"].to_numpy(dtype=float)
+        # textbook least squares via the normal-equation solve
+        A = np.vstack([x, np.ones_like(x)]).T
+        slope, intercept = np.linalg.lstsq(A, y, rcond=None)[0]
+        g = got[prio]
+        assert g["n"] == len(grp)
+        # the query computes exact-decimal moments then rounds the slope
+        # at 1e-8 and re-uses the ROUNDED slope in the intercept; allow
+        # lstsq float error under both output grains
+        assert abs(g["slope"] - slope) <= 1e-7, (prio, g["slope"], slope)
+        assert abs(g["intercept"] - intercept) <= 1e-3, (
+            prio,
+            g["intercept"],
+            intercept,
+        )
+
+
+def test_equidepth_boundaries_match_numpy_rank_cuts(spark, smoke_dir):
+    got = {r["j"]: r for r in _rows(spark, smoke_dir, "q216_equidepth_histogram")}
+    x = np.sort(
+        _df(
+            f"select o_totalprice as x from "
+            f"read_parquet('{smoke_dir}/orders.parquet')"
+        )["x"].to_numpy()
+    )
+    n = len(x)
+    prev_cum = 0
+    for j in range(1, 11):
+        hi = x[int(np.ceil(j * n / 10.0)) - 1]  # value at the rank cut
+        cum = int(np.searchsorted(x, hi, side="right"))
+        g = got[j]
+        assert g["hi"] == round(float(hi), 6), (j, g["hi"], hi)
+        assert g["n_rows"] == cum - prev_cum, (j, g["n_rows"], cum - prev_cum)
+        prev_cum = cum
+
+
+def test_rfm_segments_match_pandas_quintile_cuts(spark, smoke_dir):
+    got = {
+        (r["r_bin"], r["f_bin"], r["m_bin"]): r
+        for r in _rows(spark, smoke_dir, "q220_rfm_segments")
+    }
+    o = _df(
+        f"select o_custkey, cast(o_orderdate as date) as d, o_totalprice "
+        f"as p from read_parquet('{smoke_dir}/orders.parquet')"
+    )
+    anchor = o["d"].max()
+    per = o.groupby("o_custkey").agg(
+        last=("d", "max"), freq=("p", "size"), mon=("p", "sum")
+    )
+    per["rec"] = (anchor - per["last"]).apply(lambda td: td.days)
+    per["mon"] = per["mon"].round(6)
+
+    def cut4(vals):
+        v = np.sort(vals.to_numpy())
+        n = len(v)
+        return [v[int(np.ceil(j * n / 5.0)) - 1] for j in range(1, 5)]
+
+    rc, fc, mc = cut4(per["rec"]), cut4(per["freq"]), cut4(per["mon"])
+    want: dict = {}
+    for _, r in per.iterrows():
+        key = (
+            1 + sum(r["rec"] > c for c in rc),
+            1 + sum(r["freq"] > c for c in fc),
+            1 + sum(r["mon"] > c for c in mc),
+        )
+        cnt, tot = want.get(key, (0, 0.0))
+        want[key] = (cnt + 1, tot + r["mon"])
+    assert set(got) == set(want)
+    for key, (cnt, tot) in want.items():
+        assert got[key]["n_customers"] == cnt, key
+        assert abs(got[key]["avg_monetary"] - tot / cnt) <= 1e-6, key
