@@ -448,3 +448,78 @@ def test_rfm_segments_match_pandas_quintile_cuts(spark, smoke_dir):
     for key, (cnt, tot) in want.items():
         assert got[key]["n_customers"] == cnt, key
         assert abs(got[key]["avg_monetary"] - tot / cnt) <= 1e-6, key
+
+
+def test_bm25_topk_matches_python_model(spark, smoke_dir):
+    import re
+    from collections import Counter
+
+    rows = _rows(spark, smoke_dir, "q133_bm25_topk")
+    docs = _df(
+        f"select doc_id, text from read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    tf: dict[int, Counter] = {}
+    for _, r in docs.iterrows():
+        toks = [
+            t
+            for t in re.split(r"[^a-z]+", str(r["text"]).lower())
+            if len(t) >= 4
+        ]
+        tf[int(r["doc_id"])] = Counter(toks)
+    n_docs = len(docs)
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    dfreq: Counter = Counter()
+    for c in tf.values():
+        dfreq.update(c.keys())
+    avgdl = round(sum(dl.values()) / len(dl), 9)
+    qterms = [
+        w for w, _ in sorted(dfreq.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    ]
+    scores = {}
+    for d, c in tf.items():
+        s, hit = 0.0, 0
+        for w in qterms:
+            if c[w] > 0:
+                idf = math.log(
+                    (n_docs - dfreq[w] + 0.5) / (dfreq[w] + 0.5) + 1.0
+                )
+                tfc = (c[w] * 2.2) / (
+                    c[w] + 1.2 * (0.25 + 0.75 * (dl[d] / avgdl))
+                )
+                s += round(idf * tfc, 9)
+                hit += 1
+        if hit:
+            scores[d] = (hit, round(s, 6))
+    top = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    want = {d: v for d, v in top}
+    assert len(rows) == len(want)
+    for g in rows:
+        hit, s = want[g["doc_id"]]
+        assert (g["n_terms"], g["bm25"]) == (hit, s), g
+
+
+def test_vocab_coverage_matches_python_zipf_curve(spark, smoke_dir):
+    import re
+    from collections import Counter
+
+    got = {r["k"]: r for r in _rows(spark, smoke_dir, "q226_vocab_coverage")}
+    docs = _df(
+        f"select text from read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    counts: Counter = Counter()
+    for t in docs["text"]:
+        counts.update(
+            w for w in re.split(r"[^a-z]+", str(t).lower()) if w
+        )
+    total = sum(counts.values())
+    ordered = [
+        c for _, c in sorted(
+            ((w, c) for w, c in counts.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+    ]
+    for k in (10, 50, 100, 500, 1000):
+        covered = sum(ordered[:k])
+        g = got[k]
+        assert (g["covered_tokens"], g["total_tokens"]) == (covered, total)
+        assert g["coverage"] == round(covered / total, 6)
