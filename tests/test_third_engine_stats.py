@@ -523,3 +523,109 @@ def test_vocab_coverage_matches_python_zipf_curve(spark, smoke_dir):
         g = got[k]
         assert (g["covered_tokens"], g["total_tokens"]) == (covered, total)
         assert g["coverage"] == round(covered / total, 6)
+
+
+def test_adamic_adar_matches_python_graph_model(spark, smoke_dir):
+    from collections import defaultdict
+    from itertools import combinations
+
+    rows = _rows(spark, smoke_dir, "q204_adamic_adar")
+    li = _df(
+        f"select distinct l_orderkey as o, l_partkey as p from "
+        f"read_parquet('{smoke_dir}/lineitem.parquet')"
+    )
+    # co-purchase edges: parts sharing an order (u < v, distinct)
+    by_order = defaultdict(set)
+    for _, r in li.iterrows():
+        by_order[int(r["o"])].add(int(r["p"]))
+    edges = set()
+    for parts in by_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            edges.add((u, v))
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    # hub prune (degree > 64) and deg-1 exclusion on the INTERMEDIATE
+    scores: dict = {}
+    common: dict = {}
+    for node, nbrs in adj.items():
+        d = len(nbrs)
+        if d > 64 or d <= 1:
+            continue
+        w = round(1.0 / math.log(d), 9)
+        for a, b in combinations(sorted(nbrs), 2):
+            scores[(a, b)] = scores.get((a, b), 0.0) + w
+            common[(a, b)] = common.get((a, b), 0) + 1
+    cand = [
+        (round(s, 6), u, v, common[(u, v)])
+        for (u, v), s in scores.items()
+        if (u, v) not in edges
+    ]
+    cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = cand[:20]
+    assert len(rows) == len(want)
+    for g, (s, u, v, c) in zip(rows, want):
+        assert (g["u"], g["v"], g["common"], g["aa_score"]) == (u, v, c, s)
+
+
+def test_tfidf_cosine_pairs_match_python_sparse_model(spark, smoke_dir):
+    import re
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+    from itertools import combinations
+
+    def rnd(x: float, places: int) -> Decimal:
+        return Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-places), ROUND_HALF_UP
+        )
+
+    rows = _rows(spark, smoke_dir, "q131_tfidf_cosine_pairs")
+    docs = _df(
+        f"select doc_id, text from read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    tf: dict[int, Counter] = {
+        int(r["doc_id"]): Counter(
+            w for w in re.split(r"[^a-z]+", str(r["text"]).lower()) if w
+        )
+        for _, r in docs.iterrows()
+    }
+    n = len(tf)
+    dfreq: Counter = Counter()
+    for c in tf.values():
+        dfreq.update(c.keys())
+    idf = {w: float(rnd(math.log(n / d), 6)) for w, d in dfreq.items()}
+    wt = {
+        d: {w: c * idf[w] for w, c in cnt.items()} for d, cnt in tf.items()
+    }
+    nrm = {
+        d: math.sqrt(float(sum(rnd(x * x, 9) for x in ws.values())))
+        for d, ws in wt.items()
+    }
+    cap = max(50, n // 10)
+    postings = defaultdict(set)
+    for d, cnt in tf.items():
+        for w in cnt:
+            if 2 <= dfreq[w] <= cap:
+                postings[w].add(d)
+    cand = set()
+    for ds in postings.values():
+        cand.update(combinations(sorted(ds), 2))
+    best: dict[int, tuple] = {}
+    for a, b in cand:
+        if nrm[a] == 0 or nrm[b] == 0:
+            continue
+        shared = set(wt[a]) & set(wt[b])
+        dot = float(sum(rnd(wt[a][w] * wt[b][w], 9) for w in shared))
+        cos = dot / (nrm[a] * nrm[b])
+        if cos < 0.3:
+            continue
+        c4 = float(rnd(cos, 4))
+        for x, y in ((a, b), (b, a)):
+            cur = best.get(x)
+            if cur is None or (-c4, y) < cur:
+                best[x] = (-c4, y)
+    want = {d: (y, -negc) for d, (negc, y) in best.items()}
+    assert len(rows) == len(want)
+    for g in rows:
+        assert (g["best_match"], g["cosine"]) == want[g["doc_id"]], g
