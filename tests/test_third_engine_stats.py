@@ -629,3 +629,34 @@ def test_tfidf_cosine_pairs_match_python_sparse_model(spark, smoke_dir):
     assert len(rows) == len(want)
     for g in rows:
         assert (g["best_match"], g["cosine"]) == want[g["doc_id"]], g
+
+
+def test_countmin_matches_python_sketch_model(spark, smoke_dir):
+    import hashlib as hl
+    from collections import Counter
+
+    rows = _rows(spark, smoke_dir, "q164_countmin_freq")
+    keys = _df(
+        f"select l_partkey as k from read_parquet('{smoke_dir}/lineitem.parquet')"
+    )["k"].astype(int).tolist()
+
+    def cells4(k: int) -> list[int]:
+        hh = hl.md5(str(k).encode()).hexdigest()
+        return [int(hh[8 * j : 8 * j + 8], 16) % 1024 for j in range(4)]
+
+    table_ = [Counter() for _ in range(4)]
+    exact: Counter = Counter()
+    for k in keys:
+        exact[k] += 1
+        for j, c in enumerate(cells4(k)):
+            table_[j][c] += 1
+    want = {}
+    for k in exact:
+        if k % 97 == 0:
+            est = min(table_[j][c] for j, c in enumerate(cells4(k)))
+            want[k] = (exact[k], est)
+    assert len(rows) == len(want)
+    for g in rows:
+        ex, est = want[g["l_partkey"]]
+        assert (g["exact_n"], g["cm_est"]) == (ex, est), g
+        assert g["never_underestimates"] == 1
