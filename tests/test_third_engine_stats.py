@@ -660,3 +660,57 @@ def test_countmin_matches_python_sketch_model(spark, smoke_dir):
         ex, est = want[g["l_partkey"]]
         assert (g["exact_n"], g["cm_est"]) == (ex, est), g
         assert g["never_underestimates"] == 1
+
+
+def test_ab_ztest_matches_python_pooled_formula(spark, smoke_dir):
+    import hashlib as hl
+
+    got = _rows(spark, smoke_dir, "q199_ab_ztest")[0]
+    ev = _df(
+        f"select user_id, event_type, value from "
+        f"read_parquet('{smoke_dir}/events.parquet')"
+    )
+    conv: dict = {}
+    for _, r in ev.iterrows():
+        u = int(r["user_id"])
+        variant = (
+            "A"
+            if hl.md5(str(u).encode()).hexdigest()[0] in "02468ace"
+            else "B"
+        )
+        hit = int(r["event_type"] == "purchase" and r["value"] > 180.0)
+        k = (u, variant)
+        conv[k] = max(conv.get(k, 0), hit)
+    na = sum(1 for (_, v) in conv if v == "A")
+    nb = sum(1 for (_, v) in conv if v == "B")
+    ca = sum(c for (_, v), c in conv.items() if v == "A")
+    cb = sum(c for (_, v), c in conv.items() if v == "B")
+    pooled = (ca + cb) / (na + nb)
+    se = math.sqrt(pooled * (1 - pooled) * (1 / na + 1 / nb))
+    z = (ca / na - cb / nb) / se
+    assert (got["n_a"], got["conv_a"], got["n_b"], got["conv_b"]) == (
+        na,
+        ca,
+        nb,
+        cb,
+    )
+    assert got["z"] == round(z, 6)
+    assert got["significant"] == int(abs(z) > 1.959964)
+
+
+def test_embedding_covariance_matches_numpy_gram(spark, smoke_dir):
+    got = {(r["i"], r["j"]): r["cov"] for r in _rows(spark, smoke_dir, "q211_embedding_covariance")}
+    emb = _df(
+        f"select embedding from read_parquet('{smoke_dir}/embeddings.parquet')"
+    )
+    x = np.array(
+        [np.asarray(e[:8], dtype=np.float64) for e in emb["embedding"]]
+    )
+    n = len(x)
+    for i in range(8):
+        for j in range(i, 8):
+            cov = float(np.mean(x[:, i] * x[:, j]) - x[:, i].mean() * x[:, j].mean())
+            # the query rounds per-row products at 1e-9 and means exactly;
+            # numpy means in float64 — equal far inside the 1e-6 grain
+            assert abs(got[(i, j)] - cov) <= 2e-6, (i, j, got[(i, j)], cov)
+    assert len(got) == 36
