@@ -714,3 +714,65 @@ def test_embedding_covariance_matches_numpy_gram(spark, smoke_dir):
             # numpy means in float64 — equal far inside the 1e-6 grain
             assert abs(got[(i, j)] - cov) <= 2e-6, (i, j, got[(i, j)], cov)
     assert len(got) == 36
+
+
+def test_cusum_changepoint_matches_python_fold(spark, smoke_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rnd6(x: float) -> Decimal:
+        return Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+
+    got = {
+        r["event_type"]: r
+        for r in _rows(spark, smoke_dir, "q177_cusum_changepoint")
+    }
+    daily = _df(
+        f"select event_type as t, strftime(date_trunc('day', ts), '%Y-%m-%d')"
+        f" as day, cast(round(sum(cast(value as decimal(38,6))),6) as double)"
+        f" as x from read_parquet('{smoke_dir}/events.parquet') group by 1,2"
+    )
+    for t, grp in daily.groupby("t"):
+        grp = grp.sort_values("day")
+        mu = float(sum(Decimal(repr(float(v))) for v in grp["x"])) / len(grp)
+        c = Decimal(0)
+        best = None  # (-|c|, day) minimal = peak magnitude, earliest day
+        for _, r in grp.iterrows():
+            c += rnd6(float(r["x"]) - mu)
+            key = (-abs(c), r["day"])
+            if best is None or key < best:
+                best = key
+                best_c = c
+        g = got[t]
+        assert g["n_days"] == len(grp)
+        assert g["changepoint_day"] == best[1], (t, g, best)
+        assert g["cusum"] == float(best_c), (t, g, best_c)
+
+
+def test_ohlc_bars_match_pandas_first_last(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q160_ohlc_bars")
+    e = _df(
+        f"select event_type as t, strftime(ts, '%Y-%m-%d') as day, value,"
+        f" epoch_us(ts) as us, event_id from "
+        f"read_parquet('{smoke_dir}/events.parquet')"
+    )
+    e = e.sort_values(["us", "event_id"], kind="stable")
+    want = {}
+    for (t, day), grp in e.groupby(["t", "day"], sort=False):
+        v = grp["value"]
+        want[(t, day)] = (
+            float(v.iloc[0]),          # open: first by (ts, event_id)
+            float(v.max()),
+            float(v.min()),
+            float(v.iloc[-1]),         # close: last by (ts, event_id)
+            round(float(v.sum()), 6),
+            len(grp),
+        )
+    assert len(rows) == len(want)
+    for g in rows:
+        o_, h, l, c, vol, n = want[(g["event_type"], g["day"])]
+        assert (
+            g["open"], g["high"], g["low"], g["close"], g["n"]
+        ) == (o_, h, l, c, n), g
+        assert abs(g["volume"] - vol) <= 1e-6, g
