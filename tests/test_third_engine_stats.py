@@ -776,3 +776,82 @@ def test_ohlc_bars_match_pandas_first_last(spark, smoke_dir):
             g["open"], g["high"], g["low"], g["close"], g["n"]
         ) == (o_, h, l, c, n), g
         assert abs(g["volume"] - vol) <= 1e-6, g
+
+
+def test_transition_entropy_matches_python_shannon(spark, smoke_dir):
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = {
+        r["user_id"]: r
+        for r in _rows(spark, smoke_dir, "q217_transition_entropy")
+    }
+    e = _df(
+        f"select user_id as u, event_type as t, epoch_us(ts) as us, event_id"
+        f" as i from read_parquet('{smoke_dir}/events.parquet')"
+    ).sort_values(["us", "i"], kind="stable")
+    trans: dict = defaultdict(Counter)
+    for u, grp in e.groupby("u", sort=False):
+        ts_ = list(grp["t"])
+        for a, b in zip(ts_, ts_[1:]):
+            trans[int(u)][(a, b)] += 1
+    assert set(got) == set(trans)
+    for u, cnt in trans.items():
+        n = sum(cnt.values())
+        ent = float(
+            sum(
+                Decimal(repr(-(c / n) * math.log(c / n))).quantize(
+                    Decimal(1).scaleb(-9), ROUND_HALF_UP
+                )
+                for c in cnt.values()
+            )
+        )
+        g = got[u]
+        assert g["n_transitions"] == n, u
+        assert g["entropy_nats"] == round(ent, 6), (u, g, ent)
+
+
+def test_decay_attribution_matches_python_model(spark, smoke_dir):
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rnd9(x: float) -> Decimal:
+        return Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-9), ROUND_HALF_UP
+        )
+
+    got = {r["day"]: r for r in _rows(spark, smoke_dir, "q215_decay_attribution")}
+    e = _df(
+        f"select event_id, user_id, event_type, epoch_us(ts) as us,"
+        f" strftime(ts, '%Y-%m-%d') as day, value from "
+        f"read_parquet('{smoke_dir}/events.parquet')"
+    )
+    purchases = e[e["event_type"] == "purchase"]
+    clicks = e[e["event_type"] == "click"]
+    by_user = defaultdict(list)
+    for _, r in clicks.iterrows():
+        by_user[int(r["user_id"])].append((int(r["us"]), r["day"]))
+    day_n: dict = defaultdict(int)
+    day_credit: dict = defaultdict(Decimal)
+    H24 = 24 * 3600 * 1_000_000
+    for _, p in purchases.iterrows():
+        touches = [
+            (cus, cday, rnd9(1.0 / (1.0 + (int(p["us"]) - cus) // 3600000000)))
+            for cus, cday in by_user.get(int(p["user_id"]), [])
+            if cus < int(p["us"]) and cus >= int(p["us"]) - H24
+        ]
+        if not touches:
+            continue
+        sw = sum(w for _, _, w in touches)
+        for _, cday, w in touches:
+            day_n[cday] += 1
+            day_credit[cday] += rnd9(
+                float(p["value"]) * float(w) / float(sw)
+            )
+    assert set(got) == set(day_n)
+    for day in day_n:
+        g = got[day]
+        assert g["n_touches"] == day_n[day], day
+        assert g["credit"] == float(
+            day_credit[day].quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        ), (day, g, day_credit[day])
