@@ -855,3 +855,71 @@ def test_decay_attribution_matches_python_model(spark, smoke_dir):
         assert g["credit"] == float(
             day_credit[day].quantize(Decimal("0.000001"), ROUND_HALF_UP)
         ), (day, g, day_credit[day])
+
+
+def test_cohort_ltv_matches_pandas_cumulative_curve(spark, smoke_dir):
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = _rows(spark, smoke_dir, "q235_cohort_ltv")
+    e = _df(
+        f"select user_id as u, event_type as t, value,"
+        f" date_trunc('week', ts) as wk from "
+        f"read_parquet('{smoke_dir}/events.parquet')"
+    )
+    first = e.groupby("u")["wk"].min()
+    sizes = first.value_counts()
+    rev: dict = defaultdict(Decimal)
+    for _, r in e[e["t"] == "purchase"].iterrows():
+        cohort = first[r["u"]]
+        off = int((r["wk"] - cohort).days // 7)
+        rev[(cohort, off)] += Decimal(repr(float(r["value"]))).quantize(
+            Decimal("0.000001")
+        )
+    want = []
+    for cohort in sorted({c for c, _ in rev}):
+        cum = Decimal(0)
+        for off in sorted(o for c, o in rev if c == cohort):
+            cum += rev[(cohort, off)]
+            want.append(
+                (
+                    cohort.strftime("%Y-%m-%d"),
+                    off,
+                    int(sizes[cohort]),
+                    float(
+                        (cum / int(sizes[cohort])).quantize(
+                            Decimal("0.000001"), ROUND_HALF_UP
+                        )
+                    ),
+                )
+            )
+    got = [
+        (r["cohort"], r["offset_w"], r["cohort_users"], r["cum_ltv_per_user"])
+        for r in rows
+    ]
+    assert got == want
+
+
+def test_seasonality_strength_matches_anova_eta_squared(spark, smoke_dir):
+    got = _rows(spark, smoke_dir, "q237_seasonality_strength")[0]
+    daily = _df(
+        f"select l_shipdate as d, cast(round(sum(cast(l_extendedprice as "
+        f"decimal(38,6))),6) as double) as rev from "
+        f"read_parquet('{smoke_dir}/lineitem.parquet') group by 1"
+    )
+    daily["dow"] = pd.to_datetime(daily["d"]).dt.dayofweek  # Mon=0
+    rev = daily["rev"].to_numpy()
+    n = len(rev)
+    grand = rev.mean()
+    ss_total = float(((rev - grand) ** 2).sum())
+    ss_between = float(
+        sum(
+            len(g) * (g["rev"].mean() - grand) ** 2
+            for _, g in daily.groupby("dow")
+        )
+    )
+    eta = ss_between / ss_total
+    assert got["n_days"] == n
+    # textbook ANOVA decomposition vs the decimal moment identity:
+    # equal far inside the 1e-6 output grain
+    assert abs(got["eta_sq_dow"] - eta) <= 2e-6, (got["eta_sq_dow"], eta)
