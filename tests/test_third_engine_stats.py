@@ -923,3 +923,102 @@ def test_seasonality_strength_matches_anova_eta_squared(spark, smoke_dir):
     # textbook ANOVA decomposition vs the decimal moment identity:
     # equal far inside the 1e-6 output grain
     assert abs(got["eta_sq_dow"] - eta) <= 2e-6, (got["eta_sq_dow"], eta)
+
+
+def test_spearman_matches_pandas_rank_correlation(spark, smoke_dir):
+    got = {
+        r["p_brand"]: r
+        for r in _rows(spark, smoke_dir, "q181_spearman_by_brand")
+    }
+    j = _df(
+        f"select p.p_brand as b, l.l_quantity as q, l.l_extendedprice as e "
+        f"from read_parquet('{smoke_dir}/lineitem.parquet') l join "
+        f"read_parquet('{smoke_dir}/part.parquet') p "
+        f"on l.l_partkey = p.p_partkey"
+    )
+    for b, grp in j.groupby("b"):
+        rq = grp["q"].rank(method="average").to_numpy()
+        re_ = grp["e"].rank(method="average").to_numpy()
+        # textbook Pearson of the average ranks
+        rho = float(np.corrcoef(rq, re_)[0, 1])
+        g = got[b]
+        assert g["n"] == len(grp)
+        assert abs(g["spearman_rho"] - rho) <= 2e-6, (b, g, rho)
+
+
+def test_weighted_median_matches_numpy_cumweight_scan(spark, smoke_dir):
+    got = {
+        r["l_returnflag"]: r["weighted_median"]
+        for r in _rows(spark, smoke_dir, "q156_weighted_median")
+    }
+    li = _df(
+        f"select l_returnflag as f, l_extendedprice as p, l_quantity as w "
+        f"from read_parquet('{smoke_dir}/lineitem.parquet')"
+    )
+    for f, grp in li.groupby("f"):
+        agg = grp.groupby("p")["w"].sum().sort_index()
+        cw = agg.cumsum()
+        t = agg.sum()
+        med = float(cw.index[(2 * cw >= t).argmax()])
+        assert got[f] == med, (f, got[f], med)
+
+
+def test_zipf_slope_matches_numpy_loglog_fit(spark, smoke_dir):
+    import re
+    from collections import Counter
+
+    got = _rows(spark, smoke_dir, "q188_zipf_slope")[0]
+    docs = _df(
+        f"select text from read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    counts: Counter = Counter()
+    for t in docs["text"]:
+        counts.update(w for w in re.split(r"[^a-z]+", str(t).lower()) if w)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    x = np.log(np.arange(1, len(top) + 1))
+    y = np.log(np.array([c for _, c in top], dtype=float))
+    A = np.vstack([x, np.ones_like(x)]).T
+    slope, intercept = np.linalg.lstsq(A, y, rcond=None)[0]
+    assert got["n_points"] == len(top)
+    assert abs(got["zipf_slope"] - slope) <= 1e-6
+    assert abs(got["intercept"] - intercept) <= 1e-5
+
+
+def test_token_entropy_matches_python_unigram_model(spark, smoke_dir):
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = _rows(spark, smoke_dir, "q134_token_entropy")
+    docs = _df(
+        f"select doc_id, text from read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    want = {}
+    for _, r in docs.iterrows():
+        toks = [
+            w for w in re.split(r"[^a-z]+", str(r["text"]).lower()) if w
+        ]
+        if not toks:
+            continue
+        cnt = Counter(toks)
+        n = len(toks)
+        ent = float(
+            sum(
+                Decimal(
+                    repr(-(c / n) * math.log(c / n))
+                ).quantize(Decimal(1).scaleb(-9), ROUND_HALF_UP)
+                for c in cnt.values()
+            )
+        )
+        want[int(r["doc_id"])] = (
+            n,
+            len(cnt),
+            round(ent, 6),
+            round(len(cnt) / n, 6),
+        )
+    assert len(rows) == len(want)
+    for g in rows:
+        n, ty, ent, ttr = want[g["doc_id"]]
+        assert (
+            g["n_tokens"], g["n_types"], g["entropy"], g["type_token_ratio"]
+        ) == (n, ty, ent, ttr), g
