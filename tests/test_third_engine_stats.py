@@ -1022,3 +1022,94 @@ def test_token_entropy_matches_python_unigram_model(spark, smoke_dir):
         assert (
             g["n_tokens"], g["n_types"], g["entropy"], g["type_token_ratio"]
         ) == (n, ty, ent, ttr), g
+
+
+def test_pmi_bigrams_match_python_collocation_model(spark, smoke_dir):
+    import re
+    from collections import Counter
+
+    rows = _rows(spark, smoke_dir, "q126_pmi_bigrams")
+    docs = _df(
+        f"select text from read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in docs["text"]:
+        toks = [w for w in re.split(r"[^a-z]+", str(t).lower()) if w]
+        uni.update(toks)
+        bi.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    tu, tb = sum(uni.values()), sum(bi.values())
+    want = {}
+    for bg, c in bi.items():
+        if c >= 5:
+            a, b = bg.split(" ")
+            pmi = math.log((c / tb) / (uni[a] / tu) / (uni[b] / tu))
+            want[(a, b)] = (c, round(pmi, 6))
+    assert len(rows) == len(want) > 0
+    for g in rows:
+        c, pmi = want[(g["w1"], g["w2"])]
+        assert g["n_pair"] == c
+        assert abs(g["pmi"] - pmi) <= 1e-6, (g, pmi)
+
+
+def test_unigram_logprob_matches_python_lm(spark, smoke_dir):
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = _rows(spark, smoke_dir, "q118_unigram_logprob")
+    docs = _df(
+        f"select doc_id, text from read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    streams = {
+        int(r["doc_id"]): [
+            w for w in re.split(r"[^a-z]+", str(r["text"]).lower()) if w
+        ]
+        for _, r in docs.iterrows()
+    }
+    vocab: Counter = Counter()
+    for s in streams.values():
+        vocab.update(s)
+    total = float(sum(vocab.values()))
+    logterm = {
+        w: Decimal(repr(math.log(c / total))).quantize(
+            Decimal(1).scaleb(-9), ROUND_HALF_UP
+        )
+        for w, c in vocab.items()
+    }
+    want = {}
+    for d_, s in streams.items():
+        if not s:
+            continue
+        mean = float(
+            (sum(logterm[w] for w in s) / len(s)).quantize(
+                Decimal("0.0001"), ROUND_HALF_UP
+            )
+        )
+        want[d_] = (len(s), mean)
+    assert len(rows) == len(want)
+    for g in rows:
+        n, mean = want[g["doc_id"]]
+        assert (g["n_tokens"], g["mean_logprob"]) == (n, mean), g
+
+
+def test_seasonal_anomaly_matches_numpy_hourly_baseline(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q159_seasonal_anomaly")
+    e = _df(
+        f"select event_type as t, cast(extract(hour from ts) as int) as hr,"
+        f" value from read_parquet('{smoke_dir}/events.parquet')"
+    )
+    got = {(r["event_type"], r["hr"]): r for r in rows}
+    for (t, hr), grp in e.groupby(["t", "hr"]):
+        v = grp["value"].to_numpy()
+        mean = round(float(v.sum()) / len(v), 6)
+        m2 = round(float((v * v).sum()) / len(v), 6)
+        var = round(m2 - mean * mean, 6)
+        anoms = int(
+            (np.round((v - mean) ** 2 - 9 * var, 6) > 0).sum()
+        )
+        g = got[(t, hr)]
+        assert g["n"] == len(v)
+        assert abs(g["mean_v"] - mean) <= 1e-6
+        assert abs(g["variance"] - var) <= 2e-6
+        assert g["n_anomalies"] == anoms, (t, hr, g, anoms)
