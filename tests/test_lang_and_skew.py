@@ -12,6 +12,8 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from hadoop_trans_spark.operators.skew import salted_join
@@ -62,3 +64,37 @@ def test_salted_join_rejects_non_inner(spark):
     # inner still works and matches the plain join
     got = salted_join(big, small, on="k", how="inner").count()
     assert got == big.join(small, "k").count()
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_salted_join_is_row_identical_to_plain_join(spark, data):
+    """Salting must only refine the partitioning: on random inputs with
+    duplicate keys AND fully duplicate rows on both sides, the salted
+    join's row MULTISET must equal the plain inner join's exactly —
+    replication or salt collisions must never add or drop matches."""
+    from hadoop_trans_spark.operators.skew import salted_join
+
+    keys = st.integers(min_value=0, max_value=4)
+    big_rows = data.draw(
+        st.lists(st.tuples(keys, st.integers(0, 3)), min_size=0, max_size=30)
+    )
+    small_rows = data.draw(
+        st.lists(st.tuples(keys, st.integers(0, 3)), min_size=0, max_size=8)
+    )
+    n_salt = data.draw(st.sampled_from([1, 3, 16]))
+    big = spark.createDataFrame(
+        big_rows or [(None, None)], "k long, bval long"
+    )
+    small = spark.createDataFrame(
+        small_rows or [(None, None)], "k long, sval long"
+    )
+    if not big_rows:
+        big = big.where(F.lit(False))
+    if not small_rows:
+        small = small.where(F.lit(False))
+    got = sorted(
+        map(tuple, salted_join(big, small, "k", n_salt=n_salt).collect())
+    )
+    want = sorted(map(tuple, big.join(small, "k").collect()))
+    assert got == want
