@@ -1113,3 +1113,47 @@ def test_seasonal_anomaly_matches_numpy_hourly_baseline(spark, smoke_dir):
         assert abs(g["mean_v"] - mean) <= 1e-6
         assert abs(g["variance"] - var) <= 2e-6
         assert g["n_anomalies"] == anoms, (t, hr, g, anoms)
+
+
+def test_cohort_retention_matches_pandas_week_index_model(spark, smoke_dir):
+    got = {
+        (r["cohort_week"], r["week_offset"]): r
+        for r in _rows(spark, smoke_dir, "q100_cohort_retention")
+    }
+    e = _df(
+        f"select distinct user_id as u, "
+        f"datediff('day', date '1970-01-01', cast(ts as date)) // 7 as wk "
+        f"from read_parquet('{smoke_dir}/events.parquet')"
+    )
+    first = e.groupby("u")["wk"].min()
+    sizes = first.value_counts()
+    e["cohort"] = e["u"].map(first)
+    e["off"] = e["wk"] - e["cohort"]
+    want = e.groupby(["cohort", "off"]).size()
+    assert len(got) == len(want)
+    for (c, o), n in want.items():
+        g = got[(c, o)]
+        assert g["n_active"] == n
+        assert g["retention"] == round(n / int(sizes[c]), 6)
+
+
+def test_event_transitions_match_python_markov_counts(spark, smoke_dir):
+    from collections import Counter
+
+    rows = _rows(spark, smoke_dir, "q106_event_transitions")
+    e = _df(
+        f"select user_id as u, event_type as t, epoch_us(ts) as us,"
+        f" event_id as i from read_parquet('{smoke_dir}/events.parquet')"
+    ).sort_values(["us", "i"], kind="stable")
+    cnt: Counter = Counter()
+    for _, grp in e.groupby("u", sort=False):
+        ts_ = list(grp["t"])
+        cnt.update(zip(ts_, ts_[1:]))
+    row_tot: Counter = Counter()
+    for (a, _), n in cnt.items():
+        row_tot[a] += n
+    assert len(rows) == len(cnt)
+    for g in rows:
+        n = cnt[(g["event_type"], g["next_type"])]
+        assert g["n"] == n, g
+        assert g["p"] == round(n / row_tot[g["event_type"]], 6), g
