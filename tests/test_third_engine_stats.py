@@ -1157,3 +1157,54 @@ def test_event_transitions_match_python_markov_counts(spark, smoke_dir):
         n = cnt[(g["event_type"], g["next_type"])]
         assert g["n"] == n, g
         assert g["p"] == round(n / row_tot[g["event_type"]], 6), g
+
+
+def test_zscore_outliers_match_numpy_per_user_stats(spark, smoke_dir):
+    got = {
+        r["user_id"]: r
+        for r in _rows(spark, smoke_dir, "q107_zscore_outliers")
+    }
+    daily = _df(
+        f"select user_id as u, cast(date_trunc('day', ts) as date) as day,"
+        f" cast(round(sum(cast(value as decimal(38,6))),6) as double) as v"
+        f" from read_parquet('{smoke_dir}/events.parquet') group by 1,2"
+    )
+    want = {}
+    for u, grp in daily.groupby("u"):
+        v = grp["v"].to_numpy()
+        if len(v) < 3:
+            continue
+        var = v.var(ddof=1)
+        if var <= 0:
+            continue
+        z = np.round((v - v.mean()) / math.sqrt(var), 4)
+        want[int(u)] = (int((np.abs(z) > 2).sum()), float(np.abs(z).max()))
+    assert set(got) == set(want)
+    for u, (n_out, mz) in want.items():
+        g = got[u]
+        assert g["n_outlier_days"] == n_out, u
+        assert abs(g["max_abs_z"] - mz) <= 2e-4, (u, g, mz)
+
+
+def test_fulfillment_latency_matches_numpy_percentiles(spark, smoke_dir):
+    got = _rows(spark, smoke_dir, "q219_fulfillment_latency")[0]
+    lat = _df(
+        f"select datediff('day', cast(o.o_orderdate as date),"
+        f" cast(min(l.l_shipdate) as date)) as days "
+        f"from read_parquet('{smoke_dir}/orders.parquet') o join "
+        f"read_parquet('{smoke_dir}/lineitem.parquet') l "
+        f"on o.o_orderkey = l.l_orderkey group by o.o_orderkey, o.o_orderdate"
+    )["days"].to_numpy()
+    x = np.sort(lat)
+    n = len(x)
+
+    def disc(p: float) -> int:
+        return int(x[int(np.ceil(p * n)) - 1])
+
+    assert got["n_orders"] == n
+    assert (got["p50_days"], got["p90_days"], got["p99_days"]) == (
+        disc(0.50),
+        disc(0.90),
+        disc(0.99),
+    )
+    assert got["max_days"] == int(x[-1])
