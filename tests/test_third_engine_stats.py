@@ -1208,3 +1208,71 @@ def test_fulfillment_latency_matches_numpy_percentiles(spark, smoke_dir):
         disc(0.99),
     )
     assert got["max_days"] == int(x[-1])
+
+
+def test_mad_outliers_match_numpy_robust_model(spark, smoke_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rnd9(x: float) -> float:
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal(1).scaleb(-9), ROUND_HALF_UP
+            )
+        )
+
+    got = {
+        r["event_type"]: r for r in _rows(spark, smoke_dir, "q124_mad_outliers")
+    }
+    daily = _df(
+        f"select event_type as t, cast(date_trunc('day', ts) as date) as day,"
+        f" cast(round(sum(cast(value as decimal(38,6))),6) as double) as v"
+        f" from read_parquet('{smoke_dir}/events.parquet') group by 1,2"
+    )
+    for t, grp in daily.groupby("t"):
+        v = grp["v"].to_numpy()
+        med = rnd9(float(np.percentile(v, 50, method="linear")))
+        adev = np.array([rnd9(abs(x - med)) for x in v])
+        mad = rnd9(float(np.percentile(adev, 50, method="linear")))
+        n_out = int((adev > 4.4478 * mad).sum())
+        g = got[t]
+        assert g["n_days"] == len(v)
+        assert g["med"] == round(med, 6) and g["mad"] == round(mad, 6), t
+        assert g["n_outliers"] == n_out, (t, g, n_out)
+
+
+def test_ewma_matches_python_truncated_weights(spark, smoke_dir):
+    import datetime as dt
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rnd9(x: float) -> Decimal:
+        return Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-9), ROUND_HALF_UP
+        )
+
+    rows = _rows(spark, smoke_dir, "q125_ewma")
+    daily = _df(
+        f"select event_type as t, cast(date_trunc('day', ts) as date) as day,"
+        f" cast(round(sum(cast(value as decimal(38,6))),6) as double) as v"
+        f" from read_parquet('{smoke_dir}/events.parquet') group by 1,2"
+    )
+    series = {
+        t: {pd.Timestamp(d).date(): v for d, v in zip(grp["day"], grp["v"])}
+        for t, grp in daily.groupby("t")
+    }
+    assert len(rows) == sum(len(s) for s in series.values())
+    for g in rows:
+        s = series[g["event_type"]]
+        day = dt.date.fromisoformat(g["day"])
+        num = Decimal(0)
+        den = Decimal(0)
+        for k in range(14):
+            other = day - dt.timedelta(days=k)
+            if other in s:
+                w = 0.7 ** k
+                num += rnd9(w * s[other])
+                den += rnd9(w)
+        want = float(
+            (num / den).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+        assert g["v"] == s[day]
+        assert g["ewma"] == want, (g, want)
