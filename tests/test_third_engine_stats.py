@@ -1276,3 +1276,31 @@ def test_ewma_matches_python_truncated_weights(spark, smoke_dir):
         )
         assert g["v"] == s[day]
         assert g["ewma"] == want, (g, want)
+
+
+def test_gap_fill_locf_matches_pandas_grid(spark, smoke_dir):
+    got = {
+        (r["user_id"], r["hour_us"]): r
+        for r in _rows(spark, smoke_dir, "q95_gap_fill_locf")
+    }
+    hourly = _df(
+        f"select user_id as u, epoch_us(date_trunc('hour', ts)) as hus,"
+        f" cast(round(sum(cast(value as decimal(38,6))),6) as double) as v"
+        f" from read_parquet('{smoke_dir}/events.parquet')"
+        f" where user_id % 97 = 0 group by 1,2"
+    )
+    HOUR = 3_600_000_000
+    want = {}
+    for u, grp in hourly.groupby("u"):
+        obs = dict(zip(grp["hus"].astype(int), grp["v"]))
+        last = None
+        for hus in range(min(obs), max(obs) + HOUR, HOUR):
+            if hus in obs:
+                last = obs[hus]
+                want[(u, hus)] = (last, 0)
+            else:
+                want[(u, hus)] = (last, 1)
+    assert len(got) == len(want)
+    for k, (v, gap) in want.items():
+        g = got[k]
+        assert (g["v_fill"], g["is_gap"]) == (v, gap), (k, g, v, gap)
