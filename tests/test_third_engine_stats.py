@@ -1304,3 +1304,66 @@ def test_gap_fill_locf_matches_pandas_grid(spark, smoke_dir):
     for k, (v, gap) in want.items():
         g = got[k]
         assert (g["v_fill"], g["is_gap"]) == (v, gap), (k, g, v, gap)
+
+
+def test_chisq_terms_match_python_contingency(spark, smoke_dir):
+    import re
+    from collections import Counter
+
+    rows = _rows(spark, smoke_dir, "q155_chisq_terms")
+    docs = _df(
+        f"select doc_id, text, lang from "
+        f"read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    n = len(docs)
+    n_pos = int((docs["lang"] == "en").sum())
+    df_: Counter = Counter()
+    df_pos: Counter = Counter()
+    for _, r in docs.iterrows():
+        terms = {
+            w
+            for w in re.split(r"[^a-z]+", str(r["text"]).lower())
+            if len(w) >= 3
+        }
+        df_.update(terms)
+        if r["lang"] == "en":
+            df_pos.update(terms)
+    scored = []
+    for w, d in df_.items():
+        if d < 10:
+            continue
+        a = df_pos[w]
+        diff = a * (n - n_pos - d + a) - (d - a) * (n_pos - a)
+        chi2 = round(
+            (n * float(diff) * diff) / (float(d) * (n - d) * n_pos * (n - n_pos)),
+            6,
+        )
+        scored.append((-chi2, w, d, a))
+    scored.sort()
+    want = scored[:20]
+    assert len(rows) == len(want)
+    for g, (negchi, w, d, a) in zip(rows, want):
+        assert (g["term"], g["df"], g["df_pos"], g["chi2"]) == (
+            w,
+            d,
+            a,
+            -negchi,
+        ), g
+
+
+def test_k_anonymity_matches_pandas_class_sizes(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q197_k_anonymity")
+    c = _df(
+        f"select c_nationkey as nk, c_mktsegment as seg from "
+        f"read_parquet('{smoke_dir}/customer.parquet')"
+    )
+    sizes = c.groupby(["nk", "seg"]).size()
+    total = int(sizes.sum())
+    supp = int(sizes[sizes < 5].sum())
+    rate = round(supp / total, 6)
+    assert len(rows) == len(sizes)
+    for g in rows:
+        sz = int(sizes[(g["c_nationkey"], g["c_mktsegment"])])
+        assert g["group_size"] == sz
+        assert g["suppressed"] == int(sz < 5)
+        assert g["corpus_suppression_rate"] == rate
