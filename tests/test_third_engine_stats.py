@@ -1367,3 +1367,53 @@ def test_k_anonymity_matches_pandas_class_sizes(spark, smoke_dir):
         assert g["group_size"] == sz
         assert g["suppressed"] == int(sz < 5)
         assert g["corpus_suppression_rate"] == rate
+
+
+def test_bigram_lm_interp_matches_python_jm_model(spark, smoke_dir):
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = _rows(spark, smoke_dir, "q175_bigram_lm_interp")
+    docs = _df(
+        f"select doc_id, text from read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    streams = {
+        int(r["doc_id"]): [
+            w for w in re.split(r"[^a-z]+", str(r["text"]).lower()) if w
+        ]
+        for _, r in docs.iterrows()
+    }
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for s in streams.values():
+        uni.update(s)
+        bi.update(zip(s, s[1:]))
+    t = float(sum(uni.values()))
+    want = {}
+    for d_, s in streams.items():
+        grams = list(zip(s, s[1:]))
+        if not grams:
+            continue
+        total = sum(
+            Decimal(
+                repr(
+                    math.log(
+                        0.7 * (bi[(a, b)] / uni[a]) + 0.3 * (uni[b] / t)
+                    )
+                )
+            ).quantize(Decimal(1).scaleb(-9), ROUND_HALF_UP)
+            for a, b in grams
+        )
+        want[d_] = (
+            len(grams),
+            float(
+                (total / len(grams)).quantize(
+                    Decimal("0.0001"), ROUND_HALF_UP
+                )
+            ),
+        )
+    assert len(rows) == len(want)
+    for g in rows:
+        n, mean = want[g["doc_id"]]
+        assert (g["n_bigrams"], g["mean_logprob"]) == (n, mean), g
