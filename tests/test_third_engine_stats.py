@@ -1417,3 +1417,55 @@ def test_bigram_lm_interp_matches_python_jm_model(spark, smoke_dir):
     for g in rows:
         n, mean = want[g["doc_id"]]
         assert (g["n_bigrams"], g["mean_logprob"]) == (n, mean), g
+
+
+def test_forecast_revenue_matches_pandas_filter_agg(spark, smoke_dir):
+    got = _rows(spark, smoke_dir, "q194_forecast_revenue")[0]
+    li = _df(
+        f"select l_shipdate as d, l_discount as disc, l_quantity as q,"
+        f" l_extendedprice as p from "
+        f"read_parquet('{smoke_dir}/lineitem.parquet')"
+    )
+    sel = li[
+        (li["d"] >= pd.Timestamp("1997-01-01"))
+        & (li["d"] < pd.Timestamp("1998-01-01"))
+        & (li["disc"] >= 0.05)
+        & (li["disc"] <= 0.07)
+        & (li["q"] < 24)
+    ]
+    want = round(float((sel["p"] * sel["disc"]).sum()), 6)
+    assert got["n_lines"] == len(sel)
+    assert abs(got["revenue_delta"] - want) <= 1e-6
+
+
+def test_boilerplate_coverage_matches_python_span_df(spark, smoke_dir):
+    import re
+    from collections import Counter
+
+    rows = _rows(spark, smoke_dir, "q174_boilerplate_coverage")
+    docs = _df(
+        f"select doc_id, text from read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    grams = {}
+    span_docs: Counter = Counter()
+    for _, r in docs.iterrows():
+        toks = [
+            w for w in re.split(r"[^a-z]+", str(r["text"]).lower()) if w
+        ]
+        g = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        grams[int(r["doc_id"])] = g
+        span_docs.update(set(g))
+    boiler = {g for g, d in span_docs.items() if d >= 25}
+    want = {
+        d_: (
+            len(g),
+            sum(1 for s in g if s in boiler),
+        )
+        for d_, g in grams.items()
+        if g
+    }
+    assert len(rows) == len(want)
+    for r in rows:
+        n, nt = want[r["doc_id"]]
+        assert (r["n_grams"], r["n_templated"]) == (n, nt), r
+        assert r["boiler_ratio"] == round(nt / n, 6)
