@@ -1469,3 +1469,50 @@ def test_boilerplate_coverage_matches_python_span_df(spark, smoke_dir):
         n, nt = want[r["doc_id"]]
         assert (r["n_grams"], r["n_templated"]) == (n, nt), r
         assert r["boiler_ratio"] == round(nt / n, 6)
+
+
+def test_geo_radius_join_matches_brute_force_haversine(spark, smoke_dir):
+    import hashlib as hl
+    import os
+    from itertools import combinations
+
+    import pytest
+
+    # sf0.001's 150 hash-placed customers contain no sub-25 km pair, so
+    # the non-trivial check needs the sf0.01 fixture (1500 points, ~1.1M
+    # brute-force pairs — still fast in pure Python).
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.01 fixture not present")
+    rows = _rows(spark, sf_dir, "q153_geo_radius_join")
+    ids = _df(
+        f"select c_custkey as k from read_parquet('{sf_dir}/customer.parquet')"
+    )["k"].astype(int).tolist()
+    pts = {}
+    for k in ids:
+        h = hl.md5(str(k).encode()).hexdigest()
+        h1, h2 = int(h[0:6], 16), int(h[6:12], 16)
+        pts[k] = (-60 + (h1 % 12000) / 100.0, -180 + (h2 % 36000) / 100.0)
+
+    def hav_km(a, b):
+        la1, lo1 = pts[a]
+        la2, lo2 = pts[b]
+        dlat = math.radians(la2 - la1) / 2
+        dlon = math.radians(lo2 - lo1) / 2
+        h = (
+            math.sin(dlat) ** 2
+            + math.cos(math.radians(la1))
+            * math.cos(math.radians(la2))
+            * math.sin(dlon) ** 2
+        )
+        return round(2 * 6371.0 * math.asin(math.sqrt(h)), 9)
+
+    # brute force over ALL pairs — the blocking must lose nothing
+    want = {
+        (a, b): round(hav_km(a, b), 6)
+        for a, b in combinations(sorted(pts), 2)
+        if hav_km(a, b) <= 25.0
+    }
+    got = {(r["id_a"], r["id_b"]): r["dist_km"] for r in rows}
+    assert got == want
+    assert len(want) > 0  # fixture must actually contain close pairs
