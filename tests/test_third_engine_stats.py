@@ -1516,3 +1516,23 @@ def test_geo_radius_join_matches_brute_force_haversine(spark, smoke_dir):
     got = {(r["id_a"], r["id_b"]): r["dist_km"] for r in rows}
     assert got == want
     assert len(want) > 0  # fixture must actually contain close pairs
+
+
+def test_event_paths_match_python_trigram_counts(spark, smoke_dir):
+    from collections import Counter
+
+    rows = _rows(spark, smoke_dir, "q143_event_paths")
+    e = _df(
+        f"select user_id as u, event_type as t, epoch_us(ts) as us,"
+        f" event_id as i from read_parquet('{smoke_dir}/events.parquet')"
+    ).sort_values(["us", "i"], kind="stable")
+    cnt: Counter = Counter()
+    for _, grp in e.groupby("u", sort=False):
+        ts_ = list(grp["t"])
+        cnt.update(
+            f"{a}>{b}>{c}" for a, b, c in zip(ts_, ts_[1:], ts_[2:])
+        )
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    want = sorted(top)  # final orderBy(path)
+    got = [(r["path"], r["n"]) for r in rows]
+    assert got == want
