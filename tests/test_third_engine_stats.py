@@ -1536,3 +1536,36 @@ def test_event_paths_match_python_trigram_counts(spark, smoke_dir):
     want = sorted(top)  # final orderBy(path)
     got = [(r["path"], r["n"]) for r in rows]
     assert got == want
+
+
+def test_share_of_total_matches_pandas_two_level_ratios(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q185_share_of_total")
+    nat = _df(
+        f"select r.r_name as region, n.n_name as nation,"
+        f" sum(cast(l.l_extendedprice * (1 - l.l_discount) as"
+        f" decimal(38,6))) as rev"
+        f" from read_parquet('{smoke_dir}/lineitem.parquet') l"
+        f" join read_parquet('{smoke_dir}/supplier.parquet') s"
+        f"   on l.l_suppkey = s.s_suppkey"
+        f" join read_parquet('{smoke_dir}/nation.parquet') n"
+        f"   on s.s_nationkey = n.n_nationkey"
+        f" join read_parquet('{smoke_dir}/region.parquet') r"
+        f"   on n.n_regionkey = r.r_regionkey"
+        f" group by 1,2"
+    )
+    region_tot = nat.groupby("region")["rev"].transform("sum")
+    grand = nat["rev"].sum()
+    want = {
+        (r["region"], r["nation"]): (
+            round(float(r["rev"]), 6),
+            round(float(r["rev"] / rt), 6),
+            round(float(r["rev"] / grand), 6),
+        )
+        for (_, r), rt in zip(nat.iterrows(), region_tot)
+    }
+    assert len(rows) == len(want)
+    for g in rows:
+        rev, sr, st = want[(g["region"], g["nation"])]
+        assert g["revenue"] == rev
+        assert abs(g["share_of_region"] - sr) <= 1e-6
+        assert abs(g["share_of_total"] - st) <= 1e-6
