@@ -1569,3 +1569,61 @@ def test_share_of_total_matches_pandas_two_level_ratios(spark, smoke_dir):
         assert g["revenue"] == rev
         assert abs(g["share_of_region"] - sr) <= 1e-6
         assert abs(g["share_of_total"] - st) <= 1e-6
+
+
+def test_revenue_concentration_matches_pandas_pareto(spark, smoke_dir):
+    from decimal import Decimal
+
+    rows = _rows(spark, smoke_dir, "q165_revenue_concentration")
+    rev = _df(
+        f"select p.p_brand as b,"
+        f" sum(cast(l.l_extendedprice * (1 - l.l_discount) as"
+        f" decimal(38,6))) as r"
+        f" from read_parquet('{smoke_dir}/lineitem.parquet') l"
+        f" join read_parquet('{smoke_dir}/part.parquet') p"
+        f"   on l.l_partkey = p.p_partkey group by 1"
+    )
+    items = sorted(
+        ((Decimal(str(r["r"])), r["b"]) for _, r in rev.iterrows()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    t = sum(v for v, _ in items)
+    cum = Decimal(0)
+    want = []
+    for v, b in items:
+        before = cum
+        cum += v
+        want.append(
+            (
+                b,
+                float(round(v, 2)),
+                round(float(cum / t), 6),
+                int(cum / t <= Decimal("0.8") or before / t < Decimal("0.8")),
+            )
+        )
+    got = [
+        (r["p_brand"], r["revenue"], r["cum_share"], r["in_top80"])
+        for r in rows
+    ]
+    assert got == want
+
+
+def test_revenue_peaks_match_python_neighbor_scan(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q238_revenue_peaks")
+    daily = _df(
+        f"select l_shipdate as d, cast(round(sum(cast(l_extendedprice as "
+        f"decimal(38,6))),6) as double) as rev from "
+        f"read_parquet('{smoke_dir}/lineitem.parquet') group by 1 order by 1"
+    )
+    rev = daily["rev"].to_numpy()
+    days = [pd.Timestamp(d).strftime("%Y-%m-%d") for d in daily["d"]]
+    mean = round(float(rev.sum()) / len(rev), 6)
+    peaks = [
+        (-rev[i], days[i], round(rev[i] / mean, 6))
+        for i in range(1, len(rev) - 1)
+        if rev[i] > rev[i - 1] and rev[i] > rev[i + 1] and rev[i] > 1.5 * mean
+    ]
+    peaks.sort()
+    want = [(d, -negr, rh) for negr, d, rh in peaks[:10]]
+    got = [(r["day"], r["rev"], r["rel_height"]) for r in rows]
+    assert got == want
