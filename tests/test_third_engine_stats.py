@@ -1627,3 +1627,28 @@ def test_revenue_peaks_match_python_neighbor_scan(spark, smoke_dir):
     want = [(d, -negr, rh) for negr, d, rh in peaks[:10]]
     got = [(r["day"], r["rev"], r["rel_height"]) for r in rows]
     assert got == want
+
+
+def test_funnel_stages_match_python_sequential_anchors(spark, smoke_dir):
+    got = _rows(spark, smoke_dir, "q101_funnel_stages")[0]
+    e = _df(
+        f"select user_id as u, event_type as t, epoch_us(ts) as us from "
+        f"read_parquet('{smoke_dir}/events.parquet')"
+    )
+    t1, t2, t3 = {}, {}, {}
+    for u, grp in e.groupby("u"):
+        views = grp[grp["t"] == "view"]["us"]
+        if views.empty:
+            continue
+        t1[u] = views.min()
+        clicks = grp[(grp["t"] == "click") & (grp["us"] > t1[u])]["us"]
+        if clicks.empty:
+            continue
+        t2[u] = clicks.min()
+        buys = grp[(grp["t"] == "purchase") & (grp["us"] > t2[u])]["us"]
+        if buys.empty:
+            continue
+        t3[u] = buys.min()
+    assert (
+        got["n_view"], got["n_view_click"], got["n_view_click_purchase"]
+    ) == (len(t1), len(t2), len(t3))
