@@ -1652,3 +1652,49 @@ def test_funnel_stages_match_python_sequential_anchors(spark, smoke_dir):
     assert (
         got["n_view"], got["n_view_click"], got["n_view_click_purchase"]
     ) == (len(t1), len(t2), len(t3))
+
+
+def test_sequence_packing_matches_python_greedy_fold(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q97_sequence_packing")
+    d = _df(
+        f"select source, doc_id, n_chars from "
+        f"read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    want = {}
+    for src, grp in d.groupby("source"):
+        grp = grp.sort_values("doc_id")
+        # greedy fold: a doc STARTS in the current bin if the running
+        # total before it is < budget; bin = floor(prefix_before/2048)
+        # per the boundary-spill rule
+        prefix = 0
+        for _, r in grp.iterrows():
+            tok = int(r["n_chars"]) // 4
+            b = prefix // 2048
+            n, t = want.get((src, b), (0, 0))
+            want[(src, b)] = (n + 1, t + tok)
+            prefix += tok
+    got = {
+        (r["source"], r["bin"]): (r["n_docs"], r["tokens_total"])
+        for r in rows
+    }
+    assert got == want
+    for r in rows:
+        assert r["overflow"] == int(r["tokens_total"] > 2048)
+
+
+def test_exact_correlation_matches_numpy_corrcoef(spark, smoke_dir):
+    got = {
+        r["l_returnflag"]: r
+        for r in _rows(spark, smoke_dir, "q116_exact_correlation")
+    }
+    li = _df(
+        f"select l_returnflag as f, l_quantity as x, l_extendedprice as y"
+        f" from read_parquet('{smoke_dir}/lineitem.parquet')"
+    )
+    for f, grp in li.groupby("f"):
+        r = float(
+            np.corrcoef(grp["x"].to_numpy(), grp["y"].to_numpy())[0, 1]
+        )
+        g = got[f]
+        assert g["n"] == len(grp)
+        assert abs(g["corr_qty_price"] - r) <= 2e-6, (f, g, r)
