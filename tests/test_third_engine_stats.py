@@ -1698,3 +1698,90 @@ def test_exact_correlation_matches_numpy_corrcoef(spark, smoke_dir):
         g = got[f]
         assert g["n"] == len(grp)
         assert abs(g["corr_qty_price"] - r) <= 2e-6, (f, g, r)
+
+
+def test_repetition_quality_matches_python_gopher_model(spark, smoke_dir):
+    import re
+    from collections import Counter
+
+    rows = _rows(spark, smoke_dir, "q72_repetition_quality")
+    docs = _df(
+        f"select doc_id, text from read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    want = {}
+    for _, r in docs.iterrows():
+        t = str(r["text"]).lower().strip()
+        words = re.split(r"\s+", t)
+        ws = t.split(" ")
+        n_grams = max(len(ws) - 1, 1)
+        bigrams = [" ".join(ws[i : i + 2]) for i in range(n_grams)]
+        wc, bc = Counter(words), Counter(bigrams)
+        twf = round(max(wc.values()) / sum(wc.values()), 6)
+        tbf = round(max(bc.values()) / sum(bc.values()), 6)
+        mwl = round(
+            sum(n * len(g) for g, n in wc.items()) / sum(wc.values()), 6
+        )
+        want[int(r["doc_id"])] = (twf, tbf, mwl, twf <= 0.1 and tbf <= 0.06)
+    assert len(rows) == len(want)
+    for g in rows:
+        twf, tbf, mwl, keep = want[g["doc_id"]]
+        assert (
+            g["top_word_frac"], g["top_bigram_frac"],
+            g["mean_word_len"], g["keep"],
+        ) == (twf, tbf, mwl, keep), g
+
+
+def test_rolling_7day_matches_pandas_range_frame(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q99_rolling_7day")
+    daily = _df(
+        f"select user_id as u,"
+        f" datediff('day', date '1970-01-01', cast(date_trunc('day', ts)"
+        f" as date)) as di,"
+        f" cast(round(sum(cast(value as decimal(38,6))),6) as double) as v"
+        f" from read_parquet('{smoke_dir}/events.parquet')"
+        f" where user_id % 7 = 0 group by 1,2"
+    )
+    got = {(r["user_id"], r["day_idx"]): r for r in rows}
+    assert len(got) == len(daily)
+    for u, grp in daily.groupby("u"):
+        obs = dict(zip(grp["di"].astype(int), grp["v"]))
+        for di in obs:
+            win = [obs[d] for d in range(di - 6, di + 1) if d in obs]
+            g = got[(u, di)]
+            assert g["v"] == obs[di]
+            assert abs(g["v_7d"] - sum(win)) <= 1e-6, (u, di)
+            assert g["active_days_7d"] == len(win)
+
+
+def test_new_vs_returning_matches_pandas_growth_accounting(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q128_new_vs_returning")
+    peru = _df(
+        f"select distinct user_id as u, cast(date_trunc('day', ts) as date)"
+        f" as day from read_parquet('{smoke_dir}/events.parquet')"
+    )
+    firsts = peru.groupby("u")["day"].min()
+    peru["is_new"] = peru.apply(
+        lambda r: r["day"] == firsts[r["u"]], axis=1
+    )
+    agg = peru.groupby("day").agg(
+        n_active=("u", "size"), n_new=("is_new", "sum")
+    ).sort_index()
+    cum = 0
+    want = []
+    for day, r in agg.iterrows():
+        cum += int(r["n_new"])
+        want.append(
+            (
+                pd.Timestamp(day).strftime("%Y-%m-%d"),
+                int(r["n_active"]),
+                int(r["n_new"]),
+                int(r["n_active"] - r["n_new"]),
+                cum,
+            )
+        )
+    got = [
+        (r["day"], r["n_active"], r["n_new"], r["n_returning"],
+         r["n_cumulative"])
+        for r in rows
+    ]
+    assert got == want
