@@ -1785,3 +1785,41 @@ def test_new_vs_returning_matches_pandas_growth_accounting(spark, smoke_dir):
         for r in rows
     ]
     assert got == want
+
+
+def test_sorted_neighborhood_matches_python_levenshtein_window(
+    spark, smoke_dir
+):
+    rows = _rows(spark, smoke_dir, "q157_sorted_neighborhood")
+    p = _df(
+        f"select p_partkey as k, p_name as nm from "
+        f"read_parquet('{smoke_dir}/part.parquet')"
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    ordered = sorted(zip(p["nm"], p["k"].astype(int)))
+    want = {}
+    for i, (na, ka) in enumerate(ordered):
+        for j in range(i + 1, min(i + 6, len(ordered))):  # w=5 window
+            nb, kb = ordered[j]
+            d = lev(na, nb)
+            if d <= 6:
+                # pair orientation follows the RANK order (id_a is the
+                # earlier (p_name, p_partkey) rank), not id order
+                want[(ka, kb)] = d
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in rows}
+    assert got == want and len(want) > 0
