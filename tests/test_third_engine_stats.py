@@ -1823,3 +1823,68 @@ def test_sorted_neighborhood_matches_python_levenshtein_window(
                 want[(ka, kb)] = d
     got = {(r["id_a"], r["id_b"]): r["dist"] for r in rows}
     assert got == want and len(want) > 0
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_name_pairs_match_python_brand_block(spark, smoke_dir):
+    from itertools import combinations
+
+    rows = _rows(spark, smoke_dir, "q115_fuzzy_name_pairs")
+    p = _df(
+        f"select p_partkey as k, p_name as nm, p_brand as b from "
+        f"read_parquet('{smoke_dir}/part.parquet') where p_partkey % 20 = 0"
+    )
+    want = {}
+    for _, grp in p.groupby("b"):
+        items = sorted(zip(grp["k"].astype(int), grp["nm"]))
+        for (ka, na), (kb, nb) in combinations(items, 2):
+            d = _lev(na, nb)
+            if d <= 12:
+                want[(ka, kb)] = d
+    got = {(r["key_a"], r["key_b"]): r["dist"] for r in rows}
+    assert got == want and len(want) > 0
+
+
+def test_tfidf_top_terms_match_python_keyword_model(spark, smoke_dir):
+    import re
+    from collections import Counter
+
+    rows = _rows(spark, smoke_dir, "q87_tfidf_top_terms")
+    docs = _df(
+        f"select doc_id, text from read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    tf = {
+        int(r["doc_id"]): Counter(
+            re.split(r"\s+", str(r["text"]).lower().strip())
+        )
+        for _, r in docs.iterrows()
+    }
+    n_total = len(tf)
+    dfreq: Counter = Counter()
+    for c in tf.values():
+        dfreq.update(c.keys())
+    want = []
+    for d_ in sorted(tf):
+        cnt = tf[d_]
+        nw = sum(cnt.values())
+        scored = sorted(
+            (
+                (-round((c / nw) * (n_total / dfreq[w]), 6), w)
+                for w, c in cnt.items()
+            )
+        )[:3]
+        for rk, (negs, w) in enumerate(scored, 1):
+            want.append((d_, w, -negs, rk))
+    got = [(r["doc_id"], r["term"], r["score"], r["rank"]) for r in rows]
+    assert got == want
