@@ -1888,3 +1888,47 @@ def test_tfidf_top_terms_match_python_keyword_model(spark, smoke_dir):
             want.append((d_, w, -negs, rk))
     got = [(r["doc_id"], r["term"], r["score"], r["rank"]) for r in rows]
     assert got == want
+
+
+def test_referential_integrity_matches_pandas_anti_joins(spark, smoke_dir):
+    rows = {r["fk"]: r for r in _rows(spark, smoke_dir, "q205_referential_integrity")}
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    assert set(rows) == {e[0] for e in edges}
+    for fk, child, key, parent, pkey in edges:
+        ck = _df(
+            f"select {key} as k from read_parquet('{smoke_dir}/{child}.parquet')"
+        )["k"]
+        pk = set(
+            _df(
+                f"select distinct {pkey} as k from "
+                f"read_parquet('{smoke_dir}/{parent}.parquet')"
+            )["k"]
+        )
+        orphans = int((~ck.isin(pk)).sum())
+        g = rows[fk]
+        assert (g["child_rows"], g["orphans"]) == (len(ck), orphans), fk
+        assert g["ok"] == int(orphans == 0)
+        assert g["orphan_rate"] == round(orphans / len(ck), 6)
+
+
+def test_top_supplier_matches_pandas_max_ties(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q193_top_supplier")
+    rev = _df(
+        f"select l_suppkey as s,"
+        f" cast(round(sum(cast(l_extendedprice * (1 - l_discount) as"
+        f" decimal(38,6))),6) as double) as r"
+        f" from read_parquet('{smoke_dir}/lineitem.parquet')"
+        f" where l_shipdate >= date '1997-01-01'"
+        f"   and l_shipdate < date '1997-04-01' group by 1"
+    )
+    mx = rev["r"].max()
+    winners = sorted(rev[rev["r"] == mx]["s"].astype(int))
+    assert [r["s_suppkey"] for r in rows] == winners
+    for r in rows:
+        assert r["total_revenue"] == mx
