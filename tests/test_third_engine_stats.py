@@ -1932,3 +1932,72 @@ def test_top_supplier_matches_pandas_max_ties(spark, smoke_dir):
     assert [r["s_suppkey"] for r in rows] == winners
     for r in rows:
         assert r["total_revenue"] == mx
+
+
+def test_neyman_allocation_matches_python_survey_model(spark, smoke_dir):
+    import hashlib as hl
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = {r["seg"]: r for r in _rows(spark, smoke_dir, "q227_neyman_sample")}
+    cust = _df(
+        f"select c_mktsegment as seg, c_custkey as k, c_acctbal as v from "
+        f"read_parquet('{smoke_dir}/customer.parquet')"
+    )
+    stats = {}
+    for seg, grp in cust.groupby("seg"):
+        v = grp["v"].to_numpy()
+        stats[seg] = (len(v), float(np.std(v, ddof=1)))
+    denom = float(
+        sum(
+            Decimal(repr(n * sd)).quantize(
+                Decimal(1).scaleb(-9), ROUND_HALF_UP
+            )
+            for n, sd in stats.values()
+        )
+    )
+    for seg, grp in cust.groupby("seg"):
+        n, sd = stats[seg]
+        rate = min(1.0, (1000.0 * n * sd / denom) / n)
+        drawn = sum(
+            1
+            for k in grp["k"].astype(int)
+            if int(hl.md5(str(k).encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+            < rate
+        )
+        g = rows[seg]
+        assert g["n"] == n
+        assert abs(g["sd"] - sd) <= 2e-6
+        assert abs(g["rate"] - rate) <= 2e-6
+        assert g["n_sampled"] == drawn, (seg, g, drawn)
+
+
+def test_key_sequence_gaps_match_python_bucket_audit(spark, smoke_dir):
+    rows = {r["bucket"]: r for r in _rows(spark, smoke_dir, "q222_key_sequence_gaps")}
+    keys = sorted(
+        set(
+            _df(
+                f"select o_orderkey as k from "
+                f"read_parquet('{smoke_dir}/orders.parquet')"
+            )["k"].astype(int)
+        )
+    )
+    gmin, gmax = keys[0], keys[-1]
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for k in keys:
+        buckets[k // 1000].append(k)
+    want = {}
+    for b, ks in buckets.items():
+        exp_lo = gmin if b == gmin // 1000 else b * 1000
+        exp_hi = gmax if b == gmax // 1000 else b * 1000 + 999
+        miss = exp_hi - exp_lo + 1 - len(ks)
+        if miss > 0:
+            want[b] = (len(ks), min(ks), max(ks), miss)
+    assert set(rows) == set(want)
+    for b, (n, lo, hi, miss) in want.items():
+        g = rows[b]
+        assert (g["n_keys"], g["lo"], g["hi"], g["missing_in_span"]) == (
+            n, lo, hi, miss,
+        ), b
