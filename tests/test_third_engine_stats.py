@@ -2001,3 +2001,61 @@ def test_key_sequence_gaps_match_python_bucket_audit(spark, smoke_dir):
         assert (g["n_keys"], g["lo"], g["hi"], g["missing_in_span"]) == (
             n, lo, hi, miss,
         ), b
+
+
+def test_multires_rollup_matches_pandas_three_grains(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q94_multires_rollup")
+    e = _df(
+        f"select strftime(date_trunc('day', ts), '%Y-%m-%d') as day,"
+        f" strftime(date_trunc('hour', ts), '%Y-%m-%d %H') as hr, value"
+        f" from read_parquet('{smoke_dir}/events.parquet')"
+    )
+    want = {}
+    for (day, hr), grp in e.groupby(["day", "hr"]):  # gid 0: (day, hr)
+        want[(day, hr, 0)] = (len(grp), round(float(grp["value"].sum()), 6))
+    for day, grp in e.groupby("day"):  # gid 2: day only
+        want[(day, "<all>", 2)] = (
+            len(grp),
+            round(float(grp["value"].sum()), 6),
+        )
+    want[("<all>", "<all>", 3)] = (  # gid 3: grand total
+        len(e),
+        round(float(e["value"].sum()), 6),
+    )
+    assert len(rows) == len(want)
+    for g in rows:
+        n, vs = want[(g["day"], g["hr"], g["gid"])]
+        assert g["n"] == n
+        assert abs(g["value_sum"] - vs) <= 1e-6, g
+
+
+def test_percent_of_parent_matches_pandas_hierarchy(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q223_percent_of_parent")
+    nat = _df(
+        f"select r.r_name as region, n.n_name as nation,"
+        f" cast(round(sum(cast(o.o_totalprice as decimal(38,6))),6)"
+        f" as double) as rev"
+        f" from read_parquet('{smoke_dir}/orders.parquet') o"
+        f" join read_parquet('{smoke_dir}/customer.parquet') c"
+        f"   on o.o_custkey = c.c_custkey"
+        f" join read_parquet('{smoke_dir}/nation.parquet') n"
+        f"   on c.c_nationkey = n.n_nationkey"
+        f" join read_parquet('{smoke_dir}/region.parquet') r"
+        f"   on n.n_regionkey = r.r_regionkey group by 1,2"
+    )
+    reg = nat.groupby("region")["rev"].sum()
+    grand = nat["rev"].sum()
+    want = {
+        (r["region"], r["nation"]): (
+            r["rev"],
+            round(float(r["rev"] / reg[r["region"]]), 6),
+            round(float(reg[r["region"]] / grand), 6),
+        )
+        for _, r in nat.iterrows()
+    }
+    assert len(rows) == len(want)
+    for g in rows:
+        rev, sr, rst = want[(g["region"], g["nation"])]
+        assert g["rev"] == rev
+        assert abs(g["share_of_region"] - sr) <= 1e-6
+        assert abs(g["region_share_of_total"] - rst) <= 1e-6
