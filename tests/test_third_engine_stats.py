@@ -2059,3 +2059,60 @@ def test_percent_of_parent_matches_pandas_hierarchy(spark, smoke_dir):
         assert g["rev"] == rev
         assert abs(g["share_of_region"] - sr) <= 1e-6
         assert abs(g["region_share_of_total"] - rst) <= 1e-6
+
+
+def test_volume_shipping_matches_pandas_snowflake(spark, smoke_dir):
+    import os
+
+    import pytest
+
+    # the sf0.001 fixture has no NATION_1<->NATION_2 bilateral rows in
+    # the two-year window; the non-trivial check needs sf0.01
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.01 fixture not present")
+    smoke_dir = sf_dir
+    rows = _rows(spark, smoke_dir, "q168_volume_shipping")
+    li = _df(
+        f"select l_orderkey, l_suppkey, l_shipdate,"
+        f" l_extendedprice * (1 - l_discount) as vol"
+        f" from read_parquet('{smoke_dir}/lineitem.parquet')"
+        f" where l_shipdate >= date '1996-01-01'"
+        f"   and l_shipdate < date '1998-01-01'"
+    )
+    o = _df(f"select o_orderkey, o_custkey from read_parquet('{smoke_dir}/orders.parquet')")
+    c = _df(f"select c_custkey, c_nationkey from read_parquet('{smoke_dir}/customer.parquet')")
+    s = _df(f"select s_suppkey, s_nationkey from read_parquet('{smoke_dir}/supplier.parquet')")
+    n = _df(f"select n_nationkey, n_name from read_parquet('{smoke_dir}/nation.parquet')")
+    j = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(
+            n.rename(columns={"n_name": "cust_nation"}),
+            left_on="c_nationkey", right_on="n_nationkey",
+        )
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(
+            n.rename(columns={"n_name": "supp_nation", "n_nationkey": "nk2"}),
+            left_on="s_nationkey", right_on="nk2",
+        )
+    )
+    pair = (
+        ((j["supp_nation"] == "NATION_1") & (j["cust_nation"] == "NATION_2"))
+        | ((j["supp_nation"] == "NATION_2") & (j["cust_nation"] == "NATION_1"))
+    )
+    j = j[pair]
+    j["l_year"] = pd.to_datetime(j["l_shipdate"]).dt.year
+    want = {
+        (sn, cn, int(y)): round(float(grp["vol"].sum()), 6)
+        for (sn, cn, y), grp in j.groupby(
+            ["supp_nation", "cust_nation", "l_year"]
+        )
+    }
+    got = {
+        (r["supp_nation"], r["cust_nation"], r["l_year"]): r["revenue"]
+        for r in rows
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-6, k
