@@ -2116,3 +2116,40 @@ def test_volume_shipping_matches_pandas_snowflake(spark, smoke_dir):
     assert set(got) == set(want) and len(want) > 0
     for k in want:
         assert abs(got[k] - want[k]) <= 1e-6, k
+
+
+def test_promo_revenue_matches_pandas_conditional_agg(spark, smoke_dir):
+    got = _rows(spark, smoke_dir, "q172_promo_revenue")[0]
+    j = _df(
+        f"select p.p_type as t, l.l_extendedprice * (1 - l.l_discount) as v"
+        f" from read_parquet('{smoke_dir}/lineitem.parquet') l"
+        f" join read_parquet('{smoke_dir}/part.parquet') p"
+        f"   on l.l_partkey = p.p_partkey"
+        f" where l.l_shipdate >= date '1997-03-01'"
+        f"   and l.l_shipdate < date '1997-04-01'"
+    )
+    promo = float(j[j["t"] == "PROMO"]["v"].sum())
+    tot = float(j["v"].sum())
+    assert abs(got["promo_revenue"] - promo) <= 1e-6
+    assert abs(got["total_revenue"] - tot) <= 1e-6
+    assert abs(got["promo_pct"] - 100 * promo / tot) <= 1e-5
+
+
+def test_order_count_distribution_matches_pandas_left_join(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q171_order_count_distribution")
+    c = _df(
+        f"select c_custkey as k from read_parquet('{smoke_dir}/customer.parquet')"
+    )
+    o = _df(
+        f"select o_custkey as k from read_parquet('{smoke_dir}/orders.parquet')"
+        f" where o_orderpriority <> '4-NOT SPECIFIED'"
+    )
+    per = o.groupby("k").size()
+    counts = c["k"].map(per).fillna(0).astype(int)
+    dist = counts.value_counts()
+    want = sorted(
+        ((int(n), int(cd)) for n, cd in dist.items()),
+        key=lambda t: (-t[1], -t[0]),
+    )
+    got = [(r["c_count"], r["custdist"]) for r in rows]
+    assert got == want
