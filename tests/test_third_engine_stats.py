@@ -2153,3 +2153,66 @@ def test_order_count_distribution_matches_pandas_left_join(spark, smoke_dir):
     )
     got = [(r["c_count"], r["custdist"]) for r in rows]
     assert got == want
+
+
+def test_returned_revenue_matches_pandas_top20(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q170_returned_revenue")
+    j = _df(
+        f"select c.c_custkey as k, c.c_name as nm, n.n_name as nat,"
+        f" l.l_extendedprice * (1 - l.l_discount) as v"
+        f" from read_parquet('{smoke_dir}/lineitem.parquet') l"
+        f" join read_parquet('{smoke_dir}/orders.parquet') o"
+        f"   on l.l_orderkey = o.o_orderkey"
+        f" join read_parquet('{smoke_dir}/customer.parquet') c"
+        f"   on o.o_custkey = c.c_custkey"
+        f" join read_parquet('{smoke_dir}/nation.parquet') n"
+        f"   on c.c_nationkey = n.n_nationkey"
+        f" where l.l_returnflag = 'R'"
+        f"   and o.o_orderdate >= date '1997-01-01'"
+        f"   and o.o_orderdate < date '1997-07-01'"
+    )
+    per = j.groupby(["k", "nm", "nat"])["v"].sum().round(6)
+    ranked = sorted(
+        ((-float(v), int(k), nm, nat) for (k, nm, nat), v in per.items())
+    )[:20]
+    want = [(k, nm, nat, -negv) for negv, k, nm, nat in ranked]
+    got = [
+        (r["c_custkey"], r["c_name"], r["nation"], r["revenue"]) for r in rows
+    ]
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert abs(g[3] - w[3]) <= 1e-6
+
+
+def test_market_share_matches_pandas_snowflake(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q169_market_share")
+    j = _df(
+        f"select extract(year from o.o_orderdate) as y, sn.n_name as supp,"
+        f" l.l_extendedprice * (1 - l.l_discount) as v"
+        f" from read_parquet('{smoke_dir}/lineitem.parquet') l"
+        f" join read_parquet('{smoke_dir}/part.parquet') p"
+        f"   on l.l_partkey = p.p_partkey and p.p_type = 'ECONOMY'"
+        f" join read_parquet('{smoke_dir}/orders.parquet') o"
+        f"   on l.l_orderkey = o.o_orderkey"
+        f" join read_parquet('{smoke_dir}/customer.parquet') c"
+        f"   on o.o_custkey = c.c_custkey"
+        f" join read_parquet('{smoke_dir}/nation.parquet') cn"
+        f"   on c.c_nationkey = cn.n_nationkey"
+        f" join read_parquet('{smoke_dir}/region.parquet') r"
+        f"   on cn.n_regionkey = r.r_regionkey and r.r_name = 'ASIA'"
+        f" join read_parquet('{smoke_dir}/supplier.parquet') s"
+        f"   on l.l_suppkey = s.s_suppkey"
+        f" join read_parquet('{smoke_dir}/nation.parquet') sn"
+        f"   on s.s_nationkey = sn.n_nationkey"
+    )
+    got = {r["o_year"]: r for r in rows}
+    grouped = j.groupby(j["y"].astype(int))
+    assert set(got) == set(grouped.groups)
+    for y, grp in grouped:
+        nat = float(grp[grp["supp"] == "NATION_3"]["v"].sum())
+        tot = float(grp["v"].sum())
+        g = got[int(y)]
+        assert abs(g["nation_volume"] - nat) <= 1e-6
+        assert abs(g["total_volume"] - tot) <= 1e-6
+        assert abs(g["mkt_share"] - nat / tot) <= 1e-6
