@@ -2216,3 +2216,67 @@ def test_market_share_matches_pandas_snowflake(spark, smoke_dir):
         assert abs(g["nation_volume"] - nat) <= 1e-6
         assert abs(g["total_volume"] - tot) <= 1e-6
         assert abs(g["mkt_share"] - nat / tot) <= 1e-6
+
+
+def test_shipping_priority_matches_pandas_q3(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q158_shipping_priority")
+    j = _df(
+        f"select l.l_orderkey as ok,"
+        f" strftime(o.o_orderdate, '%Y-%m-%d') as od, o.o_orderpriority as pr,"
+        f" l.l_extendedprice * (1 - l.l_discount) as v"
+        f" from read_parquet('{smoke_dir}/customer.parquet') c"
+        f" join read_parquet('{smoke_dir}/orders.parquet') o"
+        f"   on c.c_custkey = o.o_custkey"
+        f" join read_parquet('{smoke_dir}/lineitem.parquet') l"
+        f"   on l.l_orderkey = o.o_orderkey"
+        f" where c.c_mktsegment = 'BUILDING'"
+        f"   and o.o_orderdate < date '1997-03-15'"
+        f"   and l.l_shipdate > date '1997-03-15'"
+    )
+    per = j.groupby(["ok", "od", "pr"])["v"].sum().round(6)
+    ranked = sorted(
+        ((-float(v), od, int(ok), pr) for (ok, od, pr), v in per.items())
+    )[:10]
+    want = [(ok, -negv, od, pr) for negv, od, ok, pr in ranked]
+    got = [
+        (r["l_orderkey"], r["revenue"], r["order_day"], r["o_orderpriority"])
+        for r in rows
+    ]
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert (g[0], g[2], g[3]) == (w[0], w[2], w[3])
+        assert abs(g[1] - w[1]) <= 1e-6
+
+
+def test_large_volume_orders_match_pandas_q18(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q162_large_volume_orders")
+    li = _df(
+        f"select l_orderkey as ok, l_quantity as q from "
+        f"read_parquet('{smoke_dir}/lineitem.parquet')"
+    )
+    per = li.groupby("ok")["q"].sum()
+    big = set(per[per > 300].index)
+    o = _df(
+        f"select o.o_orderkey as ok, c.c_name as nm, c.c_custkey as ck,"
+        f" strftime(o.o_orderdate, '%Y-%m-%d') as od, o.o_totalprice as tp"
+        f" from read_parquet('{smoke_dir}/orders.parquet') o"
+        f" join read_parquet('{smoke_dir}/customer.parquet') c"
+        f"   on o.o_custkey = c.c_custkey"
+    )
+    o = o[o["ok"].isin(big)]
+    ranked = sorted(
+        (
+            (-float(r["tp"]), int(r["ok"]), r["nm"], int(r["ck"]), r["od"])
+            for _, r in o.iterrows()
+        )
+    )[:20]
+    want = [
+        (nm, ck, ok, od, -negtp, round(float(per[ok]), 6))
+        for negtp, ok, nm, ck, od in ranked
+    ]
+    got = [
+        (r["c_name"], r["c_custkey"], r["o_orderkey"], r["order_day"],
+         r["o_totalprice"], r["sum_qty"])
+        for r in rows
+    ]
+    assert got == want and len(want) > 0
