@@ -2280,3 +2280,56 @@ def test_large_volume_orders_match_pandas_q18(spark, smoke_dir):
         for r in rows
     ]
     assert got == want and len(want) > 0
+
+
+def test_profit_by_nation_year_matches_pandas_q9(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q209_profit_by_nation_year")
+    j = _df(
+        f"select n.n_name as nat, extract(year from o.o_orderdate) as y,"
+        f" l.l_extendedprice * (1 - l.l_discount)"
+        f"   - 0.9 * p.p_retailprice * l.l_quantity as profit"
+        f" from read_parquet('{smoke_dir}/lineitem.parquet') l"
+        f" join read_parquet('{smoke_dir}/orders.parquet') o"
+        f"   on l.l_orderkey = o.o_orderkey"
+        f" join read_parquet('{smoke_dir}/supplier.parquet') s"
+        f"   on l.l_suppkey = s.s_suppkey"
+        f" join read_parquet('{smoke_dir}/nation.parquet') n"
+        f"   on s.s_nationkey = n.n_nationkey"
+        f" join read_parquet('{smoke_dir}/part.parquet') p"
+        f"   on l.l_partkey = p.p_partkey"
+        f" where p.p_name like '%a%'"
+    )
+    got = {(r["nation"], r["o_year"]): r["profit"] for r in rows}
+    want = {
+        (nat, int(y)): float(grp["profit"].sum())
+        for (nat, y), grp in j.groupby(["nat", "y"])
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-5, k
+
+
+def test_inactive_high_balance_matches_pandas_q22(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q173_inactive_high_balance")
+    c = _df(
+        f"select c_custkey as k, c_mktsegment as seg, c_acctbal as v"
+        f" from read_parquet('{smoke_dir}/customer.parquet')"
+    )
+    recent = set(
+        _df(
+            f"select distinct o_custkey as k from "
+            f"read_parquet('{smoke_dir}/orders.parquet')"
+            f" where o_orderdate >= date '2000-01-01'"
+        )["k"]
+    )
+    thr = float(c[c["v"] > 0]["v"].sum()) / int((c["v"] > 0).sum())
+    sel = c[(c["v"] > thr) & (~c["k"].isin(recent))]
+    want = {
+        seg: (len(grp), round(float(grp["v"].sum()), 6))
+        for seg, grp in sel.groupby("seg")
+    }
+    got = {r["c_mktsegment"]: (r["numcust"], r["totacctbal"]) for r in rows}
+    assert set(got) == set(want) and len(want) > 0
+    for seg, (n, tot) in want.items():
+        assert got[seg][0] == n
+        assert abs(got[seg][1] - tot) <= 1e-6
