@@ -2389,3 +2389,52 @@ def test_small_qty_revenue_matches_pandas_q17(spark, smoke_dir):
     avg_yearly = round(round(float(sel["p"].sum()), 6) / 7.0, 6)
     assert got["n_small_lines"] == len(sel)
     assert abs(got["avg_yearly"] - avg_yearly) <= 1e-6
+
+
+def test_pricing_summary_matches_pandas_q1(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q01_pricing_summary")
+    li = _df(
+        f"select l_returnflag as rf, l_linestatus as ls, l_quantity as q,"
+        f" l_extendedprice as ep, l_discount as d, l_tax as t"
+        f" from read_parquet('{smoke_dir}/lineitem.parquet')"
+        f" where l_shipdate <= date '1998-09-02'"
+    )
+    got = {(r["l_returnflag"], r["l_linestatus"]): r for r in rows}
+    grouped = li.groupby(["rf", "ls"])
+    assert set(got) == set(grouped.groups)
+    for (rf, ls), grp in grouped:
+        disc = grp["ep"] * (1 - grp["d"])
+        charge = disc * (1 + grp["t"])
+        n = len(grp)
+        g = got[(rf, ls)]
+        for col, series in (
+            ("sum_qty", grp["q"].sum()),
+            ("sum_base_price", grp["ep"].sum()),
+            ("sum_disc_price", disc.sum()),
+            ("sum_charge", charge.sum()),
+            ("avg_qty", grp["q"].sum() / n),
+            ("avg_price", grp["ep"].sum() / n),
+            ("avg_disc", grp["d"].sum() / n),
+        ):
+            assert abs(g[col] - float(series)) <= 1e-5, (rf, ls, col)
+        assert g["count_order"] == n
+
+
+def test_hash_split_matches_python_md5_buckets(spark, smoke_dir):
+    import hashlib as hl
+
+    rows = _rows(spark, smoke_dir, "q73_hash_split")
+    docs = _df(
+        f"select doc_id, lang, n_chars from "
+        f"read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    want = {}
+    for _, r in docs.iterrows():
+        h = hl.md5(str(int(r["doc_id"])).encode()).hexdigest()[0]
+        split = "train" if h <= "b" else ("val" if h <= "d" else "test")
+        n, ch = want.get((r["lang"], split), (0, 0))
+        want[(r["lang"], split)] = (n + 1, ch + int(r["n_chars"]))
+    got = {
+        (r["lang"], r["split"]): (r["n_docs"], r["chars_sum"]) for r in rows
+    }
+    assert got == want
