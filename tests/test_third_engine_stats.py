@@ -2438,3 +2438,47 @@ def test_hash_split_matches_python_md5_buckets(spark, smoke_dir):
         (r["lang"], r["split"]): (r["n_docs"], r["chars_sum"]) for r in rows
     }
     assert got == want
+
+
+def test_revenue_by_nation_matches_pandas_q5(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q05_revenue_by_nation")
+    j = _df(
+        f"select n.n_name as nat,"
+        f" l.l_extendedprice * (1 - l.l_discount) as v"
+        f" from read_parquet('{smoke_dir}/lineitem.parquet') l"
+        f" join read_parquet('{smoke_dir}/orders.parquet') o"
+        f"   on l.l_orderkey = o.o_orderkey"
+        f"   and o.o_orderdate >= date '1996-01-01'"
+        f" join read_parquet('{smoke_dir}/customer.parquet') c"
+        f"   on o.o_custkey = c.c_custkey"
+        f" join read_parquet('{smoke_dir}/nation.parquet') n"
+        f"   on c.c_nationkey = n.n_nationkey"
+        f" join read_parquet('{smoke_dir}/region.parquet') r"
+        f"   on n.n_regionkey = r.r_regionkey"
+        f"   and r.r_name in ('ASIA', 'EUROPE')"
+    )
+    want = {
+        nat: float(grp["v"].sum()) for nat, grp in j.groupby("nat")
+    }
+    got = {r["nation"]: r["revenue"] for r in rows}
+    assert set(got) == set(want) and len(want) > 0
+    for nat in want:
+        assert abs(got[nat] - want[nat]) <= 1e-6
+
+
+def test_stratified_sample_matches_python_md5_ranks(spark, smoke_dir):
+    import hashlib as hl
+
+    rows = _rows(spark, smoke_dir, "q74_stratified_sample")
+    docs = _df(
+        f"select doc_id, lang from read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    want = []
+    for lang in sorted(docs["lang"].unique()):
+        ids = docs[docs["lang"] == lang]["doc_id"].astype(int)
+        ranked = sorted(
+            (hl.md5(str(k).encode()).hexdigest(), k) for k in ids
+        )[:20]
+        want.extend((lang, k, rk) for rk, (_, k) in enumerate(ranked, 1))
+    got = [(r["lang"], r["doc_id"], r["rk"]) for r in rows]
+    assert got == want
