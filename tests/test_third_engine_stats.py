@@ -2482,3 +2482,54 @@ def test_stratified_sample_matches_python_md5_ranks(spark, smoke_dir):
         want.extend((lang, k, rk) for rk, (_, k) in enumerate(ranked, 1))
     got = [(r["lang"], r["doc_id"], r["rk"]) for r in rows]
     assert got == want
+
+
+def test_mixture_sample_matches_python_md5_cutoffs(spark, smoke_dir):
+    import hashlib as hl
+
+    rows = _rows(spark, smoke_dir, "q98_mixture_sample")
+    docs = _df(
+        f"select doc_id, lang, n_chars from "
+        f"read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    cutoff = {"en": "ff", "zh": "bf"}
+    want = {}
+    for _, r in docs.iterrows():
+        hx = hl.md5(str(int(r["doc_id"])).encode()).hexdigest()[:2]
+        if hx <= cutoff.get(r["lang"], "7f"):
+            n, ch = want.get(r["lang"], (0, 0))
+            want[r["lang"]] = (n + 1, ch + int(r["n_chars"]))
+    got = {r["lang"]: (r["n_kept"], r["chars_kept"]) for r in rows}
+    assert got == want
+
+
+def test_hard_negatives_match_numpy_cosine_model(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q119_hard_negatives")
+    emb = _df(
+        f"select vec_id, label, embedding from "
+        f"read_parquet('{smoke_dir}/embeddings.parquet')"
+    )
+    vecs = {
+        int(r["vec_id"]): (
+            r["label"],
+            np.asarray(r["embedding"], dtype=np.float64),
+        )
+        for _, r in emb.iterrows()
+    }
+    nrm = {k: float(np.sqrt(v @ v)) for k, (_, v) in vecs.items()}
+    got = {r["q_id"]: r for r in rows}
+    anchors = [k for k in vecs if k < 20]
+    assert set(got) == set(anchors)
+    for qa in anchors:
+        la, va = vecs[qa]
+        best = None
+        for kn, (ln, vn) in vecs.items():
+            if ln == la:
+                continue
+            cos = round(float(va @ vn) / (nrm[qa] * nrm[kn]), 6)
+            key = (-cos, kn)
+            if best is None or key < best:
+                best = key
+        g = got[qa]
+        assert (g["neg_id"], g["cos"]) == (best[1], -best[0]), (qa, g, best)
+        assert g["label_q"] == la and g["label_n"] == vecs[best[1]][0]
