@@ -2533,3 +2533,31 @@ def test_hard_negatives_match_numpy_cosine_model(spark, smoke_dir):
         g = got[qa]
         assert (g["neg_id"], g["cos"]) == (best[1], -best[0]), (qa, g, best)
         assert g["label_q"] == la and g["label_n"] == vecs[best[1]][0]
+
+
+def test_cosine_topk_matches_numpy_brute_force(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q44_cosine_topk")
+    emb = _df(
+        f"select vec_id, embedding from "
+        f"read_parquet('{smoke_dir}/embeddings.parquet')"
+    )
+    vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for _, r in emb.iterrows()
+    }
+    nrm = {k: float(np.sqrt(v @ v)) for k, v in vecs.items()}
+    want = []
+    for qa in sorted(k for k in vecs if k < 8):
+        scored = sorted(
+            (
+                -round(float(vecs[qa] @ vecs[kc]) / (nrm[qa] * nrm[kc]), 6),
+                kc,
+            )
+            for kc in vecs
+            if kc != qa
+        )[:5]
+        want.extend(
+            (qa, kc, -negc, rk) for rk, (negc, kc) in enumerate(scored, 1)
+        )
+    got = [(r["q_id"], r["c_id"], r["cos"], r["rank"]) for r in rows]
+    assert got == want
