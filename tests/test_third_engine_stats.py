@@ -2561,3 +2561,20 @@ def test_cosine_topk_matches_numpy_brute_force(spark, smoke_dir):
         )
     got = [(r["q_id"], r["c_id"], r["cos"], r["rank"]) for r in rows]
     assert got == want
+
+
+def test_percentiles_match_numpy_linear_interpolation(spark, smoke_dir):
+    got = {
+        r["o_orderstatus"]: r for r in _rows(spark, smoke_dir, "q65_percentiles")
+    }
+    o = _df(
+        f"select o_orderstatus as s, o_totalprice as p from "
+        f"read_parquet('{smoke_dir}/orders.parquet')"
+    )
+    for s, grp in o.groupby("s"):
+        v = grp["p"].to_numpy()
+        p50, p90, p99 = np.percentile(v, [50, 90, 99], method="linear")
+        g = got[s]
+        assert g["n"] == len(v)
+        for col, w in (("p50", p50), ("p90", p90), ("p99", p99)):
+            assert abs(g[col] - round(float(w), 6)) <= 1e-6, (s, col)
