@@ -804,11 +804,11 @@ def test_transition_entropy_matches_python_shannon(spark, smoke_dir):
                     Decimal(1).scaleb(-9), ROUND_HALF_UP
                 )
                 for c in cnt.values()
-            )
+            ).quantize(Decimal("0.000001"), ROUND_HALF_UP)
         )
         g = got[u]
         assert g["n_transitions"] == n, u
-        assert g["entropy_nats"] == round(ent, 6), (u, g, ent)
+        assert g["entropy_nats"] == ent, (u, g, ent)
 
 
 def test_decay_attribution_matches_python_model(spark, smoke_dir):
@@ -1008,12 +1008,12 @@ def test_token_entropy_matches_python_unigram_model(spark, smoke_dir):
                     repr(-(c / n) * math.log(c / n))
                 ).quantize(Decimal(1).scaleb(-9), ROUND_HALF_UP)
                 for c in cnt.values()
-            )
+            ).quantize(Decimal("0.000001"), ROUND_HALF_UP)
         )
         want[int(r["doc_id"])] = (
             n,
             len(cnt),
-            round(ent, 6),
+            ent,
             round(len(cnt) / n, 6),
         )
     assert len(rows) == len(want)
