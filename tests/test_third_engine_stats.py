@@ -14,6 +14,20 @@ Wald-Wolfowitz runs z with ties-at-median dropped; the 2×2 odds ratio
 with a log-space Wald CI; mutual information Σ p(x,y)·ln(p(x,y)/p(x)p(y));
 Lorenz shares at ceil(d·n/10) rank cuts; PSI Σ(p−q)·ln(p/q) over
 fixed-width bins with one-sided-empty bins excluded.
+
+Scale parameterization: the module reads the fixture via the smoke_dir
+fixture (env SF_SMOKE_DIR, default sf0.001); run it at sf0.01 too when
+touched —
+
+    SF_SMOKE_DIR=/root/testdata/sf0.01 python -m pytest \
+        tests/test_third_engine_stats.py -q
+
+the sf0.01 pass caught a real model-side HALF_EVEN-at-boundary bug the
+sf0.001 data never hit. A few tests pin sf0.01 internally because the
+sf0.001 fixture makes them vacuous (geo pairs, Q7 bilateral rows, Q17
+qualifying lines). Rounding rule for new models: quantize EXACT decimal
+sums with ROUND_HALF_UP at every grain Spark rounds at — never convert
+to float before the final round (float round() is HALF_EVEN).
 """
 
 from __future__ import annotations
