@@ -2592,3 +2592,62 @@ def test_percentiles_match_numpy_linear_interpolation(spark, smoke_dir):
         assert g["n"] == len(v)
         for col, w in (("p50", p50), ("p90", p90), ("p99", p99)):
             assert abs(g[col] - round(float(w), 6)) <= 1e-6, (s, col)
+
+
+def test_window_rank_matches_pandas_rank_family(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q20_window_rank")
+    o = _df(
+        f"select o_orderkey as k, o_orderpriority as pr, o_totalprice as p"
+        f" from read_parquet('{smoke_dir}/orders.parquet')"
+    )
+    # Spark round(x, -3): HALF_UP at the thousands
+    o["coarse"] = (o["p"] / 1000).map(
+        lambda x: math.floor(x + 0.5) * 1000.0
+    )
+    got = {r["okey"]: r for r in rows}
+    assert len(got) == len(o)
+    for pr, grp in o.groupby("pr"):
+        grp = grp.sort_values(
+            ["coarse", "k"], ascending=[False, True], kind="stable"
+        ).reset_index(drop=True)
+        n = len(grp)
+        # ntile(4) over the deterministic order
+        sizes = [(n // 4 + 1) if t < n % 4 else n // 4 for t in range(4)]
+        tiles = [t + 1 for t, sz in enumerate(sizes) for _ in range(sz)]
+        rnk, drnk, seen = {}, {}, 0
+        prev = None
+        for i, c in enumerate(grp["coarse"], 1):
+            if c != prev:
+                seen += 1
+                rnk[c], drnk[c] = i, seen
+                prev = c
+        for i, r in grp.iterrows():
+            g = got[int(r["k"])]
+            assert g["rn"] == i + 1
+            assert g["rnk"] == rnk[r["coarse"]]
+            assert g["drnk"] == drnk[r["coarse"]]
+            assert g["quartile"] == tiles[i]
+
+
+def test_window_analytic_matches_pandas_frames(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q21_window_analytic")
+    o = _df(
+        f"select o_orderkey as k, o_custkey as c, o_orderdate as d,"
+        f" o_totalprice as p from read_parquet('{smoke_dir}/orders.parquet')"
+    )
+    got = {r["okey"]: r for r in rows}
+    assert len(got) == len(o)
+    for _, grp in o.groupby("c"):
+        grp = grp.sort_values(["d", "k"], kind="stable").reset_index(drop=True)
+        run = 0.0
+        for i, r in grp.iterrows():
+            g = got[int(r["k"])]
+            run = round(run + float(r["p"]), 6)
+            assert g["prev_price"] == (
+                float(grp["p"][i - 1]) if i > 0 else None
+            )
+            assert g["next_price"] == (
+                float(grp["p"][i + 1]) if i + 1 < len(grp) else None
+            )
+            assert g["first_price"] == float(grp["p"][0])
+            assert abs(g["running_spend"] - run) <= 1e-6
