@@ -2651,3 +2651,47 @@ def test_window_analytic_matches_pandas_frames(spark, smoke_dir):
             )
             assert g["first_price"] == float(grp["p"][0])
             assert abs(g["running_spend"] - run) <= 1e-6
+
+
+def test_cube_matches_pandas_four_grouping_sets(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q14_cube")
+    li = _df(
+        f"select l_returnflag as f, l_linestatus as s, l_quantity as q"
+        f" from read_parquet('{smoke_dir}/lineitem.parquet')"
+    )
+    want = {}
+    for (f, s), grp in li.groupby(["f", "s"]):  # gid 0
+        want[(f, s, 0)] = (len(grp), round(float(grp["q"].sum()), 6))
+    for s, grp in li.groupby("s"):  # gid 1: flag rolled up
+        want[("<all>", s, 1)] = (len(grp), round(float(grp["q"].sum()), 6))
+    for f, grp in li.groupby("f"):  # gid 2: status rolled up
+        want[(f, "<all>", 2)] = (len(grp), round(float(grp["q"].sum()), 6))
+    want[("<all>", "<all>", 3)] = (
+        len(li),
+        round(float(li["q"].sum()), 6),
+    )
+    got = {
+        (r["flag"], r["status"], r["gid"]): (r["n"], r["qty"]) for r in rows
+    }
+    assert set(got) == set(want)
+    for k, (n, qty) in want.items():
+        assert got[k][0] == n, k
+        assert abs(got[k][1] - qty) <= 1e-6, k
+
+
+def test_dedup_keep_first_matches_pandas_rule(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q18_dedup_keep_first")
+    o = _df(
+        f"select o_custkey as c, o_orderkey as k, o_orderdate as d,"
+        f" epoch_us(o_orderdate) as us"
+        f" from read_parquet('{smoke_dir}/orders.parquet')"
+    )
+    first = (
+        o.sort_values(["d", "k"], kind="stable")
+        .groupby("c")
+        .first()
+    )
+    got = {r["custkey"]: (r["first_order"], r["order_us"]) for r in rows}
+    assert len(got) == len(first)
+    for c, r in first.iterrows():
+        assert got[int(c)] == (int(r["k"]), int(r["us"])), c
