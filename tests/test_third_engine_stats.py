@@ -2695,3 +2695,39 @@ def test_dedup_keep_first_matches_pandas_rule(spark, smoke_dir):
     assert len(got) == len(first)
     for c, r in first.iterrows():
         assert got[int(c)] == (int(r["k"]), int(r["us"])), c
+
+
+def test_agg_battery_matches_pandas_moments(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q11_agg_battery")
+    li = _df(
+        f"select l_returnflag as f, l_orderkey as ok, l_quantity as q,"
+        f" l_extendedprice as p, l_discount as d, l_linenumber as ln"
+        f" from read_parquet('{smoke_dir}/lineitem.parquet')"
+    )
+    got = {r["flag"]: r for r in rows}
+    for f, grp in li.groupby("f"):
+        g = got[f]
+        assert g["n_rows"] == len(grp)
+        assert g["n_orders"] == grp["ok"].nunique()
+        assert abs(g["sum_qty"] - float(grp["q"].sum())) <= 1e-6
+        assert g["min_price"] == float(grp["p"].min())
+        assert g["max_price"] == float(grp["p"].max())
+        assert abs(g["avg_disc"] - float(grp["d"].sum()) / len(grp)) <= 1e-6
+        assert (g["min_line"], g["max_line"]) == (
+            int(grp["ln"].min()), int(grp["ln"].max()),
+        )
+
+
+def test_histogram_matches_numpy_width_buckets(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q104_histogram")
+    o = _df(
+        f"select o_totalprice as p from read_parquet('{smoke_dir}/orders.parquet')"
+    )
+    b = np.minimum(np.floor(o["p"].to_numpy() / 30000).astype(int), 19)
+    got = {r["bin"]: (r["n"], r["price_sum"]) for r in rows}
+    for bin_ in np.unique(b):
+        sel = o["p"].to_numpy()[b == bin_]
+        n, ps = got[int(bin_)]
+        assert n == len(sel)
+        assert abs(ps - float(sel.sum())) <= 1e-6
+    assert len(got) == len(np.unique(b))
