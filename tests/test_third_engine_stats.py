@@ -2731,3 +2731,35 @@ def test_histogram_matches_numpy_width_buckets(spark, smoke_dir):
         assert n == len(sel)
         assert abs(ps - float(sel.sum())) <= 1e-6
     assert len(got) == len(np.unique(b))
+
+
+def test_topk_global_and_per_group_match_pandas(spark, smoke_dir):
+    rows_g = _rows(spark, smoke_dir, "q22_topk_global")
+    rows_p = _rows(spark, smoke_dir, "q23_topk_per_group")
+    o = _df(
+        f"select o_orderkey as k, o_orderpriority as pr, o_totalprice as p"
+        f" from read_parquet('{smoke_dir}/orders.parquet')"
+    )
+    top50 = sorted(
+        ((-float(r["p"]), int(r["k"])) for _, r in o.iterrows())
+    )[:50]
+    want_g = [(k, -negp) for negp, k in top50]
+    got_g = [(r["okey"], r["price"]) for r in rows_g]
+    assert got_g == want_g
+
+    want_p = []
+    for pr in sorted(o["pr"].unique()):
+        grp = sorted(
+            (
+                (-float(r["p"]), int(r["k"]))
+                for _, r in o[o["pr"] == pr].iterrows()
+            )
+        )[:5]
+        want_p.extend(
+            (pr, k, -negp, rk) for rk, (negp, k) in enumerate(grp, 1)
+        )
+    got_p = [
+        (r["prio"], r["okey"], r["price"], r["rank_in_group"])
+        for r in rows_p
+    ]
+    assert got_p == want_p
