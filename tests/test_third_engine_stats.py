@@ -2763,3 +2763,57 @@ def test_topk_global_and_per_group_match_pandas(spark, smoke_dir):
         for r in rows_p
     ]
     assert got_p == want_p
+
+
+def test_hash_funcs_match_python_hashlib(spark, smoke_dir):
+    import hashlib as hl
+
+    rows = _rows(spark, smoke_dir, "q32_hash_funcs")
+    docs = _df(
+        f"select doc_id, text, lang, source from "
+        f"read_parquet('{smoke_dir}/documents.parquet')"
+    )
+    got = {r["doc_id"]: r for r in rows}
+    assert len(got) == len(docs)
+    for _, r in docs.iterrows():
+        g = got[int(r["doc_id"])]
+        assert g["text_md5"] == hl.md5(str(r["text"]).encode()).hexdigest()
+        assert (
+            g["meta_sha"]
+            == hl.sha256(f"{r['lang']}|{r['source']}".encode()).hexdigest()
+        )
+        assert (
+            g["row_md5"]
+            == hl.md5(
+                f"{int(r['doc_id'])}|{r['lang']}|{r['source']}".encode()
+            ).hexdigest()
+        )
+
+
+def test_string_funcs_match_python_string_ops(spark, smoke_dir):
+    import re
+
+    rows = _rows(spark, smoke_dir, "q24_string_funcs")
+    cust = _df(
+        f"select c_custkey as k, c_name as nm, c_mktsegment as seg from "
+        f"read_parquet('{smoke_dir}/customer.parquet')"
+    )
+    got = {r["custkey"]: r for r in rows}
+    assert len(got) == len(cust)
+    for _, r in cust.iterrows():
+        nm, seg = str(r["nm"]), str(r["seg"])
+        g = got[int(r["k"])]
+        assert g["tagged"] == f"{seg}|{nm}"
+        assert g["id_digits"] == nm[9:18]  # substring is 1-based
+        assert (g["seg_lo"], g["seg_hi"]) == (seg.lower(), seg.upper())
+        assert g["name_len"] == len(nm)
+        assert g["trimmed"] == seg
+        m = re.search(r"([0-9]+)", nm)
+        assert g["extracted"] == (m.group(1) if m else "")
+        assert g["squashed"] == re.sub(r"0+", "-", nm)
+        assert g["has_hash"] == ("#" in nm)
+        assert g["is_cust"] == nm.startswith("Customer")
+        assert g["ends_one"] == nm.endswith("1")
+        assert g["padded"] == str(int(r["k"])).rjust(8, "0")
+        parts = nm.split("#")
+        assert g["after_hash"] == (parts[1] if len(parts) > 1 else None)
