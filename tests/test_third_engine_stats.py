@@ -2817,3 +2817,70 @@ def test_string_funcs_match_python_string_ops(spark, smoke_dir):
         assert g["padded"] == str(int(r["k"])).rjust(8, "0")
         parts = nm.split("#")
         assert g["after_hash"] == (parts[1] if len(parts) > 1 else None)
+
+
+def test_math_funcs_match_python_arithmetic(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q27_math_funcs")
+    li = _df(
+        f"select l_orderkey as ok, l_linenumber as ln, l_quantity as q,"
+        f" l_extendedprice as p, l_discount as d"
+        f" from read_parquet('{smoke_dir}/lineitem.parquet')"
+        f" where l_orderkey < 300"
+    )
+    # rid = ok*8 + ln collides when linenumber > 7 (this synthetic
+    # fixture allows it), so compare MULTISETS of the full value tuples
+    # rather than keying rows by rid.
+    def py_row(ok, ln, q, p, d):
+        return (
+            ok * 8 + ln,
+            p + q,
+            p * d,
+            round(p / (q + 1), 6),
+            math.floor(p),
+            math.ceil(p),
+            q * q,
+            round(math.sqrt(p), 6),
+            round(math.log(p + 1), 6),
+            ok // 100,
+            ok % 97,
+        )
+
+    want = sorted(
+        py_row(int(r["ok"]), int(r["ln"]), float(r["q"]), float(r["p"]),
+               float(r["d"]))
+        for _, r in li.iterrows()
+    )
+    got = sorted(
+        (
+            g["rid"], g["add_"], g["mul_"], g["div_"], g["floor_"],
+            g["ceil_"], g["pow2"], g["sqrt_"], g["ln_"], g["intdiv"],
+            g["mod_"],
+        )
+        for g in rows
+    )
+    assert len(got) == len(want)
+    for gt, wt in zip(got, want):
+        assert gt[:3] == wt[:3] and gt[4:7] == wt[4:7] and gt[9:] == wt[9:], (gt, wt)
+        for i in (3, 7, 8):  # rounded doubles
+            assert abs(gt[i] - wt[i]) <= 1e-6, (gt, wt, i)
+
+
+def test_union_distinct_matches_python_set_union(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q16_union_distinct")
+    c = set(
+        _df(
+            f"select distinct c_nationkey as k from "
+            f"read_parquet('{smoke_dir}/customer.parquet')"
+        )["k"].astype(int)
+    )
+    s = set(
+        _df(
+            f"select distinct s_nationkey as k from "
+            f"read_parquet('{smoke_dir}/supplier.parquet')"
+        )["k"].astype(int)
+    )
+    want = sorted(
+        [(k, "c") for k in c] + [(k, "s") for k in s]
+    )
+    got = [(r["k"], r["src"]) for r in rows]
+    assert got == want
