@@ -2884,3 +2884,25 @@ def test_union_distinct_matches_python_set_union(spark, smoke_dir):
     )
     got = [(r["k"], r["src"]) for r in rows]
     assert got == want
+
+
+def test_intersect_except_match_python_set_algebra(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q17_intersect_except")
+    c = set(
+        _df(
+            f"select distinct c_nationkey as k from "
+            f"read_parquet('{smoke_dir}/customer.parquet')"
+        )["k"].astype(int)
+    )
+    s = set(
+        _df(
+            f"select distinct s_nationkey as k from "
+            f"read_parquet('{smoke_dir}/supplier.parquet')"
+        )["k"].astype(int)
+    )
+    want = sorted(
+        [(k, "both") for k in c & s] + [(k, "cust_only") for k in c - s],
+        key=lambda t: (t[1], t[0]),
+    )
+    got = [(r["k"], r["op"]) for r in rows]
+    assert got == want
