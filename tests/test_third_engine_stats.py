@@ -2906,3 +2906,54 @@ def test_intersect_except_match_python_set_algebra(spark, smoke_dir):
     )
     got = [(r["k"], r["op"]) for r in rows]
     assert got == want
+
+
+def test_scd2_intervals_match_python_lead_model(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q80_scd2_intervals")
+    e = _df(
+        f"select user_id as u, event_type as t, epoch_us(ts) as us,"
+        f" event_id as i from read_parquet('{smoke_dir}/events.parquet')"
+    ).sort_values(["us", "i"], kind="stable")
+    want = []
+    for u, grp in e.groupby("u"):
+        recs = list(zip(grp["t"], grp["us"].astype(int)))
+        for j, (t, us) in enumerate(recs):
+            nxt = recs[j + 1][1] if j + 1 < len(recs) else None
+            want.append((int(u), t, us, nxt, nxt is None))
+    want.sort(key=lambda r: (r[0], r[2], r[1]))
+    got = [
+        (r["user_id"], r["state"], r["valid_from_us"], r["valid_to_us"],
+         r["is_current"])
+        for r in rows
+    ]
+    assert got == want
+
+
+def test_window_distribution_matches_python_formulas(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q114_window_distribution")
+    c = _df(
+        f"select c_custkey as k, c_mktsegment as seg, c_acctbal as v from "
+        f"read_parquet('{smoke_dir}/customer.parquet')"
+    )
+    got = {r["c_custkey"]: r for r in rows}
+    assert len(got) == len(c)
+    for seg, grp in c.groupby("seg"):
+        grp = grp.sort_values(["v", "k"], kind="stable").reset_index(drop=True)
+        n = len(grp)
+        # rank (ties by value only) for percent_rank / cume_dist
+        rnk, cums = {}, {}
+        prev_v, start = None, 0
+        for i, v in enumerate(grp["v"], 1):
+            if v != prev_v:
+                rnk[v] = i
+                prev_v = v
+            cums[v] = i  # last row index with this value wins
+        sizes = [(n // 4 + 1) if t < n % 4 else n // 4 for t in range(4)]
+        tiles = [t + 1 for t, sz in enumerate(sizes) for _ in range(sz)]
+        for i, r in grp.iterrows():
+            g = got[int(r["k"])]
+            pr = (rnk[r["v"]] - 1) / (n - 1) if n > 1 else 0.0
+            cd = cums[r["v"]] / n
+            assert g["pr"] == round(pr, 6), (seg, r["k"])
+            assert g["cd"] == round(cd, 6), (seg, r["k"])
+            assert g["quartile"] == tiles[i], (seg, r["k"])
