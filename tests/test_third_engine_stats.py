@@ -2957,3 +2957,44 @@ def test_window_distribution_matches_python_formulas(spark, smoke_dir):
             assert g["pr"] == round(pr, 6), (seg, r["k"])
             assert g["cd"] == round(cd, 6), (seg, r["k"])
             assert g["quartile"] == tiles[i], (seg, r["k"])
+
+
+def test_rollup_and_grouping_sets_match_pandas(spark, smoke_dir):
+    # q13: ROLLUP(status, priority)
+    rows = _rows(spark, smoke_dir, "q13_rollup")
+    o = _df(
+        f"select o_orderstatus as s, o_orderpriority as p, o_totalprice as t"
+        f" from read_parquet('{smoke_dir}/orders.parquet')"
+    )
+    want = {}
+    for (s, p), grp in o.groupby(["s", "p"]):
+        want[(s, p, 0)] = (len(grp), round(float(grp["t"].sum()), 6))
+    for s, grp in o.groupby("s"):
+        want[(s, "<all>", 2)] = (len(grp), round(float(grp["t"].sum()), 6))
+    want[("<all>", "<all>", 3)] = (len(o), round(float(o["t"].sum()), 6))
+    got = {
+        (r["status"], r["priority"], r["gid"]): (r["n"], r["total"])
+        for r in rows
+    }
+    assert set(got) == set(want)
+    for k, (n, t) in want.items():
+        assert got[k][0] == n and abs(got[k][1] - t) <= 1e-6, k
+
+    # q62: GROUPING SETS ((f,s),(f),())
+    rows = _rows(spark, smoke_dir, "q62_grouping_sets")
+    li = _df(
+        f"select l_returnflag as f, l_linestatus as s, l_quantity as q"
+        f" from read_parquet('{smoke_dir}/lineitem.parquet')"
+    )
+    want = {}
+    for (f, s), grp in li.groupby(["f", "s"]):
+        want[(f, s, 0)] = (len(grp), round(float(grp["q"].sum()), 6))
+    for f, grp in li.groupby("f"):
+        want[(f, "<all>", 1)] = (len(grp), round(float(grp["q"].sum()), 6))
+    want[("<all>", "<all>", 3)] = (len(li), round(float(li["q"].sum()), 6))
+    got = {
+        (r["rflag"], r["lstatus"], r["gid"]): (r["n"], r["qty"]) for r in rows
+    }
+    assert set(got) == set(want)
+    for k, (n, q) in want.items():
+        assert got[k][0] == n and abs(got[k][1] - q) <= 1e-6, k
