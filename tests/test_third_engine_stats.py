@@ -2998,3 +2998,38 @@ def test_rollup_and_grouping_sets_match_pandas(spark, smoke_dir):
     assert set(got) == set(want)
     for k, (n, q) in want.items():
         assert got[k][0] == n and abs(got[k][1] - q) <= 1e-6, k
+
+
+def test_pivot_unpivot_match_pandas_reshape(spark, smoke_dir):
+    # q66: pivot = conditional aggregation per nation
+    rows = _rows(spark, smoke_dir, "q66_pivot")
+    j = _df(
+        f"select n.n_name as nat, o.o_orderstatus as s, o.o_totalprice as t"
+        f" from read_parquet('{smoke_dir}/orders.parquet') o"
+        f" join read_parquet('{smoke_dir}/customer.parquet') c"
+        f"   on o.o_custkey = c.c_custkey"
+        f" join read_parquet('{smoke_dir}/nation.parquet') n"
+        f"   on c.c_nationkey = n.n_nationkey"
+    )
+    got = {r["n_name"]: r for r in rows}
+    for nat, grp in j.groupby("nat"):
+        g = got[nat]
+        for status, col in (("F", "f_total"), ("O", "o_total"), ("P", "p_total")):
+            sel = grp[grp["s"] == status]["t"]
+            if len(sel) == 0:
+                assert g[col] is None, (nat, col)
+            else:
+                assert abs(g[col] - float(sel.sum())) <= 1e-6, (nat, col)
+
+    # q67: unpivot/melt
+    rows = _rows(spark, smoke_dir, "q67_unpivot")
+    c = _df(
+        f"select c_custkey as k, c_acctbal as a, c_nationkey as n from "
+        f"read_parquet('{smoke_dir}/customer.parquet') where c_custkey <= 100"
+    )
+    want = []
+    for _, r in c.sort_values("k").iterrows():
+        want.append((int(r["k"]), "acctbal", round(float(r["a"]), 6)))
+        want.append((int(r["k"]), "nationkey", float(int(r["n"]))))
+    got_rows = [(r["c_custkey"], r["metric"], r["val"]) for r in rows]
+    assert got_rows == want
