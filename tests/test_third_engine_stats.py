@@ -3033,3 +3033,37 @@ def test_pivot_unpivot_match_pandas_reshape(spark, smoke_dir):
         want.append((int(r["k"]), "nationkey", float(int(r["n"]))))
     got_rows = [(r["c_custkey"], r["metric"], r["val"]) for r in rows]
     assert got_rows == want
+
+
+def test_collect_nations_matches_python_sorted_sets(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q15_collect_nations")
+    j = _df(
+        f"select r.r_name as region, n.n_name as nat"
+        f" from read_parquet('{smoke_dir}/nation.parquet') n"
+        f" join read_parquet('{smoke_dir}/region.parquet') r"
+        f"   on n.n_regionkey = r.r_regionkey"
+    )
+    got = {r["region"]: (r["nations"], r["n_nations"]) for r in rows}
+    for region, grp in j.groupby("region"):
+        nations = sorted(set(grp["nat"]))
+        assert got[region] == (",".join(nations), len(grp)), region
+
+
+def test_conditional_battery_matches_python_rules(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q28_conditional")
+    s = _df(
+        f"select s_suppkey as k, s_name as nm, s_nationkey as n,"
+        f" s_acctbal as b from read_parquet('{smoke_dir}/supplier.parquet')"
+    )
+    got = {r["skey"]: r for r in rows}
+    assert len(got) == len(s)
+    for _, r in s.iterrows():
+        k, b, n = int(r["k"]), float(r["b"]), int(r["n"])
+        g = got[k]
+        assert g["bal_class"] == (
+            "debt" if b < 0 else ("low" if b < 5000 else "high")
+        )
+        assert g["nation_or_default"] == (n if n != 0 else -1)
+        assert g["bal_floor0"] == max(b, 0.0)
+        assert g["least_"] == min(float(k), b)
+        assert g["maybe_name"] == (None if k % 2 == 0 else r["nm"])
