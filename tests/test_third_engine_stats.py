@@ -3067,3 +3067,54 @@ def test_conditional_battery_matches_python_rules(spark, smoke_dir):
         assert g["bal_floor0"] == max(b, 0.0)
         assert g["least_"] == min(float(k), b)
         assert g["maybe_name"] == (None if k % 2 == 0 else r["nm"])
+
+
+def test_array_funcs_match_numpy_vector_ops(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q29_array_funcs")
+    emb = _df(
+        f"select vec_id, embedding from "
+        f"read_parquet('{smoke_dir}/embeddings.parquet')"
+    )
+    got = {r["vec_id"]: r for r in rows}
+    assert len(got) == len(emb)
+    for _, r in emb.iterrows():
+        # replicate the JVM fold: float32 values widened per element,
+        # accumulated in double left-to-right
+        v32 = [float(np.float32(x)) for x in r["embedding"]]
+        g = got[int(r["vec_id"])]
+        assert g["dim"] == len(v32)
+        assert g["first_val"] == round(v32[0], 6)
+        acc = 0.0
+        for x in v32:
+            acc += x
+        assert abs(g["vec_sum"] - acc) <= 2e-6
+        assert g["vec_max"] == round(max(v32), 6)
+        assert g["n_pos"] == sum(1 for x in v32 if x > 0)
+        acc2 = 0.0
+        for x in v32[:8]:
+            acc2 += x * x
+        assert abs(g["head_sq_sum"] - acc2) <= 2e-6
+
+
+def test_json_funcs_match_python_json(spark, smoke_dir):
+    import json as _json
+
+    rows = _rows(spark, smoke_dir, "q31_json_funcs")
+    ev = _df(
+        f"select event_id as i, props from "
+        f"read_parquet('{smoke_dir}/events.parquet') where event_id < 2000"
+    )
+    got = {r["event_id"]: r for r in rows}
+    assert len(got) == len(ev)
+    for _, r in ev.iterrows():
+        g = got[int(r["i"])]
+        try:
+            obj = _json.loads(r["props"])
+            ok = isinstance(obj, dict)
+        except (ValueError, TypeError):
+            obj, ok = None, False
+        k = obj.get("k") if ok else None
+        assert g["k_str"] == (str(k) if k is not None else None)
+        assert g["k_num"] == (int(k) if k is not None else None)
+        assert g["missing_"] is None
+        assert g["is_json"] == ok
