@@ -3118,3 +3118,46 @@ def test_json_funcs_match_python_json(spark, smoke_dir):
         assert g["k_num"] == (int(k) if k is not None else None)
         assert g["missing_"] is None
         assert g["is_json"] == ok
+
+
+def test_outer_join_counts_match_pandas_null_skipping(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q06_outer_join_order_counts")
+    c = _df(
+        f"select c_custkey as k, c_mktsegment as seg from "
+        f"read_parquet('{smoke_dir}/customer.parquet')"
+    )
+    o = _df(
+        f"select o_custkey as k, o_totalprice as t from "
+        f"read_parquet('{smoke_dir}/orders.parquet')"
+    )
+    per_n = o.groupby("k").size()
+    per_t = o.groupby("k")["t"].sum().round(6)
+    got = {r["custkey"]: r for r in rows}
+    assert len(got) == len(c)  # zero-order customers preserved
+    for _, r in c.iterrows():
+        k = int(r["k"])
+        g = got[k]
+        assert g["segment"] == r["seg"]
+        assert g["n_orders"] == int(per_n.get(k, 0))
+        assert abs(g["spend"] - float(per_t.get(k, 0.0))) <= 1e-6
+
+
+def test_semi_anti_buckets_match_python_membership(spark, smoke_dir):
+    rows = _rows(spark, smoke_dir, "q08_semi_anti_customers")
+    c = _df(
+        f"select c_custkey as k, c_name as nm from "
+        f"read_parquet('{smoke_dir}/customer.parquet')"
+    )
+    big = set(
+        _df(
+            f"select distinct o_custkey as k from "
+            f"read_parquet('{smoke_dir}/orders.parquet')"
+            f" where o_totalprice > 100000"
+        )["k"].astype(int)
+    )
+    got = {r["custkey"]: (r["name"], r["bucket"]) for r in rows}
+    assert len(got) == len(c)  # every customer lands in exactly one bucket
+    for _, r in c.iterrows():
+        k = int(r["k"])
+        want = "big_spender" if k in big else "no_big_order"
+        assert got[k] == (r["nm"], want), k
