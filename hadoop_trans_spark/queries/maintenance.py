@@ -926,9 +926,9 @@ def q191_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lgConfigK=14 sketches at any fixture scale.
     oracle="""
     WITH a AS (SELECT DISTINCT user_id FROM events
-               WHERE event_type = 'click'),
+               WHERE event_type = 'click' AND user_id IS NOT NULL),
          b AS (SELECT DISTINCT user_id FROM events
-               WHERE event_type = 'purchase')
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL)
     SELECT (SELECT COUNT(*) FROM a) AS n_click,
            (SELECT COUNT(*) FROM b) AS n_purchase,
            (SELECT COUNT(*) FROM a JOIN b USING (user_id))

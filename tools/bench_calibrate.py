@@ -55,6 +55,11 @@ def latest_bench() -> tuple[int, float]:
             with open(p) as fh:
                 data = json.load(fh)
             value = (data.get("parsed") or {}).get("value")
+            if value is None:
+                raise SystemExit(
+                    f"{os.path.basename(p)} has no parsed.value — malformed "
+                    "bench artifact; fix or pass prev_commit explicitly"
+                )
             best = (n, value)
     if best is None:
         raise SystemExit("no BENCH_r*.json found — nothing to calibrate against")
