@@ -466,3 +466,53 @@ def test_embedding_quantize_matches_python(spark, smoke_dir):
             }
         )
     assert _rows(spark, smoke_dir, "q76_embedding_quantize") == expect
+
+
+def test_signlsh_neardup_matches_python(spark, smoke_dir):
+    """q69: Charikar '02 sign-LSH re-run in pure python — ±1 hyperplanes
+    from md5 first-hex-digit parity, 32-bit signatures banded 4×8,
+    candidates from shared band substrings, exact-cosine top-20."""
+    rows = duckdb.sql(
+        f"select vec_id, embedding from "
+        f"read_parquet('{smoke_dir}/embeddings.parquet') order by vec_id"
+    ).fetchall()
+    vecs = {int(i): [float(x) for x in v] for i, v in rows}
+    planes = [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for d in range(64)
+        ]
+        for p in range(32)
+    ]
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    sigs = {
+        i: "".join("1" if dot(v, h) > 0 else "0" for h in planes)
+        for i, v in vecs.items()
+    }
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for i, s in sigs.items():
+        for b in range(4):
+            buckets.setdefault((b, s[b * 8 : b * 8 + 8]), []).append(i)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                cand.add((ids[x], ids[y]))
+    norms = {i: dot(v, v) ** 0.5 for i, v in vecs.items()}
+    scored = [
+        (a, b, _rnd6(dot(vecs[a], vecs[b]) / (norms[a] * norms[b])))
+        for a, b in cand
+    ]
+    top = sorted(scored, key=lambda r: (-r[2], r[0], r[1]))[:20]
+    expect = [{"id_a": a, "id_b": b, "cos": c} for a, b, c in top]
+    got = _rows(spark, smoke_dir, "q69_signlsh_neardup")
+    assert got == expect
