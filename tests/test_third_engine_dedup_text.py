@@ -516,3 +516,165 @@ def test_signlsh_neardup_matches_python(spark, smoke_dir):
     expect = [{"id_a": a, "id_b": b, "cos": c} for a, b, c in top]
     got = _rows(spark, smoke_dir, "q69_signlsh_neardup")
     assert got == expect
+
+
+# --- dedup family completion: the q38-q43/q63/q142 shapes --------------------
+
+
+def test_exact_dedup_matches_python(spark, smoke_dir):
+    """q39: md5 over the canonical form, keep-lowest-id per key."""
+    groups: dict[str, list[int]] = {}
+    for d, t, *_ in _docs(smoke_dir):
+        groups.setdefault(
+            hashlib.md5(_normalize(t).encode()).hexdigest(), []
+        ).append(int(d))
+    expect = sorted(
+        (
+            {"content_key": k, "keep_doc": min(ids), "n_copies": len(ids)}
+            for k, ids in groups.items()
+        ),
+        key=lambda r: r["keep_doc"],
+    )
+    assert _rows(spark, smoke_dir, "q39_exact_dedup") == expect
+    # Fixture fact: no two documents normalize to identical text, so
+    # every group is a singleton — the near-dup families (q40-q42) carry
+    # the multi-member cases; this test pins the canonicalization+md5.
+
+
+def test_minhash_pairs_match_python(spark, smoke_dir):
+    """q40: the verified near-dup pairs themselves."""
+    pairs = _verified_pairs(smoke_dir)
+    expect = [
+        {"id_a": a, "id_b": b, "jaccard": _rnd6(j)}
+        for (a, b), j in sorted(pairs.items())
+    ]
+    assert _rows(spark, smoke_dir, "q40_minhash_lsh_neardup") == expect
+
+
+def _simhash32(text: str) -> int:
+    """Charikar '02: each distinct lowercased word-3-gram votes ±1 on all
+    32 bits; vote for BIT b is the parity of hex digit b of md5(gram)."""
+    grams = _shingles(text.lower())
+    votes = [0] * 32
+    for g in grams:
+        h = hashlib.md5(g.encode()).hexdigest()
+        for b in range(32):
+            votes[b] += int(h[b], 16) % 2
+    n = len(grams)
+    return sum(1 << b for b in range(32) if 2 * votes[b] - n > 0)
+
+
+def test_simhash_matches_python(spark, smoke_dir):
+    """q41: 32-bit fingerprints."""
+    expect = [
+        {"doc_id": int(d), "simhash": _simhash32(t)}
+        for d, t, *_ in _docs(smoke_dir)
+    ]
+    assert _rows(spark, smoke_dir, "q41_simhash") == expect
+
+
+def test_simhash_neardup_matches_bruteforce(spark, smoke_dir):
+    """q63: Hamming ≤ 3 pairs — brute-force over all fingerprints, which
+    the pigeonhole segment blocking must reproduce losslessly."""
+    fps = {int(d): _simhash32(t) for d, t, *_ in _docs(smoke_dir)}
+    ids = sorted(fps)
+    expect = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            h = bin(fps[ids[x]] ^ fps[ids[y]]).count("1")
+            if h <= 3:
+                expect.append(
+                    {"id_a": ids[x], "id_b": ids[y], "hamming": h}
+                )
+    got = _rows(spark, smoke_dir, "q63_simhash_neardup")
+    assert got == expect
+    assert expect, "fixture has no simhash near-dups — blocking untested"
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, smoke_dir):
+    """q42: word-3-gram Jaccard ≥ 0.8 with (lang, n_chars//200) blocking,
+    brute-forced over raw-text gram sets."""
+    blocks: dict[tuple, list] = {}
+    for d, t, lang, _s, n_chars in _docs(smoke_dir):
+        blocks.setdefault((lang, int(n_chars) // 200), []).append(
+            (int(d), set(_shingles(t)))
+        )
+    expect = []
+    for members in blocks.values():
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                (a, ga), (b, gb) = members[x], members[y]
+                j = _jaccard(ga, gb)
+                if j >= 0.8:
+                    expect.append({"id_a": a, "id_b": b, "jaccard": _rnd6(j)})
+    expect.sort(key=lambda r: (r["id_a"], r["id_b"]))
+    assert _rows(spark, smoke_dir, "q42_ngram_jaccard") == expect
+    assert expect
+
+
+def test_shingle_containment_matches_bruteforce(spark, smoke_dir):
+    """q142: asymmetric containment |A∩B|/|A| ≥ 0.9, A the smaller gram
+    set, lang-blocked — the AllPairs prefix filter is exactness-preserving
+    so the brute force must reproduce the filtered plan's output."""
+    docs = [
+        (int(d), lang, set(_shingles(t))) for d, t, lang, *_ in _docs(smoke_dir)
+    ]
+    expect = []
+    for x in range(len(docs)):
+        for y in range(len(docs)):
+            (a, la, ga), (b, lb, gb) = docs[x], docs[y]
+            if la != lb:
+                continue
+            if not (len(ga) < len(gb) or (len(ga) == len(gb) and a < b)):
+                continue
+            cont = len(ga & gb) / len(ga)
+            if cont >= 0.9:
+                expect.append(
+                    {"id_a": a, "id_b": b, "containment": _rnd6(cont)}
+                )
+    expect.sort(key=lambda r: (r["id_a"], r["id_b"]))
+    assert _rows(spark, smoke_dir, "q142_shingle_containment") == expect
+    assert expect
+
+
+def test_doc_fingerprint_matches_python(spark, smoke_dir):
+    """q38: min/max md5 over all 8-char rolling windows."""
+    expect = []
+    for d, t, *_ in _docs(smoke_dir):
+        hs = [
+            hashlib.md5(t[i : i + 8].encode()).hexdigest()
+            for i in range(max(len(t) - 7, 1))
+        ]
+        expect.append(
+            {"doc_id": int(d), "fp_min": min(hs), "fp_max": max(hs)}
+        )
+    assert _rows(spark, smoke_dir, "q38_doc_fingerprint") == expect
+
+
+def test_embedding_neardup_matches_bruteforce(spark, smoke_dir):
+    """q43: label-blocked exact-cosine pairs ≥ 0.4."""
+    rows = duckdb.sql(
+        f"select vec_id, label, embedding from "
+        f"read_parquet('{smoke_dir}/embeddings.parquet') order by vec_id"
+    ).fetchall()
+    vecs = [(int(i), lab, [float(x) for x in v]) for i, lab, v in rows]
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    expect = []
+    for x in range(len(vecs)):
+        for y in range(x + 1, len(vecs)):
+            (a, la, va), (b, lb, vb) = vecs[x], vecs[y]
+            if la != lb:
+                continue
+            cos = dot(va, vb) / (dot(va, va) ** 0.5 * dot(vb, vb) ** 0.5)
+            if cos >= 0.4:
+                expect.append({"id_a": a, "id_b": b, "cos": _rnd6(cos)})
+    expect.sort(key=lambda r: (r["id_a"], r["id_b"]))
+    assert _rows(spark, smoke_dir, "q43_embedding_neardup") == expect
+    assert expect
