@@ -139,12 +139,92 @@ def load_calibration(here: str) -> dict | None:
             n = int(m.group(1))
             latest_round = n if latest_round is None else max(latest_round, n)
     if latest_round is not None and calibration.get("prev_round") != latest_round:
-        return {
-            "error": "calibration stale",
-            "calibrated_against_round": calibration.get("prev_round"),
-            "latest_bench_round": latest_round,
-        }
+        # Disambiguate "genuinely stale" from "this round's own calibration
+        # after the driver captured BENCH_r{N}" (ADVICE r8): a round-N
+        # calibration has prev_round=N-1, and once BENCH_rN.json lands any
+        # within-round re-run would otherwise false-flag it. If the newest
+        # BENCH artifact's embedded calibration block carries the SAME
+        # prev_commit, this file is the one that produced that line —
+        # same round, still fresh.
+        embedded = _latest_bench_calibration(here, latest_round)
+        same_commit = (
+            calibration.get("prev_commit") is not None
+            and embedded is not None
+            and embedded.get("prev_commit") == calibration.get("prev_commit")
+        )
+        if not same_commit:
+            return {
+                "error": "calibration stale",
+                "calibrated_against_round": calibration.get("prev_round"),
+                "latest_bench_round": latest_round,
+            }
     return calibration
+
+
+def _latest_bench_calibration(here: str, latest_round: int) -> dict | None:
+    """The calibration block embedded in BENCH_r{latest_round}.json's
+    parsed line, or None if absent/unreadable."""
+    path = os.path.join(here, f"BENCH_r{latest_round:02d}.json")
+    if not os.path.exists(path):
+        path = os.path.join(here, f"BENCH_r{latest_round}.json")
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    parsed = data.get("parsed") or {}
+    calib = parsed.get("calibration")
+    return calib if isinstance(calib, dict) else None
+
+
+MOVER_THRESHOLD = 1.25
+
+
+def compute_movers(
+    timings: dict[str, float], here: str, calibration: dict | None
+) -> list[dict]:
+    """Per-query regression candidates vs the previous round's BENCH
+    artifact, drift-adjusted (VERDICT r8 item 5): ratio = current /
+    (prev_recorded x drift_factor); flag > MOVER_THRESHOLD. This turns
+    SCALE.md attribution rows (q41 r8, q40 r9) into a machine-generated
+    candidate list instead of judge greps. Uses the newest BENCH_r*.json's
+    parsed per-query map; silently empty when no artifact exists (round 1)
+    — absence of a baseline is not a regression signal."""
+    latest_round, prev_queries = None, {}
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if latest_round is None or n > latest_round:
+            try:
+                with open(p) as fh:
+                    parsed = json.load(fh).get("parsed") or {}
+            except (OSError, ValueError):
+                continue
+            latest_round, prev_queries = n, parsed.get("queries") or {}
+    drift = 1.0
+    if calibration and "error" not in calibration:
+        d = calibration.get("drift_factor")
+        if isinstance(d, (int, float)) and d > 0:
+            drift = float(d)
+    movers = []
+    for name, prev_s in prev_queries.items():
+        cur_s = timings.get(name)
+        if not isinstance(prev_s, (int, float)) or prev_s <= 0 or cur_s is None:
+            continue
+        ratio = cur_s / (prev_s * drift)
+        if ratio > MOVER_THRESHOLD:
+            movers.append(
+                {
+                    "query": name,
+                    "prev_s": round(prev_s, 4),
+                    "cur_s": round(cur_s, 4),
+                    "drift_adj_ratio": round(ratio, 4),
+                }
+            )
+    movers.sort(key=lambda m: -m["drift_adj_ratio"])
+    return movers
 
 
 def main() -> None:
@@ -179,6 +259,7 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
 
     calibration = load_calibration(here)
+    movers = compute_movers(timings, here, calibration)
 
     detail = {
         "metric": "declared_query_wall_clock_total",
@@ -191,6 +272,7 @@ def main() -> None:
     }
     if calibration is not None:
         detail["calibration"] = calibration
+    detail["movers"] = movers
     with open(os.path.join(here, "bench_results.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
 
@@ -212,6 +294,9 @@ def main() -> None:
                 k: calibration.get(k)
                 for k in ("prev_commit", "prev_recorded_s", "prev_rerun_s")
             }
+    # Compact on the stdout line (driver capture truncates long lines):
+    # query names only; full prev/cur/ratio detail is in bench_results.json.
+    line["movers"] = [m["query"] for m in movers]
     print(json.dumps(line))
 
 

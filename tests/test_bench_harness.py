@@ -15,7 +15,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import load_calibration
+from bench import MOVER_THRESHOLD, compute_movers, load_calibration
 
 
 def _write(d, name, obj):
@@ -72,3 +72,77 @@ def test_no_bench_rounds_yet_keeps_calibration(tmp_path):
     calib = {"prev_round": 1}
     _write(tmp_path, "calibration.json", calib)
     assert load_calibration(str(tmp_path)) == calib
+
+
+def test_same_round_rerun_not_false_flagged(tmp_path):
+    # ADVICE r8: a round-9 calibration (prev_round=8) must stay fresh
+    # after the driver captures BENCH_r09.json, IF that artifact's own
+    # embedded calibration block carries the same prev_commit — it's the
+    # very calibration that produced the line, not a stale leftover.
+    calib = {"prev_round": 8, "prev_commit": "abc1234", "drift_factor": 1.02}
+    _write(tmp_path, "calibration.json", calib)
+    _write(
+        tmp_path,
+        "BENCH_r09.json",
+        {"parsed": {"value": 5.0, "calibration": {"prev_commit": "abc1234"}}},
+    )
+    assert load_calibration(str(tmp_path)) == calib
+
+
+def test_genuinely_stale_still_flagged_despite_embedded_block(tmp_path):
+    # A DIFFERENT prev_commit in the newest BENCH's embedded block means
+    # the on-disk file is from an older round — still stale.
+    _write(
+        tmp_path,
+        "calibration.json",
+        {"prev_round": 7, "prev_commit": "old0000"},
+    )
+    _write(
+        tmp_path,
+        "BENCH_r09.json",
+        {"parsed": {"value": 5.0, "calibration": {"prev_commit": "new1111"}}},
+    )
+    got = load_calibration(str(tmp_path))
+    assert got["error"] == "calibration stale"
+
+
+def test_stale_without_prev_commit_still_flagged(tmp_path):
+    # No prev_commit to disambiguate with -> conservative: stale.
+    _write(tmp_path, "calibration.json", {"prev_round": 8})
+    _write(
+        tmp_path,
+        "BENCH_r09.json",
+        {"parsed": {"value": 5.0, "calibration": {"prev_commit": "abc1234"}}},
+    )
+    assert load_calibration(str(tmp_path))["error"] == "calibration stale"
+
+
+def test_movers_flags_drift_adjusted_regressions(tmp_path):
+    _write(
+        tmp_path,
+        "BENCH_r08.json",
+        {"parsed": {"queries": {"q1": 1.0, "q2": 2.0, "q3": 1.0}}},
+    )
+    calib = {"prev_round": 8, "drift_factor": 1.1}
+    # q1: 1.6 / (1.0*1.1) = 1.45 -> mover; q2: 2.2/2.2 = 1.0 -> not;
+    # q3: 1.3 / 1.1 = 1.18 -> below threshold.
+    timings = {"q1": 1.6, "q2": 2.2, "q3": 1.3}
+    movers = compute_movers(timings, str(tmp_path), calib)
+    assert [m["query"] for m in movers] == ["q1"]
+    assert movers[0]["drift_adj_ratio"] > MOVER_THRESHOLD
+    assert movers[0]["prev_s"] == 1.0 and movers[0]["cur_s"] == 1.6
+
+
+def test_movers_uses_newest_round_and_raw_ratio_without_calibration(tmp_path):
+    _write(tmp_path, "BENCH_r08.json", {"parsed": {"queries": {"q1": 9.0}}})
+    _write(tmp_path, "BENCH_r09.json", {"parsed": {"queries": {"q1": 1.0}}})
+    # Stale-marked calibration must NOT contribute its drift factor.
+    movers = compute_movers(
+        {"q1": 1.3}, str(tmp_path), {"error": "calibration stale"}
+    )
+    assert [m["query"] for m in movers] == ["q1"]
+    assert movers[0]["drift_adj_ratio"] == 1.3
+
+
+def test_movers_empty_without_bench_artifacts(tmp_path):
+    assert compute_movers({"q1": 1.0}, str(tmp_path), None) == []
