@@ -33,6 +33,24 @@ def load_rounds() -> dict[int, dict]:
     return rounds
 
 
+def third_engine_models(queries) -> dict[str, str]:
+    """query name -> comma-joined third-engine test files mentioning it
+    (the VERDICT r8 grep proxy, made a generated ledger column). A
+    mention means the file re-derives (or directly pins) that query's
+    output without the repo's SQL; absence means only the Spark↔DuckDB
+    shared-SQL tiers cover it."""
+    hits: dict[str, set] = {q: set() for q in queries}
+    for p in sorted(glob.glob(os.path.join(REPO, "tests", "test_third_engine_*.py"))):
+        with open(p) as fh:
+            text = fh.read()
+        short = os.path.basename(p)[len("test_third_engine_"):-3]
+        for q in queries:
+            prefix = q.split("_")[0]  # qNN
+            if q in text or re.search(rf"\b{prefix}\b", text):
+                hits[q].add(short)
+    return {q: ",".join(sorted(s)) for q, s in hits.items()}
+
+
 def main() -> None:
     from hadoop_trans_spark.queries import QUERIES
 
@@ -50,7 +68,13 @@ def main() -> None:
             status = "green" if ok else "RED"
             history.setdefault(name, []).append((rnd, status))
 
-    lines = [MARKER, "", "| # | query | driver rows | latest |", "|---|---|---|---|"]
+    t3 = third_engine_models(list(QUERIES))
+    lines = [
+        MARKER,
+        "",
+        "| # | query | driver rows | latest | third-engine |",
+        "|---|---|---|---|---|",
+    ]
     n_green = n_never = 0
     for i, name in enumerate(QUERIES, 1):
         h = history.get(name, [])
@@ -64,7 +88,9 @@ def main() -> None:
                 ", ".join(f"r{r}:{s}" for r, s in h),
                 f"r{h[-1][0]} {h[-1][1]}",
             )
-        lines.append(f"| {i} | {name} | {cells[0]} | {cells[1]} |")
+        lines.append(
+            f"| {i} | {name} | {cells[0]} | {cells[1]} | {t3[name] or '—'} |"
+        )
     orphans = sorted(set(history) - set(QUERIES))
     if orphans:
         lines += [
@@ -77,12 +103,22 @@ def main() -> None:
             f"- {name}: " + ", ".join(f"r{r}:{s}" for r, s in history[name])
             for name in orphans
         ]
+    n_t3 = sum(1 for v in t3.values() if v)
+    unmodeled = sorted(q for q, v in t3.items() if not v)
     lines += [
         "",
         f"Totals: {len(QUERIES)} declared — {n_green} ever-green, "
         f"{n_never} never driver-checked, "
         f"{len(QUERIES) - n_green - n_never} checked-but-never-green"
         + (f"; {len(orphans)} orphan record(s) listed above." if orphans else "."),
+        "",
+        f"Third-engine ledger: {n_t3}/{len(QUERIES)} queries have an "
+        "independent non-SQL model in tests/test_third_engine_*.py"
+        + (
+            f"; without a model: {', '.join(unmodeled)}."
+            if unmodeled
+            else "; every declared query is modeled."
+        ),
         "",
     ]
 
