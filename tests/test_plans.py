@@ -950,6 +950,35 @@ def test_sweep_window_matches_computed_rotation():
     assert r.returncode == 0, f"{r.stdout}\n{r.stderr}"
 
 
+def test_every_declared_query_has_a_third_engine_model():
+    """Round 9 closed the third-engine model gap (241/241 queries have
+    an independent non-SQL rederivation in tests/test_third_engine_*.py
+    — the COVERAGE.md ledger column). This tripwire keeps it closed: a
+    new query registered without a third-engine model goes red here,
+    enforcing the standing rule that every formula-carrying query ships
+    with a model that bypasses the repo-authored SQL (the Spark query
+    and its DuckDB oracle share that SQL, so they can share a
+    misconception; the model tier cannot)."""
+    import importlib.util
+    import os
+
+    repo = __file__.rsplit("/tests/", 1)[0]
+    spec = importlib.util.spec_from_file_location(
+        "update_coverage", os.path.join(repo, "tools", "update_coverage.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from hadoop_trans_spark.queries import QUERIES
+
+    ledger = mod.third_engine_models(list(QUERIES))
+    unmodeled = sorted(q for q, files in ledger.items() if not files)
+    assert not unmodeled, (
+        "queries without a third-engine model (add one to a "
+        f"tests/test_third_engine_*.py file): {unmodeled}"
+    )
+
+
 def test_sweep_latest_status_wins_by_round_number_not_filename_order():
     """A red in r2 overridden by a green in r10 must read green even
     though 'r10' sorts lexicographically before 'r2' — the rotation
