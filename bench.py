@@ -203,11 +203,16 @@ def compute_movers(
             except (OSError, ValueError):
                 continue
             latest_round, prev_queries = n, parsed.get("queries") or {}
+    # The drift factor maps "prev_round recorded" -> "today"; apply it
+    # only when the movers baseline IS that round (after this round's
+    # own BENCH artifact lands, a within-round re-run compares against
+    # it and the right factor is 1.0, not last round's drift).
     drift = 1.0
     if calibration and "error" not in calibration:
-        d = calibration.get("drift_factor")
-        if isinstance(d, (int, float)) and d > 0:
-            drift = float(d)
+        if calibration.get("prev_round") == latest_round:
+            d = calibration.get("drift_factor")
+            if isinstance(d, (int, float)) and d > 0:
+                drift = float(d)
     movers = []
     for name, prev_s in prev_queries.items():
         cur_s = timings.get(name)

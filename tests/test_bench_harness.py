@@ -146,3 +146,13 @@ def test_movers_uses_newest_round_and_raw_ratio_without_calibration(tmp_path):
 
 def test_movers_empty_without_bench_artifacts(tmp_path):
     assert compute_movers({"q1": 1.0}, str(tmp_path), None) == []
+
+
+def test_movers_ignore_drift_from_a_different_baseline_round(tmp_path):
+    # calibration maps r8->today, but the movers baseline is BENCH_r09
+    # (this round's own artifact landed): factor must NOT apply.
+    _write(tmp_path, "BENCH_r09.json", {"parsed": {"queries": {"q1": 1.0}}})
+    calib = {"prev_round": 8, "drift_factor": 2.0}
+    movers = compute_movers({"q1": 1.3}, str(tmp_path), calib)
+    assert [m["query"] for m in movers] == ["q1"]
+    assert movers[0]["drift_adj_ratio"] == 1.3
