@@ -30,8 +30,11 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     prefixes = tuple(sys.argv[2:])
 
+    # VANILLA_MASTER overrides the core count for partition-schedule
+    # invariance runs (round-6 precedent: a local[5] pass catches
+    # outputs that depend on task count / aggregation order).
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(os.environ.get("VANILLA_MASTER", "local[8]"))
         .appName("vanilla_sweep")
         .getOrCreate()
     )
