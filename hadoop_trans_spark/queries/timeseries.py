@@ -1590,11 +1590,25 @@ def q239_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     transition matrix taken to its fixed point): 16 synchronized
     power-iteration steps from the uniform vector — both engines
     compute the IDENTICAL 16-step trajectory (per-step products round
-    at 1e-12 and decimal-sum), so the check is exact without claiming
-    numerical convergence. The chain lives on |event types| states, so
-    every iteration is a 25-cell join — the same distribute-the-
-    reduction / iterate-the-small-state split as q203's Holt fold; the
-    one fact-scale stage is the transition count."""
+    at 1e-12 HALF_UP and exact-decimal-sum), so the check is exact
+    without claiming numerical convergence.
+
+    The one fact-scale stage is the distributed transition count; the
+    matrix it reduces to is O(|event types|²) rows (≤ 25 here), so the
+    fixed-point fold runs DRIVER-side on that metadata-sized state —
+    the kmeans-centroid rule (collect only k-bounded aggregates, never
+    fact data; `operators/kmeans.py` precedent). The earlier form
+    iterated the 5-row vector through 16 chained Spark join+agg jobs:
+    ~1.4 s of pure job-scheduling/plan-compile overhead at ANY data
+    scale (measured r9, SCALE.md), zero parallelism gained. Per-step
+    arithmetic is bit-identical to the SQL oracle's CTE chain:
+    round(p·tp, 12) is BigDecimal-of-double-repr HALF_UP in Spark and
+    ``Decimal(repr(x)).quantize(1e-12, HALF_UP)`` here, partial sums
+    are exact decimals, and the final double cast is correctly rounded
+    in both runtimes (pinned by the third-engine model in
+    tests/test_third_engine_timeseries_remainder.py)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = table(spark, sf_dir, "events").select(
         "user_id",
@@ -1612,39 +1626,26 @@ def q239_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a", "b", F.col("p").alias("tp"))
     )
-    states = t.select(F.col("a").alias("s")).distinct()
-    k = states.agg(F.count("*").cast("double").alias("k"))
-    v = states.crossJoin(F.broadcast(k)).select(
-        "s", (F.lit(1.0) / F.col("k")).alias("p")
-    )
-    # 25-cell matrix and 5-row vector: cache both so the 16-step loop
-    # doesn't replay the fact-scale transition count per iteration.
-    t = t.cache()
-    for i in range(16):
-        v = (
-            v.join(t, t.a == v.s)
-            .groupBy(F.col("b").alias("s_next"))
-            .agg(
-                F.sum(
-                    F.round(F.col("p") * F.col("tp"), 12).cast(
-                        "decimal(38,12)"
-                    )
+    cells = t.collect()  # metadata-sized: |event types|² rows
+    tp = {(r["a"], r["b"]): r["tp"] for r in cells}
+    states = sorted({a for a, _ in tp})
+    if not states:
+        return spark.createDataFrame([], "state string, stationary_p double")
+    q12 = Decimal(1).scaleb(-12)
+    v = {s: 1.0 / float(len(states)) for s in states}
+    for _ in range(16):
+        nxt: dict[str, Decimal] = {}
+        for (a, b), p_ab in tp.items():
+            if a in v:
+                term = Decimal(repr(v[a] * p_ab)).quantize(
+                    q12, ROUND_HALF_UP
                 )
-                .cast("double")
-                .alias("p")
-            )
-            .select(F.col("s_next").alias("s"), "p")
-        )
-        if i % 2 == 1 and i < 15:
-            # Cut the chained join+agg lineage every 2 steps: Catalyst's
-            # analysis cost grows super-linearly with plan depth (16
-            # nested layers compiled in 3.8 s vs 2.2 s with truncation,
-            # identical output — the state being checkpointed is the
-            # |states|-row vector, so each cut is a metadata-sized job).
-            from ..operators.stage import materialize_stage
-
-            v = materialize_stage(v)
-    return v.select(
-        F.col("s").alias("state"),
+                nxt[b] = nxt.get(b, Decimal(0)) + term
+        v = {b: float(d) for b, d in nxt.items()}
+    out = spark.createDataFrame(
+        sorted(v.items()), "state string, p double"
+    )
+    return out.select(
+        "state",
         F.round("p", 6).cast("double").alias("stationary_p"),
     ).orderBy("state")
