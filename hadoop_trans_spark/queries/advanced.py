@@ -1665,6 +1665,14 @@ def q220_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mon",
         )
     )
+    # Four downstream branches (three cutoff legs + the final binning)
+    # consume the per-customer aggregate; materialize it once so the
+    # orders scan+shuffle does not re-execute per branch (the q133/q178
+    # tf-stage rule). At 100 TB this is the difference between one and
+    # four passes over the fact table.
+    from ..operators.stage import materialize_stage
+
+    m = materialize_stage(m)
 
     def cuts(col: str, band_width: int | None):
         # Only the MONETARY leg's distinct values scale with the
