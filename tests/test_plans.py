@@ -848,6 +848,32 @@ def test_tfidf_tokenize_stage_materialized_once(spark, smoke_dir):
     assert plan.count("Scan ExistingRDD") >= 3, plan
 
 
+def test_markov_returned_plan_is_driver_folded_local(spark, smoke_dir):
+    """q239 (r9 reshape): the 16-step fixed-point fold runs driver-side
+    on the collected O(|event types|²) matrix, so the RETURNED plan must
+    be a local scan of the folded vector — no joins, no parquet scan
+    (the fact-scale transition count executes during construction, via
+    the metadata-sized collect). A Join/parquet reappearing here means
+    the 16-chained-jobs shape regressed (2.15 s vs 1.08 s at sf0.1,
+    SCALE.md round-9)."""
+    df = QUERIES["q239_markov_stationary"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "parquet" not in plan, plan
+
+
+def test_rfm_per_customer_stage_materialized_once(spark, smoke_dir):
+    """q220 (r9): the per-customer orders aggregate feeds four consumers
+    (three cutoff legs + the final binning); after the lineage cut the
+    executed plan must read the checkpointed stage everywhere and never
+    re-scan the orders parquet (each re-scan is a full fact pass at
+    100 TB)."""
+    df = QUERIES["q220_rfm_segments"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 4, plan
+
+
 def test_cpu_heavy_stages_do_not_inherit_single_scan_split(spark, smoke_dir):
     """The md5-dominated shingle stage must not run on the scan's
     partitioning when that is a single split (a small consolidated file
