@@ -1607,8 +1607,6 @@ def q239_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact decimals, and the final double cast is correctly rounded
     in both runtimes (pinned by the third-engine model in
     tests/test_third_engine_timeseries_remainder.py)."""
-    from decimal import ROUND_HALF_UP, Decimal
-
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = table(spark, sf_dir, "events").select(
         "user_id",
@@ -1627,13 +1625,38 @@ def q239_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", F.col("p").alias("tp"))
     )
     cells = t.collect()  # metadata-sized: |event types|² rows
-    tp = {(r["a"], r["b"]): r["tp"] for r in cells}
+    v = _power_iterate({(r["a"], r["b"]): r["tp"] for r in cells}, steps=16)
+    if not v:
+        return spark.createDataFrame([], "state string, stationary_p double")
+    out = spark.createDataFrame(
+        sorted(v.items()), "state string, p double"
+    )
+    return out.select(
+        "state",
+        F.round("p", 6).cast("double").alias("stationary_p"),
+    ).orderBy("state")
+
+
+def _power_iterate(
+    tp: dict[tuple[str, str], float], steps: int
+) -> dict[str, float]:
+    """q239's driver-side fixed-point fold, kept engine-portable: start
+    uniform over the SOURCE states (states appearing only as targets get
+    no initial mass, matching the SQL oracle's seed CTE), and per step
+    accumulate round(vₐ·tp_{ab}, 12) terms — HALF_UP on the decimal the
+    double prints as, exactly Spark's F.round/DuckDB's ROUND — through
+    exact decimal sums before the correctly-rounded double cast. Mass
+    reaching a state with no outgoing transitions leaves the vector on
+    the NEXT step (the matrix is row-substochastic there), same as the
+    join-based form this replaced."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     states = sorted({a for a, _ in tp})
     if not states:
-        return spark.createDataFrame([], "state string, stationary_p double")
+        return {}
     q12 = Decimal(1).scaleb(-12)
     v = {s: 1.0 / float(len(states)) for s in states}
-    for _ in range(16):
+    for _ in range(steps):
         nxt: dict[str, Decimal] = {}
         for (a, b), p_ab in tp.items():
             if a in v:
@@ -1642,10 +1665,4 @@ def q239_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 nxt[b] = nxt.get(b, Decimal(0)) + term
         v = {b: float(d) for b, d in nxt.items()}
-    out = spark.createDataFrame(
-        sorted(v.items()), "state string, p double"
-    )
-    return out.select(
-        "state",
-        F.round("p", 6).cast("double").alias("stationary_p"),
-    ).orderBy("state")
+    return v

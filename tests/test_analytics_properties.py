@@ -5,6 +5,7 @@ invariance."""
 from __future__ import annotations
 
 import hashlib
+from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -832,6 +833,66 @@ def test_markov_stationary_invariant_to_input_partitioning(spark, smoke_dir, tmp
         for r in QUERIES["q239_markov_stationary"](spark, perm).collect()
     )
     assert got == base
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(max_examples=40, deadline=None)
+def test_markov_fold_tracks_exact_matrix_power(seed):
+    """q239's driver fold (`_power_iterate`) vs the exact Fraction
+    matrix power on random row-stochastic chains: the only divergence
+    allowed is the documented 1e-12 HALF_UP quantize per term, which
+    accumulates to at most steps x |cells| x 1e-12. Random chains reach
+    shapes the events fixture never produces (near-degenerate rows,
+    unreachable states)."""
+    import random
+    from fractions import Fraction
+
+    from hadoop_trans_spark.queries.timeseries import _power_iterate
+
+    rng = random.Random(seed)
+    k = rng.randint(1, 6)
+    states = [f"s{i}" for i in range(k)]
+    tp: dict[tuple[str, str], float] = {}
+    exact: dict[tuple[str, str], Fraction] = {}
+    for a in states:
+        targets = rng.sample(states, rng.randint(1, k))
+        weights = [rng.randint(1, 9) for _ in targets]
+        tot = sum(weights)
+        for b, wgt in zip(targets, weights):
+            # float division then Fraction(float) keeps both models on
+            # the IDENTICAL double transition probabilities.
+            p = wgt / tot
+            tp[(a, b)] = p
+            exact[(a, b)] = Fraction(p)
+    steps = 16
+    got = _power_iterate(tp, steps=steps)
+    v = {s: Fraction(1, k) for s in states}
+    for _ in range(steps):
+        nxt: dict[str, Fraction] = {}
+        for (a, b), p_ab in exact.items():
+            nxt[b] = nxt.get(b, Fraction(0)) + v.get(a, Fraction(0)) * p_ab
+        v = nxt
+    assert set(got) == set(v)
+    tol = steps * len(tp) * 1e-12 + 1e-12
+    for s in got:
+        assert abs(got[s] - float(v[s])) <= tol, (s, got[s], float(v[s]))
+
+
+def test_markov_fold_edge_chains():
+    """Closed-form edge cases: a self-loop keeps all mass; a pure cycle
+    preserves the uniform vector exactly; a chain draining into a state
+    with no outgoing transitions empties (row-substochastic absorption —
+    the query then returns an empty frame, same as the join-based form
+    this replaced); no transitions at all -> empty."""
+    from hadoop_trans_spark.queries.timeseries import _power_iterate
+
+    assert _power_iterate({}, steps=16) == {}
+    assert _power_iterate({("a", "a"): 1.0}, steps=16) == {"a": 1.0}
+    cycle = {("a", "b"): 1.0, ("b", "c"): 1.0, ("c", "a"): 1.0}
+    got = _power_iterate(cycle, steps=16)
+    assert got == {s: float(Decimal(repr(1.0 / 3.0)).quantize(
+        Decimal("1e-12"), ROUND_HALF_UP)) for s in "abc"}
+    assert _power_iterate({("a", "b"): 1.0}, steps=16) == {}
 
 
 def test_spectral_tiebreak_and_two_tone_dominance(spark):
