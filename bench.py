@@ -132,33 +132,46 @@ def load_calibration(here: str) -> dict | None:
             calibration = json.load(fh)
     except (OSError, ValueError):
         return {"error": "calibration.json unreadable"}
-    latest_round = None
-    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m:
-            n = int(m.group(1))
-            latest_round = n if latest_round is None else max(latest_round, n)
+    rounds = _bench_rounds(here)
+    latest_round = rounds[-1][0] if rounds else None
     if latest_round is not None and calibration.get("prev_round") != latest_round:
         # Disambiguate "genuinely stale" from "this round's own calibration
         # after the driver captured BENCH_r{N}" (ADVICE r8): a round-N
         # calibration has prev_round=N-1, and once BENCH_rN.json lands any
-        # within-round re-run would otherwise false-flag it. If the newest
-        # BENCH artifact's embedded calibration block carries the SAME
-        # prev_commit, this file is the one that produced that line —
-        # same round, still fresh.
+        # within-round re-run would otherwise false-flag it. Both legs are
+        # required: prev_round must be EXACTLY latest-1 (a round-N
+        # calibration relative to a round-N artifact), AND the newest
+        # BENCH artifact's embedded calibration block must carry the SAME
+        # prev_commit (it is the very file that produced that line). The
+        # prev_round leg stops the bypass self-perpetuating: without it, a
+        # round that skips recalibration embeds the old prev_commit into
+        # its own BENCH line, which would then vouch for the stale file in
+        # every later round.
         embedded = _latest_bench_calibration(here, latest_round)
-        same_commit = (
-            calibration.get("prev_commit") is not None
+        same_round = (
+            calibration.get("prev_round") == latest_round - 1
+            and calibration.get("prev_commit") is not None
             and embedded is not None
             and embedded.get("prev_commit") == calibration.get("prev_commit")
         )
-        if not same_commit:
+        if not same_round:
             return {
                 "error": "calibration stale",
                 "calibrated_against_round": calibration.get("prev_round"),
                 "latest_bench_round": latest_round,
             }
     return calibration
+
+
+def _bench_rounds(here: str) -> list[tuple[int, str]]:
+    """(round, path) for every BENCH_r*.json, ascending by round number
+    — the single directory scan load_calibration/compute_movers share."""
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    return sorted(rounds)
 
 
 def _latest_bench_calibration(here: str, latest_round: int) -> dict | None:
@@ -183,26 +196,31 @@ MOVER_THRESHOLD = 1.25
 def compute_movers(
     timings: dict[str, float], here: str, calibration: dict | None
 ) -> list[dict]:
-    """Per-query regression candidates vs the previous round's BENCH
-    artifact, drift-adjusted (VERDICT r8 item 5): ratio = current /
-    (prev_recorded x drift_factor); flag > MOVER_THRESHOLD. This turns
+    """HEADLINE-query regression candidates vs the previous round's
+    BENCH artifact, drift-adjusted (VERDICT r8 item 5): ratio = current
+    / (prev_recorded x drift_factor); flag > MOVER_THRESHOLD. This turns
     SCALE.md attribution rows (q41 r8, q40 r9) into a machine-generated
-    candidate list instead of judge greps. Uses the newest BENCH_r*.json's
-    parsed per-query map; silently empty when no artifact exists (round 1)
-    — absence of a baseline is not a regression signal."""
+    candidate list instead of judge greps. Coverage is the ~58-query
+    headline set only — that is the per-query map BENCH artifacts
+    persist (the stdout line; the full map lives in the unarchived
+    bench_results.json), so non-headline queries have no cross-round
+    baseline to compare against. Baseline = the NEWEST artifact whose
+    parsed per-query map is non-empty: a truncated/`parsed: null`
+    capture (the rounds-1-2 failure mode) must not silently disable the
+    check when an older intact artifact exists. Empty when no usable
+    artifact exists (round 1) — absence of a baseline is not a
+    regression signal."""
     latest_round, prev_queries = None, {}
-    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if not m:
+    for n, p in reversed(_bench_rounds(here)):
+        try:
+            with open(p) as fh:
+                parsed = json.load(fh).get("parsed") or {}
+        except (OSError, ValueError):
             continue
-        n = int(m.group(1))
-        if latest_round is None or n > latest_round:
-            try:
-                with open(p) as fh:
-                    parsed = json.load(fh).get("parsed") or {}
-            except (OSError, ValueError):
-                continue
-            latest_round, prev_queries = n, parsed.get("queries") or {}
+        queries = parsed.get("queries") or {}
+        if queries:
+            latest_round, prev_queries = n, queries
+            break
     # The drift factor maps "prev_round recorded" -> "today"; apply it
     # only when the movers baseline IS that round (after this round's
     # own BENCH artifact lands, a within-round re-run compares against

@@ -1648,9 +1648,17 @@ def _power_iterate(
     exact decimal sums before the correctly-rounded double cast. Mass
     reaching a state with no outgoing transitions leaves the vector on
     the NEXT step (the matrix is row-substochastic there), same as the
-    join-based form this replaced."""
+    join-based form this replaced. NULL-keyed cells (a NULL event_type
+    in the source data) are dropped up front: under the join form's
+    null-never-equals semantics such cells could never fire either, and
+    sorting a mixed None/str state set would otherwise crash."""
     from decimal import ROUND_HALF_UP, Decimal
 
+    tp = {
+        (a, b): p
+        for (a, b), p in tp.items()
+        if a is not None and b is not None
+    }
     states = sorted({a for a, _ in tp})
     if not states:
         return {}

@@ -869,8 +869,14 @@ def test_markov_fold_tracks_exact_matrix_power(seed):
     v = {s: Fraction(1, k) for s in states}
     for _ in range(steps):
         nxt: dict[str, Fraction] = {}
+        # Key-presence rule mirrors the join semantics: an edge fires
+        # only while its SOURCE is still in the vector — a target fed
+        # solely by departed sources drops out entirely (it does not
+        # linger at mass 0, which is what the original form of this
+        # reference got wrong and hypothesis seed=3074 caught).
         for (a, b), p_ab in exact.items():
-            nxt[b] = nxt.get(b, Fraction(0)) + v.get(a, Fraction(0)) * p_ab
+            if a in v:
+                nxt[b] = nxt.get(b, Fraction(0)) + v[a] * p_ab
         v = nxt
     assert set(got) == set(v)
     tol = steps * len(tp) * 1e-12 + 1e-12
@@ -893,6 +899,12 @@ def test_markov_fold_edge_chains():
     assert got == {s: float(Decimal(repr(1.0 / 3.0)).quantize(
         Decimal("1e-12"), ROUND_HALF_UP)) for s in "abc"}
     assert _power_iterate({("a", "b"): 1.0}, steps=16) == {}
+    # NULL-keyed cells are dropped, not crashed on (a NULL event_type
+    # could never fire under the join form's null-never-equals rule):
+    # the mixed chain must fold exactly like its null-free projection.
+    assert _power_iterate(
+        {(None, "a"): 1.0, ("a", None): 0.5, ("a", "a"): 0.5}, steps=16
+    ) == _power_iterate({("a", "a"): 0.5}, steps=16)
 
 
 def test_spectral_tiebreak_and_two_tone_dominance(spark):

@@ -148,6 +148,42 @@ def test_movers_empty_without_bench_artifacts(tmp_path):
     assert compute_movers({"q1": 1.0}, str(tmp_path), None) == []
 
 
+def test_missed_recalibration_cannot_self_perpetuate(tmp_path):
+    # Round 10 forgets bench_calibrate: the round-9 calibration
+    # (prev_round=8) had its prev_commit embedded into BENCH_r09 AND,
+    # via the bypass, would be re-embedded into BENCH_r10. The
+    # prev_round==latest-1 leg must flag it stale anyway — a matching
+    # embedded commit only vouches for the round right after it.
+    calib = {"prev_round": 8, "prev_commit": "9a53057"}
+    _write(tmp_path, "calibration.json", calib)
+    _write(
+        tmp_path,
+        "BENCH_r09.json",
+        {"parsed": {"value": 5.0, "calibration": {"prev_commit": "9a53057"}}},
+    )
+    _write(
+        tmp_path,
+        "BENCH_r10.json",
+        {"parsed": {"value": 5.0, "calibration": {"prev_commit": "9a53057"}}},
+    )
+    got = load_calibration(str(tmp_path))
+    assert got["error"] == "calibration stale"
+    assert got["latest_bench_round"] == 10
+
+
+def test_movers_fall_back_past_parsed_null_artifact(tmp_path):
+    # A truncated driver capture ('parsed': null — the rounds-1-2
+    # failure mode) must not disable movers: the newest artifact WITH a
+    # per-query map becomes the baseline, and drift gating keys on that
+    # baseline round.
+    _write(tmp_path, "BENCH_r09.json", {"parsed": {"queries": {"q1": 1.0}}})
+    _write(tmp_path, "BENCH_r10.json", {"parsed": None})
+    calib = {"prev_round": 9, "drift_factor": 1.0}
+    movers = compute_movers({"q1": 1.5}, str(tmp_path), calib)
+    assert [m["query"] for m in movers] == ["q1"]
+    assert movers[0]["drift_adj_ratio"] == 1.5
+
+
 def test_movers_ignore_drift_from_a_different_baseline_round(tmp_path):
     # calibration maps r8->today, but the movers baseline is BENCH_r09
     # (this round's own artifact landed): factor must NOT apply.

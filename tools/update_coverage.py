@@ -38,15 +38,30 @@ def third_engine_models(queries) -> dict[str, str]:
     (the VERDICT r8 grep proxy, made a generated ledger column). A
     mention means the file re-derives (or directly pins) that query's
     output without the repo's SQL; absence means only the Spark↔DuckDB
-    shared-SQL tiers cover it."""
+    shared-SQL tiers cover it.
+
+    Matches are token-classified: the short ``qNN`` form counts only
+    inside STRING/COMMENT tokens (docstring references like "q81's
+    definition"), never as a bare code identifier — a local variable
+    that happens to be named ``q15`` must not credit q15 with a model
+    (a committed false ledger entry the r9 code review caught). The
+    full query name counts anywhere."""
+    import io
+    import tokenize
+
     hits: dict[str, set] = {q: set() for q in queries}
     for p in sorted(glob.glob(os.path.join(REPO, "tests", "test_third_engine_*.py"))):
         with open(p) as fh:
             text = fh.read()
+        prose = " ".join(
+            tok.string
+            for tok in tokenize.generate_tokens(io.StringIO(text).readline)
+            if tok.type in (tokenize.STRING, tokenize.COMMENT)
+        )
         short = os.path.basename(p)[len("test_third_engine_"):-3]
         for q in queries:
             prefix = q.split("_")[0]  # qNN
-            if q in text or re.search(rf"\b{prefix}\b", text):
+            if q in text or re.search(rf"\b{prefix}\b", prose):
                 hits[q].add(short)
     return {q: ",".join(sorted(s)) for q, s in hits.items()}
 
