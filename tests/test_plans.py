@@ -1181,3 +1181,48 @@ def test_inverted_index_postings_rank_limited(spark, smoke_dir):
     df = QUERIES["q110_inverted_index"](spark, smoke_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_salted_join_partitions_on_salt_and_spreads_hot_key(spark):
+    """The point of operators/skew.salted_join (SCALE.md round-9
+    measured A/B: 1.5x on a 90%-hot key that AQE declined to split):
+    the shuffle must hash-partition on (key, __salt), and one hot key's
+    joined rows must then land in MULTIPLE shuffle partitions — the
+    plain join pins every hot-key row to one partition, the straggler
+    the salt exists to break up."""
+    from hadoop_trans_spark.operators.skew import salted_join
+
+    big = spark.range(640).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(1, "x")], "k long, tag string")
+    df = salted_join(big.hint("merge"), small.hint("merge"), on="k", n_salt=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan and "hashpartitioning" in plan, plan
+
+    # Behavioral spread: with AQE partition-coalescing off, partition ids
+    # observed through the public API reflect the join's hash partitioning
+    # directly (deterministic: xxhash64 and hashpartitioning are fixed
+    # functions of the input rows and salt count).
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        salted_pids = (
+            salted_join(big.hint("merge"), small.hint("merge"), on="k", n_salt=16)
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+        plain_pids = (
+            big.hint("merge")
+            .join(small.hint("merge"), "k")
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert plain_pids == 1, plain_pids
+    assert salted_pids >= 4, salted_pids
