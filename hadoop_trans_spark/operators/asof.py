@@ -13,8 +13,11 @@ formulation used here:
 Cost model: ONE shuffle (hash on the key) + one per-partition sort — the
 same cost as a single sort-merge join, with no row explosion and no range
 predicate re-scan. This is the plan that survives 100 TB: both sides
-partition on the key; skewed keys are handled by AQE since the window is
-per-key sequential anyway. A range-join + row_number alternative explodes
+partition on the key. A pathologically hot key serializes its own
+partition by semantics (the per-key timeline sort is sequential, and AQE
+cannot split window partitions at all); if one key dominates, range-split
+its timeline into time bands with boundary carry — the banded-window
+technique the global-rank operators use. A range-join + row_number alternative explodes
 to |left|×|right-per-key| intermediates; the union trick never does.
 """
 

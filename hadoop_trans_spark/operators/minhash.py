@@ -28,9 +28,11 @@ arrays directly (`array_intersect`), so only candidate docs ever
 re-materialize their shingles.
 
 Scale: the band join's fan-out is bounded by bucket sizes; hot buckets
-(boilerplate docs) are the classic skew risk — AQE skew-join handles
-moderate cases, and `max_bucket` drops degenerate buckets explicitly,
-the same guardrail production dedup pipelines use. Signature width is
+(boilerplate docs) are the classic skew risk — `max_bucket` drops
+degenerate buckets explicitly, the same guardrail production dedup
+pipelines use, and it is the PRIMARY defense: do not lean on AQE
+skew-split as the backstop (the SCALE.md round-9 probe measured it
+never firing in this build across the full conf matrix). Signature width is
 n_hashes × 32 hex chars per doc — at 100 TB the shuffled band table is
 ~1% of corpus bytes.
 """

@@ -258,7 +258,8 @@ def signlsh_near_duplicates(
     Scale shape: signatures are one narrow projection (32 literal-array
     dot products, codegen'd); the only pre-verification shuffle is the
     (band, band_sig) equi-join — identical topology to MinHash banding,
-    so the same hot-bucket/AQE-skew guards apply."""
+    so the same hot-bucket cap is the guard (see operators/minhash:
+    AQE skew-split is opportunistic, not the defense)."""
     r = n_planes // bands
     planes = random_hyperplanes(n_planes, dim)
     # parallelize_stage: the 32 literal-hyperplane dot products are the

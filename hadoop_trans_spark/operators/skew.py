@@ -1,10 +1,14 @@
 """Skew mitigation: salted joins (SURVEY §4.2 / SCALE.md).
 
-AQE's skew-join splitting handles moderate skew automatically; salting
-is the explicit fallback for pathological keys (one key = 30% of a
-100 TB fact table). The big side gets a deterministic per-row salt, the
-small side is replicated once per salt value, and the join key becomes
-(key, salt) — one hot shuffle partition becomes ``n_salt`` even ones.
+AQE's skew-join splitting is the NOMINAL first line, but the SCALE.md
+round-9 probe measured it never firing in this build across the full
+conf matrix (thresholds to 1 MB, factor 2, force on, coalescing on/off,
+compressible and incompressible payloads) while an explicit salt cut the
+same 90%-hot join 1.5× — treat salting as the dependable path and AQE
+splitting as opportunistic, verified per environment. The big side gets
+a deterministic per-row salt, the small side is replicated once per salt
+value, and the join key becomes (key, salt) — one hot shuffle partition
+becomes ``n_salt`` even ones.
 
 Result identity: salting only refines the partitioning; the joined row
 set is exactly the unsalted join's (declared query q61 hash-checks that
@@ -31,12 +35,14 @@ def salted_join(
     ``big``'s salt is a deterministic hash of its join key AND a row
     discriminator (xxhash64 over all columns) so re-runs and retries
     partition identically; ``small`` is replicated ``n_salt`` times
-    (keep it broadcast-sized × n_salt, or use AQE skew-join instead).
+    (keep it broadcast-sized × n_salt).
 
     Inner joins only: replication changes outer-join semantics — an
     unmatched ``small`` row would surface once per salt replica, and an
     unmatched ``big`` row's null-extension depends on the salt key. For
-    skewed outer joins use AQE skew-join splitting instead.
+    skewed outer joins AQE skew-join splitting is the only structural
+    option (verify it fires in your environment — SCALE.md round-9) or
+    pre-split the hot keys manually into a separate union leg.
     """
     if how != "inner":
         raise ValueError(

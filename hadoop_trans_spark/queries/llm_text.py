@@ -681,7 +681,11 @@ def q174_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document-frequency table is one hash aggregate keyed on the
     span, and coverage is a span-keyed left join back to the occurrence
     stream + one per-doc aggregate. At 100 TB both shuffles are keyed on
-    the span text (Zipf-skewed; AQE skew-split handles the head spans)
+    the span text (Zipf-skewed — the df AGGREGATE absorbs head spans
+    map-side via partial combine; the coverage join's hot spans are
+    linear fan-out against a 1-row-per-span df side, salt via
+    operators/skew if one span truly dominates — AQE skew-split is not
+    assumed, per the SCALE.md round-9 probe)
     and the df table is never broadcast — span vocabularies follow
     Heaps' law like word vocabularies (q118). The distinct-doc count
     per span is a partial-aggregated count(distinct) over (span, doc)

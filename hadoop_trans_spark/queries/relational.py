@@ -1355,8 +1355,9 @@ def q153_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius at the worst latitude (2° ≈ 222 km N-S; 25 km E-W needs
     ≤ 1.1° even at 60° lat) and longitude cells wrap modulo 180, so the
     ±1 neighborhood is complete including across the antimeridian.
-    At 100 TB the cell id is the shuffle key — skewed cities are AQE
-    skew-join territory, or sub-cell salting (q61). Coordinates here
+    At 100 TB the cell id is the shuffle key — skewed cities need
+    sub-cell salting (q61's operators/skew; the SCALE.md round-9 probe
+    shows AQE skew-split cannot be assumed to fire). Coordinates here
     are synthesized from md5(customer key) — hash-uniform, so close
     pairs actually exist (a linear-congruential synthesis placed points
     on a lattice with NO sub-25 km pairs — found by the 0-row driver

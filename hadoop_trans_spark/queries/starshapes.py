@@ -18,8 +18,10 @@ the optimizer literature grades plans with.
 Scale notes (100 TB): every join below is either a dimension broadcast
 (region/nation/supplier/part are GB-scale at TPC-H 100 TB — below or
 near the AQE broadcast threshold; none is FORCE-broadcast, so AQE demotes
-to shuffle join if stats disagree) or an equi-join on the fact key that
-AQE handles with skew splitting. Aggregates are decimal-partial
+to shuffle join if stats disagree) or an equi-join on the fact key
+(near-uniform TPC-H keys; if a deployment's keys skew, q61's
+salted_join is the measured fallback — the SCALE.md round-9 probe shows
+AQE skew-split cannot be assumed to fire). Aggregates are decimal-partial
 (map-side combine, order-independent). No window runs over an unbounded
 table: q170's top-20 is agg-then-TakeOrdered, q171's distribution
 aggregates an O(customers) table down to O(distinct counts).

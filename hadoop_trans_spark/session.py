@@ -5,8 +5,10 @@ hard-codes cluster constants (the reference hard-coded its warehouse root
 and HDFS users in ``KeyConstant.java:21-27`` — we deliberately don't).
 
 Scale notes (100 TB target):
-  * AQE on: runtime shuffle-partition coalescing + skew-join splitting
-    replaces hand-tuned ``spark.sql.shuffle.partitions`` on a real cluster.
+  * AQE on: runtime shuffle-partition coalescing replaces hand-tuned
+    ``spark.sql.shuffle.partitions`` on a real cluster (skew-join
+    splitting is enabled too, but the SCALE.md round-9 probe measured it
+    never firing in this build — skewed joins use operators/skew).
   * ``shuffle.partitions`` here is a local-mode default; AQE coalesces it
     down, and on a 1000-executor cluster you'd raise the initial value
     (AQE's ``initialPartitionNum``) instead of this.
