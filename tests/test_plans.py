@@ -1226,3 +1226,25 @@ def test_salted_join_partitions_on_salt_and_spreads_hot_key(spark):
             spark.conf.set(key, old)
     assert plain_pids == 1, plain_pids
     assert salted_pids >= 4, salted_pids
+
+
+def test_dynamic_partition_pruning_fires_on_dim_filter(spark, smoke_dir, tmp_path):
+    """A partitioned fact joined to a selectively-filtered dim must scan
+    only the surviving partitions via DPP — at 100 TB this is the
+    difference between reading one month and reading the whole table.
+    Verified to actually fire in this build (round-9 probe); this lock
+    exists because the same probe found AQE skew-split silently NOT
+    firing — runtime-optimizer behaviors get tested, not assumed."""
+    path = str(tmp_path / "li_month")
+    li = table(spark, smoke_dir, "lineitem").withColumn(
+        "par_dt", F.date_format("l_shipdate", "yyyyMM")
+    )
+    li.write.partitionBy("par_dt").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("199601", 1), ("199702", 2)], "par_dt string, grp int"
+    ).where(F.col("grp") == 1)
+    df = fact.join(dim, "par_dt").groupBy("grp").agg(F.count("*").alias("n"))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
