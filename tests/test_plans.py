@@ -1248,3 +1248,41 @@ def test_dynamic_partition_pruning_fires_on_dim_filter(spark, smoke_dir, tmp_pat
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_aqe_converts_smj_to_broadcast_when_side_shrinks(spark, smoke_dir):
+    """q05's scale note leans on AQE re-planning when a join side turns
+    out small post-filter. Verified firing in this build (round-9 probe,
+    same discipline as the DPP lock / the skew-split finding): with
+    static broadcast off and the adaptive threshold on, a statically
+    SMJ-planned join whose filtered side shrinks at runtime must execute
+    as a BroadcastHashJoin."""
+    static_key = "spark.sql.autoBroadcastJoinThreshold"
+    adaptive_key = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    old_static = spark.conf.get(static_key, None)
+    old_adaptive = spark.conf.get(adaptive_key, None)
+    spark.conf.set(static_key, "-1")
+    spark.conf.set(adaptive_key, "64m")
+    try:
+        li = table(spark, smoke_dir, "lineitem")
+        o = table(spark, smoke_dir, "orders")
+        # md5 prefix: selectivity invisible to static stats
+        o_small = o.where(
+            F.md5(F.col("o_orderkey").cast("string")).startswith("0")
+        )
+        df = (
+            li.join(o_small, li.l_orderkey == o_small.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        initial = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in initial, initial
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final, final
+    finally:
+        for key, old in ((static_key, old_static), (adaptive_key, old_adaptive)):
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
