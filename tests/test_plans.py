@@ -1286,3 +1286,55 @@ def test_aqe_converts_smj_to_broadcast_when_side_shrinks(spark, smoke_dir):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, old)
+
+
+def test_range_clustered_layout_skips_row_groups(spark, smoke_dir, tmp_path):
+    """The premise of q96 z-order / q180 range-clustering: a layout
+    sorted on the filter key confines a selective range predicate to
+    the few row groups whose min/max overlap it — parquet footers are
+    what Spark's reader prunes on, so assert on them directly (wall
+    clock hides this locally behind the page cache; at 100 TB it is
+    the difference between reading one file and reading them all)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    li = table(spark, smoke_dir, "lineitem").select("l_orderkey", "l_quantity")
+    clustered = str(tmp_path / "clustered")
+    shuffled = str(tmp_path / "shuffled")
+    (
+        li.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(clustered)
+    )
+    li.repartition(8).write.parquet(shuffled)
+
+    lo, hi = 100, 200
+
+    def overlapping(path: str) -> tuple[int, int]:
+        total = hit = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }["l_orderkey"]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        return hit, total
+
+    c_hit, c_total = overlapping(clustered)
+    s_hit, s_total = overlapping(shuffled)
+    # range partitioning makes key ranges disjoint: at most the one
+    # partition holding [lo, hi] (plus a boundary neighbour) overlaps
+    assert c_hit <= 2, (c_hit, c_total)
+    # a hash-shuffled layout scatters the range across every file
+    assert s_hit >= s_total // 2, (s_hit, s_total)
+    # and both layouts return identical rows for the predicate
+    pred = (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)
+    assert (
+        spark.read.parquet(clustered).where(pred).count()
+        == spark.read.parquet(shuffled).where(pred).count()
+    )
