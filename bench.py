@@ -16,8 +16,12 @@ Headline queries are timed BEST-OF-2 (two full executions, min recorded):
 single-run timings in a shared 132-query session proved noisy enough in
 rounds 2-3 (q41 3.26 vs 4.32 s across rounds with no code change on its
 path) that regressions were indistinguishable from GC/session pressure.
-Non-headline queries stay single-run to bound total bench time; the
-recorded run count per query is in bench_results.json.
+Heavy headline queries (first run > HEAVY_S) get a third run with the
+FIRST run discarded: round 9 showed the heavy tail draws multi-x outliers
+(q105 9.85 s driver vs 2.91 s warm re-time on the same code) that
+best-of-2 can't absorb when the outlier IS one of the two draws
+(VERDICT r9 item 3). Non-headline queries stay single-run to bound total
+bench time; the recorded run count per query is in bench_results.json.
 """
 
 from __future__ import annotations
@@ -176,7 +180,15 @@ def _bench_rounds(here: str) -> list[tuple[int, str]]:
 
 def _latest_bench_calibration(here: str, latest_round: int) -> dict | None:
     """The calibration block embedded in BENCH_r{latest_round}.json's
-    parsed line, or None if absent/unreadable."""
+    parsed line, or None if absent/unreadable.
+
+    When the driver's capture truncated the line (``"parsed": null`` — the
+    state of BENCH_r09.json), the calibration block usually still sits
+    inside the raw 2000-char ``tail`` string because it rides near the END
+    of the stdout line; regex it out so a truncated capture doesn't void
+    the same-round vouching and false-flag a fresh calibration as stale
+    (ADVICE r9: the stale marker then also discarded the measured drift
+    factor in compute_movers)."""
     path = os.path.join(here, f"BENCH_r{latest_round:02d}.json")
     if not os.path.exists(path):
         path = os.path.join(here, f"BENCH_r{latest_round}.json")
@@ -187,14 +199,45 @@ def _latest_bench_calibration(here: str, latest_round: int) -> dict | None:
         return None
     parsed = data.get("parsed") or {}
     calib = parsed.get("calibration")
-    return calib if isinstance(calib, dict) else None
+    if isinstance(calib, dict):
+        return calib
+    m = re.search(r'"calibration": (\{[^{}]*\})', data.get("tail") or "")
+    if m:
+        try:
+            return json.loads(m.group(1))
+        except ValueError:
+            return None
+    return None
 
 
 MOVER_THRESHOLD = 1.25
 
+# Headline queries whose first draw exceeds this get a third run with the
+# first discarded (see module docstring).
+HEAVY_S = 1.5
+
+
+def time_headline(run_once, heavy_s: float = HEAVY_S) -> tuple[float, int]:
+    """(best_seconds, n_runs) for one headline query.
+
+    ``run_once(i)`` executes the query and returns its wall-clock; ``i``
+    is the run index (the caller clears per-session stage memos for
+    ``i > 0``). Light queries (first draw <= heavy_s): best of 2. Heavy
+    queries: 3 runs, first draw DISCARDED, best of the remaining two —
+    a single GC/compilation outlier draw can no longer set the recorded
+    time for the multi-second queries the movers check watches."""
+    t1 = run_once(0)
+    t2 = run_once(1)
+    if t1 > heavy_s:
+        return min(t2, run_once(2)), 3
+    return min(t1, t2), 2
+
 
 def compute_movers(
-    timings: dict[str, float], here: str, calibration: dict | None
+    timings: dict[str, float],
+    here: str,
+    calibration: dict | None,
+    sf: float | str | None = None,
 ) -> list[dict]:
     """HEADLINE-query regression candidates vs the previous round's
     BENCH artifact, drift-adjusted (VERDICT r8 item 5): ratio = current
@@ -209,7 +252,30 @@ def compute_movers(
     capture (the rounds-1-2 failure mode) must not silently disable the
     check when an older intact artifact exists. Empty when no usable
     artifact exists (round 1) — absence of a baseline is not a
-    regression signal."""
+    regression signal.
+
+    Preferred baseline (VERDICT r9 item 4): a FRESH calibration carrying
+    the full per-query map from tools/bench_calibrate.py's same-machine
+    rerun of the previous round's end commit. That baseline covers all
+    ~241 queries (not just the headline set that fits the BENCH stdout
+    tail) and needs NO drift factor — the rerun happened on this round's
+    machine, so drift is 1.0 by construction. Each mover row says which
+    baseline produced it."""
+    if (
+        calibration
+        and "error" not in calibration
+        and isinstance(calibration.get("queries"), dict)
+        and calibration["queries"]
+        # The rerun map was timed at the calibration's SF — comparing a
+        # local sf0.001 run against an sf0.1 baseline would be noise.
+        and (sf is None or calibration.get("sf") == sf)
+    ):
+        return _movers_against(
+            timings,
+            calibration["queries"],
+            drift=1.0,
+            baseline=f"calibration_rerun(r{calibration.get('prev_round')})",
+        )
     latest_round, prev_queries = None, {}
     for n, p in reversed(_bench_rounds(here)):
         try:
@@ -218,7 +284,14 @@ def compute_movers(
         except (OSError, ValueError):
             continue
         queries = parsed.get("queries") or {}
-        if queries:
+        # Same-SF runs only: a local sf0.001 iteration loop must not be
+        # compared against the driver's sf0.1 artifact (every ratio would
+        # be meaningless). Artifacts that don't record sf stay eligible.
+        if queries and (
+            sf is None
+            or parsed.get("sf") is None
+            or parsed.get("sf") == sf
+        ):
             latest_round, prev_queries = n, queries
             break
     # The drift factor maps "prev_round recorded" -> "today"; apply it
@@ -231,6 +304,17 @@ def compute_movers(
             d = calibration.get("drift_factor")
             if isinstance(d, (int, float)) and d > 0:
                 drift = float(d)
+    return _movers_against(
+        timings, prev_queries, drift, baseline=f"BENCH_r{latest_round}"
+    )
+
+
+def _movers_against(
+    timings: dict[str, float],
+    prev_queries: dict[str, float],
+    drift: float,
+    baseline: str,
+) -> list[dict]:
     movers = []
     for name, prev_s in prev_queries.items():
         cur_s = timings.get(name)
@@ -244,6 +328,7 @@ def compute_movers(
                     "prev_s": round(prev_s, 4),
                     "cur_s": round(cur_s, 4),
                     "drift_adj_ratio": round(ratio, 4),
+                    "baseline": baseline,
                 }
             )
     movers.sort(key=lambda m: -m["drift_adj_ratio"])
@@ -262,18 +347,22 @@ def main() -> None:
     extra = [n for n in sorted(QUERIES) if n not in names and n.startswith("q")]
     timings: dict[str, float] = {}
     runs: dict[str, int] = {}
+    headline = set(names)
     for name in names + extra:
-        n_runs = 2 if name in names else 1  # best-of-2 for the headline set
-        best = None
-        for i in range(n_runs):
+
+        def run_once(i: int, name: str = name) -> float:
             if i and name in MEMOIZED:
                 # Re-run must rebuild the shared dedup stages, not hit
                 # the per-session memo (that would time a dict lookup).
                 clear_stage_memo(MEMOIZED[name])
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            return time.perf_counter() - t0
+
+        if name in headline:
+            best, n_runs = time_headline(run_once)
+        else:
+            best, n_runs = run_once(0), 1
         timings[name] = round(best, 4)
         runs[name] = n_runs
 
@@ -282,7 +371,7 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
 
     calibration = load_calibration(here)
-    movers = compute_movers(timings, here, calibration)
+    movers = compute_movers(timings, here, calibration, sf=sf_val)
 
     detail = {
         "metric": "declared_query_wall_clock_total",

@@ -15,7 +15,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import MOVER_THRESHOLD, compute_movers, load_calibration
+from bench import (
+    HEAVY_S,
+    MOVER_THRESHOLD,
+    compute_movers,
+    load_calibration,
+    time_headline,
+)
 
 
 def _write(d, name, obj):
@@ -192,3 +198,149 @@ def test_movers_ignore_drift_from_a_different_baseline_round(tmp_path):
     movers = compute_movers({"q1": 1.3}, str(tmp_path), calib)
     assert [m["query"] for m in movers] == ["q1"]
     assert movers[0]["drift_adj_ratio"] == 1.3
+
+
+def test_same_round_vouching_survives_parsed_null_via_tail(tmp_path):
+    # ADVICE r9 (medium): BENCH_r09.json landed with parsed:null (driver
+    # capture truncation) but the calibration block survives in the raw
+    # 2000-char tail — the round-9 calibration (prev_round=8) must still
+    # be vouched fresh, not misreported "calibration stale".
+    calib = {"prev_round": 8, "prev_commit": "9a53057", "drift_factor": 1.18}
+    _write(tmp_path, "calibration.json", calib)
+    _write(
+        tmp_path,
+        "BENCH_r09.json",
+        {
+            "parsed": None,
+            "tail": (
+                '..., "sf": 0.1, "calibration": {"prev_commit": "9a53057",'
+                ' "prev_recorded_s": 176.9648, "prev_rerun_s": 208.0122},'
+                ' "movers": []}'
+            ),
+        },
+    )
+    assert load_calibration(str(tmp_path)) == calib
+
+
+def test_parsed_null_tail_with_different_commit_still_stale(tmp_path):
+    # The tail fallback must not weaken the vouching: a different
+    # prev_commit in the tail block means the on-disk file is older.
+    _write(
+        tmp_path,
+        "calibration.json",
+        {"prev_round": 8, "prev_commit": "old0000"},
+    )
+    _write(
+        tmp_path,
+        "BENCH_r09.json",
+        {
+            "parsed": None,
+            "tail": '"calibration": {"prev_commit": "new1111"}, "movers": []}',
+        },
+    )
+    assert load_calibration(str(tmp_path))["error"] == "calibration stale"
+
+
+def test_movers_prefer_full_map_from_fresh_calibration(tmp_path):
+    # VERDICT r9 item 4: a fresh calibration carrying the full per-query
+    # rerun map becomes the movers baseline — covering queries absent
+    # from the BENCH tail's headline map — at drift 1.0 (same machine).
+    _write(tmp_path, "BENCH_r09.json", {"parsed": {"queries": {"q1": 1.0}}})
+    calib = {
+        "prev_round": 9,
+        "drift_factor": 1.18,  # must NOT apply to the same-machine rerun
+        "queries": {"q1": 1.0, "q2_nonheadline": 2.0},
+    }
+    movers = compute_movers(
+        {"q1": 1.1, "q2_nonheadline": 3.0}, str(tmp_path), calib
+    )
+    assert [m["query"] for m in movers] == ["q2_nonheadline"]
+    assert movers[0]["drift_adj_ratio"] == 1.5
+    assert movers[0]["baseline"] == "calibration_rerun(r9)"
+
+
+def test_movers_fall_back_to_artifacts_when_calibration_map_empty(tmp_path):
+    # A calibration without a rerun map (pre-r10 format) keeps the old
+    # BENCH-artifact baseline and its drift gating.
+    _write(tmp_path, "BENCH_r08.json", {"parsed": {"queries": {"q1": 1.0}}})
+    calib = {"prev_round": 8, "drift_factor": 1.1, "queries": {}}
+    movers = compute_movers({"q1": 1.6}, str(tmp_path), calib)
+    assert [m["query"] for m in movers] == ["q1"]
+    assert movers[0]["drift_adj_ratio"] == round(1.6 / 1.1, 4)
+    assert movers[0]["baseline"] == "BENCH_r8"
+
+
+def test_movers_ignore_full_map_on_stale_calibration(tmp_path):
+    # A stale-marked calibration must not contribute its map either.
+    _write(tmp_path, "BENCH_r09.json", {"parsed": {"queries": {"q1": 1.0}}})
+    movers = compute_movers(
+        {"q1": 1.3},
+        str(tmp_path),
+        {"error": "calibration stale", "queries": {"q1": 0.5}},
+    )
+    assert [m["query"] for m in movers] == ["q1"]
+    assert movers[0]["drift_adj_ratio"] == 1.3
+    assert movers[0]["baseline"] == "BENCH_r9"
+
+
+def test_movers_skip_calibration_map_on_sf_mismatch(tmp_path):
+    # A local sf0.001 run must not compare against the sf0.1 rerun map;
+    # it falls back to a same-SF BENCH artifact (sf-less artifacts stay
+    # eligible for backward compatibility).
+    _write(tmp_path, "BENCH_r09.json", {"parsed": {"queries": {"q1": 1.0}}})
+    calib = {"prev_round": 9, "sf": 0.1, "queries": {"q1": 0.1}}
+    movers = compute_movers({"q1": 1.3}, str(tmp_path), calib, sf=0.001)
+    assert movers[0]["baseline"] == "BENCH_r9"
+    movers = compute_movers({"q1": 1.3}, str(tmp_path), calib, sf=0.1)
+    assert movers[0]["baseline"] == "calibration_rerun(r9)"
+
+
+def test_movers_skip_artifact_baseline_on_sf_mismatch(tmp_path):
+    # An artifact that RECORDS a different sf is not a baseline either:
+    # the sf0.1 artifact is skipped and the sf0.001 one behind it wins.
+    _write(
+        tmp_path,
+        "BENCH_r08.json",
+        {"parsed": {"sf": 0.001, "queries": {"q1": 1.0}}},
+    )
+    _write(
+        tmp_path,
+        "BENCH_r09.json",
+        {"parsed": {"sf": 0.1, "queries": {"q1": 100.0}}},
+    )
+    movers = compute_movers({"q1": 1.3}, str(tmp_path), None, sf=0.001)
+    assert [m["query"] for m in movers] == ["q1"]
+    assert movers[0]["baseline"] == "BENCH_r8"
+
+
+def test_time_headline_light_query_best_of_two():
+    draws = iter([0.4, 0.3])
+    best, n = time_headline(lambda i: next(draws))
+    assert (best, n) == (0.3, 2)
+
+
+def test_time_headline_heavy_query_discards_first_draw():
+    # VERDICT r9 item 3: q105's 9.85 s driver draw vs 2.91 s warm re-time
+    # — the outlier first draw must not set the recorded time.
+    draws = iter([9.85, 2.91, 3.05])
+    best, n = time_headline(lambda i: next(draws))
+    assert (best, n) == (2.91, 3)
+
+
+def test_time_headline_heavy_detection_uses_first_draw_only():
+    # First draw at/below the threshold -> best-of-2 even if the second
+    # draw lands heavy (no retroactive reclassification).
+    draws = iter([HEAVY_S, 2.4])
+    best, n = time_headline(lambda i: next(draws))
+    assert (best, n) == (HEAVY_S, 2)
+
+
+def test_time_headline_passes_run_index():
+    seen = []
+
+    def run_once(i):
+        seen.append(i)
+        return 2.0
+
+    time_headline(run_once)
+    assert seen == [0, 1, 2]

@@ -46,8 +46,15 @@ def sh(*args: str, cwd: str = REPO, env: dict | None = None) -> str:
     ).stdout
 
 
-def latest_bench() -> tuple[int, float]:
-    """(round, recorded total) from the newest BENCH_r{N}.json."""
+def latest_bench() -> tuple[int, float | None]:
+    """(round, recorded total) from the newest BENCH_r{N}.json.
+
+    A truncated driver capture records ``"parsed": null`` (the rounds-1-2
+    failure mode, recurred in BENCH_r09.json); the total then usually
+    survives only if ``"value": N`` happens to fall inside the 2000-char
+    ``tail``. Tolerate the miss — the calibration's real payload is the
+    same-machine RERUN (prev_rerun_s + full per-query map); the recorded
+    total only feeds the informational drift_factor, which goes null."""
     best = None
     for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
         n = int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
@@ -56,10 +63,8 @@ def latest_bench() -> tuple[int, float]:
                 data = json.load(fh)
             value = (data.get("parsed") or {}).get("value")
             if value is None:
-                raise SystemExit(
-                    f"{os.path.basename(p)} has no parsed.value — malformed "
-                    "bench artifact; fix or pass prev_commit explicitly"
-                )
+                m = re.search(r'"value": ([0-9.]+)', data.get("tail") or "")
+                value = float(m.group(1)) if m else None
             best = (n, value)
     if best is None:
         raise SystemExit("no BENCH_r*.json found — nothing to calibrate against")
@@ -82,6 +87,13 @@ def default_prev_commit(prev_round: int) -> str:
 
 def main() -> None:
     prev_round, prev_recorded = latest_bench()
+    recorded_source = f"BENCH_r{prev_round:02d}.json"
+    env_recorded = os.environ.get("SPARK_GRAFT_PREV_RECORDED")
+    if prev_recorded is None and env_recorded:
+        # Manual override for a parsed:null artifact whose total survives
+        # only in prose (e.g. VERDICT.md quoting the driver's number).
+        prev_recorded = float(env_recorded)
+        recorded_source = "SPARK_GRAFT_PREV_RECORDED override"
     prev_commit = (
         sys.argv[1] if len(sys.argv) > 1 else default_prev_commit(prev_round)
     )
@@ -110,6 +122,18 @@ def main() -> None:
             )
         line = proc.stdout.strip().splitlines()[-1]
         rerun = json.loads(line)
+        # The worktree run's bench_results.json carries the FULL per-query
+        # map (the stdout line is headline-only to survive driver-capture
+        # truncation). Persisting it here gives this round's compute_movers
+        # a same-machine, all-query baseline with drift 1.0 by construction
+        # — cross-round coverage no longer depends on what fit in the
+        # 2000-char BENCH tail (VERDICT r9 item 4).
+        rerun_queries = {}
+        try:
+            with open(os.path.join(wt, "bench_results.json")) as fh:
+                rerun_queries = json.load(fh).get("queries") or {}
+        except (OSError, ValueError):
+            pass
     finally:
         subprocess.run(
             ["git", "worktree", "remove", "--force", wt],
@@ -122,11 +146,13 @@ def main() -> None:
         "prev_round": prev_round,
         "prev_commit": prev_commit,
         "prev_recorded_s": prev_recorded,
+        "prev_recorded_source": recorded_source if prev_recorded else None,
         "prev_rerun_s": rerun["value"],
         "drift_factor": (
             round(rerun["value"] / prev_recorded, 4) if prev_recorded else None
         ),
         "sf": rerun.get("sf"),
+        "queries": rerun_queries,
     }
     with open(os.path.join(REPO, "calibration.json"), "w") as fh:
         json.dump(calib, fh, indent=1)
