@@ -1562,7 +1562,7 @@ def _markov_oracle(steps: int = 16) -> str:
         SELECT a, b,
                CAST(COUNT(*) AS DOUBLE)
                  / SUM(COUNT(*)) OVER (PARTITION BY a) AS p
-        FROM seq WHERE b IS NOT NULL GROUP BY a, b
+        FROM seq WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY a, b
     ),
     states AS (SELECT DISTINCT a AS s FROM t),
     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM states),
@@ -1614,7 +1614,12 @@ def q239_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("b"),
     )
     t = (
-        seq.where(F.col("b").isNotNull())
+        # a IS NOT NULL symmetrically with the oracle's t CTE (ADVICE r9):
+        # without it a NULL event_type with a non-null successor would put
+        # a NULL row in the oracle's states CTE — its COUNT(*) denominator
+        # would then be k+1 vs _power_iterate's k (which drops NULL keys
+        # before seeding) and every stationary_p would diverge.
+        seq.where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .groupBy("a", "b")
         .agg(F.count("*").alias("nab"))
         .withColumn(
@@ -1648,10 +1653,11 @@ def _power_iterate(
     exact decimal sums before the correctly-rounded double cast. Mass
     reaching a state with no outgoing transitions leaves the vector on
     the NEXT step (the matrix is row-substochastic there), same as the
-    join-based form this replaced. NULL-keyed cells (a NULL event_type
-    in the source data) are dropped up front: under the join form's
-    null-never-equals semantics such cells could never fire either, and
-    sorting a mixed None/str state set would otherwise crash."""
+    join-based form this replaced. NULL-keyed cells are dropped here
+    only as a defensive belt: since the r9 ADVICE fix both q239's Spark
+    plan and its oracle filter ``a IS NOT NULL AND b IS NOT NULL``
+    before building the matrix, so the seed denominators agree by
+    construction and no NULL key should ever reach this fold."""
     from decimal import ROUND_HALF_UP, Decimal
 
     tp = {

@@ -835,6 +835,44 @@ def test_markov_stationary_invariant_to_input_partitioning(spark, smoke_dir, tmp
     assert got == base
 
 
+def test_markov_stationary_null_event_type_agrees_with_oracle(
+    spark, smoke_dir, tmp_path
+):
+    """ADVICE r9: a NULL event_type with a non-null successor must leave
+    both engines' uniform-seed denominators equal. Pre-fix, the oracle's
+    states CTE counted the NULL source (seed 1/(k+1)) while
+    _power_iterate dropped it (seed 1/k), diverging every stationary_p.
+    The shipped fixtures have zero NULL event_type, so this injects one
+    and runs the full Spark-vs-DuckDB differential on the copy."""
+    from datetime import datetime
+
+    import duckdb
+
+    from hadoop_trans_spark.queries import ORACLE, QUERIES
+    from hadoop_trans_spark.testing.oracle import compare
+
+    nulled = str(tmp_path / "nulled")
+    base = table(spark, smoke_dir, "events")
+    injected = spark.createDataFrame(
+        [
+            (990001, datetime(2024, 6, 1, 0, 0, 0), 999999, None, 1.0, "{}"),
+            (990002, datetime(2024, 6, 1, 0, 1, 0), 999999, "click", 1.0, "{}"),
+        ],
+        base.schema,
+    )
+    base.unionByName(injected).write.parquet(f"{nulled}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{nulled}/events.parquet/*.parquet')"
+    )
+    name = "q239_markov_stationary"
+    res = compare(name, QUERIES[name](spark, nulled), con, ORACLE[name])
+    con.close()
+    assert res.match, res.detail
+
+
 @given(seed=st.integers(0, 10_000))
 @settings(max_examples=40, deadline=None)
 def test_markov_fold_tracks_exact_matrix_power(seed):
