@@ -1005,6 +1005,52 @@ def test_every_declared_query_has_a_third_engine_model():
     )
 
 
+def test_third_engine_credit_requires_code_token_not_prose(tmp_path):
+    """ADVICE r9: a docstring or comment saying "same shape as q40" in an
+    unrelated third-engine test must NOT credit q40 in the COVERAGE.md
+    ledger — only the full query name as a code token (identifier or a
+    non-docstring string constant, the form that actually executes the
+    query) counts. The short qNN prose form never credits."""
+    import importlib.util
+    import os
+
+    repo = __file__.rsplit("/tests/", 1)[0]
+    spec = importlib.util.spec_from_file_location(
+        "update_coverage", os.path.join(repo, "tools", "update_coverage.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    (tmp_path / "test_third_engine_fake.py").write_text(
+        '"""Module prose mentioning q03_filter_predicates in full."""\n'
+        "def test_a(spark):\n"
+        '    """Same shape as q40 and q41_simhash; see q42_ngram_jaccard."""\n'
+        "    # comment name-dropping q01_pricing_summary\n"
+        '    run("q02_projection_cast")\n'
+        "    q05 = 1  # bare identifier must not credit q05_revenue_by_nation\n"
+        "    return q05\n"
+    )
+    queries = [
+        "q01_pricing_summary",
+        "q02_projection_cast",
+        "q03_filter_predicates",
+        "q05_revenue_by_nation",
+        "q40_minhash_lsh_neardup",
+        "q41_simhash",
+        "q42_ngram_jaccard",
+    ]
+    ledger = mod.third_engine_models(queries, tests_dir=str(tmp_path))
+    assert ledger == {
+        "q01_pricing_summary": "",  # comment prose
+        "q02_projection_cast": "fake",  # executed via string literal
+        "q03_filter_predicates": "",  # module docstring prose
+        "q05_revenue_by_nation": "",  # unrelated identifier prefix
+        "q40_minhash_lsh_neardup": "",  # qNN prose name-drop
+        "q41_simhash": "",  # full name, but docstring prose
+        "q42_ngram_jaccard": "",  # full name, but docstring prose
+    }
+
+
 def test_sweep_latest_status_wins_by_round_number_not_filename_order():
     """A red in r2 overridden by a green in r10 must read green even
     though 'r10' sorts lexicographically before 'r2' — the rotation

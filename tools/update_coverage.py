@@ -33,35 +33,57 @@ def load_rounds() -> dict[int, dict]:
     return rounds
 
 
-def third_engine_models(queries) -> dict[str, str]:
-    """query name -> comma-joined third-engine test files mentioning it
-    (the VERDICT r8 grep proxy, made a generated ledger column). A
-    mention means the file re-derives (or directly pins) that query's
-    output without the repo's SQL; absence means only the Spark↔DuckDB
+def third_engine_models(queries, tests_dir: str | None = None) -> dict[str, str]:
+    """query name -> comma-joined third-engine test files MODELING it
+    (the VERDICT r8 grep proxy, made a generated ledger column). A credit
+    means the file re-derives (or directly pins) that query's output
+    without the repo's SQL; absence means only the Spark↔DuckDB
     shared-SQL tiers cover it.
 
-    Matches are token-classified: the short ``qNN`` form counts only
-    inside STRING/COMMENT tokens (docstring references like "q81's
-    definition"), never as a bare code identifier — a local variable
-    that happens to be named ``q15`` must not credit q15 with a model
-    (a committed false ledger entry the r9 code review caught). The
-    full query name counts anywhere."""
-    import io
-    import tokenize
+    Credit requires the FULL query name as a code token: a bare
+    identifier or a non-docstring string constant (the form a model test
+    uses to actually EXECUTE the query, e.g. ``QUERIES["q40_..."]`` or
+    ``_rows(spark, dir, "q40_...")``). Prose mentions — docstrings and
+    comments, including the short ``qNN`` form — never credit: ADVICE r9
+    caught that a docstring saying "same shape as q40" in an unrelated
+    test kept the ledger (and its tripwire) green for a query that was
+    only name-dropped. A test that never runs the query doesn't model
+    it."""
+    import ast
 
     hits: dict[str, set] = {q: set() for q in queries}
-    for p in sorted(glob.glob(os.path.join(REPO, "tests", "test_third_engine_*.py"))):
+    tests_dir = tests_dir or os.path.join(REPO, "tests")
+    for p in sorted(glob.glob(os.path.join(tests_dir, "test_third_engine_*.py"))):
         with open(p) as fh:
             text = fh.read()
-        prose = " ".join(
-            tok.string
-            for tok in tokenize.generate_tokens(io.StringIO(text).readline)
-            if tok.type in (tokenize.STRING, tokenize.COMMENT)
+        tree = ast.parse(text)
+        docstrings = set()
+        for node in ast.walk(tree):
+            if isinstance(
+                node,
+                (ast.Module, ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef),
+            ):
+                body = getattr(node, "body", [])
+                if (
+                    body
+                    and isinstance(body[0], ast.Expr)
+                    and isinstance(body[0].value, ast.Constant)
+                    and isinstance(body[0].value.value, str)
+                ):
+                    docstrings.add(id(body[0].value))
+        code_text = " ".join(
+            [
+                n.value
+                for n in ast.walk(tree)
+                if isinstance(n, ast.Constant)
+                and isinstance(n.value, str)
+                and id(n) not in docstrings
+            ]
+            + [n.id for n in ast.walk(tree) if isinstance(n, ast.Name)]
         )
         short = os.path.basename(p)[len("test_third_engine_"):-3]
         for q in queries:
-            prefix = q.split("_")[0]  # qNN
-            if q in text or re.search(rf"\b{prefix}\b", prose):
+            if re.search(rf"\b{q}\b", code_text):
                 hits[q].add(short)
     return {q: ",".join(sorted(s)) for q, s in hits.items()}
 
