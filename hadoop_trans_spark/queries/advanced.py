@@ -466,10 +466,20 @@ def q160_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "day")
         .agg(
-            F.min_by("value", F.col("k")).alias("open"),
+            # The pick key is NULLed for NULL-valued rows: min_by/max_by
+            # ignore NULL ordering keys, which reproduces DuckDB's
+            # arg_min/arg_max value-NULL skipping exactly (open/close =
+            # first/last MEASURED value; all-NULL bar -> NULL). Plain
+            # min_by("value", k) would return the NULL itself when the
+            # bar's first event carries no value (NULL-probe find, r10).
+            F.min_by(
+                "value", F.when(F.col("value").isNotNull(), F.col("k"))
+            ).alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max_by("value", F.col("k")).alias("close"),
+            F.max_by(
+                "value", F.when(F.col("value").isNotNull(), F.col("k"))
+            ).alias("close"),
             dsum("value").alias("volume"),
             F.count("*").alias("n"),
         )

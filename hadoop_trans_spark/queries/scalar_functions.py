@@ -314,14 +314,22 @@ def q30_array_words(spark: SparkSession, sf_dir: str) -> DataFrame:
            json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
            CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_,
-           json_valid(props) AS is_json
+           COALESCE(json_valid(props), FALSE) AS is_json
     FROM events
     WHERE event_id < 2000
     ORDER BY event_id
     """,
 )
 def q31_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """get_json_object / from_json over the events.props JSON column."""
+    """get_json_object / from_json over the events.props JSON column.
+
+    is_json is two-state by design: a NULL props row reads FALSE ("no
+    valid payload") in BOTH engines — the oracle COALESCEs DuckDB's
+    json_valid(NULL)=NULL to match from_json(NULL).isNotNull()=False.
+    Chosen over NULL-in/NULL-out tri-state because a nullable boolean
+    crosses the two pandas bridges differently (object None vs float
+    NaN), which the canonical compare rightly refuses to conflate
+    (NULL-probe find, r10)."""
     ev = table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
     parsed = F.from_json("props", "k BIGINT")
     return (

@@ -804,7 +804,8 @@ def q128_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     paths AS (
         SELECT e0 || '>' || e1 || '>' || e2 AS path, COUNT(*) AS n
-        FROM seq WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+        FROM seq
+        WHERE e0 IS NOT NULL AND e1 IS NOT NULL AND e2 IS NOT NULL
         GROUP BY 1
     )
     SELECT * FROM (
@@ -833,7 +834,15 @@ def q143_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 2).over(w).alias("e2"),
     )
     paths = (
-        seq.where(F.col("e1").isNotNull() & F.col("e2").isNotNull())
+        # All three steps non-null, symmetric with the oracle: a NULL
+        # event_type inside the window would otherwise make DuckDB's
+        # null-propagating || produce a NULL path while concat_ws SKIPS
+        # the null and fabricates a 2-step path (NULL-probe find, r10).
+        seq.where(
+            F.col("e0").isNotNull()
+            & F.col("e1").isNotNull()
+            & F.col("e2").isNotNull()
+        )
         .select(F.concat_ws(">", "e0", "e1", "e2").alias("path"))
         .groupBy("path")
         .agg(F.count("*").alias("n"))

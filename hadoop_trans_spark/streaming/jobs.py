@@ -821,8 +821,12 @@ def stream_windowed_topk(
     def rank_batch(bdf: DataFrame, batch_id: int) -> None:
         if bdf.isEmpty():
             return
+        # asc_nulls_last matches DuckDB's default ASC NULL placement in
+        # the oracle's tie-break — Spark defaults to NULLS FIRST, which
+        # flips the rank of a NULL event_type group (NULL-probe find,
+        # r10).
         w = Window.partitionBy("window_start").orderBy(
-            F.desc("n_events"), "event_type"
+            F.desc("n_events"), F.asc_nulls_last("event_type")
         )
         (
             bdf.withColumn("rk", F.row_number().over(w).cast("int"))

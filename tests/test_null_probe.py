@@ -1,0 +1,110 @@
+"""NULL-injection differential tests (the q239/ADVICE-r9 bug class).
+
+The driver fixtures carry ZERO NULLs in the nullable business columns, so
+a Spark-vs-oracle NULL-semantics asymmetry passes every existing gate
+silently. tools/null_probe.py makes the class sweepable; the round-10
+full-fixture sweep found four latent divergences, each now fixed and
+pinned here by running the real query against its real oracle on an
+injected copy — both engines read the SAME parquet, so any mismatch is
+engine semantics, never fixture noise:
+
+- q160_ohlc_bars: Spark min_by/max_by returned the NULL value sitting at
+  the extremal key; DuckDB arg_min/arg_max skip NULL values. Fixed by
+  NULLing the pick key for NULL-valued rows.
+- q143_event_paths: DuckDB's || propagates a NULL step into a NULL path;
+  Spark concat_ws SKIPS the null and fabricated a 2-step path. Fixed by
+  requiring all three steps non-null in both engines.
+- q183_stream_windowed_topk: the rank tie-break sorted a NULL event_type
+  group NULLS FIRST in Spark vs DuckDB's default NULLS LAST. Fixed with
+  asc_nulls_last.
+- q31_json_funcs: json_valid(NULL)=NULL vs from_json(NULL).isNotNull()=
+  False; two-state FALSE chosen in both engines (tri-state boolean does
+  not round-trip the two pandas bridges identically).
+
+Plus q239_markov_stationary (the original ADVICE find, also covered by
+its dedicated test in test_analytics_properties.py) and the untouched
+transition siblings q106/q217 as canaries.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hadoop_trans_spark.queries import ORACLE, QUERIES  # noqa: E402
+from hadoop_trans_spark.testing.oracle import compare  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PROBED = [
+    "q160_ohlc_bars",
+    "q143_event_paths",
+    "q183_stream_windowed_topk",
+    "q31_json_funcs",
+    "q239_markov_stationary",
+    "q106_event_transitions",
+    "q217_transition_entropy",
+    "q35_text_stats",
+    "q38_doc_fingerprint",
+    "q77_vocab_topk",
+]
+
+
+def _load_null_probe():
+    spec = importlib.util.spec_from_file_location(
+        "null_probe", os.path.join(REPO, "tools", "null_probe.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def injected_dir(tmp_path_factory, smoke_dir):
+    """sf0.001 copy with deterministic NULLs in events and documents."""
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("nullprobe"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t in ("events", "documents"):
+            strides = (
+                np_mod.EVENT_STRIDES if t == "events" else np_mod.DOC_STRIDES
+            )
+            df = np_mod.inject(pd.read_parquet(src), strides, scale=1)
+            assert df.isna().any().any(), f"{t}: injection produced no NULLs"
+            df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def injected_oracle(injected_dir):
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{injected_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", PROBED)
+def test_query_matches_oracle_on_null_injected_fixture(
+    name, spark, injected_dir, injected_oracle
+):
+    res = compare(
+        name, QUERIES[name](spark, injected_dir), injected_oracle, ORACLE[name]
+    )
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )

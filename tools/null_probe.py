@@ -1,0 +1,78 @@
+"""Build a NULL-injected copy of a fixture dir for differential probing.
+
+The driver's fixtures contain ZERO NULLs in the nullable business columns
+(events.event_type/value/props, documents.text/lang/source), so any
+Spark-vs-oracle NULL-semantics asymmetry is invisible to every existing
+gate — ADVICE r9 found exactly one such latent divergence (q239's
+uniform-seed denominator counted a NULL source state in DuckDB but not in
+the driver-side fold). This tool makes that bug class sweepable: it
+copies a fixture dir and deterministically NULLs a slice of each nullable
+column IN PLACE (mid-sequence, so lead/lag windows straddle the NULLs),
+then the standard sweeps run against the copy:
+
+  python tools/null_probe.py /root/testdata/sf0.001 /tmp/nullprobe
+  python tools/vanilla_sweep.py /tmp/nullprobe            # full compare
+
+Both engines read the SAME injected parquet, so every reported mismatch
+is a genuine engine-semantics divergence, never fixture noise. Strides
+are primes so multi-column NULLs coincide on some rows (compound-NULL
+rows exercised too).
+
+Flags: --tables events,documents (default: both); --stride N scales all
+strides (default 1 = ~1-1.5% of rows per column).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import pandas as pd
+
+# column -> prime stride (row_index % stride == 0 gets NULL).
+EVENT_STRIDES = {"event_type": 67, "value": 71, "props": 73}
+DOC_STRIDES = {"text": 79, "lang": 83, "source": 89}
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def inject(df: pd.DataFrame, strides: dict[str, int], scale: int) -> pd.DataFrame:
+    df = df.copy()
+    for col, stride in strides.items():
+        idx = df.index[:: stride * scale]
+        df.loc[idx, col] = None
+    return df
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    src = args[0] if args else "/root/testdata/sf0.001"
+    dst = args[1] if len(args) > 1 else "/tmp/nullprobe"
+    tables = ["events", "documents"]
+    scale = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--tables="):
+            tables = a.split("=", 1)[1].split(",")
+        if a.startswith("--stride="):
+            scale = int(a.split("=", 1)[1])
+
+    os.makedirs(dst, exist_ok=True)
+    strides_by_table = {"events": EVENT_STRIDES, "documents": DOC_STRIDES}
+    for t in TABLES:
+        s, d = os.path.join(src, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet")
+        if t in tables:
+            df = inject(pd.read_parquet(s), strides_by_table[t], scale)
+            nulls = {c: int(df[c].isna().sum()) for c in strides_by_table[t]}
+            df.to_parquet(d, index=False)
+            print(f"{t}: {len(df)} rows, injected NULLs {nulls}")
+        else:
+            shutil.copyfile(s, d)
+    print(f"wrote {dst} — probe with: python tools/vanilla_sweep.py {dst}")
+
+
+if __name__ == "__main__":
+    main()
