@@ -49,6 +49,12 @@ def decontaminate(
     """
     from .stage import parallelize_stage
 
+    # NULL-text docs excluded on BOTH sides (word_shingles rule,
+    # NULL-probe find r10): word_grams degenerates on NULL text to the
+    # single gram "", so unfiltered NULL corpus docs would read as
+    # "contaminated" by NULL benchmark docs.
+    corpus = corpus.where(F.col(text_col).isNotNull())
+    benchmark = benchmark.where(F.col(text_col).isNotNull())
     bench_grams = (
         benchmark.select(F.explode(word_grams(text_col, k)).alias("gram"))
         .distinct()
@@ -79,6 +85,10 @@ def repetition_stats(
     so no extra scan or join exists anywhere."""
     from .stage import parallelize_stage
 
+    # Contentless docs have no repetition signal (word_shingles rule,
+    # NULL-probe find r10) — excluded rather than emitted with NULL/
+    # degenerate fractions.
+    df = df.where(F.col(text_col).isNotNull())
     df = parallelize_stage(df)  # tokenize/explode is the CPU stage
     lowered = F.trim(F.lower(F.col(text_col)))
     words = df.select(

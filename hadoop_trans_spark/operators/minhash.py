@@ -63,8 +63,16 @@ def word_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
     """Distinct word k-gram shingles per doc: (id, shingle) — exploded
-    form, used where a relational shingle table is genuinely needed."""
-    return df.select(
+    form, used where a relational shingle table is genuinely needed.
+
+    NULL-text docs are excluded: a contentless doc has no shingles and
+    can never be a content-duplicate. Without the filter shingle_array
+    degenerates on NULL (split→NULL, size→-1, concat_ws skips the null)
+    to the single shingle "" — every NULL doc then fingerprints
+    identically and the pair stage emits the full NULL-doc clique
+    (NULL-probe find, r10; the DuckDB oracles drop these docs naturally
+    via null-propagating string ops)."""
+    return df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.explode(shingle_array(text_col, k)).alias("shingle"),
     )

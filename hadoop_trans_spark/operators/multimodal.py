@@ -137,6 +137,11 @@ def fake_features(df: DataFrame, n_features: int = 4) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payloads are skipped, not decoded: a missing media
+            # blob yields no feature row (real pipelines dead-letter
+            # these) — map(len) on None crashed the worker otherwise
+            # (NULL-probe find, r10).
+            pdf = pdf[pdf["payload"].notna()]
             n = pdf["payload"].map(len)
             first = pdf["payload"].map(lambda b: b[0] if len(b) else 0)
             out = pd.DataFrame(
@@ -187,6 +192,10 @@ def frame_sample(df: DataFrame, fps_us: int = 40_000) -> DataFrame:
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["meta"]
             ):
+                if payload is None:
+                    # Missing media: no frames (fake_features rule;
+                    # NULL-probe find, r10).
+                    continue
                 n_frames = int(len(payload)) % 4 + 1
                 checksum = meta["checksum"]
                 for i in range(n_frames):

@@ -44,6 +44,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     shuffle carries only the per-doc partial count vectors (map-side
     combine)."""
     parity = "".join("01"[int(c, 16) % 2] for c in HEX)  # digit → parity
+    # NULL-text docs get no fingerprint (word_shingles rule: contentless
+    # docs are excluded from content dedup — NULL-probe find, r10).
+    df = df.where(F.col(text_col).isNotNull())
     masks = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_array(F.lower(F.col(text_col)), k=3)).alias("tok"),

@@ -32,7 +32,8 @@ from .base import query
     # set); a training doc is contaminated if it shares any distinct
     # word 4-gram with any benchmark doc.
     oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE text IS NOT NULL),
     g AS (
       SELECT doc_id,
              array_to_string(list_slice(w, i, i + 3), ' ') AS gram
@@ -68,7 +69,7 @@ def q71_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH words AS (
       SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS g
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     wf AS (
       SELECT doc_id,
@@ -76,7 +77,8 @@ def q71_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, g, COUNT(*) AS n FROM words GROUP BY 1, 2)
       GROUP BY doc_id
     ),
-    bw AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM documents),
+    bw AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
     bigrams AS (
       SELECT doc_id,
              array_to_string(list_slice(w, i, i + 1), ' ') AS g
@@ -98,7 +100,7 @@ def q71_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                ))::DOUBLE
                / len(string_split_regex(trim(lower(text)), '\s+')), 6
              ) AS DOUBLE) AS mean_word_len
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT wf.doc_id, top_word_frac, top_bigram_frac, mean_word_len,
            (top_word_frac <= 0.1 AND top_bigram_frac <= 0.06) AS keep

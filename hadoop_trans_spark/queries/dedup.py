@@ -53,7 +53,13 @@ def grams3_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grams3",
         lambda: parallelize_stage(
             table(spark, sf_dir, "documents")
-        ).select(
+        )
+        # word_shingles rule: NULL-text docs have no shingles and are
+        # excluded from the whole dedup family (NULL-probe find, r10 —
+        # unfiltered they all share the degenerate "" shingle and the
+        # pair stage emits the NULL-doc clique).
+        .where(F.col("text").isNotNull())
+        .select(
             F.col("doc_id").alias("id"),
             shingle_array("text", 3).alias("grams"),
         ),
@@ -314,7 +320,7 @@ def q63_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                range(1, greatest(len(string_split(text,' '))-2, 1)+1),
                i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
              )) AS grams
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
@@ -334,7 +340,9 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic join; at 100 TB you'd use q40's LSH instead (noted in the
     plan docs), but the blocked shape is still shuffle-safe: the join is
     an equi-join on the block key."""
-    d = table(spark, sf_dir, "documents")
+    # NULL-text docs excluded symmetrically with the oracle (word_shingles
+    # rule — NULL-probe find, r10).
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     ws = F.split(F.col("text"), " ")
     grams = F.array_distinct(
         F.transform(
@@ -779,7 +787,7 @@ def q115_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                range(1, greatest(len(string_split(text,' '))-2, 1)+1),
                i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
              )) AS grams
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     light AS (SELECT doc_id, lang, len(grams) AS n FROM w),
     toks AS (SELECT doc_id, lang, unnest(grams) AS g FROM w),
@@ -835,7 +843,9 @@ def q142_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     contained, id tiebreak) is a total order, so both engines emit
     identical pairs. At 100 TB postings shard by (lang, gram); per-gram
     join fan-out is prefix-count(g) × df(g), the AllPairs cost bound."""
-    d = table(spark, sf_dir, "documents")
+    # NULL-text docs excluded symmetrically with the oracle (word_shingles
+    # rule — NULL-probe find, r10).
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     ws = F.split(F.col("text"), " ")
     grams = F.array_distinct(
         F.transform(

@@ -42,7 +42,12 @@ def q46_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.lang").alias("meta_lang"),
         F.col("meta.source").alias("meta_source"),
         F.col("meta.size.chars").alias("meta_chars"),
-        F.concat_ws("/", "meta.lang", "meta.source").alias("meta_path"),
+        # concat (null-propagating, as the oracle's ||), NOT concat_ws:
+        # a path assembled from partial metadata ("en" with no source)
+        # is a wrong path, not a shorter one (NULL-probe find, r10).
+        F.concat(
+            F.col("meta.lang"), F.lit("/"), F.col("meta.source")
+        ).alias("meta_path"),
         F.when(F.col("meta.size.chars") > 300, "long")
         .otherwise("short")
         .alias("size_class"),
@@ -87,7 +92,7 @@ def q47_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (octet_length(encode(text)) * 3 + ascii(substring(text,1,1))) % 256
             + (octet_length(encode(text)) * 4 + ascii(substring(text,1,1))) % 256)::DOUBLE, 6)
             AS DOUBLE) AS feat_sum
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     ORDER BY doc_id
     """,
 )
@@ -117,7 +122,7 @@ def q48_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              octet_length(encode(text)) AS n_bytes,
              sha256(text) AS checksum
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     f AS (
       SELECT doc_id, checksum,

@@ -284,7 +284,8 @@ def q29_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS vocab,
            len(list_distinct(string_split(text, ' '))) AS n_vocab,
            array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS head5,
-           list_contains(string_split(text, ' '), 'spark') AS has_spark
+           COALESCE(list_contains(string_split(text, ' '), 'spark'), FALSE)
+             AS has_spark
     FROM documents
     WHERE doc_id < 100
     ORDER BY doc_id
@@ -300,7 +301,13 @@ def q30_array_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.sort_array(F.array_distinct(words)), ",").alias("vocab"),
             F.size(F.array_distinct(words)).alias("n_vocab"),
             F.array_join(F.slice(words, 1, 5), " ").alias("head5"),
-            F.array_contains(words, "spark").alias("has_spark"),
+            # Two-state like q31's is_json: NULL text "contains spark" is
+            # FALSE in both engines — tri-state boolean does not
+            # round-trip the two pandas bridges identically (NULL-probe
+            # find, r10).
+            F.coalesce(
+                F.array_contains(words, "spark"), F.lit(False)
+            ).alias("has_spark"),
         )
         .orderBy("doc_id")
     )
@@ -350,7 +357,7 @@ def q31_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            md5(text) AS text_md5,
-           sha256(concat(lang, '|', source)) AS meta_sha,
+           sha256(lang || '|' || source) AS meta_sha,
            md5(concat_ws('|', CAST(doc_id AS VARCHAR), lang, source)) AS row_md5
     FROM documents
     ORDER BY doc_id

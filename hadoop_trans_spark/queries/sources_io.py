@@ -382,6 +382,7 @@ def q120_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(length(text)) AS BIGINT) AS chars_sum,
            MIN(doc_id) AS min_id
     FROM documents
+    WHERE lang IS NOT NULL AND text IS NOT NULL
     GROUP BY lang ORDER BY lang
     """,
 )
@@ -396,7 +397,14 @@ def q149_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB you shard into many ~100 MB .gz files so parallelism
     comes from file count (exactly what the write below produces)."""
     base = tempfile.mkdtemp(prefix="htspark_text_")
-    d = table(spark, sf_dir, "documents")
+    # A delimited line format cannot carry NULL fields: concat_ws SKIPS
+    # nulls, so a NULL lang/text row would emit a short line that
+    # shatters the 3-field parse contract on read-back (getItem(2) is an
+    # out-of-bounds crash — NULL-probe find, r10). Exported docs are the
+    # fully-populated ones, symmetrically with the oracle's WHERE.
+    d = table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
     lines = d.select(
         F.concat_ws(
             "\t",
@@ -438,7 +446,7 @@ def q149_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
     FROM documents
-    WHERE doc_id % 25 = 0
+    WHERE doc_id % 25 = 0 AND text IS NOT NULL
     ORDER BY doc_id
     """,
 )
@@ -474,7 +482,14 @@ def q150_binaryfile_source(
             )
         blob_base = tempfile.mkdtemp(prefix="htspark_bin_")
     base = blob_base
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    # NULL text = no blob to materialize (encode(None) would crash the
+    # executor task) — skipped symmetrically with the oracle's WHERE
+    # (NULL-probe find, r10).
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 25 == 0)
+        .where(F.col("text").isNotNull())
+    )
     def _write_blobs(rows) -> None:
         import pathlib
 

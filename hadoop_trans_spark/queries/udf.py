@@ -33,7 +33,11 @@ def q49_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.LongType())
     def count_tokens(texts: pd.Series) -> pd.Series:
-        return texts.str.count(TOKEN_PATTERN).astype("int64")
+        # Nullable Int64: NULL text counts NULL (str.count gives NaN),
+        # matching the oracle's len(regexp_extract_all(NULL)) = NULL —
+        # plain int64 astype crashes the worker on the first NULL doc
+        # (NULL-probe find, r10).
+        return texts.str.count(TOKEN_PATTERN).astype("Int64")
 
     d = table(spark, sf_dir, "documents")
     return d.select(
