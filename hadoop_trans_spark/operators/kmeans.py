@@ -125,6 +125,11 @@ def kmeans_assignments(
     assignment (id, cluster, d2)."""
     from .stage import materialize_stage
 
+    # A missing vector has no cluster: NULL embeddings are excluded up
+    # front (symmetric with the oracle's WHERE; unfiltered, a NULL in
+    # the seed rows crashed the driver-side centroid iteration —
+    # NULL-probe find, r10).
+    df = df.where(F.col(vec).isNotNull())
     v = _dbl(F.col(vec))
     corpus = df.select(
         F.col(id_col).alias("id"), v.alias("v"), dot(v, v).alias("v_sq")

@@ -271,7 +271,10 @@ def signlsh_near_duplicates(
     from .stage import materialize_stage, parallelize_stage
 
     pre = materialize_stage(
-        parallelize_stage(corpus).select(
+        # NULL vectors excluded (kmeans rule: a missing vector has no
+        # signature; the oracle's list_dot_product raises on NULL —
+        # NULL-probe find, r10).
+        parallelize_stage(corpus.where(F.col(vec).isNotNull())).select(
             F.col(id_col).alias("id"),
             _dbl(F.col(vec)).alias("v"),
             norm(F.col(vec)).alias("n"),

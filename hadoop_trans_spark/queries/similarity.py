@@ -69,7 +69,7 @@ def _signlsh_oracle(n_planes: int = 32, bands: int = 4, dim: int = 64, top: int 
     WITH pre AS (
       SELECT vec_id AS id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     sig AS (SELECT id, {bit_exprs} AS s FROM pre),
     banded AS (
@@ -175,7 +175,8 @@ def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q105_kmeans_clusters",
     oracle="""
-    WITH x AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH x AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
     xs AS (SELECT id, v, list_dot_product(v, v) AS v_sq FROM x),
     c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
                   v AS c, list_dot_product(v, v) AS c_sq
@@ -243,7 +244,7 @@ def q105_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, label, embedding::DOUBLE[] AS v,
                sqrt(list_dot_product(embedding::DOUBLE[],
                                      embedding::DOUBLE[])) AS nrm
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT q_id, neg_id, label_q, label_n, cos FROM (
         SELECT q.vec_id AS q_id, c.vec_id AS neg_id,
@@ -271,7 +272,11 @@ def q119_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     swaps in q69's sign-LSH candidates so the pair stage stays bounded."""
     from ..operators.similarity import _dbl, dot
 
-    e = table(spark, sf_dir, "embeddings")
+    # NULL vectors excluded symmetrically with the oracle (kmeans rule,
+    # NULL-probe find r10).
+    e = table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     x = e.select(
         "vec_id",
         "label",
@@ -498,6 +503,7 @@ def q131_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, g.i - 1 AS i, CAST(embedding[g.i] AS DOUBLE) AS v
         FROM embeddings
         CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i) g
+        WHERE embedding IS NOT NULL
     ),
     pairs AS (
         SELECT a.i AS i, b.i AS j,
@@ -530,8 +536,13 @@ def q211_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the differential oracle's quadratic unnest cheap; the plan is
     identical at d=64."""
     d = 8
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.slice("embedding", 1, d).alias("e")
+    # NULL vectors excluded symmetrically with the oracle: they carry no
+    # components, and the oracle's COUNT(*) denominator would otherwise
+    # count their NULL-valued rows (NULL-probe find, r10).
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", F.slice("embedding", 1, d).alias("e"))
     )
     x = emb.select(
         "vec_id",

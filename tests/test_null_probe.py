@@ -40,6 +40,13 @@ The documents-side injection then surfaced fifteen more, all fixed:
   propagates — both now use null-propagating concatenation on both
   sides. q30: nullable-boolean bridge (same as q31), two-state FALSE.
 
+The embeddings-side injection (NULL vectors) surfaced four more, fixed
+under one rule — a missing vector has no signature/cluster/components,
+so NULL embeddings are excluded symmetrically in both engines: q105
+kmeans crashed the driver-side centroid fold on a NULL seed, q69/q119's
+oracles raise on list_dot_product(NULL), and q211's oracle COUNT(*)
+denominator counted the NULL vectors' component rows.
+
 Plus q239_markov_stationary (the original ADVICE find, also covered by
 its dedicated test in test_analytics_properties.py) and the untouched
 transition siblings q106/q217 as canaries.
@@ -90,6 +97,13 @@ PROBED = [
     "q30_array_words",
     "q32_hash_funcs",
     "q46_struct_nested",
+    # embeddings-side finds (batch 3): NULL vectors excluded from
+    # similarity/clustering in both engines (kmeans rule)
+    "q69_signlsh_neardup",
+    "q105_kmeans_clusters",
+    "q119_hard_negatives",
+    "q211_embedding_covariance",
+    "q44_cosine_topk",  # canary: survived unfixed (NULL cos ranks last)
     # the original ADVICE r9 find + untouched canaries
     "q239_markov_stationary",
     "q106_event_transitions",
@@ -111,16 +125,19 @@ def _load_null_probe():
 
 @pytest.fixture(scope="module")
 def injected_dir(tmp_path_factory, smoke_dir):
-    """sf0.001 copy with deterministic NULLs in events and documents."""
+    """sf0.001 copy with deterministic NULLs in events, documents, and
+    embeddings."""
     np_mod = _load_null_probe()
     dst = str(tmp_path_factory.mktemp("nullprobe"))
+    strides_by_table = {
+        "events": np_mod.EVENT_STRIDES,
+        "documents": np_mod.DOC_STRIDES,
+        "embeddings": np_mod.EMB_STRIDES,
+    }
     for t in np_mod.TABLES:
         src = os.path.join(smoke_dir, f"{t}.parquet")
-        if t in ("events", "documents"):
-            strides = (
-                np_mod.EVENT_STRIDES if t == "events" else np_mod.DOC_STRIDES
-            )
-            df = np_mod.inject(pd.read_parquet(src), strides, scale=1)
+        if t in strides_by_table:
+            df = np_mod.inject(pd.read_parquet(src), strides_by_table[t], scale=1)
             assert df.isna().any().any(), f"{t}: injection produced no NULLs"
             df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
         else:

@@ -18,7 +18,7 @@ is a genuine engine-semantics divergence, never fixture noise. Strides
 are primes so multi-column NULLs coincide on some rows (compound-NULL
 rows exercised too).
 
-Flags: --tables events,documents (default: both); --stride N scales all
+Flags: --tables events,documents,embeddings (default: all three); --stride N scales all
 strides (default 1 = ~1-1.5% of rows per column).
 """
 
@@ -33,6 +33,7 @@ import pandas as pd
 # column -> prime stride (row_index % stride == 0 gets NULL).
 EVENT_STRIDES = {"event_type": 67, "value": 71, "props": 73}
 DOC_STRIDES = {"text": 79, "lang": 83, "source": 89}
+EMB_STRIDES = {"embedding": 61}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -52,7 +53,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     src = args[0] if args else "/root/testdata/sf0.001"
     dst = args[1] if len(args) > 1 else "/tmp/nullprobe"
-    tables = ["events", "documents"]
+    tables = ["events", "documents", "embeddings"]
     scale = 1
     for a in sys.argv[1:]:
         if a.startswith("--tables="):
@@ -61,7 +62,11 @@ def main() -> None:
             scale = int(a.split("=", 1)[1])
 
     os.makedirs(dst, exist_ok=True)
-    strides_by_table = {"events": EVENT_STRIDES, "documents": DOC_STRIDES}
+    strides_by_table = {
+        "events": EVENT_STRIDES,
+        "documents": DOC_STRIDES,
+        "embeddings": EMB_STRIDES,
+    }
     for t in TABLES:
         s, d = os.path.join(src, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet")
         if t in tables:
