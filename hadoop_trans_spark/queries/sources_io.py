@@ -443,7 +443,7 @@ def q149_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q150_binaryfile_source",
     oracle="""
     SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
     FROM documents
     WHERE doc_id % 25 = 0 AND text IS NOT NULL
@@ -461,9 +461,10 @@ def q150_binaryfile_source(
     the source table, so a match proves byte-exact ingest. At 100 TB
     binaryFile scales by file count (maxPartitionBytes packs small blobs
     per task); million-blob dirs want a manifest/iceberg layer, but the
-    source contract stays (path, mtime, length, content). Fixture text
-    is ASCII, so length(text) chars == utf-8 byte count in both
-    engines."""
+    source contract stays (path, mtime, length, content). n_bytes is
+    octet_length(encode(text)) in the oracle — BYTES, not chars: the
+    edge-value probe (r10) planted multibyte UTF-8 text and caught the
+    previous length(text) oracle under-counting the blob size."""
     # Blob materialization for the READ-side operator under test runs
     # EXECUTOR-side (foreachPartition): each task writes its own rows,
     # so no blob ever serializes through the driver. The executor-side

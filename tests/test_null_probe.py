@@ -168,3 +168,70 @@ def test_query_matches_oracle_on_null_injected_fixture(
         f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
         + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
     )
+
+
+# --- edge-value tier: empty / whitespace-only / multibyte UTF-8 text ----
+#
+# The full 241-query sweep on the edge-injected fixture found exactly ONE
+# divergence: q150's oracle measured length(text) (CHARS) against
+# binaryFile's byte length — fixed to octet_length(encode(text)). The
+# rest of this list is the tokenization/byte-path queries most exposed to
+# the planted values, pinned as canaries.
+EDGE_PROBED = [
+    "q150_binaryfile_source",  # the find: chars != bytes on multibyte text
+    "q30_array_words",
+    "q35_text_stats",
+    "q40_minhash_lsh_neardup",
+    "q47_binary_payload",
+    "q49_pandas_udf_tokens",
+    "q72_repetition_quality",
+    "q149_text_source",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory, smoke_dir):
+    """sf0.001 copy with empty/whitespace/multibyte text and an empty
+    event_type planted at prime strides."""
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("edgeprobe"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t == "documents":
+            df = np_mod.inject_edges(
+                pd.read_parquet(src), "text", np_mod.EDGE_DOC_TEXT, scale=1
+            )
+            df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
+        elif t == "events":
+            df = np_mod.inject_edges(
+                pd.read_parquet(src), "event_type", np_mod.EDGE_EVENT_TYPE, scale=1
+            )
+            df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def edge_oracle(edge_dir):
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{edge_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_PROBED)
+def test_query_matches_oracle_on_edge_value_fixture(
+    name, spark, edge_dir, edge_oracle
+):
+    res = compare(
+        name, QUERIES[name](spark, edge_dir), edge_oracle, ORACLE[name]
+    )
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )

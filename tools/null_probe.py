@@ -35,6 +35,17 @@ EVENT_STRIDES = {"event_type": 67, "value": 71, "props": 73}
 DOC_STRIDES = {"text": 79, "lang": 83, "source": 89}
 EMB_STRIDES = {"embedding": 61}
 
+# --mode=edge: non-NULL degenerate values. Empty text, whitespace-only
+# text, and multibyte UTF-8 (chars != bytes — the fixtures are pure
+# ASCII, so every char-vs-byte length assumption is untested), plus an
+# empty event_type. Distinct primes so each value lands on its own rows.
+EDGE_DOC_TEXT = {
+    97: "",
+    101: "   ",
+    103: "héllo wörld 日本語 text \U0001f642",
+}
+EDGE_EVENT_TYPE = {107: ""}
+
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -46,6 +57,16 @@ def inject(df: pd.DataFrame, strides: dict[str, int], scale: int) -> pd.DataFram
     for col, stride in strides.items():
         idx = df.index[:: stride * scale]
         df.loc[idx, col] = None
+    return df
+
+
+def inject_edges(
+    df: pd.DataFrame, col: str, values: dict[int, str], scale: int
+) -> pd.DataFrame:
+    df = df.copy()
+    for stride, value in values.items():
+        idx = df.index[:: stride * scale]
+        df.loc[idx, col] = value
     return df
 
 
@@ -61,15 +82,30 @@ def main() -> None:
         if a.startswith("--stride="):
             scale = int(a.split("=", 1)[1])
 
+    mode = "null"
+    for a in sys.argv[1:]:
+        if a.startswith("--mode="):
+            mode = a.split("=", 1)[1]
+
     os.makedirs(dst, exist_ok=True)
     strides_by_table = {
         "events": EVENT_STRIDES,
         "documents": DOC_STRIDES,
         "embeddings": EMB_STRIDES,
     }
+    edge_by_table = {
+        "events": ("event_type", EDGE_EVENT_TYPE),
+        "documents": ("text", EDGE_DOC_TEXT),
+    }
     for t in TABLES:
         s, d = os.path.join(src, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet")
-        if t in tables:
+        if mode == "edge" and t in edge_by_table and t in tables:
+            col, values = edge_by_table[t]
+            df = inject_edges(pd.read_parquet(s), col, values, scale)
+            df.to_parquet(d, index=False)
+            print(f"{t}: {len(df)} rows, edge-injected {col} at strides "
+                  f"{sorted(values)}")
+        elif mode == "null" and t in tables and t in strides_by_table:
             df = inject(pd.read_parquet(s), strides_by_table[t], scale)
             nulls = {c: int(df[c].isna().sum()) for c in strides_by_table[t]}
             df.to_parquet(d, index=False)
