@@ -27,7 +27,7 @@ from ..operators.globalrank import (
     global_row_number_banded,
 )
 from ..operators.skyline import pareto_frontier
-from .base import DEC, dsum, o_dsum, query, ts_micros
+from .base import DEC, dsum, o_davg, o_dsum, query, ts_micros
 
 
 @query(
@@ -347,17 +347,15 @@ def q158_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anomaly test compares SQUARED residual to 9·variance (no sqrt)
     # and rounds the difference at 1e-6 before the strict >0, so a
     # boundary event cannot flip between engines (q124/q153 pattern).
-    oracle="""
+    oracle=f"""
     WITH e AS (
         SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr, value
         FROM events
     ),
     s AS (
         SELECT event_type, hr, COUNT(*) AS n,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) / COUNT(*), 6)
-                    AS DOUBLE) AS mean_v,
-               CAST(ROUND(SUM(CAST(value * value AS DECIMAL(38,6)))
-                          / COUNT(*), 6) AS DOUBLE) AS m2
+               {o_davg("value", count="COUNT(*)")} AS mean_v,
+               {o_davg("value * value", count="COUNT(*)")} AS m2
         FROM e GROUP BY 1, 2
     )
     SELECT e.event_type, e.hr,
@@ -1591,7 +1589,7 @@ def q219_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spend); quintile cutoffs are percentile_disc off each metric's
     # cumulative histogram and bins count strict cutoff exceedances —
     # integer logic end to end except the decimal-avg output.
-    oracle="""
+    oracle=f"""
     WITH m AS (
         SELECT o_custkey,
                CAST(datediff('day', MAX(o_orderdate),
@@ -1637,8 +1635,7 @@ def q219_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r_bin, f_bin, m_bin,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(ROUND(SUM(CAST(mon AS DECIMAL(38,6))) / COUNT(*), 6)
-                AS DOUBLE) AS avg_monetary
+           {o_davg("mon", count="COUNT(*)")} AS avg_monetary
     FROM binned
     GROUP BY r_bin, f_bin, m_bin
     ORDER BY r_bin, f_bin, m_bin

@@ -92,8 +92,24 @@ def o_dsum(expr: str, scale: int = 6) -> str:
     return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(38,6))), {scale}) AS DOUBLE)"
 
 
-def o_davg(expr: str, scale: int = 6) -> str:
-    return (
-        f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(38,6))) / COUNT({expr}),"
-        f" {scale}) AS DOUBLE)"
+def o_davg(expr: str, scale: int = 6, count: str | None = None) -> str:
+    """Exact HALF_UP decimal mean — DuckDB's `/` on a decimal goes
+    through DOUBLE (4797.0070425/80 evaluates to …2499999 and ROUND
+    drops the tie) while Spark's decimal division is exact with HALF_UP
+    at scale 6, so a mean landing exactly on a .5 tie at the output
+    scale diverges between the engines (r10 edge-probe find on q159;
+    the tie class is data-dependent, not NULL/edge-specific). Computed
+    integer-side instead: the DECIMAL(38,6) sum is exactly
+    Si·10⁻⁶ with Si a HUGEINT, and HALF_UP(N/n) for N ≥ 0 is
+    (2N + n) // (2n) — bit-exact, no double anywhere until the final
+    correctly-rounded cast."""
+    assert scale >= 6
+    n = count or f"COUNT({expr})"
+    si = f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) * 1000000 AS HUGEINT)"
+    num = si if scale == 6 else f"({si} * {10 ** (scale - 6)})"
+    cnt = f"CAST({n} AS HUGEINT)"
+    half_up = (
+        f"(CASE WHEN {num} >= 0 THEN (2*{num} + {cnt}) // (2*{cnt}) "
+        f"ELSE -((2*(-{num}) + {cnt}) // (2*{cnt})) END)"
     )
+    return f"(CAST({half_up} AS DOUBLE) / {10 ** scale})"

@@ -14,7 +14,7 @@ from ..operators.similarity import (
     random_hyperplanes,
     signlsh_near_duplicates,
 )
-from .base import query
+from .base import o_davg, query
 
 _COS = (
     "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
@@ -174,7 +174,7 @@ def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q105_kmeans_clusters",
-    oracle="""
+    oracle=f"""
     WITH x AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
            FROM embeddings WHERE embedding IS NOT NULL),
     xs AS (SELECT id, v, list_dot_product(v, v) AS v_sq FROM x),
@@ -191,8 +191,7 @@ def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  c0.cluster) AS rk
              FROM xs CROSS JOIN c0) WHERE rk = 1),
     m1 AS (SELECT cluster, pos,
-                  CAST(ROUND(SUM(CAST(v[pos] AS DECIMAL(38,6))) / COUNT(*),
-                             6) AS DOUBLE) AS m
+                  {o_davg("v[pos]", count="COUNT(*)")} AS m
            FROM (SELECT cluster, v,
                         UNNEST(range(1, len(v) + 1)) AS pos FROM a1)
            GROUP BY 1, 2),

@@ -1292,3 +1292,47 @@ def test_zvalue_spark_sql_and_python_models_agree(spark, pts):
         want = morton(x, y)
         assert got_spark[(x, y)] == want, (x, y, got_spark[(x, y)], want)
         assert got_sql[(x, y)] == want, (x, y, got_sql[(x, y)], want)
+
+
+def test_o_davg_half_up_tie_matches_spark_decimal_division(spark):
+    """r10 edge-probe find (q159): DuckDB's `/` on a DECIMAL goes through
+    DOUBLE, so a mean landing exactly on a .5 tie at 1e-6 rounds DOWN
+    (4797.0070425 evaluates as ...2499999) while Spark's decimal division
+    is exact with HALF_UP (-> 4797.007043; away from zero on negatives).
+    o_davg now computes the mean integer-side in DuckDB — this pins the
+    exact tie on both engines, both signs. The two inputs are exact
+    6-decimal values (double<->decimal round-trips losslessly), so the
+    .5 tie at the output scale is constructed, not drawn."""
+    import duckdb
+
+    from hadoop_trans_spark.queries.base import DEC, o_davg
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS "
+        "SELECT CAST(4797.007042 AS DOUBLE) AS v, 1 AS g UNION ALL "
+        "SELECT CAST(4797.007043 AS DOUBLE), 1 UNION ALL "
+        "SELECT CAST(-4797.007042 AS DOUBLE), 2 UNION ALL "
+        "SELECT CAST(-4797.007043 AS DOUBLE), 2"
+    )
+    got = dict(
+        con.execute(
+            f"SELECT g, {o_davg('v', count='COUNT(*)')} FROM t GROUP BY g"
+        ).fetchall()
+    )
+    con.close()
+    sdf = spark.createDataFrame(
+        [(4797.007042, 1), (4797.007043, 1), (-4797.007042, 2), (-4797.007043, 2)],
+        "v double, g int",
+    )
+    srows = {
+        r["g"]: r["m"]
+        for r in sdf.groupBy("g")
+        .agg(
+            F.round(F.sum(F.col("v").cast(DEC)) / F.count("*"), 6)
+            .cast("double")
+            .alias("m")
+        )
+        .collect()
+    }
+    assert got == srows == {1: 4797.007043, 2: -4797.007043}

@@ -179,6 +179,7 @@ def test_query_matches_oracle_on_null_injected_fixture(
 # the planted values, pinned as canaries.
 EDGE_PROBED = [
     "q150_binaryfile_source",  # the find: chars != bytes on multibyte text
+    "q159_seasonal_anomaly",  # the find: decimal-mean .5 tie (o_davg rule)
     "q30_array_words",
     "q35_text_stats",
     "q40_minhash_lsh_neardup",

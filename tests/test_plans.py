@@ -1384,3 +1384,28 @@ def test_range_clustered_layout_skips_row_groups(spark, smoke_dir, tmp_path):
         spark.read.parquet(clustered).where(pred).count()
         == spark.read.parquet(shuffled).where(pred).count()
     )
+
+
+def test_null_text_exclusion_pushed_to_parquet_scan(spark, smoke_dir):
+    """The r10 NULL-probe rule (contentless docs excluded from content
+    dedup) must cost nothing at scale: the text IS NOT NULL filter has
+    to reach the parquet scan as a pushed filter, so row groups whose
+    stats show all-null text are skipped before any shingle CPU. Locks
+    the grams3 build shape (pre-checkpoint — the memoized stage hides
+    the scan once materialized)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_trans_spark.catalog import table
+    from hadoop_trans_spark.operators.minhash import shingle_array
+
+    build = (
+        table(spark, smoke_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").alias("id"), shingle_array("text", 3).alias("grams")
+        )
+    )
+    plan = build._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scan_lines, plan
+    assert any("IsNotNull(text)" in ln for ln in scan_lines), plan
