@@ -212,6 +212,12 @@ def _latest_bench_calibration(here: str, latest_round: int) -> dict | None:
 
 MOVER_THRESHOLD = 1.25
 
+# Ratio alone over-flags sub-second queries: their per-stage fixed costs
+# jitter by ±0.1-0.15 s, which is >25% of a 0.3 s query but means
+# nothing (every r10-adjudicated sub-second "mover" — q36, q199, q114,
+# q46, q48 — was this). A real regression must also move absolute time.
+MOVER_MIN_ABS_S = 0.25
+
 # Headline queries whose first draw exceeds this get a third run with the
 # first discarded (see module docstring).
 HEAVY_S = 1.5
@@ -321,7 +327,7 @@ def _movers_against(
         if not isinstance(prev_s, (int, float)) or prev_s <= 0 or cur_s is None:
             continue
         ratio = cur_s / (prev_s * drift)
-        if ratio > MOVER_THRESHOLD:
+        if ratio > MOVER_THRESHOLD and cur_s - prev_s * drift >= MOVER_MIN_ABS_S:
             movers.append(
                 {
                     "query": name,

@@ -344,3 +344,26 @@ def test_time_headline_passes_run_index():
 
     time_headline(run_once)
     assert seen == [0, 1, 2]
+
+
+def test_movers_require_absolute_delta_floor(tmp_path):
+    # Sub-second fixed-cost jitter (every adjudicated r10 sub-second
+    # "mover": 0.04-0.17 s deltas at >1.25x ratio) must not flag; a real
+    # multi-second regression still does.
+    _write(
+        tmp_path,
+        "BENCH_r09.json",
+        {"parsed": {"queries": {"q_small": 0.2, "q_big": 1.45}}},
+    )
+    movers = compute_movers(
+        {"q_small": 0.38, "q_big": 2.85}, str(tmp_path), None
+    )
+    assert [m["query"] for m in movers] == ["q_big"]
+
+
+def test_movers_abs_floor_is_drift_adjusted(tmp_path):
+    # The floor compares against the DRIFT-ADJUSTED baseline: with a 2x
+    # drift, 1.0 -> 2.2 is only +0.2 of real movement -> not a mover.
+    _write(tmp_path, "BENCH_r08.json", {"parsed": {"queries": {"q1": 1.0}}})
+    calib = {"prev_round": 8, "drift_factor": 2.0}
+    assert compute_movers({"q1": 2.2}, str(tmp_path), calib) == []
