@@ -315,25 +315,50 @@ def compute_movers(
     )
 
 
+# Minimum shared queries to estimate the CURRENT run's suite-wide
+# machine state vs the baseline map. A code regression is path-specific;
+# a uniform shift across hundreds of queries is load/thermal state (the
+# r10 close drew the same code at 172.8 s and 193.4 s an hour apart,
+# uniformly ~12% — six false movers). The suite median is robust to a
+# handful of genuine regressions riding in the same run.
+SUITE_RATIO_MIN_N = 20
+
+
 def _movers_against(
     timings: dict[str, float],
     prev_queries: dict[str, float],
     drift: float,
     baseline: str,
 ) -> list[dict]:
+    shared = [
+        (name, prev_s)
+        for name, prev_s in prev_queries.items()
+        if isinstance(prev_s, (int, float))
+        and prev_s > 0
+        and timings.get(name) is not None
+    ]
+    suite = 1.0
+    if len(shared) >= SUITE_RATIO_MIN_N:
+        ratios = sorted(timings[n] / (p * drift) for n, p in shared)
+        mid = len(ratios) // 2
+        suite = (
+            ratios[mid]
+            if len(ratios) % 2
+            else (ratios[mid - 1] + ratios[mid]) / 2
+        )
     movers = []
-    for name, prev_s in prev_queries.items():
-        cur_s = timings.get(name)
-        if not isinstance(prev_s, (int, float)) or prev_s <= 0 or cur_s is None:
-            continue
-        ratio = cur_s / (prev_s * drift)
-        if ratio > MOVER_THRESHOLD and cur_s - prev_s * drift >= MOVER_MIN_ABS_S:
+    for name, prev_s in shared:
+        cur_s = timings[name]
+        base_s = prev_s * drift * suite
+        ratio = cur_s / base_s
+        if ratio > MOVER_THRESHOLD and cur_s - base_s >= MOVER_MIN_ABS_S:
             movers.append(
                 {
                     "query": name,
                     "prev_s": round(prev_s, 4),
                     "cur_s": round(cur_s, 4),
                     "drift_adj_ratio": round(ratio, 4),
+                    "suite_med_ratio": round(suite, 4),
                     "baseline": baseline,
                 }
             )

@@ -367,3 +367,33 @@ def test_movers_abs_floor_is_drift_adjusted(tmp_path):
     _write(tmp_path, "BENCH_r08.json", {"parsed": {"queries": {"q1": 1.0}}})
     calib = {"prev_round": 8, "drift_factor": 2.0}
     assert compute_movers({"q1": 2.2}, str(tmp_path), calib) == []
+
+
+def test_movers_discount_suite_wide_machine_shift(tmp_path):
+    # Identical code drawn on a hotter machine: every query uniformly
+    # ~1.3x slower must produce ZERO movers (the r10-close false-flag
+    # case), while a genuine path regression riding the same run still
+    # flags against the suite-median-normalized baseline.
+    prev = {f"q{i:03d}": 1.0 for i in range(30)}
+    cur = {f"q{i:03d}": 1.3 for i in range(30)}
+    _write(tmp_path, "BENCH_r09.json", {"parsed": {"queries": prev}})
+    assert compute_movers(cur, str(tmp_path), None) == []
+
+    cur["q005"] = 3.9  # 3x beyond the suite shift
+    movers = compute_movers(cur, str(tmp_path), None)
+    assert [m["query"] for m in movers] == ["q005"]
+    assert movers[0]["suite_med_ratio"] == 1.3
+    assert abs(movers[0]["drift_adj_ratio"] - 3.0) < 0.01
+
+
+def test_movers_small_maps_skip_suite_normalization(tmp_path):
+    # Below the estimation mass the raw drift-adjusted ratio applies
+    # (suite=1.0): two queries both 1.5x with real deltas still flag.
+    _write(
+        tmp_path,
+        "BENCH_r09.json",
+        {"parsed": {"queries": {"q1": 1.0, "q2": 2.0}}},
+    )
+    movers = compute_movers({"q1": 1.5, "q2": 3.0}, str(tmp_path), None)
+    assert [m["query"] for m in movers] == ["q1", "q2"]
+    assert all(m["suite_med_ratio"] == 1.0 for m in movers)
