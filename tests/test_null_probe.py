@@ -236,3 +236,64 @@ def test_query_matches_oracle_on_edge_value_fixture(
         f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
         + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
     )
+
+
+# --- NaN tier: IEEE NaN in events.value (distinct from NULL) -----------
+#
+# The full 241-query sweep on the NaN fixture (sf0.01) found ZERO
+# divergences — both engines propagate NaN identically through the
+# decimal-staging aggregation patterns and place it identically in
+# orderings. These canaries are the value-column consumers most exposed
+# (extremal picks, moments, EWMA, percentiles), pinned so a future
+# refactor that changes NaN handling on one side goes red here.
+NAN_PROBED = [
+    "q160_ohlc_bars",
+    "q107_zscore_outliers",
+    "q111_approx_percentile_diff",
+    "q125_ewma",
+    "q159_seasonal_anomaly",
+    "q210_twap_per_user",
+]
+
+
+@pytest.fixture(scope="module")
+def nan_dir(tmp_path_factory, smoke_dir):
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("nanprobe"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t == "events":
+            df = pd.read_parquet(src)
+            df.loc[df.index[:: np_mod.NAN_EVENT_VALUE_STRIDE], "value"] = float(
+                "nan"
+            )
+            assert df["value"].isna().any()
+            df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def nan_oracle(nan_dir):
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{nan_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NAN_PROBED)
+def test_query_matches_oracle_on_nan_value_fixture(
+    name, spark, nan_dir, nan_oracle
+):
+    res = compare(
+        name, QUERIES[name](spark, nan_dir), nan_oracle, ORACLE[name]
+    )
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )

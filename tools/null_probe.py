@@ -46,6 +46,12 @@ EDGE_DOC_TEXT = {
 }
 EDGE_EVENT_TYPE = {107: ""}
 
+# --mode=nan: IEEE NaN planted in float value columns — distinct from
+# NULL (SQL aggregates SKIP NULL but PROPAGATE NaN; ordering treats NaN
+# as largest in both engines, but canon and round/comparison paths may
+# not agree).
+NAN_EVENT_VALUE_STRIDE = 109
+
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -99,7 +105,13 @@ def main() -> None:
     }
     for t in TABLES:
         s, d = os.path.join(src, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet")
-        if mode == "edge" and t in edge_by_table and t in tables:
+        if mode == "nan" and t == "events" and t in tables:
+            df = pd.read_parquet(s)
+            idx = df.index[:: NAN_EVENT_VALUE_STRIDE * scale]
+            df.loc[idx, "value"] = float("nan")
+            df.to_parquet(d, index=False)
+            print(f"{t}: {len(df)} rows, NaN value on {len(idx)} rows")
+        elif mode == "edge" and t in edge_by_table and t in tables:
             col, values = edge_by_table[t]
             df = inject_edges(pd.read_parquet(s), col, values, scale)
             df.to_parquet(d, index=False)
