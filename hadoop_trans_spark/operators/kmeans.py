@@ -141,6 +141,16 @@ def kmeans_assignments(
     # set every iterative fit holds.
     corpus = materialize_stage(corpus)
     cents = init_centroids(df, k, vec=vec, id_col=id_col).collect()
+    if not cents:
+        # Empty corpus/shard: nothing to seed from — return an empty
+        # typed assignment rather than building a zero-element literal
+        # centroid array (F.array() types as VOID and the transform
+        # lambda fails analysis — empty-input probe find, r10).
+        return corpus.select(
+            "id",
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("double").alias("d2"),
+        )
     assigned = assign(corpus, cents)
     for _ in range(iters - 1):
         cents = update_centroids(assigned).collect()

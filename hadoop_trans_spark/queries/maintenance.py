@@ -996,15 +996,24 @@ def q192_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = a.join(b, "user_id").agg(
         F.count("*").alias("exact_intersection")
     )
-    est = F.col("est_a") + F.col("est_b") - F.col("est_union")
     tol = F.greatest(
         F.lit(10.0), F.col("exact_intersection") * 0.05
+    )
+    # Empty-segment zeros: on a shard with no click/purchase rows the
+    # global agg leaves the estimates and counts NULL — an absent
+    # segment has 0 distinct users and the estimate of an empty sketch
+    # is 0, matching the oracle's COUNT(*)-based zeros (empty-input
+    # probe find, r10).
+    est = (
+        F.coalesce(F.col("est_a"), F.lit(0.0))
+        + F.coalesce(F.col("est_b"), F.lit(0.0))
+        - F.coalesce(F.col("est_union"), F.lit(0.0))
     )
     return (
         one.crossJoin(F.broadcast(exact))
         .select(
-            "n_click",
-            "n_purchase",
+            F.coalesce("n_click", F.lit(0)).alias("n_click"),
+            F.coalesce("n_purchase", F.lit(0)).alias("n_purchase"),
             "exact_intersection",
             (F.abs(est - F.col("exact_intersection")) <= tol)
             .cast("int")

@@ -109,7 +109,11 @@ def q34_compact_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     report = compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
     assert not report.failed, f"compaction failures: {report.failed}"
 
-    compacted = spark.read.parquet(path)
+    # Explicit schema on the read-back: an EMPTY events shard writes a
+    # fileless partition dir and schema inference has nothing to read
+    # (empty-input probe find, r10) — a production read-back of a known
+    # table always carries the catalog schema anyway.
+    compacted = spark.read.schema(ev.schema).parquet(path)
     return (
         compacted.groupBy("event_type")
         .agg(

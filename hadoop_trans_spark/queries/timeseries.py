@@ -37,6 +37,11 @@ from .base import dsum, o_dsum, query, ts_micros
            {o_dsum('value')} AS value_sum
     FROM grains
     GROUP BY ROLLUP (day, hr)
+    -- No-op on any non-empty input (every real rollup group has >= 1
+    -- row); on an EMPTY shard it drops the SQL-standard grand-total
+    -- row DuckDB emits for the () grouping set — Spark's rollup emits
+    -- nothing there (empty-input probe find, r10).
+    HAVING COUNT(*) > 0
     ORDER BY gid, day, hr
     """,
 )

@@ -297,3 +297,67 @@ def test_query_matches_oracle_on_nan_value_fixture(
         f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
         + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
     )
+
+
+# --- empty-input tier: zero-row events/documents/embeddings ------------
+#
+# An empty shard/partition feeding an operator is routine at 100 TB.
+# The full 241-query sweep on a schema-preserving empty fixture found
+# six failures, all fixed: q59/q183 (late-batch staging crashed listing
+# partition dirs an empty write never creates), q34 (schema inference
+# over a fileless compacted dir), q105 (a zero-element literal centroid
+# array types as VOID), q192 (NULL segment counts/estimates vs the
+# oracle's zeros), q94 (DuckDB emits the SQL-standard rollup grand-total
+# row on empty input; Spark doesn't — oracle now HAVING COUNT(*) > 0).
+EMPTY_PROBED = [
+    "q34_compact_fidelity",
+    "q59_stream_late_drop",
+    "q94_multires_rollup",
+    "q105_kmeans_clusters",
+    "q183_stream_windowed_topk",
+    "q192_hll_intersection",
+    # canaries: global aggregates and dedup on empty input
+    "q39_exact_dedup",
+    "q232_gini_spend",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory, smoke_dir):
+    import pyarrow.parquet as pq
+
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("emptyprobe"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t in ("events", "documents", "embeddings"):
+            tab = pq.read_table(src)
+            pq.write_table(tab.slice(0, 0), os.path.join(dst, f"{t}.parquet"))
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def empty_oracle(empty_dir):
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{empty_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMPTY_PROBED)
+def test_query_matches_oracle_on_empty_tables_fixture(
+    name, spark, empty_dir, empty_oracle
+):
+    res = compare(
+        name, QUERIES[name](spark, empty_dir), empty_oracle, ORACLE[name]
+    )
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )

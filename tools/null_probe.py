@@ -105,7 +105,16 @@ def main() -> None:
     }
     for t in TABLES:
         s, d = os.path.join(src, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet")
-        if mode == "nan" and t == "events" and t in tables:
+        if mode == "empty" and t in tables:
+            # Zero-row tables with the EXACT source schema (a pandas
+            # empty write degrades object columns to null types and
+            # every string function binder-errors — use pyarrow).
+            import pyarrow.parquet as pq
+
+            tab = pq.read_table(s)
+            pq.write_table(tab.slice(0, 0), d)
+            print(f"{t}: emptied (schema preserved)")
+        elif mode == "nan" and t == "events" and t in tables:
             df = pd.read_parquet(s)
             idx = df.index[:: NAN_EVENT_VALUE_STRIDE * scale]
             df.loc[idx, "value"] = float("nan")
