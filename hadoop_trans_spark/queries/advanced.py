@@ -1253,7 +1253,13 @@ def q182_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cust",
             "n_conv",
             F.round(rate, 6).cast("double").alias("conv_rate"),
-            F.round(rate / base, 6).cast("double").alias("lift"),
+            # try_divide: a corpus with ZERO conversions has base rate 0
+            # and lift is undefined -> NULL, matching DuckDB's NULL on
+            # double 0/0 (ANSI division crashed here; empty-input probe
+            # find, r10 — empty orders shard).
+            F.round(F.try_divide(rate, base), 6)
+            .cast("double")
+            .alias("lift"),
         )
         .orderBy("decile")
     )

@@ -352,7 +352,9 @@ def q137_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "off", F.coalesce(F.sum("m").over(woff), F.lit(0))
         )
         agged = h.agg(
-            F.sum("m").alias("n_keys"),
+            # coalesce: an empty table has ZERO keys (the oracle's
+            # COUNT(*)), not a NULL sum (empty-input probe find, r10).
+            F.coalesce(F.sum("m"), F.lit(0).cast("bigint")).alias("n_keys"),
             F.sum(F.col("c") * F.col("m")).alias("n_rows"),
             F.max("c").alias("max_c"),
             F.round(
@@ -524,26 +526,26 @@ def q144_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH row_rules AS (
         SELECT 'quantity_in_range' AS rule, COUNT(*) AS n_checked,
-               CAST(count_if(l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+               CAST(COALESCE(count_if(l_quantity < 1 OR l_quantity > 50), 0) AS BIGINT)
                  AS n_violations
         FROM lineitem
         UNION ALL
         SELECT 'discount_in_range', COUNT(*),
-               CAST(count_if(l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+               CAST(COALESCE(count_if(l_discount < 0 OR l_discount > 0.1), 0) AS BIGINT)
         FROM lineitem
         UNION ALL
         SELECT 'shipdate_in_window', COUNT(*),
-               CAST(count_if(l_shipdate IS NULL
+               CAST(COALESCE(count_if(l_shipdate IS NULL
                              OR l_shipdate <  TIMESTAMP '1992-01-01'
-                             OR l_shipdate >= TIMESTAMP '1999-01-01') AS BIGINT)
+                             OR l_shipdate >= TIMESTAMP '1999-01-01'), 0) AS BIGINT)
         FROM lineitem
         UNION ALL
         SELECT 'price_positive', COUNT(*),
-               CAST(count_if(o_totalprice <= 0) AS BIGINT)
+               CAST(COALESCE(count_if(o_totalprice <= 0), 0) AS BIGINT)
         FROM orders
         UNION ALL
         SELECT 'lineitem_fk_orders', COUNT(*),
-               CAST(count_if(o_orderkey IS NULL) AS BIGINT)
+               CAST(COALESCE(count_if(o_orderkey IS NULL), 0) AS BIGINT)
         FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
     )
     SELECT rule, n_checked, n_violations,
@@ -1112,7 +1114,13 @@ def q205_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "child_rows",
         "orphans",
         (F.col("orphans") == 0).cast("int").alias("ok"),
-        F.round(F.col("orphans").cast("double") / F.col("child_rows"), 6)
+        # try_divide: an EMPTY child table has no defined orphan rate —
+        # NULL, matching DuckDB's NULL on double 0/0 (ANSI division
+        # crashed here; empty-input probe find, r10).
+        F.round(
+            F.try_divide(F.col("orphans").cast("double"), F.col("child_rows")),
+            6,
+        )
         .cast("double")
         .alias("orphan_rate"),
     ).orderBy("fk")

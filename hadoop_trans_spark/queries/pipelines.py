@@ -64,7 +64,14 @@ def q33_migrate_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert report.ok, f"migrate verification failed: {report.verify}"
 
-    dst = spark.read.parquet(f"{dst_root}/lineitem")
+    # A migration whose window matched ZERO source partitions (e.g. an
+    # empty staging shard) copies nothing and never creates the
+    # destination table dir — fingerprint the empty result instead of
+    # reading a missing path (empty-input probe find, r10).
+    if report.copied:
+        dst = spark.read.schema(li.schema).parquet(f"{dst_root}/lineitem")
+    else:
+        dst = spark.createDataFrame([], li.schema)
     return (
         dst.groupBy(F.col("par_dt").cast("string").alias("par_dt"))
         .agg(

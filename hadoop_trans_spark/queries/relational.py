@@ -569,6 +569,10 @@ def q12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            {o_dsum('o_totalprice')} AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    -- no-op on non-empty input; on an EMPTY shard it drops the SQL-
+    -- standard grand-total row Spark's rollup never emits (q94 rule,
+    -- empty-input probe r10)
+    HAVING COUNT(*) > 0
     ORDER BY gid, status, priority
     """,
 )
@@ -610,6 +614,7 @@ def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            {o_dsum('l_quantity')} AS qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0  -- q94 rule (empty-input probe r10)
     ORDER BY gid, flag, status
     """,
 )
@@ -835,6 +840,7 @@ def q61_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            {o_dsum('l_quantity')} AS qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    HAVING COUNT(*) > 0  -- q94 rule (empty-input probe r10)
     ORDER BY rflag, lstatus, gid
     """,
 )

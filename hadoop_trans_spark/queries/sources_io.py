@@ -520,7 +520,8 @@ def q150_binaryfile_source(
     # computes them from the files actually written — a wrong layout
     # (overlapping ranges, dropped rows, wrong fan-out) breaks the hash.
     oracle="""
-    SELECT CAST(8 AS BIGINT) AS n_files,
+    SELECT CASE WHEN COUNT(*) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(8 AS BIGINT) END AS n_files,
            COUNT(*) AS total_rows,
            CAST(0 AS BIGINT) AS n_overlaps,
            strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_day,
@@ -580,11 +581,16 @@ def q180_range_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d1",
         F.max("d1").over(w).alias("prev_d1"),
     )
+    # coalesce: an empty layout job writes zero files and conserves
+    # zero rows — counts, not NULL sums (empty-input probe find, r10;
+    # the oracle's fixed-fan-out invariant also only holds for
+    # non-empty input, hence its CASE).
     return audited.agg(
         F.count("*").alias("n_files"),
-        F.sum("n").alias("total_rows"),
-        F.sum(
-            F.when(F.col("prev_d1") > F.col("d0"), 1).otherwise(0)
+        F.coalesce(F.sum("n"), F.lit(0).cast("bigint")).alias("total_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("prev_d1") > F.col("d0"), 1).otherwise(0)),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_overlaps"),
@@ -601,10 +607,13 @@ def q180_range_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parses the corrupt file itself.
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_corrupt,
-           CAST(SUM(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_valid,
+           -- COALESCE: zero lines means zero corrupt/valid COUNTS (the
+           -- Spark side uses count_if), not NULL sums (empty-input
+           -- probe find, r10)
+           CAST(COALESCE(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_corrupt,
+           CAST(COALESCE(SUM(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_valid,
            {o_dsum('CASE WHEN o_orderkey % 97 <> 0 THEN o_totalprice END')}
                AS valid_revenue
     FROM orders

@@ -1129,9 +1129,18 @@ def q203_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rev")
     )
-    series = daily.agg(
-        F.array_sort(F.collect_list(F.struct("day", "rev"))).alias("arr")
-    ).select(F.transform("arr", lambda x: x["rev"]).alias("ys"))
+    series = (
+        daily.agg(
+            F.array_sort(F.collect_list(F.struct("day", "rev"))).alias("arr")
+        )
+        .select(F.transform("arr", lambda x: x["rev"]).alias("ys"))
+        # Holt needs two points to seed (l=y1, b=y2-y1): on a shorter
+        # series the oracle's recursion base matches nothing and emits
+        # zero forecasts — mirror that instead of slicing with a
+        # negative length / indexing past the array (ANSI crash;
+        # empty-input probe find, r10).
+        .where(F.size("ys") >= 2)
+    )
     # WITH RECURSIVE above == this fold: acc = (l, b), seeded from
     # y1/y2, advanced once per remaining element in day order.
     fin = series.select(

@@ -361,3 +361,69 @@ def test_query_matches_oracle_on_empty_tables_fixture(
         f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
         + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
     )
+
+
+# --- empty RELATIONAL shard: zero-row lineitem/orders -------------------
+#
+# The second empty sweep (fact tables emptied, dims kept) found eleven
+# more, all fixed: rollup/cube/grouping-sets oracles emitted the SQL-
+# standard grand-total row Spark never does (q94 rule); Holt sliced with
+# negative length on a <2-point series; migrate fingerprinted a never-
+# created destination; ANSI 0/0 crashes (referential orphan rate, lift
+# with zero base rate -> try_divide/NULL like DuckDB); and NULL-vs-0
+# empty-aggregate conventions (key-skew n_keys, dq-audit count_if,
+# range-layout totals/fan-out invariant, corrupt-ingest counts).
+EMPTY_REL_PROBED = [
+    "q13_rollup",
+    "q14_cube",
+    "q33_migrate_fidelity",
+    "q62_grouping_sets",
+    "q137_key_skew_profile",
+    "q145_dq_audit",
+    "q180_range_clustered_layout",
+    "q182_decile_lift",
+    "q203_holt_forecast",
+    "q205_referential_integrity",
+    "q213_corrupt_json_ingest",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_rel_dir(tmp_path_factory, smoke_dir):
+    import pyarrow.parquet as pq
+
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("emptyrel"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t in ("lineitem", "orders"):
+            tab = pq.read_table(src)
+            pq.write_table(tab.slice(0, 0), os.path.join(dst, f"{t}.parquet"))
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def empty_rel_oracle(empty_rel_dir):
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{empty_rel_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMPTY_REL_PROBED)
+def test_query_matches_oracle_on_empty_relational_fixture(
+    name, spark, empty_rel_dir, empty_rel_oracle
+):
+    res = compare(
+        name, QUERIES[name](spark, empty_rel_dir), empty_rel_oracle, ORACLE[name]
+    )
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )
