@@ -477,7 +477,7 @@ def q130_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     avgdl AS (
-        SELECT """ + o_davg("dl", count="COUNT(*)") + r""" AS avgdl
+        SELECT """ + o_davg("dl", scale=9, count="COUNT(*)") + r""" AS avgdl
         FROM dl
     ),
     qterms AS (

@@ -24,6 +24,14 @@ def test_query_matches_oracle(name, spark, t2_dir, oracle_t2):
     )
 
 
+def test_bm25_oracle_avgdl_rounds_at_scale_9():
+    """q133's Spark side rounds avgdl at 1e-9 (llm_text.py); the oracle
+    must use o_davg(scale=9) to match — the default scale=6 only agrees
+    when the doc count's prime factors are 2/5 (r11 ADVICE find; a
+    57-doc corpus diverges: 44.807018 vs 44.807017544)."""
+    assert "/ 1000000000)" in ORACLE["q133_bm25_topk"]
+
+
 @pytest.mark.parametrize("name", NO_ORACLE_NAMES)
 def test_query_runs(name, spark, t2_dir):
     df = QUERIES[name](spark, t2_dir)
