@@ -1129,29 +1129,38 @@ def q203_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rev")
     )
+    # Holt needs two points to seed (l=y1, b=y2-y1): on a shorter
+    # series the oracle's recursion base matches nothing and emits zero
+    # forecasts. r10 guarded that with `.where(size(ys) >= 2)` — but a
+    # Filter whose predicate re-derives size(transform(array_sort(…)))
+    # under the big fold projection blocks project collapse and roughly
+    # doubled the per-call plan cost (r10 VERDICT); a post-fold
+    # `isNotNull(fin)` guard is worse still (the pushed predicate
+    # inlines the ENTIRE fold into the Filter). Guard on a plain count
+    # column from the same aggregate instead: the pushed filter is just
+    # `n >= 2`, the fold appears exactly once in the plan, and the rows
+    # it runs on are already length-≥2 (try_element_at + non-negative
+    # slice length keep it crash-proof regardless).
     series = (
         daily.agg(
-            F.array_sort(F.collect_list(F.struct("day", "rev"))).alias("arr")
+            F.array_sort(F.collect_list(F.struct("day", "rev"))).alias("arr"),
+            F.count("*").alias("n"),
         )
-        .select(F.transform("arr", lambda x: x["rev"]).alias("ys"))
-        # Holt needs two points to seed (l=y1, b=y2-y1): on a shorter
-        # series the oracle's recursion base matches nothing and emits
-        # zero forecasts — mirror that instead of slicing with a
-        # negative length / indexing past the array (ANSI crash;
-        # empty-input probe find, r10).
-        .where(F.size("ys") >= 2)
+        .select(F.transform("arr", lambda x: x["rev"]).alias("ys"), "n")
+        .where(F.col("n") >= 2)
     )
     # WITH RECURSIVE above == this fold: acc = (l, b), seeded from
     # y1/y2, advanced once per remaining element in day order.
     fin = series.select(
         F.aggregate(
-            F.slice(F.col("ys"), 2, F.size("ys") - 1),
+            F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
             F.struct(
-                F.element_at("ys", 1).alias("l"),
-                (F.element_at("ys", 1) - F.element_at("ys", 1)).alias("_z"),
-            ).withField(
-                "b", F.element_at("ys", 2) - F.element_at("ys", 1)
-            ).dropFields("_z"),
+                F.try_element_at("ys", F.lit(1)).alias("l"),
+                (
+                    F.try_element_at("ys", F.lit(2))
+                    - F.try_element_at("ys", F.lit(1))
+                ).alias("b"),
+            ),
             lambda acc, y: F.struct(
                 (F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["b"])).alias(
                     "l"
@@ -1167,9 +1176,16 @@ def q203_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("fin")
     )
-    hs = spark.range(1, 8).select(F.col("id").cast("long").alias("h"))
+    # The 7 horizons come from exploding a literal sequence on the
+    # 1-row fold output — no spark.range side, no BroadcastExchange,
+    # no nested-loop join (all pure plan overhead at this size).
     return (
-        hs.crossJoin(F.broadcast(fin))
+        fin.select(
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.lit(7).cast("long"))
+            ).alias("h"),
+            "fin",
+        )
         .select(
             "h",
             F.round(
