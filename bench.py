@@ -201,12 +201,18 @@ def _latest_bench_calibration(here: str, latest_round: int) -> dict | None:
     calib = parsed.get("calibration")
     if isinstance(calib, dict):
         return calib
-    m = re.search(r'"calibration": (\{[^{}]*\})', data.get("tail") or "")
+    # Brace-counting parse, not a flat-brace regex: the stdout block is
+    # flat today, but one nested field would make r'\{[^{}]*\}' silently
+    # stop matching (ADVICE r10) — raw_decode consumes a full JSON value
+    # at the offset regardless of nesting.
+    tail = data.get("tail") or ""
+    m = re.search(r'"calibration": ', tail)
     if m:
         try:
-            return json.loads(m.group(1))
+            obj, _ = json.JSONDecoder().raw_decode(tail, m.end())
         except ValueError:
             return None
+        return obj if isinstance(obj, dict) else None
     return None
 
 
@@ -227,15 +233,17 @@ def time_headline(run_once, heavy_s: float = HEAVY_S) -> tuple[float, int]:
     """(best_seconds, n_runs) for one headline query.
 
     ``run_once(i)`` executes the query and returns its wall-clock; ``i``
-    is the run index (the caller clears per-session stage memos for
-    ``i > 0``). Light queries (first draw <= heavy_s): best of 2. Heavy
-    queries: 3 runs, first draw DISCARDED, best of the remaining two —
-    a single GC/compilation outlier draw can no longer set the recorded
-    time for the multi-second queries the movers check watches."""
+    is the run index (the caller clears per-session stage memos before
+    EVERY draw, so each draw does the real work). Light queries (first
+    draw <= heavy_s): best of 2. Heavy queries: 3 runs, min of ALL
+    three — a slow GC/compilation outlier draw can't set the recorded
+    time under min(), and discarding the first draw outright (the r10
+    rule) biased heavy queries upward whenever draw 1 was the honest
+    fastest (ADVICE r10: 1.6/1.9/2.0 recorded 1.9)."""
     t1 = run_once(0)
     t2 = run_once(1)
     if t1 > heavy_s:
-        return min(t2, run_once(2)), 3
+        return min(t1, t2, run_once(2)), 3
     return min(t1, t2), 2
 
 
@@ -366,6 +374,68 @@ def _movers_against(
     return movers
 
 
+# Hard byte ceiling for the ONE stdout JSON line. The driver keeps only
+# the LAST 2000 characters of captured output: BENCH_r09 and BENCH_r10
+# both recorded ``parsed: null`` because the full 58-entry headline map
+# plus a 31-name movers list overflowed that window and decapitated the
+# JSON. 1800 leaves headroom for stray runtime warnings sharing stdout.
+LINE_BUDGET_BYTES = 1800
+LINE_MOVERS_MAX = 12
+
+
+def compact_stdout_line(
+    total: float,
+    sf_val,
+    timings: dict[str, float],
+    headline_names: list[str],
+    calibration: dict | None,
+    movers: list[dict],
+    budget: int = LINE_BUDGET_BYTES,
+) -> dict:
+    """The stdout line dict, GUARANTEED to serialize within ``budget``
+    bytes: headline queries ride most-expensive-first and the cheapest
+    entries are dropped until the line fits (``queries_shown`` <
+    ``queries_total`` says so); the movers list carries at most
+    LINE_MOVERS_MAX names plus a total count. The full per-query map,
+    run counts, and mover detail always live in bench_results.json —
+    this line exists so BENCH_r{N}.json's ``parsed`` is never null."""
+    mover_names = [m["query"] for m in movers]
+    base: dict = {
+        "metric": "declared_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf_val,
+    }
+    if calibration is not None:
+        # ~140 bytes; rides the line so BENCH_r{N}.json captures it.
+        if "error" in calibration:
+            # Keep the error marker visible machine-readably — an
+            # unreadable/stale file must not read as "present but empty".
+            base["calibration"] = calibration
+        else:
+            base["calibration"] = {
+                k: calibration.get(k)
+                for k in ("prev_commit", "prev_recorded_s", "prev_rerun_s")
+            }
+    base["movers"] = mover_names[:LINE_MOVERS_MAX]
+    if len(mover_names) > LINE_MOVERS_MAX:
+        base["movers_total"] = len(mover_names)
+    ordered = sorted(
+        (n for n in headline_names if n in timings),
+        key=lambda n: (-timings[n], n),
+    )
+    for shown in range(len(ordered), -1, -1):
+        line = dict(base)
+        line["queries"] = {n: timings[n] for n in ordered[:shown]}
+        if shown < len(ordered):
+            line["queries_shown"] = shown
+            line["queries_total"] = len(ordered)
+        if len(json.dumps(line)) <= budget:
+            return line
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -382,9 +452,13 @@ def main() -> None:
     for name in names + extra:
 
         def run_once(i: int, name: str = name) -> float:
-            if i and name in MEMOIZED:
-                # Re-run must rebuild the shared dedup stages, not hit
-                # the per-session memo (that would time a dict lookup).
+            if name in MEMOIZED:
+                # Every draw must rebuild the query's OWN shared stages,
+                # not hit the per-session memo (that would time a dict
+                # lookup). Including draw 0: an earlier query in the loop
+                # may share a stage tag (q183 warms q59's late stage),
+                # and a memo-warm first draw both underreports the query
+                # and, under min(), would set its recorded time.
                 clear_stage_memo(MEMOIZED[name])
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
@@ -419,28 +493,11 @@ def main() -> None:
     with open(os.path.join(here, "bench_results.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
 
-    line = {
-        "metric": "declared_query_wall_clock_total",
-        "value": total,
-        "unit": "sec",
-        "queries": {n: timings[n] for n in names},
-        "sf": sf_val,
-    }
-    if calibration is not None:
-        # ~120 bytes; rides the stdout line so BENCH_r{N}.json captures it.
-        if "error" in calibration:
-            # Keep the error marker visible machine-readably — an
-            # unreadable/stale file must not read as "present but empty".
-            line["calibration"] = calibration
-        else:
-            line["calibration"] = {
-                k: calibration.get(k)
-                for k in ("prev_commit", "prev_recorded_s", "prev_rerun_s")
-            }
-    # Compact on the stdout line (driver capture truncates long lines):
-    # query names only; full prev/cur/ratio detail is in bench_results.json.
-    line["movers"] = [m["query"] for m in movers]
-    print(json.dumps(line))
+    print(
+        json.dumps(
+            compact_stdout_line(total, sf_val, timings, names, calibration, movers)
+        )
+    )
 
 
 if __name__ == "__main__":

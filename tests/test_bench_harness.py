@@ -319,12 +319,21 @@ def test_time_headline_light_query_best_of_two():
     assert (best, n) == (0.3, 2)
 
 
-def test_time_headline_heavy_query_discards_first_draw():
+def test_time_headline_heavy_query_min_of_three():
     # VERDICT r9 item 3: q105's 9.85 s driver draw vs 2.91 s warm re-time
     # — the outlier first draw must not set the recorded time.
     draws = iter([9.85, 2.91, 3.05])
     best, n = time_headline(lambda i: next(draws))
     assert (best, n) == (2.91, 3)
+
+
+def test_time_headline_heavy_keeps_fastest_first_draw():
+    # ADVICE r10: discarding draw 1 outright recorded 1.9 for
+    # 1.6/1.9/2.0 — the honest fastest draw must win (the caller clears
+    # stage memos before every draw, so draw 1 is never memo-warm).
+    draws = iter([1.6, 1.9, 2.0])
+    best, n = time_headline(lambda i: next(draws))
+    assert (best, n) == (1.6, 3)
 
 
 def test_time_headline_heavy_detection_uses_first_draw_only():
@@ -397,3 +406,81 @@ def test_movers_small_maps_skip_suite_normalization(tmp_path):
     movers = compute_movers({"q1": 1.5, "q2": 3.0}, str(tmp_path), None)
     assert [m["query"] for m in movers] == ["q1", "q2"]
     assert all(m["suite_med_ratio"] == 1.0 for m in movers)
+
+
+def test_compact_line_fits_budget_with_full_suite():
+    # The driver keeps only the LAST 2000 chars of stdout; BENCH_r09 and
+    # BENCH_r10 both recorded parsed:null because the line overflowed.
+    # Worst realistic load: 58 headline entries, 31 movers, calibration.
+    from bench import LINE_BUDGET_BYTES, compact_stdout_line
+
+    names = [f"q{i:03d}_some_longish_query_name" for i in range(58)]
+    timings = {n: round(0.1 + i * 0.037, 4) for i, n in enumerate(names)}
+    movers = [{"query": n} for n in names[:31]]
+    calib = {
+        "prev_commit": "dcbe61d",
+        "prev_recorded_s": 200.39,
+        "prev_rerun_s": 180.9501,
+        "queries": {n: 1.0 for n in names},  # must NOT ride the line
+    }
+    line = compact_stdout_line(123.4, 0.1, timings, names, calib, movers)
+    assert len(json.dumps(line)) <= LINE_BUDGET_BYTES
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in line
+    assert "queries" not in line["calibration"]
+    # Most-expensive entries survive the cut.
+    kept = set(line["queries"])
+    assert names[-1] in kept and timings[names[-1]] == max(timings.values())
+    if line.get("queries_shown") is not None:
+        assert line["queries_shown"] == len(kept) < line["queries_total"]
+    assert len(line["movers"]) <= 12
+    assert line["movers_total"] == 31
+
+
+def test_compact_line_small_suite_keeps_everything():
+    from bench import compact_stdout_line
+
+    names = ["q1", "q2"]
+    line = compact_stdout_line(1.0, 0.01, {"q1": 0.5, "q2": 0.4}, names, None, [])
+    assert line["queries"] == {"q1": 0.5, "q2": 0.4}
+    assert "queries_shown" not in line and "movers_total" not in line
+    assert "calibration" not in line
+
+
+def test_tail_recovery_parses_nested_calibration(tmp_path):
+    # ADVICE r10: the old flat-brace regex silently failed on any nested
+    # object inside the calibration block; raw_decode must not.
+    _write(
+        tmp_path,
+        "calibration.json",
+        {"prev_round": 8, "prev_commit": "abc1234"},
+    )
+    _write(
+        tmp_path,
+        "BENCH_r09.json",
+        {
+            "parsed": None,
+            "tail": (
+                '..., "calibration": {"prev_commit": "abc1234", '
+                '"detail": {"nested": {"deep": 1}}}, "movers": []}'
+            ),
+        },
+    )
+    got = load_calibration(str(tmp_path))
+    assert got == {"prev_round": 8, "prev_commit": "abc1234"}
+
+
+def test_tail_recovery_truncated_block_returns_stale(tmp_path):
+    # A calibration block cut mid-object by the capture window must not
+    # vouch anything.
+    _write(
+        tmp_path,
+        "calibration.json",
+        {"prev_round": 8, "prev_commit": "abc1234"},
+    )
+    _write(
+        tmp_path,
+        "BENCH_r09.json",
+        {"parsed": None, "tail": '..., "calibration": {"prev_commit": "abc'},
+    )
+    assert load_calibration(str(tmp_path))["error"] == "calibration stale"
