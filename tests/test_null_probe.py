@@ -427,3 +427,155 @@ def test_query_matches_oracle_on_empty_relational_fixture(
         f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
         + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
     )
+
+
+# --- empty DIMENSION tier: zero-row region/nation/customer/supplier/part
+#
+# r10 covered empty facts (lineitem/orders) and empty entity tables
+# (events/documents/embeddings); this tier flips the OTHER join side —
+# broadcast builds become empty, FK inner joins annihilate, outer joins
+# keep the fact side with NULLs, and any denominator counted off a dim
+# is zero. The full 241-query r11 sweep on this fixture was green on
+# the first pass (zero finds — the r10 hardening generalized); these
+# canaries pin the classes an empty dim stresses hardest.
+EMPTY_DIM_PROBED = [
+    "q04_broadcast_join",       # broadcast build side is empty
+    "q05_revenue_by_nation",    # multi-dim FK chain annihilates
+    "q06_outer_join_order_counts",  # left side empty, outer semantics
+    "q08_semi_anti_customers",  # semi/anti against an empty dim
+    "q17_intersect_except",     # set ops with one empty input
+    "q165_revenue_concentration",
+    "q169_market_share",        # share-of-total denominator off dims
+    "q193_top_supplier",
+    "q209_profit_by_nation_year",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dim_dir(tmp_path_factory, smoke_dir):
+    import pyarrow.parquet as pq
+
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("emptydim"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t in np_mod.DIM_TABLES:
+            tab = pq.read_table(src)
+            pq.write_table(tab.slice(0, 0), os.path.join(dst, f"{t}.parquet"))
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def empty_dim_oracle(empty_dim_dir):
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{empty_dim_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMPTY_DIM_PROBED)
+def test_query_matches_oracle_on_empty_dimension_fixture(
+    name, spark, empty_dim_dir, empty_dim_oracle
+):
+    res = compare(
+        name, QUERIES[name](spark, empty_dim_dir), empty_dim_oracle, ORACLE[name]
+    )
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )
+
+
+# --- duplicate-key/ordering-tie tier -------------------------------------
+#
+# Equal ts within a user (distinct event_ids), duplicate doc texts under
+# distinct doc_ids, duplicate embedding vectors under distinct ids — the
+# one asymmetry class value injection can't force: an ORDER BY / rank /
+# min_by/max_by / top-k cut without a full tie-break diverges between
+# engines ONLY on data like this. Full 241-query r11 sweeps at sf0.001
+# AND sf0.01 were green on the first pass (the repo-wide (ts, event_id)
+# / (score, id) tie-break discipline held); these canaries pin the most
+# tie-sensitive paths.
+TIES_PROBED = [
+    # events: equal ts within user
+    "q10_asof_click_to_view",
+    "q106_event_transitions",
+    "q127_session_concurrency",
+    "q160_ohlc_bars",           # first/last by ts within bar
+    "q167_linear_attribution",
+    "q210_twap_per_user",       # lead over (ts, event_id)
+    # documents: duplicate texts, distinct ids
+    "q39_exact_dedup",
+    "q64_dedup_canonical",
+    "q85_dedup_keep_best",      # rank ties on identical docs
+    # embeddings: duplicate vectors, distinct ids
+    "q44_cosine_topk",          # tie scores at the top-k cut
+    "q69_signlsh_neardup",
+]
+
+
+@pytest.fixture(scope="module")
+def ties_dir(tmp_path_factory, smoke_dir):
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("tiesprobe"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t in ("events", "documents", "embeddings"):
+            df, n = np_mod.inject_ties(pd.read_parquet(src), t, scale=1)
+            assert n > 0, f"{t}: tie injection selected no rows"
+            df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def ties_oracle(ties_dir):
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{ties_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TIES_PROBED)
+def test_query_matches_oracle_on_ties_fixture(name, spark, ties_dir, ties_oracle):
+    res = compare(
+        name, QUERIES[name](spark, ties_dir), ties_oracle, ORACLE[name]
+    )
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )
+
+
+def test_ties_injection_creates_duplicates(smoke_dir):
+    """The tie injector must actually create duplicate (user_id, ts)
+    pairs / duplicate texts / duplicate vectors — otherwise the tier
+    silently tests nothing."""
+    np_mod = _load_null_probe()
+    ev, _ = np_mod.inject_ties(
+        pd.read_parquet(os.path.join(smoke_dir, "events.parquet")), "events", 1
+    )
+    assert ev.duplicated(["user_id", "ts"]).sum() > 0
+    dc, _ = np_mod.inject_ties(
+        pd.read_parquet(os.path.join(smoke_dir, "documents.parquet")),
+        "documents",
+        1,
+    )
+    assert dc.duplicated(["text"]).sum() > 0
+    em, _ = np_mod.inject_ties(
+        pd.read_parquet(os.path.join(smoke_dir, "embeddings.parquet")),
+        "embeddings",
+        1,
+    )
+    assert em["embedding"].map(tuple).duplicated().sum() > 0

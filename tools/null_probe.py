@@ -20,6 +20,18 @@ rows exercised too).
 
 Flags: --tables events,documents,embeddings (default: all three); --stride N scales all
 strides (default 1 = ~1-1.5% of rows per column).
+
+Modes (--mode=...):
+  null     (default) NULL a strided slice of the nullable value columns
+  edge     empty / whitespace-only / multibyte-UTF-8 text, empty event_type
+  nan      IEEE NaN in events.value (aggregates skip NULL but propagate NaN)
+  empty    zero-row tables with exact schema (pick victims via --tables;
+           r10 ran events/documents/embeddings and lineitem/orders)
+  emptydim zero-row DIMENSION tables (region/nation/customer/supplier/
+           part) — flips broadcast sides and FK-join semantics (r11)
+  ties     duplicate (user_id, ts) under distinct event_ids, duplicate
+           doc texts under distinct doc_ids, duplicate embedding vectors
+           under distinct ids — forces every ordering-tie path (r11)
 """
 
 from __future__ import annotations
@@ -51,6 +63,43 @@ EDGE_EVENT_TYPE = {107: ""}
 # as largest in both engines, but canon and round/comparison paths may
 # not agree).
 NAN_EVENT_VALUE_STRIDE = 109
+
+# --mode=emptydim: zero-row DIMENSION tables (r10 covered empty facts —
+# lineitem/orders — and empty entity tables; empty dims flip broadcast
+# sides, FK joins, and any denominator counted off the dim side).
+DIM_TABLES = ["region", "nation", "customer", "supplier", "part"]
+
+# --mode=ties: duplicate-key/ordering-tie injection — the one asymmetry
+# class value injection can't force. Equal ts WITHIN a user (distinct
+# event_ids), duplicate doc texts under distinct doc_ids, duplicate
+# embedding vectors under distinct ids: any window/rank/min_by/max_by/
+# top-k cut whose ORDER BY lacks a full tie-break diverges between the
+# engines only on data like this. Distinct primes per table.
+TIE_EVENT_STRIDE = 41
+TIE_DOC_STRIDE = 43
+TIE_EMB_STRIDE = 47
+
+
+def inject_ties(df: pd.DataFrame, table: str, scale: int) -> tuple[pd.DataFrame, int]:
+    """Copy a key value from the PREVIOUS row (same user for events) onto
+    strided rows, creating exact duplicates under distinct ids."""
+    df = df.copy()
+    if table == "events":
+        # ts := previous event's ts for the SAME user -> duplicate
+        # (user_id, ts) pairs with distinct event_ids.
+        prev_ts = df.groupby("user_id")["ts"].shift(1)
+        mask = prev_ts.notna()
+        mask &= pd.Series(df.index % (TIE_EVENT_STRIDE * scale) == 0, index=df.index)
+        df.loc[mask, "ts"] = prev_ts[mask]
+        return df, int(mask.sum())
+    col, stride = ("text", TIE_DOC_STRIDE) if table == "documents" else (
+        "embedding", TIE_EMB_STRIDE)
+    prev = df[col].shift(1)
+    mask = prev.notna() if table == "documents" else prev.map(
+        lambda v: v is not None and not isinstance(v, float))
+    mask &= pd.Series(df.index % (stride * scale) == 0, index=df.index)
+    df.loc[mask, col] = prev[mask]
+    return df, int(mask.sum())
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -93,6 +142,10 @@ def main() -> None:
         if a.startswith("--mode="):
             mode = a.split("=", 1)[1]
 
+    if mode == "emptydim" and tables == ["events", "documents", "embeddings"]:
+        # Default target set for the dim mode is the dim tables.
+        tables = list(DIM_TABLES)
+
     os.makedirs(dst, exist_ok=True)
     strides_by_table = {
         "events": EVENT_STRIDES,
@@ -105,7 +158,7 @@ def main() -> None:
     }
     for t in TABLES:
         s, d = os.path.join(src, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet")
-        if mode == "empty" and t in tables:
+        if mode in ("empty", "emptydim") and t in tables:
             # Zero-row tables with the EXACT source schema (a pandas
             # empty write degrades object columns to null types and
             # every string function binder-errors — use pyarrow).
@@ -114,6 +167,10 @@ def main() -> None:
             tab = pq.read_table(s)
             pq.write_table(tab.slice(0, 0), d)
             print(f"{t}: emptied (schema preserved)")
+        elif mode == "ties" and t in ("events", "documents", "embeddings") and t in tables:
+            df, n_ties = inject_ties(pd.read_parquet(s), t, scale)
+            df.to_parquet(d, index=False)
+            print(f"{t}: {len(df)} rows, {n_ties} tie rows injected")
         elif mode == "nan" and t == "events" and t in tables:
             df = pd.read_parquet(s)
             idx = df.index[:: NAN_EVENT_VALUE_STRIDE * scale]
