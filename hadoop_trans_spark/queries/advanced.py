@@ -27,7 +27,20 @@ from ..operators.globalrank import (
     global_row_number_banded,
 )
 from ..operators.skyline import pareto_frontier
-from .base import DEC, dsum, o_davg, o_dsum, query, ts_micros
+from .base import (
+    DEC,
+    _dec_out,
+    dround,
+    dsum,
+    dterm,
+    o_davg,
+    o_dec_out,
+    o_dround,
+    o_dsum,
+    o_dterm,
+    query,
+    ts_micros,
+)
 
 
 @query(
@@ -345,12 +358,17 @@ def q158_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q159_seasonal_anomaly",
     # mean and E[v²] are decimal-exact then rounded at 1e-6; the
     # anomaly test compares SQUARED residual to 9·variance (no sqrt)
-    # and rounds the difference at 1e-6 before the strict >0, so a
-    # boundary event cannot flip between engines (q124/q153 pattern).
+    # and rounds the difference (magnitude-capped, dround) before the
+    # strict >0, so a boundary event cannot flip between engines.
+    # Exact-moment domain: |value| < 1e7 (value² must stay inside the
+    # per-term 2^53 envelope); corrupt-magnitude readings are excluded
+    # symmetrically, like non-finite (r11 extreme probe). ABS(NULL)
+    # comparisons keep NULL rows, ABS(NaN/inf) excludes them.
     oracle=f"""
     WITH e AS (
         SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr, value
         FROM events
+        WHERE value IS NULL OR ABS(value) < 10000000.0
     ),
     s AS (
         SELECT event_type, hr, COUNT(*) AS n,
@@ -361,10 +379,12 @@ def q158_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type, e.hr,
            COUNT(*) AS n,
            MAX(s.mean_v) AS mean_v,
-           CAST(ROUND(MAX(s.m2) - MAX(s.mean_v) * MAX(s.mean_v), 6)
+           CAST({o_dround('MAX(s.m2) - MAX(s.mean_v) * MAX(s.mean_v)', 6)}
                 AS DOUBLE) AS variance,
-           CAST(SUM(CAST(ROUND((e.value - s.mean_v) * (e.value - s.mean_v)
-                          - 9 * ROUND(s.m2 - s.mean_v * s.mean_v, 6), 6)
+           CAST(SUM(CAST({o_dround(
+                    '(e.value - s.mean_v) * (e.value - s.mean_v)'
+                    ' - 9 * ' + o_dround(
+                        's.m2 - s.mean_v * s.mean_v', 6), 6)}
                     > 0 AS BIGINT)) AS BIGINT) AS n_anomalies
     FROM e JOIN s ON e.event_type = s.event_type AND e.hr = s.hr
     GROUP BY e.event_type, e.hr
@@ -382,30 +402,30 @@ def q159_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding, and the flag compares squared residual to 9·variance so no
     sqrt enters the boundary. At 100 TB: baseline table stays O(types ×
     24) regardless of data size — the join never shuffles the events."""
-    e = table(spark, sf_dir, "events").select(
-        "event_type", F.hour("ts").cast("int").alias("hr"), "value"
-    )
     v = F.col("value")
+    e = (
+        table(spark, sf_dir, "events")
+        .select("event_type", F.hour("ts").cast("int").alias("hr"), "value")
+        # Exact-moment domain (see the oracle note): abs(NaN/inf) < 1e7
+        # is false, so the one predicate excludes non-finite too.
+        .where(v.isNull() | (F.abs(v) < 1e7))
+    )
     s = e.groupBy("event_type", "hr").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(v.cast(DEC)) / F.count("*"), 6)
-        .cast("double")
-        .alias("mean_v"),
-        F.round(F.sum((v * v).cast(DEC)) / F.count("*"), 6)
-        .cast("double")
-        .alias("m2"),
+        _dec_out(F.sum(dterm(v, 6)) / F.count("*"), 6).alias("mean_v"),
+        _dec_out(F.sum(dterm(v * v, 6)) / F.count("*"), 6).alias("m2"),
     )
     base = F.broadcast(s.select("event_type", "hr", "mean_v", "m2"))
     j = e.join(base, ["event_type", "hr"])
-    var = F.round(F.col("m2") - F.col("mean_v") * F.col("mean_v"), 6)
+    var = dround(F.col("m2") - F.col("mean_v") * F.col("mean_v"), 6)
     resid2 = (v - F.col("mean_v")) * (v - F.col("mean_v"))
-    is_anom = (F.round(resid2 - 9 * var, 6) > 0).cast("bigint")
+    is_anom = (dround(resid2 - 9 * var, 6) > 0).cast("bigint")
     return (
         j.groupBy("event_type", "hr")
         .agg(
             F.count("*").alias("n"),
             F.max("mean_v").alias("mean_v"),
-            F.round(
+            dround(
                 F.max("m2") - F.max("mean_v") * F.max("mean_v"), 6
             )
             .cast("double")
@@ -831,10 +851,11 @@ def q166_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q167_linear_attribution",
-    # Per-touch credit = purchase value / touch count; each credit is
-    # rounded at 1e-9, summed through DECIMAL(38,9), rounded at 1e-6
-    # (q133's per-term determinism pattern), so engines tie exactly.
-    oracle="""
+    # Per-touch credit = purchase value / touch count; each credit goes
+    # through dterm (round at 1e-9 under the 2^53 cap, whole units
+    # above), summed through DECIMAL(38,9), rounded at 1e-6 — the
+    # per-term determinism pattern, magnitude-safe since r11.
+    oracle=f"""
     WITH purchases AS (
         SELECT event_id AS pid, user_id, ts AS pts, value
         FROM events WHERE event_type = 'purchase'
@@ -853,8 +874,8 @@ def q166_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(date_trunc('day', cts), '%Y-%m-%d') AS day,
            COUNT(*) AS n_touches,
-           CAST(ROUND(SUM(CAST(ROUND(value / n_touch, 9)
-                                AS DECIMAL(38,9))), 6) AS DOUBLE) AS credit
+           {o_dec_out(f"SUM({o_dterm('value / n_touch')})", 6)}
+               AS credit
     FROM touch
     GROUP BY day ORDER BY day
     """,
@@ -889,14 +910,12 @@ def q167_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_touch", F.count("*").over(Window.partitionBy("pid"))
         )
     )
-    credit = F.round(F.col("value") / F.col("n_touch"), 9).cast(
-        "decimal(38,9)"
-    )
+    credit = dterm(F.col("value") / F.col("n_touch"))
     return (
         touch.groupBy(F.date_format("cts", "yyyy-MM-dd").alias("day"))
         .agg(
             F.count("*").alias("n_touches"),
-            F.round(F.sum(credit), 6).cast("double").alias("credit"),
+            _dec_out(F.sum(credit), 6).cast("double").alias("credit"),
         )
         .orderBy("day")
     )
@@ -1324,9 +1343,9 @@ def q212_price_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q215_decay_attribution",
     # Decay weights are exact rationals 1/(1+hours) rounded at 1e-9 and
     # summed in DECIMAL per purchase (order-independent); the credit
-    # division is one double formula in identical operand order,
-    # rounded at 1e-9 before the per-day decimal rollup.
-    oracle="""
+    # division is one double formula in identical operand order, taken
+    # through dterm (magnitude-capped round) before the per-day rollup.
+    oracle=f"""
     WITH purchases AS (
         SELECT event_id AS pid, user_id, ts AS pts, value
         FROM events WHERE event_type = 'purchase'
@@ -1352,9 +1371,9 @@ def q212_price_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(date_trunc('day', cts), '%Y-%m-%d') AS day,
            COUNT(*) AS n_touches,
-           CAST(ROUND(SUM(CAST(ROUND(
-               value * CAST(w AS DOUBLE) / CAST(sw AS DOUBLE), 9)
-               AS DECIMAL(38,9))), 6) AS DOUBLE) AS credit
+           {o_dec_out("SUM(" + o_dterm(
+               'value * CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)') + ")", 6)}
+           AS credit
     FROM shared
     GROUP BY day ORDER BY day
     """,
@@ -1400,15 +1419,14 @@ def q215_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("sw", F.sum("w").over(Window.partitionBy("pid")))
     )
-    credit = F.round(
-        F.col("value") * F.col("w").cast("double") / F.col("sw").cast("double"),
-        9,
-    ).cast("decimal(38,9)")
+    credit = dterm(
+        F.col("value") * F.col("w").cast("double") / F.col("sw").cast("double")
+    )
     return (
         touch.groupBy(F.date_format("cts", "yyyy-MM-dd").alias("day"))
         .agg(
             F.count("*").alias("n_touches"),
-            F.round(F.sum(credit), 6).cast("double").alias("credit"),
+            _dec_out(F.sum(credit), 6).cast("double").alias("credit"),
         )
         .orderBy("day")
     )
@@ -1418,8 +1436,9 @@ def q215_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q218_first_last_touch",
     # First/last touches are argmin/argmax over (ts, event_id) structs
     # — total order, so ties resolve identically in both engines; full
-    # purchase values credit one touch each, decimal-summed per day.
-    oracle="""
+    # purchase values credit one touch each via dterm (magnitude-capped
+    # double→DECIMAL, r11), decimal-summed per day.
+    oracle=f"""
     WITH purchases AS (
         SELECT event_id AS pid, user_id, ts AS pts, value
         FROM events WHERE event_type = 'purchase'
@@ -1430,8 +1449,8 @@ def q215_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     touch AS (
         SELECT p.pid, p.value,
-               MIN({'cts': c.cts, 'cid': c.cid}) AS first_t,
-               MAX({'cts': c.cts, 'cid': c.cid}) AS last_t
+               MIN({{'cts': c.cts, 'cid': c.cid}}) AS first_t,
+               MAX({{'cts': c.cts, 'cid': c.cid}}) AS last_t
         FROM purchases p
         JOIN clicks c
           ON p.user_id = c.user_id
@@ -1442,18 +1461,18 @@ def q215_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     credits AS (
         SELECT strftime(date_trunc('day', first_t.cts), '%Y-%m-%d')
                    AS day,
-               CAST(value AS DECIMAL(38,6)) AS fc,
+               {o_dterm('value', 6)} AS fc,
                CAST(0 AS DECIMAL(38,6)) AS lc
         FROM touch
         UNION ALL
         SELECT strftime(date_trunc('day', last_t.cts), '%Y-%m-%d'),
                CAST(0 AS DECIMAL(38,6)),
-               CAST(value AS DECIMAL(38,6))
+               {o_dterm('value', 6)}
         FROM touch
     )
     SELECT day,
-           CAST(ROUND(SUM(fc), 6) AS DOUBLE) AS first_touch_credit,
-           CAST(ROUND(SUM(lc), 6) AS DOUBLE) AS last_touch_credit
+           {o_dec_out('SUM(fc)', 6)} AS first_touch_credit,
+           {o_dec_out('SUM(lc)', 6)} AS last_touch_credit
     FROM credits GROUP BY day ORDER BY day
     """,
 )
@@ -1489,20 +1508,20 @@ def q218_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first = touch.select(
         F.date_format("first_t.cts", "yyyy-MM-dd").alias("day"),
-        F.col("value").cast(DEC).alias("fc"),
+        dterm("value", 6).alias("fc"),
         F.lit(0).cast(DEC).alias("lc"),
     )
     last = touch.select(
         F.date_format("last_t.cts", "yyyy-MM-dd").alias("day"),
         F.lit(0).cast(DEC).alias("fc"),
-        F.col("value").cast(DEC).alias("lc"),
+        dterm("value", 6).alias("lc"),
     )
     return (
         first.unionAll(last)
         .groupBy("day")
         .agg(
-            F.round(F.sum("fc"), 6).cast("double").alias("first_touch_credit"),
-            F.round(F.sum("lc"), 6).cast("double").alias("last_touch_credit"),
+            _dec_out(F.sum("fc"), 6).alias("first_touch_credit"),
+            _dec_out(F.sum("lc"), 6).alias("last_touch_credit"),
         )
         .orderBy("day")
     )

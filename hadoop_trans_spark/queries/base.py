@@ -52,22 +52,107 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 DEC = "decimal(38,6)"
 
 
+INF = float("inf")
+
+
+def _finite(c: Column) -> Column:
+    """``c`` where finite, NULL otherwise (NaN/±inf excluded like NULL).
+
+    DECIMAL cannot represent non-finite doubles: CAST(inf AS DECIMAL)
+    raises in DuckDB and in Spark 4 ANSI mode — ONE corrupt sensor value
+    in a 100 TB events table would kill every money-sum job (r11 extreme
+    probe: 19 queries crashed on a single injected inf). The decimal
+    aggregates are therefore defined over FINITE inputs, with non-finite
+    excluded symmetrically on both engines — the same total extension
+    SQL aggregates use for NULL. Queries that want IEEE propagation use
+    plain double sums instead.
+    """
+    return F.when(~F.isnan(c) & (c != F.lit(INF)) & (c != F.lit(-INF)), c)
+
+
+def _dec_out(s: Column, scale: int) -> Column:
+    """DECIMAL aggregate → double, identical across engines at ANY
+    magnitude.
+
+    Below the 2^53 cap both engines' decimal→double conversions are a
+    single correctly-rounded step and agree. Above it, DuckDB converts
+    the scaled int128 to double and THEN divides by 10^scale — a double
+    rounding that differs from Spark's one-step BigDecimal conversion
+    by 1 ulp (r11 extreme probe: a 2e15 sum came back …167.8 vs
+    …167.5). Rounding the aggregate to whole units first keeps the
+    conversion single-step on both sides; the sub-unit loss is a
+    relative error < 1e-15 at that magnitude.
+    """
+    cap = 10.0 ** (15 - scale)
+    return (
+        F.when(F.abs(s) < F.lit(cap), F.round(s, scale).cast("double"))
+        .otherwise(F.round(s, 0).cast("decimal(38,0)").cast("double"))
+    )
+
+
 def dsum(col: Column | str, scale: int = 6) -> Column:
     """Order-independent sum of a double column, returned as double.
 
     Decimal addition is exact, so the result is identical regardless of
     partitioning / AQE decisions / engine — unlike naive double summation.
+    Non-finite inputs are excluded like NULL and each element/output
+    conversion is magnitude-branched (see _finite/dterm/_dec_out).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast(DEC)), scale).cast("double")
+    return _dec_out(F.sum(dterm(c, scale)), scale)
 
 
 def davg(col: Column | str, scale: int = 6) -> Column:
-    """Order-independent average of a double column, as double."""
+    """Order-independent average of a double column, as double.
+
+    Denominator counts the same finite rows the numerator sums, so an
+    excluded NaN/inf row does not drag the mean (see _finite).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(c.cast(DEC)) / F.count(c), scale
-    ).cast("double")
+    f = _finite(c)
+    return _dec_out(F.sum(dterm(c, scale)) / F.count(f), scale)
+
+
+def dterm(col: Column | str, scale: int = 9) -> Column:
+    """Deterministic per-term DECIMAL for the round-then-decimal-sum
+    pattern (q133/q167 family): ROUND at ``scale`` while the scaled
+    value stays inside 2^53, whole units above.
+
+    Both engines compute the same IEEE double for a term; the divergence
+    is in double→DECIMAL conversion — Spark goes through the shortest
+    decimal repr (BigDecimal) while DuckDB scales through doubles
+    (x·10^scale), so once |x|·10^scale exceeds 2^53 the engines disagree
+    in the low digits (r11 extreme probe: ±1e15 credits differed in the
+    last unit). Below the cap both paths are bit-identical; above it,
+    rounding to whole units keeps the conversion exact on both sides.
+    Domain: |x| < 2^53 (beyond that even the units branch diverges —
+    Spark's shortest repr of a >2^53 double no longer spells its exact
+    integer value). Non-finite terms are excluded like NULL (_finite).
+    """
+    c = _finite(F.col(col) if isinstance(col, str) else col)
+    cap = 10.0 ** (15 - scale)
+    return (
+        F.when(F.abs(c) < F.lit(cap), F.round(c, scale).cast(f"decimal(38,{scale})"))
+        .otherwise(
+            F.round(c, 0).cast("decimal(38,0)").cast(f"decimal(38,{scale})")
+        )
+    )
+
+
+def dround(col: Column | str, scale: int = 6) -> Column:
+    """ROUND a double at ``scale``, whole units above the 2^53 cap.
+
+    Both regimes keep |x|·10^effective_scale inside 2^53, where Spark's
+    BigDecimal HALF_UP and DuckDB's double rounding agree bit-for-bit
+    (verified by the r11 extreme-probe micro-test; above the cap the
+    engines differ in the low digits at scale > 0 but agree at whole
+    units, both rounding half away from zero).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cap = 10.0 ** (15 - scale)
+    return F.when(F.abs(c) < F.lit(cap), F.round(c, scale)).otherwise(
+        F.round(c, 0)
+    )
 
 
 def ts_micros(col: Column | str) -> Column:
@@ -88,8 +173,45 @@ def ts_day(col: Column | str) -> Column:
 
 
 # DuckDB-side fragments mirroring the helpers above.
+def o_finite(expr: str) -> str:
+    """``expr`` where finite, NULL otherwise — the o_ mirror of _finite."""
+    return f"(CASE WHEN ISFINITE({expr}) THEN ({expr}) END)"
+
+
+def o_dec_out(s_expr: str, scale: int = 6) -> str:
+    """DuckDB mirror of _dec_out (decimal aggregate → double)."""
+    cap = 10.0 ** (15 - scale)
+    return (
+        f"(CASE WHEN ABS({s_expr}) < {cap:.0f} "
+        f"THEN CAST(ROUND({s_expr}, {scale}) AS DOUBLE) "
+        f"ELSE CAST(CAST(ROUND({s_expr}, 0) AS DECIMAL(38,0)) AS DOUBLE) "
+        f"END)"
+    )
+
+
 def o_dsum(expr: str, scale: int = 6) -> str:
-    return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(38,6))), {scale}) AS DOUBLE)"
+    return o_dec_out(f"SUM({o_dterm(expr, scale)})", scale)
+
+
+def o_dround(expr: str, scale: int = 6) -> str:
+    """DuckDB mirror of dround (double ROUND, magnitude-capped)."""
+    cap = 10.0 ** (15 - scale)
+    return (
+        f"(CASE WHEN ABS({expr}) < {cap:.0f} THEN ROUND(({expr}), {scale}) "
+        f"ELSE ROUND(({expr}), 0) END)"
+    )
+
+
+def o_dterm(expr: str, scale: int = 9) -> str:
+    """DuckDB mirror of dterm (see its docstring for the 2^53 rationale)."""
+    cap = 10.0 ** (15 - scale)
+    fin = o_finite(expr)
+    return (
+        f"(CASE WHEN ABS({fin}) < {cap:.0f} "
+        f"THEN CAST(ROUND({fin}, {scale}) AS DECIMAL(38,{scale})) "
+        f"ELSE CAST(CAST(ROUND({fin}, 0) AS DECIMAL(38,0)) "
+        f"AS DECIMAL(38,{scale})) END)"
+    )
 
 
 def o_davg(expr: str, scale: int = 6, count: str | None = None) -> str:
@@ -104,12 +226,33 @@ def o_davg(expr: str, scale: int = 6, count: str | None = None) -> str:
     (2N + n) // (2n) — bit-exact, no double anywhere until the final
     correctly-rounded cast."""
     assert scale >= 6
-    n = count or f"COUNT({expr})"
-    si = f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) * 1000000 AS HUGEINT)"
+    n = count or f"COUNT({o_finite(expr)})"
+    # Si = the decimal sum's internal scaled integer (sum · 10⁶).
+    # Extracted as TRUNC·10⁶ + fractional·10⁶ in HUGEINT — multiplying
+    # the DECIMAL(38,6) itself by 10⁶ overflows the decimal width once
+    # |sum| ≥ 10³² ⁻ ⁶ (r11 extreme probe: squared-moment sums at 1e30).
+    s_ = f"SUM({o_dterm(expr, 6)})"
+    si = (
+        f"(CAST(TRUNC({s_}) AS HUGEINT) * 1000000 "
+        f"+ CAST(({s_} - TRUNC({s_})) * 1000000 AS HUGEINT))"
+    )
     num = si if scale == 6 else f"({si} * {10 ** (scale - 6)})"
     cnt = f"CAST({n} AS HUGEINT)"
-    half_up = (
-        f"(CASE WHEN {num} >= 0 THEN (2*{num} + {cnt}) // (2*{cnt}) "
-        f"ELSE -((2*(-{num}) + {cnt}) // (2*{cnt})) END)"
+
+    def half_up(numer: str, denom: str) -> str:
+        return (
+            f"(CASE WHEN {numer} >= 0 THEN (2*{numer} + {denom}) // (2*{denom}) "
+            f"ELSE -((2*(-{numer}) + {denom}) // (2*{denom})) END)"
+        )
+
+    at_scale = f"(CAST({half_up(num, cnt)} AS DOUBLE) / {10 ** scale})"
+    # Magnitude branch mirroring _dec_out: above the 2^53 cap the
+    # at-scale integer no longer converts to double exactly, so round
+    # the mean to whole units integer-side (denominator n·10^6) and
+    # convert once.
+    units = f"CAST({half_up(si, f'({cnt} * 1000000)')} AS DOUBLE)"
+    cap_si = f"({10 ** (15 - scale)} * {cnt} * 1000000)"
+    return (
+        f"(CASE WHEN ABS({si}) < {cap_si} THEN {at_scale} "
+        f"ELSE {units} END)"
     )
-    return f"(CAST({half_up} AS DOUBLE) / {10 ** scale})"

@@ -26,7 +26,7 @@ from ..streaming import (
     tumbling_counts,
     user_streaks,
 )
-from .base import dsum, o_dsum, query
+from .base import _dec_out, dsum, o_dsum, query
 
 
 @query(
@@ -511,10 +511,9 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q189_stream_complete_totals",
-    """
+    f"""
     SELECT event_type, COUNT(*) AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE)
-             AS sum_value
+           {o_dsum('value')} AS sum_value
     FROM events
     GROUP BY 1
     ORDER BY 1
@@ -533,9 +532,7 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_events",
-            F.round(F.col("sum_value_dec"), 6)
-            .cast("double")
-            .alias("sum_value"),
+            _dec_out(F.col("sum_value_dec"), 6).alias("sum_value"),
         )
         .orderBy("event_type")
     )

@@ -18,7 +18,18 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..operators.zorder import zvalue, zvalue_sql
-from .base import dsum, o_dsum, query, ts_micros
+from .base import (
+    _dec_out,
+    dround,
+    dsum,
+    dterm,
+    o_dec_out,
+    o_dround,
+    o_dsum,
+    o_dterm,
+    query,
+    ts_micros,
+)
 
 
 @query(
@@ -191,7 +202,7 @@ def q96_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2
     )
     SELECT user_id, day_idx, v,
-           CAST(ROUND(SUM(CAST(v AS DECIMAL(38,6))) OVER w7, 6) AS DOUBLE) AS v_7d,
+           {o_dec_out("SUM(" + o_dterm('v', 6) + ") OVER w7", 6)} AS v_7d,
            COUNT(*) OVER w7 AS active_days_7d
     FROM daily
     WINDOW w7 AS (PARTITION BY user_id ORDER BY day_idx
@@ -225,9 +236,7 @@ def q99_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "day_idx",
         "v",
-        F.round(F.sum(F.col("v").cast(DEC)).over(w7), 6)
-        .cast("double")
-        .alias("v_7d"),
+        _dec_out(F.sum(dterm("v", 6)).over(w7), 6).alias("v_7d"),
         F.count("*").over(w7).alias("active_days_7d"),
     ).orderBy("user_id", "day_idx")
 
@@ -391,24 +400,30 @@ def q106_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q107_zscore_outliers",
-    oracle="""
+    # Exact decimal moments are defined over |v| < 1e9 (the 2^53/scale
+    # envelope — beyond it v² leaves both engines' exact ranges); days
+    # outside the domain are excluded symmetrically, like non-finite
+    # values (r11 extreme probe).
+    oracle=f"""
     WITH daily AS (
         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE) AS v
+               {o_dsum('value')} AS v
         FROM events GROUP BY 1, 2
     ),
+    dd AS (SELECT * FROM daily WHERE ABS(v) < 1000000000.0),
     stats AS (
         SELECT user_id, COUNT(*) AS n,
-               SUM(CAST(v AS DECIMAL(38,6))) AS s,
-               SUM(CAST(v AS DECIMAL(38,6)) * CAST(v AS DECIMAL(38,6))) AS sq
-        FROM daily GROUP BY 1 HAVING COUNT(*) >= 3
+               SUM({o_dterm('v', 6)}) AS s,
+               SUM({o_dterm('v', 6)} * {o_dterm('v', 6)}) AS sq
+        FROM dd GROUP BY 1 HAVING COUNT(*) >= 3
     ),
     z AS (
         SELECT d.user_id,
-               ROUND((CAST(d.v AS DECIMAL(38,6)) - s.s / s.n)
-                     / sqrt(CAST((s.sq - s.s * s.s / s.n) / (s.n - 1)
-                                 AS DOUBLE)), 4) AS z
-        FROM daily d JOIN stats s ON d.user_id = s.user_id
+               {o_dround(
+                   "(CAST(d.v AS DECIMAL(38,6)) - s.s / s.n)"
+                   " / sqrt(CAST((s.sq - s.s * s.s / s.n) / (s.n - 1)"
+                   " AS DOUBLE))", 4)} AS z
+        FROM dd d JOIN stats s ON d.user_id = s.user_id
         WHERE (s.sq - s.s * s.s / s.n) > 0
     )
     SELECT user_id,
@@ -430,14 +445,12 @@ def q107_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).agg(
-        F.round(F.sum(F.col("value").cast(DEC)), 6)
-        .cast("double")
-        .alias("v")
-    )
+    ).agg(dsum("value").alias("v"))
+    # Exact-moment domain: |v| < 1e9 (see the oracle note).
+    dd = daily.where(F.abs("v") < 1e9)
     vdec = F.col("v").cast(DEC)
     stats = (
-        daily.groupBy("user_id")
+        dd.groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
             F.sum(vdec).alias("s"),
@@ -451,11 +464,11 @@ def q107_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (
         # stats is per-user (corpus-scaled): unhinted — auto-broadcast
         # at fixture SFs, user_id-shuffle join at 100 TB.
-        daily.join(stats, "user_id")
+        dd.join(stats, "user_id")
         .where((F.col("sq") - F.col("s") * F.col("s") / F.col("n")) > 0)
         .select(
             "user_id",
-            F.round(
+            dround(
                 (vdec - F.col("s") / F.col("n")) / F.sqrt(var.cast("double")),
                 4,
             ).alias("z"),
@@ -475,30 +488,31 @@ def q107_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q124_mad_outliers",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE) AS v
+               {o_dsum('value')} AS v
         FROM events GROUP BY 1, 2
     ),
     med AS (
-        SELECT event_type, CAST(ROUND(quantile_cont(v, 0.5), 9) AS DOUBLE) AS med
+        SELECT event_type,
+               CAST({o_dround('quantile_cont(v, 0.5)', 9)} AS DOUBLE) AS med
         FROM daily GROUP BY 1
     ),
     dev AS (
         SELECT d.event_type, d.v, m.med,
-               CAST(ROUND(abs(d.v - m.med), 9) AS DOUBLE) AS adev
+               CAST({o_dround('abs(d.v - m.med)', 9)} AS DOUBLE) AS adev
         FROM daily d JOIN med m USING (event_type)
     ),
     mad AS (
         SELECT event_type,
-               CAST(ROUND(quantile_cont(adev, 0.5), 9) AS DOUBLE) AS mad
+               CAST({o_dround('quantile_cont(adev, 0.5)', 9)} AS DOUBLE) AS mad
         FROM dev GROUP BY 1
     )
     SELECT d.event_type AS event_type,
            COUNT(*) AS n_days,
-           CAST(ROUND(MIN(d.med), 6) AS DOUBLE) AS med,
-           CAST(ROUND(MIN(m.mad), 6) AS DOUBLE) AS mad,
+           CAST({o_dround('MIN(d.med)', 6)} AS DOUBLE) AS med,
+           CAST({o_dround('MIN(m.mad)', 6)} AS DOUBLE) AS mad,
            CAST(SUM(CASE WHEN d.adev > 44478e-4 * m.mad THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m USING (event_type)
@@ -529,28 +543,26 @@ def q124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).agg(
-        F.round(F.sum(F.col("value").cast(DEC)), 6).cast("double").alias("v")
-    )
+    ).agg(dsum("value").alias("v"))
     med = daily.groupBy("event_type").agg(
-        F.round(F.expr("percentile(v, 0.5)"), 9).alias("med")
+        dround(F.expr("percentile(v, 0.5)"), 9).alias("med")
     )
     dev = daily.join(med, "event_type").select(
         "event_type",
         "v",
         "med",
-        F.round(F.abs(F.col("v") - F.col("med")), 9).alias("adev"),
+        dround(F.abs(F.col("v") - F.col("med")), 9).alias("adev"),
     )
     mad = dev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(adev, 0.5)"), 9).alias("mad")
+        dround(F.expr("percentile(adev, 0.5)"), 9).alias("mad")
     )
     return (
         dev.join(mad, "event_type")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_days"),
-            F.round(F.min("med"), 6).cast("double").alias("med"),
-            F.round(F.min("mad"), 6).cast("double").alias("mad"),
+            dround(F.min("med"), 6).cast("double").alias("med"),
+            dround(F.min("mad"), 6).cast("double").alias("mad"),
             F.sum(
                 F.when(
                     F.col("adev") > F.lit(4.4478) * F.col("mad"), 1
@@ -565,20 +577,26 @@ def q124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q125_ewma",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE) AS v
+               {o_dsum('value')} AS v
         FROM events GROUP BY 1, 2
     )
     SELECT a.event_type AS event_type,
            strftime(a.day, '%Y-%m-%d') AS day,
            MIN(a.v) AS v,
-           CAST(ROUND(
-             SUM(CAST(ROUND(pow(7e-1, date_diff('day', b.day, a.day)) * b.v, 9)
-                      AS DECIMAL(38,9)))
-             / SUM(CAST(ROUND(pow(7e-1, date_diff('day', b.day, a.day)), 9)
-                        AS DECIMAL(38,9))), 6) AS DOUBLE) AS ewma
+           CAST({o_dround(
+               o_dec_out(
+                   "SUM(" + o_dterm(
+                       "pow(7e-1, date_diff('day', b.day, a.day)) * b.v", 9
+                   ) + ")", 9)
+               + " / "
+               + o_dec_out(
+                   "SUM(" + o_dterm(
+                       "pow(7e-1, date_diff('day', b.day, a.day))", 9
+                   ) + ")", 9),
+               6)} AS DOUBLE) AS ewma
     FROM daily a JOIN daily b
       ON a.event_type = b.event_type
      AND b.day BETWEEN a.day - INTERVAL 13 DAY AND a.day
@@ -604,15 +622,13 @@ def q125_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).agg(
-        F.round(F.sum(F.col("value").cast(DEC)), 6).cast("double").alias("v")
-    )
+    ).agg(dsum("value").alias("v"))
     a = daily.alias("a")
     b = daily.alias("b")
     delta = F.datediff(F.col("a.day"), F.col("b.day"))
     w = F.pow(F.lit(0.7), delta)
-    wdec = F.round(w, 9).cast("decimal(38,9)")
-    wvdec = F.round(w * F.col("b.v"), 9).cast("decimal(38,9)")
+    wdec = dterm(w, 9)
+    wvdec = dterm(w * F.col("b.v"), 9)
     return (
         a.join(
             b,
@@ -626,7 +642,9 @@ def q125_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.min(F.col("a.v")).alias("v"),
-            F.round(F.sum(wvdec) / F.sum(wdec), 6)
+            dround(
+                _dec_out(F.sum(wvdec), 9) / _dec_out(F.sum(wdec), 9), 6
+            )
             .cast("double")
             .alias("ewma"),
         )
@@ -864,12 +882,12 @@ def q143_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both a previous and a next anchor: the interpolation expression is
     # total. prev/next values are the q95 LOCF windows run both ways;
     # the fraction divides epoch-microsecond bigints cast to double in
-    # IDENTICAL operand order in both engines, rounded at 1e-6.
-    oracle="""
+    # IDENTICAL operand order in both engines, rounded at 1e-6
+    # (magnitude-capped, dround).
+    oracle=f"""
     WITH hourly AS (
         SELECT user_id, date_trunc('hour', ts) AS h,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE)
-                 AS v
+               {o_dsum('value')} AS v
         FROM events WHERE user_id % 97 = 0
         GROUP BY 1, 2
     ),
@@ -899,10 +917,11 @@ def q143_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, epoch_us(h) AS hour_us,
            CASE WHEN v IS NOT NULL THEN v
-                ELSE CAST(ROUND(prev_v + (next_v - prev_v)
-                     * (CAST(epoch_us(h) - epoch_us(prev_h) AS DOUBLE)
-                        / CAST(epoch_us(next_h) - epoch_us(prev_h)
-                               AS DOUBLE)), 6) AS DOUBLE) END AS v_interp,
+                ELSE CAST({o_dround(
+                     "prev_v + (next_v - prev_v)"
+                     " * (CAST(epoch_us(h) - epoch_us(prev_h) AS DOUBLE)"
+                     " / CAST(epoch_us(next_h) - epoch_us(prev_h)"
+                     " AS DOUBLE))", 6)} AS DOUBLE) END AS v_interp,
            CAST(v IS NULL AS INT) AS is_gap
     FROM anchored
     ORDER BY user_id, hour_us
@@ -959,7 +978,7 @@ def q176_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ts_micros("h") - ts_micros("prev_h")).cast("double")
         / (ts_micros("next_h") - ts_micros("prev_h")).cast("double")
     )
-    interp = F.round(
+    interp = dround(
         F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac, 6
     ).cast("double")
     return (
@@ -980,23 +999,22 @@ def q176_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The running CUSUM accumulates 1e-6-rounded deviations through
     # DECIMAL(38,6) — exact, so the argmax tie-break (largest |cusum|,
     # earliest day) sees identical values in both engines.
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE)
-                 AS x
+               {o_dsum('value')} AS x
         FROM events GROUP BY 1, 2
     ),
     stats AS (
         SELECT event_type,
-               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               {o_dec_out("SUM(" + o_dterm('x', 6) + ")", 6)} / COUNT(*)
                  AS mu,
                COUNT(*) AS n_days
         FROM daily GROUP BY 1
     ),
     cusum AS (
         SELECT d.event_type, d.day, s.n_days,
-               SUM(CAST(ROUND(d.x - s.mu, 6) AS DECIMAL(38,6)))
+               SUM({o_dterm('d.x - s.mu', 6)})
                  OVER (PARTITION BY d.event_type ORDER BY d.day
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS c
@@ -1009,7 +1027,7 @@ def q176_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cusum
     )
     SELECT event_type, day AS changepoint_day, n_days,
-           CAST(ROUND(c, 6) AS DOUBLE) AS cusum
+           {o_dec_out('c', 6)} AS cusum
     FROM ranked WHERE rn = 1
     ORDER BY event_type
     """,
@@ -1032,10 +1050,7 @@ def q177_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
     ).agg(dsum("value").alias("x"))
     stats = daily.groupBy("event_type").agg(
-        (
-            F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
-            / F.count("*")
-        ).alias("mu"),
+        (_dec_out(F.sum(dterm("x", 6)), 6) / F.count("*")).alias("mu"),
         F.count("*").alias("n_days"),
     )
     w = (
@@ -1049,9 +1064,7 @@ def q177_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "day",
             "n_days",
-            F.sum(
-                F.round(F.col("x") - F.col("mu"), 6).cast("decimal(38,6)")
-            )
+            F.sum(dterm(F.col("x") - F.col("mu"), 6))
             .over(w)
             .alias("c"),
         )
@@ -1066,7 +1079,7 @@ def q177_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("day").alias("changepoint_day"),
             "n_days",
-            F.round("c", 6).cast("double").alias("cusum"),
+            _dec_out(F.col("c"), 6).alias("cusum"),
         )
         .orderBy("event_type")
     )
@@ -1202,10 +1215,10 @@ def q203_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q210_twap_per_user",
     # Interval weights are exact integer microsecond deltas; the
     # weighted sum runs in DECIMAL (value is 2-decimal money-like), and
-    # only the final ratio is a double, rounded at 1e-6. Tie-broken on
-    # (ts, event_id) so duplicate timestamps pair identically in both
-    # engines.
-    oracle="""
+    # only the final ratio is a double, magnitude-capped-rounded at 1e-6
+    # (dround/o_dround, r11). Tie-broken on (ts, event_id) so duplicate
+    # timestamps pair identically in both engines.
+    oracle=f"""
     WITH seq AS (
         SELECT user_id, value,
                LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
@@ -1215,10 +1228,11 @@ def q203_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_intervals,
            CAST(SUM(dt_us) AS BIGINT) AS span_us,
-           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(19,6)) * dt_us)
-                           AS DOUBLE)
-                      / SUM(dt_us), 6) AS DOUBLE) AS twap
+           CAST({o_dround(
+               o_dec_out('SUM(CAST(value AS DECIMAL(38,6)) * dt_us)', 6)
+               + ' / SUM(dt_us)', 6)} AS DOUBLE) AS twap
     FROM seq WHERE dt_us IS NOT NULL AND dt_us > 0
+      AND (value IS NULL OR ISFINITE(value))
     GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -1241,15 +1255,26 @@ def q210_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("ts").cast("timestamp"))
         ).alias("dt_us"),
     )
+    # A non-finite reading (corrupt sensor value) is dropped like a
+    # zero-length interval: DECIMAL(19,6) could not even hold 1e15, and
+    # CAST(inf AS DECIMAL) is an ANSI job-killer (r11 extreme probe).
+    v = F.col("value")
+    keep_value = v.isNull() | (
+        ~F.isnan(v) & (v != F.lit(float("inf"))) & (v != F.lit(float("-inf")))
+    )
     return (
-        seq.where(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        seq.where(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0) & keep_value)
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_intervals"),
             F.sum("dt_us").alias("span_us"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(19,6)") * F.col("dt_us"))
-                .cast("double")
+            dround(
+                _dec_out(
+                    F.sum(
+                        F.col("value").cast("decimal(38,6)") * F.col("dt_us")
+                    ),
+                    6,
+                )
                 / F.sum("dt_us"),
                 6,
             )
@@ -1338,7 +1363,7 @@ def q217_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cohort revenue sums stage in DECIMAL; the cumulative LTV divides
     # a decimal running sum by the exact cohort size — windows run over
     # the O(cohorts × offsets) aggregate only.
-    oracle="""
+    oracle=f"""
     WITH first_seen AS (
         SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
         FROM events GROUP BY user_id
@@ -1352,7 +1377,7 @@ def q217_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(FLOOR((epoch_us(date_trunc('week', e.ts))
                            - epoch_us(f.cohort))
                           / (7 * 86400000000.0)) AS BIGINT) AS offset_w,
-               SUM(CAST(e.value AS DECIMAL(38,6))) AS v
+               SUM({o_dterm('e.value', 6)}) AS v
         FROM events e
         JOIN first_seen f ON f.user_id = e.user_id
         WHERE e.event_type = 'purchase'
@@ -1361,9 +1386,11 @@ def q217_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort,
            r.offset_w,
            s.cohort_users,
-           CAST(ROUND(SUM(r.v) OVER (PARTITION BY r.cohort ORDER BY r.offset_w
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      / s.cohort_users, 6) AS DOUBLE) AS cum_ltv_per_user
+           CAST({o_dround(
+               o_dec_out(
+                   "SUM(r.v) OVER (PARTITION BY r.cohort ORDER BY r.offset_w"
+                   " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 6)
+               + " / s.cohort_users", 6)} AS DOUBLE) AS cum_ltv_per_user
     FROM rev r JOIN sizes s ON s.cohort = r.cohort
     ORDER BY cohort, offset_w
     """,
@@ -1394,7 +1421,7 @@ def q235_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("offset_w"),
         )
-        .agg(F.sum(F.col("value").cast(DEC)).alias("v"))
+        .agg(F.sum(dterm("value", 6)).alias("v"))
     )
     sizes = first_seen.groupBy("cohort").agg(
         F.count("*").alias("cohort_users")
@@ -1410,8 +1437,8 @@ def q235_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
             "offset_w",
             "cohort_users",
-            F.round(
-                F.sum("v").over(w) / F.col("cohort_users"), 6
+            dround(
+                _dec_out(F.sum("v").over(w), 6) / F.col("cohort_users"), 6
             )
             .cast("double")
             .alias("cum_ltv_per_user"),

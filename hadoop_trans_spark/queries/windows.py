@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators.topk import topk_per_group
-from .base import query, ts_micros
+from .base import o_dsum, query, ts_micros
 
 
 @query(
@@ -179,7 +179,7 @@ def q80_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q81_sessionize_batch",
-    oracle="""
+    oracle=f"""
     WITH o AS (
         SELECT user_id, ts, event_id, "value",
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -199,8 +199,7 @@ def q80_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sid AS BIGINT) AS session_no,
            epoch_us(min(ts)) AS session_start,
            count(*) AS n_events,
-           CAST(ROUND(SUM(CAST("value" AS DECIMAL(38,6))), 6) AS DOUBLE)
-             AS value_sum
+           {o_dsum('"value"')} AS value_sum
     FROM g
     GROUP BY user_id, sid
     ORDER BY user_id, session_no

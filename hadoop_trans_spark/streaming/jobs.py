@@ -33,6 +33,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..queries.base import dsum, dterm
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -150,9 +152,7 @@ def tumbling_counts(stream: DataFrame, size: str = "1 hour") -> DataFrame:
         .groupBy(F.window("ts", size), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 6)
-            .cast("double")
-            .alias("sum_value"),
+            dsum("value").alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("window.start")).alias("window_start"),
@@ -869,6 +869,6 @@ def complete_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
     totals = stream.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value_dec"),
+        F.sum(dterm("value", 6)).alias("sum_value_dec"),
     )
     return run_to_memory(totals, "complete")

@@ -240,12 +240,15 @@ def test_query_matches_oracle_on_edge_value_fixture(
 
 # --- NaN tier: IEEE NaN in events.value (distinct from NULL) -----------
 #
-# The full 241-query sweep on the NaN fixture (sf0.01) found ZERO
-# divergences — both engines propagate NaN identically through the
-# decimal-staging aggregation patterns and place it identically in
-# orderings. These canaries are the value-column consumers most exposed
-# (extremal picks, moments, EWMA, percentiles), pinned so a future
-# refactor that changes NaN handling on one side goes red here.
+# r11 found the r10 NaN tier was a silent no-op: pandas' parquet writer
+# converts float NaN to NULL (NaN is pandas' missing marker), so the
+# "NaN" fixture actually re-probed the NULL class. The injector now goes
+# through pyarrow (from_pandas=False) so true IEEE NaNs reach the file;
+# the re-run sweep stayed green because the decimal aggregates exclude
+# non-finite inputs like NULL (base._finite, r11). These canaries are
+# the value-column consumers most exposed (extremal picks, moments,
+# EWMA, percentiles), pinned so a future refactor that changes NaN
+# handling on one side goes red here.
 NAN_PROBED = [
     "q160_ohlc_bars",
     "q107_zscore_outliers",
@@ -258,17 +261,26 @@ NAN_PROBED = [
 
 @pytest.fixture(scope="module")
 def nan_dir(tmp_path_factory, smoke_dir):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     np_mod = _load_null_probe()
     dst = str(tmp_path_factory.mktemp("nanprobe"))
     for t in np_mod.TABLES:
         src = os.path.join(smoke_dir, f"{t}.parquet")
         if t == "events":
-            df = pd.read_parquet(src)
-            df.loc[df.index[:: np_mod.NAN_EVENT_VALUE_STRIDE], "value"] = float(
-                "nan"
+            tab = pq.read_table(src)
+            v = tab.column("value").to_numpy(zero_copy_only=False).copy()
+            v[:: np_mod.NAN_EVENT_VALUE_STRIDE] = np.nan
+            arr = pa.array(v, from_pandas=False)
+            assert arr.null_count == 0 and np.isnan(v).any(), (
+                "true NaN must reach the file, not NULL"
             )
-            assert df["value"].isna().any()
-            df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
+            tab = tab.set_column(
+                tab.schema.get_field_index("value"), "value", arr
+            )
+            pq.write_table(tab, os.path.join(dst, f"{t}.parquet"))
         else:
             os.symlink(src, os.path.join(dst, f"{t}.parquet"))
     return dst
@@ -579,3 +591,102 @@ def test_ties_injection_creates_duplicates(smoke_dir):
         1,
     )
     assert em["embedding"].map(tuple).duplicated().sum() > 0
+
+# --- extreme-numerics tier -------------------------------------------------
+#
+# Legal-but-extreme values the generators never draw: -0.0, ±1e15,
+# subnormal 5e-324 and +inf in events.value; an embedded NUL byte and a
+# ~20 KB document; a JSON number past double range in events.props. The
+# r11 full-fixture sweep found 24 failures in two systemic classes, all
+# fixed in the shared helpers (queries/base.py):
+#
+#   * CAST(inf AS DECIMAL) is a DuckDB error AND a Spark-4-ANSI error —
+#     one corrupt row would kill every decimal-sum job at 100 TB. The
+#     decimal aggregates now exclude non-finite inputs like NULL
+#     (_finite / o_finite), symmetrically on both engines.
+#   * double↔DECIMAL conversions diverge between the engines once the
+#     scaled value leaves 2^53 (Spark converts via the shortest decimal
+#     repr; DuckDB scales through doubles/int128 and double-rounds).
+#     Every per-term conversion, aggregate-output conversion, and bare
+#     double ROUND is now magnitude-branched (dterm/_dec_out/dround and
+#     their o_ mirrors): full precision below the cap, whole units
+#     above, bit-identical in both regimes.
+#
+# Plus two domain rules: q210 widened its weighted-sum decimal from
+# (19,6) (1e15 · µs overflowed it), and the squared-moment queries
+# (q107/q159) exclude |v| beyond their exact-moment envelope
+# symmetrically, like non-finite.
+EXTREME_PROBED = [
+    # the dsum crash class (inf → decimal) + output-conversion class
+    "q34_compact_fidelity",
+    "q53_json_roundtrip",
+    "q81_sessionize_batch",
+    "q54_stream_tumbling",
+    "q189_stream_complete_totals",
+    # per-term round-then-decimal-sum pattern at ±1e15
+    "q167_linear_attribution",
+    "q215_decay_attribution",
+    "q218_first_last_touch",
+    # weighted/windowed second-level aggregates
+    "q99_rolling_7day",
+    "q125_ewma",
+    "q177_cusum_changepoint",
+    "q235_cohort_ltv",
+    "q210_twap_per_user",
+    # moment-domain rules
+    "q107_zscore_outliers",
+    "q124_mad_outliers",
+    "q159_seasonal_anomaly",
+    "q176_linear_interpolation",
+    # NUL byte / long doc / overflow JSON consumers
+    "q35_text_stats",
+    "q40_minhash_lsh_neardup",
+    "q31_json_funcs",
+]
+
+
+@pytest.fixture(scope="module")
+def extreme_dir(tmp_path_factory, smoke_dir):
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("extremeprobe"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t == "events":
+            df = pd.read_parquet(src)
+            df = np_mod.inject_edges(df, "value", np_mod.EXTREME_EVENT_VALUE, 1)
+            df = np_mod.inject_edges(df, "props", np_mod.EXTREME_EVENT_PROPS, 1)
+            assert (df["value"] == float("inf")).any()
+            df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
+        elif t == "documents":
+            df = pd.read_parquet(src)
+            df = np_mod.inject_edges(df, "text", np_mod.EXTREME_DOC_TEXT, 1)
+            assert df["text"].str.contains("\x00").any()
+            df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def extreme_oracle(extreme_dir):
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{extreme_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EXTREME_PROBED)
+def test_query_matches_oracle_on_extreme_fixture(
+    name, spark, extreme_dir, extreme_oracle
+):
+    res = compare(
+        name, QUERIES[name](spark, extreme_dir), extreme_oracle, ORACLE[name]
+    )
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )

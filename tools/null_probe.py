@@ -32,6 +32,10 @@ Modes (--mode=...):
   ties     duplicate (user_id, ts) under distinct event_ids, duplicate
            doc texts under distinct doc_ids, duplicate embedding vectors
            under distinct ids — forces every ordering-tie path (r11)
+  extreme  extreme numerics in events.value (-0.0, ±1e15, subnormal,
+           +inf), NUL-byte and ~20 KB documents.text, overflow/unicode
+           JSON in events.props — magnitude-absorb, sign-of-zero, and
+           JSON-number-overflow asymmetries (r11)
 """
 
 from __future__ import annotations
@@ -78,6 +82,31 @@ DIM_TABLES = ["region", "nation", "customer", "supplier", "part"]
 TIE_EVENT_STRIDE = 41
 TIE_DOC_STRIDE = 43
 TIE_EMB_STRIDE = 47
+
+# --mode=extreme: legal-but-extreme values the generators never draw.
+# Doubles: -0.0 (sign-of-zero grouping/format), ±1e15 (any aggregate NOT
+# going through the decimal-sum path absorbs neighbors and turns
+# order-dependent — the probe makes the dsum discipline enforceable),
+# 5e-324 (subnormal; underflows decimal scale 6 to exactly 0), +inf
+# (propagates through sums where NULL/NaN semantics differ). Text: an
+# embedded NUL byte (chars-vs-bytes and C-string truncation paths) and a
+# ~20 KB repeated-token doc (shingle/token fan-out on one hot row).
+# JSON: a number past double range (1e999 — engines disagree on inf vs
+# NULL vs string passthrough) and a backslash-u0000 escape. Distinct primes.
+EXTREME_EVENT_VALUE = {
+    113: -0.0,
+    127: 1e15,
+    131: 5e-324,
+    137: -1e15,
+    139: float("inf"),
+}
+EXTREME_DOC_TEXT = {
+    149: "pre\x00post nul byte doc",
+    151: ("lorem ipsum repeated token block " * 600).strip(),  # ~19.8 KB
+}
+EXTREME_EVENT_PROPS = {
+    157: '{"amount": 1e999, "note": "\\u0000 unicode \\u65e5"}',
+}
 
 
 def inject_ties(df: pd.DataFrame, table: str, scale: int) -> tuple[pd.DataFrame, int]:
@@ -172,17 +201,42 @@ def main() -> None:
             df.to_parquet(d, index=False)
             print(f"{t}: {len(df)} rows, {n_ties} tie rows injected")
         elif mode == "nan" and t == "events" and t in tables:
-            df = pd.read_parquet(s)
-            idx = df.index[:: NAN_EVENT_VALUE_STRIDE * scale]
-            df.loc[idx, "value"] = float("nan")
-            df.to_parquet(d, index=False)
-            print(f"{t}: {len(df)} rows, NaN value on {len(idx)} rows")
+            # pandas' parquet writer converts float NaN to NULL (NaN is
+            # pandas' missing marker) — the r10 nan sweeps silently
+            # probed NULLs, not NaN (r11 find). Go through pyarrow with
+            # from_pandas=False so real IEEE NaNs reach the file.
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tab = pq.read_table(s)
+            v = tab.column("value").to_numpy(zero_copy_only=False).copy()
+            idx = list(range(0, len(v), NAN_EVENT_VALUE_STRIDE * scale))
+            v[idx] = np.nan
+            arr = pa.array(v, from_pandas=False)
+            assert arr.null_count == 0, "NaN must stay NaN, not NULL"
+            tab = tab.set_column(
+                tab.schema.get_field_index("value"), "value", arr
+            )
+            pq.write_table(tab, d)
+            print(f"{t}: {len(v)} rows, true-NaN value on {len(idx)} rows")
         elif mode == "edge" and t in edge_by_table and t in tables:
             col, values = edge_by_table[t]
             df = inject_edges(pd.read_parquet(s), col, values, scale)
             df.to_parquet(d, index=False)
             print(f"{t}: {len(df)} rows, edge-injected {col} at strides "
                   f"{sorted(values)}")
+        elif mode == "extreme" and t in ("events", "documents") and t in tables:
+            df = pd.read_parquet(s)
+            if t == "events":
+                df = inject_edges(df, "value", EXTREME_EVENT_VALUE, scale)
+                df = inject_edges(df, "props", EXTREME_EVENT_PROPS, scale)
+                strides = sorted(EXTREME_EVENT_VALUE) + sorted(EXTREME_EVENT_PROPS)
+            else:
+                df = inject_edges(df, "text", EXTREME_DOC_TEXT, scale)
+                strides = sorted(EXTREME_DOC_TEXT)
+            df.to_parquet(d, index=False)
+            print(f"{t}: {len(df)} rows, extreme-injected at strides {strides}")
         elif mode == "null" and t in tables and t in strides_by_table:
             df = inject(pd.read_parquet(s), strides_by_table[t], scale)
             nulls = {c: int(df[c].isna().sum()) for c in strides_by_table[t]}
