@@ -155,6 +155,37 @@ def dround(col: Column | str, scale: int = 6) -> Column:
     )
 
 
+# Valid event-time domain for DATA-DERIVED dense grids (gap-fill,
+# interpolation): those operators materialize every bucket between the
+# observed MIN(ts) and MAX(ts) per key, so one corrupt timestamp
+# (epoch-0, 1969, year-9999) explodes the grid from O(active hours) to
+# O(calendar hours since epoch) per key — measured as a single-core
+# multi-hour hang at sf0.001 (r11 time probe), a guaranteed job-killer
+# at 100 TB. Production gap-fill APIs (e.g. TimescaleDB's
+# time_bucket_gapfill) require explicit bounds for exactly this reason;
+# this engine defaults them to a century window, and out-of-domain rows
+# are excluded from grid-building symmetrically, like non-finite
+# doubles. Only grid-building queries consume this — ordinary
+# aggregates handle any legal timestamp.
+TS_LO, TS_HI = "2000-01-01", "2100-01-01"
+
+
+def o_ts_domain(col: str = "ts") -> str:
+    """DuckDB predicate for the valid event-time domain (see above)."""
+    return f"({col} >= TIMESTAMP '{TS_LO}' AND {col} < TIMESTAMP '{TS_HI}')"
+
+
+O_TS_DOMAIN = o_ts_domain()
+
+
+def ts_in_domain(col: Column | str = "ts") -> Column:
+    """Spark mirror of O_TS_DOMAIN."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c >= F.lit(TS_LO).cast("timestamp")) & (
+        c < F.lit(TS_HI).cast("timestamp")
+    )
+
+
 def ts_micros(col: Column | str) -> Column:
     """Timestamp → epoch microseconds (bigint); DuckDB: epoch_us(ts).
 

@@ -26,19 +26,28 @@ from ..streaming import (
     tumbling_counts,
     user_streaks,
 )
-from .base import _dec_out, dsum, o_dsum, query
+from .base import (
+    O_TS_DOMAIN,
+    _dec_out,
+    dsum,
+    o_dsum,
+    o_ts_domain,
+    query,
+)
 
 
 @query(
     "q54_stream_tumbling",
     f"""
-    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events)
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events
+                WHERE {O_TS_DOMAIN})
     SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
            event_type,
            count(*) AS n_events,
            {o_dsum('value')} AS sum_value
     FROM events, wm
     WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= w
+      AND {O_TS_DOMAIN}
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
@@ -60,8 +69,9 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q55_stream_sliding",
-    """
-    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events)
+    f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events
+                WHERE {O_TS_DOMAIN})
     SELECT epoch_us(ws) AS window_start, event_type, count(*) AS n_events
     FROM (
         SELECT time_bucket(INTERVAL '30 minutes', ts)
@@ -69,6 +79,7 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_type
         FROM events
         CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        WHERE {O_TS_DOMAIN}
     ), wm
     WHERE ws + INTERVAL '1 hour' <= w
     GROUP BY 1, 2
@@ -89,11 +100,11 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q56_stream_session",
-    """
+    f"""
     WITH o AS (
         SELECT user_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-        FROM events
+        FROM events WHERE {O_TS_DOMAIN}
     ), f AS (
         SELECT user_id, ts,
                CASE WHEN prev IS NULL
@@ -105,7 +116,8 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(news) OVER (PARTITION BY user_id ORDER BY ts
                                ROWS UNBOUNDED PRECEDING) AS sid
         FROM f
-    ), wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events)
+    ), wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events
+                WHERE {O_TS_DOMAIN})
     SELECT user_id,
            epoch_us(min(ts)) AS session_start,
            epoch_us(max(ts) + INTERVAL '30 minutes') AS session_end,
@@ -135,6 +147,7 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT event_type, count(*) AS n_events, {o_dsum('value')} AS sum_value
     FROM events
+    WHERE {O_TS_DOMAIN}
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -219,7 +232,7 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q79_stream_stream_join",
-    """
+    f"""
     SELECT c.event_id AS click_id,
            v.event_id AS view_id,
            c.user_id,
@@ -230,6 +243,7 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON c.user_id = v.user_id
      AND c.event_type = 'click' AND v.event_type = 'view'
      AND v.ts >= c.ts - INTERVAL '30 minutes' AND v.ts <= c.ts
+     AND {o_ts_domain('c.ts')} AND {o_ts_domain('v.ts')}
     ORDER BY click_id, view_id
     """,
 )
@@ -299,8 +313,9 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q59_stream_late_drop",
-    """
-    WITH a AS (SELECT * FROM events WHERE event_id % 997 != 0),
+    f"""
+    WITH a AS (SELECT * FROM events
+               WHERE event_id % 997 != 0 AND {O_TS_DOMAIN}),
          wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM a)
     SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
            count(*) AS n_events
@@ -322,13 +337,15 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q132_stream_approx_distinct",
-    """
-    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events)
+    f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events
+                WHERE {O_TS_DOMAIN})
     SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
            COUNT(DISTINCT user_id) AS exact_users,
            1 AS within_tol
     FROM events, wm
     WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= w
+      AND {O_TS_DOMAIN}
     GROUP BY 1
     ORDER BY 1
     """,
@@ -347,9 +364,11 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
     hiding behind a rows-only check."""
     from ..catalog import table as _table
 
+    from ..streaming.jobs import watermarked
+
     sdf = read_events_stream(spark, sf_dir)
     agg = (
-        sdf.withWatermark("ts", "10 minutes")
+        watermarked(sdf)
         .groupBy(F.window("ts", "1 hour"))
         .agg(
             F.approx_count_distinct("user_id", 0.02).alias("approx_users")
@@ -387,12 +406,13 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q141_stream_chained_rollup",
-    """
-    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events
+                WHERE {O_TS_DOMAIN}),
     q AS (
         SELECT time_bucket(INTERVAL '15 minutes', ts) AS q15,
                user_id, COUNT(*) AS c
-        FROM events GROUP BY 1, 2
+        FROM events WHERE {O_TS_DOMAIN} GROUP BY 1, 2
     )
     SELECT epoch_us(time_bucket(INTERVAL '1 hour', q15)) AS window_start,
            CAST(SUM(c) AS BIGINT) AS n_events,
@@ -424,18 +444,20 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q148_stream_stream_left_join",
-    """
+    f"""
     WITH clicks AS (
         SELECT event_id AS click_id, user_id, ts AS click_ts
-        FROM events WHERE event_type = 'click'
+        FROM events WHERE event_type = 'click' AND {O_TS_DOMAIN}
     ),
     views AS (
         SELECT event_id AS view_id, user_id, ts AS view_ts
-        FROM events WHERE event_type = 'view'
+        FROM events WHERE event_type = 'view' AND {O_TS_DOMAIN}
     ),
     wm AS (SELECT least(
-               (SELECT max(ts) FROM events WHERE event_type = 'click'),
-               (SELECT max(ts) FROM events WHERE event_type = 'view'))
+               (SELECT max(ts) FROM events
+                WHERE event_type = 'click' AND {O_TS_DOMAIN}),
+               (SELECT max(ts) FROM events
+                WHERE event_type = 'view' AND {O_TS_DOMAIN}))
                - INTERVAL '10 minutes' AS w)
     SELECT c.click_id,
            c.user_id,
@@ -472,8 +494,9 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q183_stream_windowed_topk",
-    """
-    WITH a AS (SELECT * FROM events WHERE event_id % 997 != 0),
+    f"""
+    WITH a AS (SELECT * FROM events
+               WHERE event_id % 997 != 0 AND {O_TS_DOMAIN}),
          wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM a),
          counts AS (
              SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
@@ -540,18 +563,20 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q202_stream_stream_full_outer",
-    """
+    f"""
     WITH clicks AS (
         SELECT event_id AS click_id, user_id, ts AS click_ts
-        FROM events WHERE event_type = 'click'
+        FROM events WHERE event_type = 'click' AND {O_TS_DOMAIN}
     ),
     views AS (
         SELECT event_id AS view_id, user_id, ts AS view_ts
-        FROM events WHERE event_type = 'view'
+        FROM events WHERE event_type = 'view' AND {O_TS_DOMAIN}
     ),
     wm AS (SELECT least(
-               (SELECT max(ts) FROM events WHERE event_type = 'click'),
-               (SELECT max(ts) FROM events WHERE event_type = 'view'))
+               (SELECT max(ts) FROM events
+                WHERE event_type = 'click' AND {O_TS_DOMAIN}),
+               (SELECT max(ts) FROM events
+                WHERE event_type = 'view' AND {O_TS_DOMAIN}))
                - INTERVAL '10 minutes' AS w)
     SELECT c.click_id,
            COALESCE(c.user_id, v.user_id) AS user_id,

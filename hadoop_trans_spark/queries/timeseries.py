@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 from ..catalog import table
 from ..operators.zorder import zvalue, zvalue_sql
 from .base import (
+    O_TS_DOMAIN,
     _dec_out,
     dround,
     dsum,
@@ -28,6 +29,7 @@ from .base import (
     o_dsum,
     o_dterm,
     query,
+    ts_in_domain,
     ts_micros,
 )
 
@@ -91,7 +93,8 @@ def q94_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
         SELECT user_id, date_trunc('hour', ts) AS h,
                {o_dsum('value')} AS v
-        FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2
+        FROM events WHERE user_id % 97 = 0 AND {O_TS_DOMAIN}
+        GROUP BY 1, 2
     ),
     bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
     grid AS (
@@ -116,7 +119,9 @@ def q95_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered window. The grid size is keys × span, independent of event
     skew; the sampling predicate stands in for the key-subset a real
     dashboard/feature query would push down."""
-    e = table(spark, sf_dir, "events").where(F.col("user_id") % 97 == 0)
+    e = table(spark, sf_dir, "events").where(
+        (F.col("user_id") % 97 == 0) & ts_in_domain()
+    )
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(dsum("value").alias("v"))
@@ -888,7 +893,7 @@ def q143_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
         SELECT user_id, date_trunc('hour', ts) AS h,
                {o_dsum('value')} AS v
-        FROM events WHERE user_id % 97 = 0
+        FROM events WHERE user_id % 97 = 0 AND {O_TS_DOMAIN}
         GROUP BY 1, 2
     ),
     grid AS (
@@ -940,7 +945,9 @@ def q176_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one partition sort, so the second direction costs no extra
     shuffle. At 100 TB the state per key is one row either way; nothing
     here is quadratic in gap length."""
-    e = table(spark, sf_dir, "events").where(F.col("user_id") % 97 == 0)
+    e = table(spark, sf_dir, "events").where(
+        (F.col("user_id") % 97 == 0) & ts_in_domain()
+    )
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(dsum("value").alias("v"))

@@ -34,7 +34,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.base import dsum, dterm
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -45,6 +44,19 @@ from pyspark.sql.types import (
 )
 
 from hadoop_trans_spark.catalog import normalize_event_ts
+
+
+def _dsum():
+    from ..queries.base import dsum  # deferred: circular-import guard
+
+    return dsum
+
+
+def _dterm():
+    from ..queries.base import dterm  # deferred: circular-import guard
+
+    return dterm
+
 
 def events_stream_schema(spark: SparkSession, sf_dir: str) -> StructType:
     """Stream schema for events.parquet, matched to the file's actual ts
@@ -142,17 +154,37 @@ def run_to_memory(
     return spark.table(name)
 
 
+def watermarked(df: DataFrame, col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """Valid-event-time-domain filter + watermark, applied together.
+
+    Spark's event-time watermark is ZERO-INITIALIZED (epoch 0), so a
+    pre-epoch event time is structurally late in the very first batch —
+    dropped by windowed aggregates (window end <= initial watermark),
+    dedup state, and join state, while a batch oracle over the same
+    parquet keeps the rows (r11 time probe: 10 watermarked queries
+    diverged on one injected 1969 timestamp). Event times outside the
+    engine's valid domain (queries.base TS_LO/TS_HI) are therefore
+    excluded AT the watermark boundary, symmetric with the oracles'
+    O_TS_DOMAIN predicate; unwatermarked passthroughs (migrate/upsert)
+    keep every row."""
+    from ..queries.base import ts_in_domain  # deferred: avoids a
+    # circular import (queries/__init__ registers queries.streaming,
+    # which imports this module)
+
+    return df.where(ts_in_domain(col)).withWatermark(col, delay)
+
+
 # --- E37: tumbling / sliding windows ----------------------------------------
 
 
 def tumbling_counts(stream: DataFrame, size: str = "1 hour") -> DataFrame:
     """Per-window, per-type counts + exact value sums (tumbling)."""
     return (
-        stream.withWatermark("ts", "10 minutes")
+        watermarked(stream)
         .groupBy(F.window("ts", size), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            dsum("value").alias("sum_value"),
+            _dsum()("value").alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("window.start")).alias("window_start"),
@@ -168,7 +200,7 @@ def sliding_counts(
 ) -> DataFrame:
     """Overlapping-window counts; each event lands in size/slide windows."""
     return (
-        stream.withWatermark("ts", "10 minutes")
+        watermarked(stream)
         .groupBy(F.window("ts", size, slide), "event_type")
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -192,7 +224,7 @@ def chained_windowed_rollup(
     deterministic. State is bounded at (open fine windows × active
     users) + open coarse windows; both drop on watermark pass."""
     fine_counts = (
-        stream.withWatermark("ts", "10 minutes")
+        watermarked(stream)
         .groupBy(F.window("ts", fine), "user_id")
         .agg(F.count("*").alias("c"))
     )
@@ -222,7 +254,7 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     oracle reproduces that with a lag/cumulative-flag islands query.
     """
     return (
-        stream.withWatermark("ts", "10 minutes")
+        watermarked(stream)
         .groupBy(F.session_window("ts", gap), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -258,7 +290,7 @@ def stream_stream_join(
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("click_ts"),
         )
-        .withWatermark("click_ts", "10 minutes")
+        .transform(lambda d: watermarked(d, "click_ts"))
     )
     views = (
         read_events_stream(spark, sf_dir)
@@ -268,7 +300,7 @@ def stream_stream_join(
             F.col("user_id").alias("v_user"),
             F.col("ts").alias("view_ts"),
         )
-        .withWatermark("view_ts", "10 minutes")
+        .transform(lambda d: watermarked(d, "view_ts"))
     )
     return clicks.join(
         views,
@@ -306,7 +338,7 @@ def stream_stream_left_join(
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("click_ts"),
         )
-        .withWatermark("click_ts", "10 minutes")
+        .transform(lambda d: watermarked(d, "click_ts"))
     )
     views = (
         read_events_stream(spark, sf_dir)
@@ -316,7 +348,7 @@ def stream_stream_left_join(
             F.col("user_id").alias("v_user"),
             F.col("ts").alias("view_ts"),
         )
-        .withWatermark("view_ts", "10 minutes")
+        .transform(lambda d: watermarked(d, "view_ts"))
     )
     return clicks.join(
         views,
@@ -354,7 +386,7 @@ def stream_stream_full_outer_join(
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("click_ts"),
         )
-        .withWatermark("click_ts", "10 minutes")
+        .transform(lambda d: watermarked(d, "click_ts"))
     )
     views = (
         read_events_stream(spark, sf_dir)
@@ -364,7 +396,7 @@ def stream_stream_full_outer_join(
             F.col("user_id").alias("v_user"),
             F.col("ts").alias("view_ts"),
         )
-        .withWatermark("view_ts", "10 minutes")
+        .transform(lambda d: watermarked(d, "view_ts"))
     )
     return clicks.join(
         views,
@@ -477,7 +509,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = read_events_stream(spark, sf_dir)
     return (
         a.unionByName(b)
-        .withWatermark("ts", "1 hour")
+        .transform(lambda d: watermarked(d, "ts", "1 hour"))
         .dropDuplicatesWithinWatermark(["event_id"])
     )
 
@@ -765,7 +797,7 @@ def late_data_drop(
     """
     stream = _stage_late_batches(spark, sf_dir, late_mod)
     agg = (
-        stream.withWatermark("ts", delay)
+        watermarked(stream, "ts", delay)
         .groupBy(F.window("ts", "1 hour"))
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -803,7 +835,7 @@ def stream_windowed_topk(
     dest = tempfile.mkdtemp(prefix="topk_dest_") + "/out"
     stream = _stage_late_batches(spark, sf_dir, late_mod)
     agg = (
-        stream.withWatermark("ts", delay)
+        watermarked(stream, "ts", delay)
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -869,6 +901,6 @@ def complete_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
     totals = stream.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(dterm("value", 6)).alias("sum_value_dec"),
+        F.sum(_dterm()("value", 6)).alias("sum_value_dec"),
     )
     return run_to_memory(totals, "complete")

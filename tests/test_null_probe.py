@@ -690,3 +690,85 @@ def test_query_matches_oracle_on_extreme_fixture(
         f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
         + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
     )
+
+# --- boundary-timestamp tier ----------------------------------------------
+#
+# --mode=time plants 1 µs before epoch, epoch 0, a leap day, and a
+# year-end .999999 µs in events.ts. The r11 sweep found two classes:
+#
+#   * DATA-DERIVED dense grids explode: gap-fill/interpolation build
+#     every hour between the observed per-key MIN(ts) and MAX(ts), so a
+#     single epoch-era timestamp turns an O(active-hours) grid into
+#     O(calendar-hours-since-epoch) — measured as a single-core
+#     multi-hour hang at sf0.001, a guaranteed job-killer at 100 TB.
+#     Grid builders now bound their domain (queries.base TS_LO/TS_HI,
+#     the explicit-bounds rule production gapfill APIs impose).
+#   * Spark's event-time watermark is ZERO-INITIALIZED: pre-epoch rows
+#     are structurally late in the first batch and get dropped by
+#     windowed aggregates, dedup state, and join state while a batch
+#     oracle keeps them (10 watermarked queries diverged on one 1969
+#     row). streaming.jobs.watermarked() now applies the valid-domain
+#     filter at the watermark boundary, mirrored by O_TS_DOMAIN in the
+#     oracles.
+#
+# Every calendar/date-function path (date_trunc, EXTRACT, epoch_us,
+# strftime, week cohorts, leap day) agreed between the engines on the
+# first pass — the probe pins that too.
+TIME_PROBED = [
+    # grid builders (domain-bounded)
+    "q95_gap_fill_locf",
+    "q176_linear_interpolation",
+    # watermarked streaming (pre-epoch-late rule)
+    "q54_stream_tumbling",
+    "q57_stream_dedup",
+    "q79_stream_stream_join",
+    "q148_stream_stream_left_join",
+    "q183_stream_windowed_topk",
+    "q60_stream_custom_state",
+    # calendar-path canaries (agreed on first pass)
+    "q100_cohort_retention",
+    "q127_session_concurrency",
+    "q235_cohort_ltv",
+]
+
+
+@pytest.fixture(scope="module")
+def time_dir(tmp_path_factory, smoke_dir):
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("timeprobe"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t == "events":
+            df = pd.read_parquet(src)
+            for stride, iso in np_mod.TIME_EVENT_TS.items():
+                df.loc[df.index[::stride], "ts"] = pd.Timestamp(iso)
+            assert (df["ts"] < pd.Timestamp("1970-01-02")).any()
+            df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def time_oracle(time_dir):
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{time_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TIME_PROBED)
+def test_query_matches_oracle_on_boundary_ts_fixture(
+    name, spark, time_dir, time_oracle
+):
+    res = compare(
+        name, QUERIES[name](spark, time_dir), time_oracle, ORACLE[name]
+    )
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )

@@ -36,6 +36,9 @@ Modes (--mode=...):
            +inf), NUL-byte and ~20 KB documents.text, overflow/unicode
            JSON in events.props — magnitude-absorb, sign-of-zero, and
            JSON-number-overflow asymmetries (r11)
+  time     boundary timestamps in events.ts (1 µs before epoch, epoch
+           0, leap day, year-end .999999) — date-function rounding and
+           negative-epoch floor-division asymmetries (r11)
 """
 
 from __future__ import annotations
@@ -106,6 +109,19 @@ EXTREME_DOC_TEXT = {
 }
 EXTREME_EVENT_PROPS = {
     157: '{"amount": 1e999, "note": "\\u0000 unicode \\u65e5"}',
+}
+
+# --mode=time: boundary instants. Negative epoch exercises every
+# floor-division/date_trunc path on values < 0 (integer division
+# truncates toward zero, calendar math floors — any site mixing the two
+# diverges); epoch 0 is the time_bucket/week anchor; the leap day and
+# the year-end .999999 µs hit calendar-edge truncation. All within the
+# parquet MICROS range; distinct primes.
+TIME_EVENT_TS = {
+    163: "1969-12-31 23:59:59.999999",
+    167: "2024-02-29 12:00:00",
+    173: "2024-12-31 23:59:59.999999",
+    179: "1970-01-01 00:00:00",
 }
 
 
@@ -226,6 +242,14 @@ def main() -> None:
             df.to_parquet(d, index=False)
             print(f"{t}: {len(df)} rows, edge-injected {col} at strides "
                   f"{sorted(values)}")
+        elif mode == "time" and t == "events" and t in tables:
+            df = pd.read_parquet(s)
+            for stride, iso in TIME_EVENT_TS.items():
+                idx = df.index[:: stride * scale]
+                df.loc[idx, "ts"] = pd.Timestamp(iso)
+            df.to_parquet(d, index=False)
+            print(f"{t}: {len(df)} rows, boundary ts at strides "
+                  f"{sorted(TIME_EVENT_TS)}")
         elif mode == "extreme" and t in ("events", "documents") and t in tables:
             df = pd.read_parquet(s)
             if t == "events":
