@@ -32,6 +32,12 @@ from .similarity import _dbl, dot, lit_doubles
 
 DEC = "decimal(38,6)"
 
+def vec_valid(col="embedding"):
+    from ..queries.base import vec_valid as _vv  # deferred: avoids the
+    # queries/__init__ registration cycle (see streaming.jobs)
+
+    return _vv(col)
+
 
 def init_centroids(
     df: DataFrame, k: int, vec: str = "embedding", id_col: str = "vec_id"
@@ -129,7 +135,7 @@ def kmeans_assignments(
     # front (symmetric with the oracle's WHERE; unfiltered, a NULL in
     # the seed rows crashed the driver-side centroid iteration —
     # NULL-probe find, r10).
-    df = df.where(F.col(vec).isNotNull())
+    df = df.where(vec_valid(vec))
     v = _dbl(F.col(vec))
     corpus = df.select(
         F.col(id_col).alias("id"), v.alias("v"), dot(v, v).alias("v_sq")

@@ -28,6 +28,12 @@ import math
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+def vec_valid(col="embedding"):
+    from ..queries.base import vec_valid as _vv  # deferred: avoids the
+    # queries/__init__ registration cycle (see streaming.jobs)
+
+    return _vv(col)
+
 
 def _dbl(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -105,12 +111,15 @@ def cosine_topk(
     Ranking orders by ROUND(cos, 6) then id so results are reproducible
     across engines and partitionings (raw float ties are not).
     """
-    q = queries.select(
+    # Degenerate vectors (NULL / non-finite / zero-norm / out-of-cap
+    # magnitude) are excluded at entry on BOTH sides — a zero norm makes
+    # the cosine a hard ANSI divide-by-zero (r11 vec probe).
+    q = queries.where(vec_valid(vec)).select(
         F.col(query_id),
         _dbl(F.col(vec)).alias("q_vec"),
         norm(F.col(vec)).alias("q_n"),
     )
-    c = corpus.select(
+    c = corpus.where(vec_valid(vec)).select(
         F.col(corpus_id),
         _dbl(F.col(vec)).alias("c_vec"),
         norm(F.col(vec)).alias("c_n"),
@@ -169,6 +178,8 @@ def ivf_topk(
 ) -> DataFrame:
     """Two-stage ANN: rank cells by query↔centroid cosine, search only the
     top ``n_probe`` cells. Returns (q_id, c_id, cos, rank)."""
+    corpus = corpus.where(vec_valid(vec))  # degenerate-vector rule
+    queries = queries.where(vec_valid(vec))
     cents = cell_centroids(corpus, cell, vec)
     q = queries.select(
         F.col(query_id),
@@ -274,7 +285,7 @@ def signlsh_near_duplicates(
         # NULL vectors excluded (kmeans rule: a missing vector has no
         # signature; the oracle's list_dot_product raises on NULL —
         # NULL-probe find, r10).
-        parallelize_stage(corpus.where(F.col(vec).isNotNull())).select(
+        parallelize_stage(corpus.where(vec_valid(vec))).select(
             F.col(id_col).alias("id"),
             _dbl(F.col(vec)).alias("v"),
             norm(F.col(vec)).alias("n"),
@@ -331,6 +342,7 @@ def quantize_int8(
     ANN index — 4× smaller vectors, scan-bound at 100 TB.
 
     Returns (id, scale, q array<int>, sq_err)."""
+    corpus = corpus.where(vec_valid(vec))  # degenerate-vector rule
     v = _dbl(F.col(vec))
     max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.lit(127.0) / F.greatest(max_abs, F.lit(1e-12))
@@ -376,7 +388,7 @@ def embedding_near_duplicates(
     no-op on well-split inputs."""
     from .stage import parallelize_stage
 
-    corpus = parallelize_stage(corpus)
+    corpus = parallelize_stage(corpus.where(vec_valid(vec)))
     pre = corpus.select(
         F.col(block),
         F.col(id_col).alias("id"),

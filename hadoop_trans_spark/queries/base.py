@@ -186,6 +186,40 @@ def ts_in_domain(col: Column | str = "ts") -> Column:
     )
 
 
+# Valid-embedding domain for similarity / clustering / quantization.
+# r10 excluded NULL vectors (one NULL killed the kmeans centroid fold);
+# the r11 vec probe showed the remaining degenerate shapes are just as
+# lethal: an ALL-ZERO vector makes cosine normalization divide by zero
+# (a hard ANSI job crash in six similarity queries), a NaN/inf component
+# poisons every score it touches, and a 1e30-magnitude component
+# overflows the decimal moment sums (kmeans crash at 6.4e61). A vector
+# is valid iff non-NULL, every component finite with |x| < VEC_CAP
+# (squares stay inside the exact envelope), and norm > 0. Invalid
+# vectors are excluded symmetrically, like NULL.
+VEC_CAP = 1e15
+
+
+def vec_valid(col: Column | str = "embedding") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    fin = F.forall(
+        c, lambda x: ~F.isnan(x) & (F.abs(x) < F.lit(VEC_CAP))
+    )
+    nonzero = F.exists(c, lambda x: x != F.lit(0.0))
+    return c.isNotNull() & fin & nonzero
+
+
+def o_vec_valid(col: str = "embedding") -> str:
+    """DuckDB mirror of vec_valid (element NULLs count as invalid)."""
+    bad = (
+        f"len(list_filter({col}, x -> NOT coalesce(isfinite(x) "
+        f"AND abs(x) < {VEC_CAP:.0f}, FALSE))) = 0"
+    )
+    return (
+        f"({col} IS NOT NULL AND {bad} "
+        f"AND len(list_filter({col}, x -> x <> 0)) > 0)"
+    )
+
+
 def ts_micros(col: Column | str) -> Column:
     """Timestamp → epoch microseconds (bigint); DuckDB: epoch_us(ts).
 

@@ -442,7 +442,9 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) AS cos
     FROM embeddings a
     JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    WHERE (a.embedding IS NOT NULL AND len(list_filter(a.embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0 AND len(list_filter(a.embedding, x -> x <> 0)) > 0)
+      AND (b.embedding IS NOT NULL AND len(list_filter(b.embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0 AND len(list_filter(b.embedding, x -> x <> 0)) > 0)
+      AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
     ORDER BY id_a, id_b

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from .base import query
+from .base import dround, o_dround, query
 
 
 # --- E22: strings ------------------------------------------------------------
@@ -228,18 +228,27 @@ def q28_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- E26: arrays (incl. higher-order functions over embeddings) -----------------
 @query(
     "q29_array_funcs",
-    oracle="""
+    # NULL elements are SKIPPED by the sums on both sides (DuckDB's
+    # list_sum skips them natively; the Spark fold filters first — a
+    # NULL element otherwise NULLs the whole fold, r11 vec probe), and
+    # the rounds are magnitude-capped (o_dround: ±1e30 components leave
+    # the 2^53 round envelope).
+    oracle=f"""
     SELECT vec_id,
            len(embedding) AS dim,
-           CAST(ROUND(CAST(embedding[1] AS DOUBLE), 6) AS DOUBLE) AS first_val,
-           CAST(ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
-                AS DOUBLE) AS vec_sum,
-           CAST(ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
-                AS DOUBLE) AS vec_max,
+           CAST({o_dround('CAST(embedding[1] AS DOUBLE)', 6)} AS DOUBLE)
+               AS first_val,
+           CAST({o_dround(
+               "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))",
+               6)} AS DOUBLE) AS vec_sum,
+           CAST({o_dround(
+               "list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))",
+               6)} AS DOUBLE) AS vec_max,
            len(list_filter(embedding, x -> x > 0)) AS n_pos,
-           CAST(ROUND(list_sum(list_transform(list_slice(embedding, 1, 8),
-                                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
-                AS DOUBLE) AS head_sq_sum
+           CAST({o_dround(
+               "list_sum(list_transform(list_slice(embedding, 1, 8), "
+               "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))", 6)}
+               AS DOUBLE) AS head_sq_sum
     FROM embeddings
     ORDER BY vec_id
     """,
@@ -254,18 +263,27 @@ def q29_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "vec_id",
             F.size("embedding").alias("dim"),
-            F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
-            F.round(
+            dround(F.element_at("embedding", 1).cast("double"), 6).alias(
+                "first_val"
+            ),
+            dround(
                 F.aggregate(
-                    "embedding", F.lit(0.0), lambda acc, x: acc + dbl(x)
+                    F.filter("embedding", lambda x: x.isNotNull()),
+                    F.lit(0.0),
+                    lambda acc, x: acc + dbl(x),
                 ),
                 6,
             ).alias("vec_sum"),
-            F.round(F.array_max(F.transform("embedding", dbl)), 6).alias("vec_max"),
+            dround(F.array_max(F.transform("embedding", dbl)), 6).alias(
+                "vec_max"
+            ),
             F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
-            F.round(
+            dround(
                 F.aggregate(
-                    F.slice("embedding", 1, 8),
+                    F.filter(
+                        F.slice("embedding", 1, 8),
+                        lambda x: x.isNotNull(),
+                    ),
                     F.lit(0.0),
                     lambda acc, x: acc + dbl(x) * dbl(x),
                 ),

@@ -14,7 +14,7 @@ from ..operators.similarity import (
     random_hyperplanes,
     signlsh_near_duplicates,
 )
-from .base import o_davg, query
+from .base import o_davg, query, vec_valid
 
 _COS = (
     "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
@@ -33,6 +33,8 @@ _COS = (
                                 ORDER BY ROUND({_COS}, 6) DESC, c.vec_id) AS rank
       FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
       WHERE q.vec_id < 8
+        AND (q.embedding IS NOT NULL AND len(list_filter(q.embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0 AND len(list_filter(q.embedding, x -> x <> 0)) > 0)
+        AND (c.embedding IS NOT NULL AND len(list_filter(c.embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0 AND len(list_filter(c.embedding, x -> x <> 0)) > 0)
     ) WHERE rank <= 5
     ORDER BY q_id, rank
     """,
@@ -69,7 +71,7 @@ def _signlsh_oracle(n_planes: int = 32, bands: int = 4, dim: int = 64, top: int 
     WITH pre AS (
       SELECT vec_id AS id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ),
     sig AS (SELECT id, {bit_exprs} AS s FROM pre),
     banded AS (
@@ -122,11 +124,12 @@ def q69_signlsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label, pos, avg(embedding[pos]::DOUBLE) AS m
         FROM (SELECT label, embedding,
                      unnest(range(1, len(embedding) + 1)) AS pos
-              FROM embeddings)
+              FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0))
         GROUP BY label, pos
       ) GROUP BY label
     ),
-    qs AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 5),
+    qs AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+           FROM embeddings WHERE vec_id < 5 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0)),
     probed AS (
       SELECT q_id, q_vec, label FROM (
         SELECT q.q_id, q.q_vec, c.label,
@@ -150,7 +153,8 @@ def q69_signlsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / (sqrt(list_dot_product(p.q_vec, p.q_vec))
                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) DESC,
                e.vec_id) AS rank
-      FROM probed p JOIN embeddings e ON e.label = p.label AND e.vec_id <> p.q_id
+      FROM probed p JOIN embeddings e
+        ON e.label = p.label AND e.vec_id <> p.q_id AND (e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0 AND len(list_filter(e.embedding, x -> x <> 0)) > 0)
     ) WHERE rank <= 3
     ORDER BY q_id, rank
     """,
@@ -176,7 +180,7 @@ def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q105_kmeans_clusters",
     oracle=f"""
     WITH x AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-           FROM embeddings WHERE embedding IS NOT NULL),
+           FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0)),
     xs AS (SELECT id, v, list_dot_product(v, v) AS v_sq FROM x),
     c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
                   v AS c, list_dot_product(v, v) AS c_sq
@@ -243,7 +247,7 @@ def q105_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, label, embedding::DOUBLE[] AS v,
                sqrt(list_dot_product(embedding::DOUBLE[],
                                      embedding::DOUBLE[])) AS nrm
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0)
     )
     SELECT q_id, neg_id, label_q, label_n, cos FROM (
         SELECT q.vec_id AS q_id, c.vec_id AS neg_id,
@@ -274,7 +278,7 @@ def q119_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL vectors excluded symmetrically with the oracle (kmeans rule,
     # NULL-probe find r10).
     e = table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
+        vec_valid()
     )
     x = e.select(
         "vec_id",
@@ -502,7 +506,7 @@ def q131_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, g.i - 1 AS i, CAST(embedding[g.i] AS DOUBLE) AS v
         FROM embeddings
         CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i) g
-        WHERE embedding IS NOT NULL
+        WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ),
     pairs AS (
         SELECT a.i AS i, b.i AS j,
@@ -540,7 +544,7 @@ def q211_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count their NULL-valued rows (NULL-probe find, r10).
     emb = (
         table(spark, sf_dir, "embeddings")
-        .where(F.col("embedding").isNotNull())
+        .where(vec_valid())
         .select("vec_id", F.slice("embedding", 1, d).alias("e"))
     )
     x = emb.select(

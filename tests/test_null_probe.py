@@ -772,3 +772,100 @@ def test_query_matches_oracle_on_boundary_ts_fixture(
         f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
         + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
     )
+
+# --- degenerate-vector tier --------------------------------------------------
+#
+# --mode=vec plants all-zero vectors (norm 0 → cosine is a hard ANSI
+# DIVIDE_BY_ZERO — six similarity queries crashed), true NaN / +inf
+# components (pyarrow path; pandas converts NaN to NULL even inside
+# LIST elements), ±1e30 magnitudes (kmeans' decimal moment sums
+# overflowed at 6.4e61), float32 subnormals, and per-element NULLs
+# (which also NULLed Spark's whole-array folds while DuckDB's list_sum
+# skipped them — q29). Fixes: a shared valid-vector rule
+# (queries.base vec_valid / o_vec_valid: non-NULL, every component
+# finite with |x| < 1e15, norm > 0) applied at every similarity /
+# clustering / quantization entry point and mirrored in the oracles —
+# extending r10's NULL-vector exclusion to every degenerate shape —
+# plus NULL-element skip semantics and magnitude-capped rounds in the
+# array-function battery.
+VEC_PROBED = [
+    "q29_array_funcs",
+    "q43_embedding_neardup",
+    "q44_cosine_topk",
+    "q45_ivf_topk",
+    "q69_signlsh_neardup",
+    "q76_embedding_quantize",
+    "q105_kmeans_clusters",
+    "q119_hard_negatives",
+    "q211_embedding_covariance",
+]
+
+
+@pytest.fixture(scope="module")
+def vec_dir(tmp_path_factory, smoke_dir):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("vecprobe"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t == "embeddings":
+            tab = pq.read_table(src)
+            vecs = tab.column("embedding").to_pylist()
+            for stride, kind in np_mod.VEC_STRIDES.items():
+                for i in range(0, len(vecs), stride):
+                    v = [float(x) for x in vecs[i]]
+                    if kind == "z":
+                        v = [0.0] * len(v)
+                    elif kind == "n":
+                        v[0] = math.nan
+                    elif kind == "i":
+                        v[0] = math.inf
+                    elif kind == "b":
+                        v = [1e30 if x >= 0 else -1e30 for x in v]
+                    elif kind == "s":
+                        v = [1e-40] * len(v)
+                    elif kind == "e":
+                        v[0] = None
+                    vecs[i] = v
+            arr = pa.array(vecs, type=pa.list_(pa.float32()), from_pandas=False)
+            assert any(
+                x is not None and math.isnan(x)
+                for vrow in arr.to_pylist()
+                for x in (vrow or [])
+            ), "true NaN components must reach the file"
+            tab = tab.set_column(
+                tab.schema.get_field_index("embedding"), "embedding", arr
+            )
+            pq.write_table(tab, os.path.join(dst, f"{t}.parquet"))
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def vec_oracle(vec_dir):
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{vec_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", VEC_PROBED)
+def test_query_matches_oracle_on_degenerate_vector_fixture(
+    name, spark, vec_dir, vec_oracle
+):
+    res = compare(
+        name, QUERIES[name](spark, vec_dir), vec_oracle, ORACLE[name]
+    )
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )

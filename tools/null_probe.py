@@ -39,6 +39,10 @@ Modes (--mode=...):
   time     boundary timestamps in events.ts (1 µs before epoch, epoch
            0, leap day, year-end .999999) — date-function rounding and
            negative-epoch floor-division asymmetries (r11)
+  vec      degenerate embedding VECTORS (all-zero → 0-norm cosine 0/0,
+           NaN / +inf components, ±1e30 magnitudes, float32 subnormals)
+           — similarity/clustering/quantization rank and NaN-score
+           asymmetries (r11)
 """
 
 from __future__ import annotations
@@ -122,6 +126,22 @@ TIME_EVENT_TS = {
     167: "2024-02-29 12:00:00",
     173: "2024-12-31 23:59:59.999999",
     179: "1970-01-01 00:00:00",
+}
+
+# --mode=vec: degenerate embedding vectors. The all-zero vector has
+# norm 0 — cosine against it is 0/0 (NULL vs NaN vs crash is engine
+# policy); a NaN/inf COMPONENT poisons dot products and then top-k
+# ranking order (NaN sorts largest in both engines, but only if both
+# PRODUCE NaN rather than NULL/error); ±1e30 magnitudes overflow
+# float32 squares; 1e-40 is a float32 subnormal. Keys: transform mode
+# (z=zero, n=NaN component, i=inf component, b=big, s=subnormal).
+VEC_STRIDES = {
+    53: "z",
+    59: "n",
+    61: "i",
+    67: "b",
+    71: "s",
+    73: "e",  # element NULL — parquet lists carry per-element nulls
 }
 
 
@@ -250,6 +270,49 @@ def main() -> None:
             df.to_parquet(d, index=False)
             print(f"{t}: {len(df)} rows, boundary ts at strides "
                   f"{sorted(TIME_EVENT_TS)}")
+        elif mode == "vec" and t == "embeddings" and t in tables:
+            # pyarrow path: pandas' writer converts NaN to NULL even
+            # inside LIST elements (the r11 nan-mode find), so the
+            # NaN/inf kinds must bypass pandas to reach the file.
+            import math
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tab = pq.read_table(s)
+            vecs = tab.column("embedding").to_pylist()
+            n_hit = 0
+            for stride, kind in VEC_STRIDES.items():
+                for i in range(0, len(vecs), stride * scale):
+                    v = [float(x) for x in vecs[i]]
+                    if kind == "z":
+                        v = [0.0] * len(v)
+                    elif kind == "n":
+                        v[0] = math.nan
+                    elif kind == "i":
+                        v[0] = math.inf
+                    elif kind == "b":
+                        v = [1e30 if x >= 0 else -1e30 for x in v]
+                    elif kind == "s":
+                        v = [1e-40] * len(v)  # float32 subnormal
+                    elif kind == "e":
+                        v[0] = None
+                    vecs[i] = v
+                    n_hit += 1
+            arr = pa.array(
+                vecs, type=pa.list_(pa.float32()), from_pandas=False
+            )
+            assert any(
+                x is not None and math.isnan(x)
+                for vrow in arr.to_pylist()
+                for x in (vrow or [])
+            ), "true NaN components must reach the file"
+            tab = tab.set_column(
+                tab.schema.get_field_index("embedding"), "embedding", arr
+            )
+            pq.write_table(tab, d)
+            print(f"{t}: {len(vecs)} rows, {n_hit} degenerate vectors "
+                  f"({sorted(VEC_STRIDES.values())})")
         elif mode == "extreme" and t in ("events", "documents") and t in tables:
             df = pd.read_parquet(s)
             if t == "events":
