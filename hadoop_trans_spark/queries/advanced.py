@@ -184,7 +184,7 @@ def q155_chisq_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pre AS (
         SELECT l_returnflag AS f, l_extendedprice AS p,
-               SUM(CAST(l_quantity AS DECIMAL(38,6))) AS w
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS w
         FROM lineitem GROUP BY 1, 2
     ),
     cum AS (
@@ -212,7 +212,7 @@ def q156_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = li.groupBy(
         F.col("l_returnflag").alias("f"),
         F.col("l_extendedprice").alias("p"),
-    ).agg(F.sum(F.col("l_quantity").cast(DEC)).alias("w"))
+    ).agg(F.sum(dterm("l_quantity", 6)).alias("w"))
     cum = pre.withColumn(
         "cw",
         F.sum("w").over(
@@ -540,7 +540,7 @@ def q161_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM").alias("month"),
             "o_orderpriority",
         ).agg(
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"),
+            F.sum(dterm("o_totalprice", 6)).alias("rev"),
             F.count("*").alias("n"),
         )
 
@@ -557,13 +557,11 @@ def q161_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "month",
             "o_orderpriority",
-            F.round(
+            _dec_out(
                 F.coalesce(F.col("rev_b"), zero)
                 + F.coalesce(F.col("rev_d"), zero),
                 6,
-            )
-            .cast("double")
-            .alias("revenue"),
+            ).alias("revenue"),
             (
                 F.coalesce(F.col("n_b"), F.lit(0))
                 + F.coalesce(F.col("n_d"), F.lit(0))
@@ -606,7 +604,7 @@ def q162_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
+        .agg(F.sum(dterm("l_quantity", 6)).alias("q"))
         .where(F.col("q") > 300)
         .select("l_orderkey")
     )
@@ -728,8 +726,7 @@ def q164_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH rev AS (
         SELECT p.p_brand,
-               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                        AS DECIMAL(38,6))) AS r
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS r
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
     ),
@@ -740,7 +737,7 @@ def q164_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rev CROSS JOIN tot
     )
     SELECT p_brand,
-           CAST(ROUND(r, 2) AS DOUBLE) AS revenue,
+           (CASE WHEN ABS(r) < 10000000000000 THEN CAST(ROUND(r, 2) AS DOUBLE) ELSE CAST(CAST(ROUND(r, 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS revenue,
            CAST(ROUND(cum / t, 6) AS DOUBLE) AS cum_share,
            CAST(cum / t <= 0.8 OR (cum - r) / t < 0.8 AS INT) AS in_top80
     FROM ranked
@@ -765,9 +762,7 @@ def q165_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    DEC
-                )
+                dterm(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
             ).alias("r")
         )
     )
@@ -780,7 +775,7 @@ def q165_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.select(
         "p_brand",
-        F.round(F.col("r"), 2).cast("double").alias("revenue"),
+        _dec_out(F.col("r"), 2).alias("revenue"),
         F.round(F.col("cum") / F.col("t"), 6).cast("double").alias(
             "cum_share"
         ),
@@ -1106,11 +1101,11 @@ def q179_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
         SELECT p_brand, COUNT(*) AS n,
-               SUM(CAST(rq AS DECIMAL(38,6))) AS sx,
-               SUM(CAST(re AS DECIMAL(38,6))) AS sy,
-               SUM(CAST(rq * rq AS DECIMAL(38,6))) AS sxx,
-               SUM(CAST(re * re AS DECIMAL(38,6))) AS syy,
-               SUM(CAST(rq * re AS DECIMAL(38,6))) AS sxy
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rq) THEN (rq) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rq) THEN (rq) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rq) THEN (rq) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sx,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(re) THEN (re) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(re) THEN (re) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(re) THEN (re) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sy,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rq * rq) THEN (rq * rq) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rq * rq) THEN (rq * rq) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rq * rq) THEN (rq * rq) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sxx,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(re * re) THEN (re * re) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(re * re) THEN (re * re) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(re * re) THEN (re * re) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS syy,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rq * re) THEN (rq * re) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rq * re) THEN (rq * re) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rq * re) THEN (rq * re) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sxy
         FROM r GROUP BY 1
     )
     SELECT p_brand, n,
@@ -1620,8 +1615,7 @@ def q219_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(datediff('day', MAX(o_orderdate),
                     (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS rec,
                CAST(COUNT(*) AS BIGINT) AS freq,
-               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 6)
-                    AS DOUBLE) AS mon
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS mon
         FROM orders GROUP BY o_custkey
     ),
     cuts AS (
@@ -1683,8 +1677,7 @@ def q220_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("last_o"),
             F.count("*").alias("freq"),
-            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6)
-            .cast("double")
+            _dec_out(F.sum(dterm("o_totalprice", 6)), 6)
             .alias("mon"),
         )
         .crossJoin(F.broadcast(anchor))
@@ -1779,7 +1772,7 @@ def q220_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_customers"),
             F.round(
-                F.sum(F.col("mon").cast(DEC)) / F.count("*"), 6
+                F.sum(dterm("mon", 6)) / F.count("*"), 6
             )
             .cast("double")
             .alias("avg_monetary"),
@@ -1796,8 +1789,7 @@ def q220_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH nat AS (
         SELECT r.r_name AS region, n.n_name AS nation,
-               CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 6)
-                    AS DOUBLE) AS rev
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS rev
         FROM orders o
         JOIN customer c ON c.c_custkey = o.o_custkey
         JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -1830,8 +1822,7 @@ def q223_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, F.col("n_regionkey") == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6)
-            .cast("double")
+            _dec_out(F.sum(dterm("o_totalprice", 6)), 6)
             .alias("rev")
         )
     )

@@ -23,7 +23,7 @@ from ..operators.curation import (
     stratified_sample,
 )
 from ..operators.similarity import quantize_int8
-from .base import query
+from .base import dterm, query
 
 
 @query(
@@ -662,8 +662,7 @@ def q197_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_clipped_low,
            CAST(SUM(CASE WHEN c.c_acctbal > k.p95 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_clipped_high,
-           CAST(ROUND(SUM(CAST(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)
-                                AS DECIMAL(38,6))) / COUNT(*), 6) AS DOUBLE)
+           (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*)) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*)) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 0) AS DECIMAL(38,0)) AS DOUBLE) END)
                AS winsorized_mean
     FROM customer c JOIN cuts k ON k.seg = c.c_mktsegment
     GROUP BY c.c_mktsegment, k.n, k.p05, k.p95
@@ -743,10 +742,11 @@ def q206_winsorize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
         SELECT c_mktsegment AS seg,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS DOUBLE) AS sx,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(19,6))
                         * CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS sxx
-        FROM customer GROUP BY c_mktsegment
+        FROM customer WHERE ABS(c_acctbal) < 1000000000.0
+        GROUP BY c_mktsegment
     ),
     s AS (
         SELECT seg, n,
@@ -764,7 +764,8 @@ def q206_winsorize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.c_mktsegment AS seg,
                CAST(COUNT(*) AS BIGINT) AS n_sampled
         FROM customer c JOIN alloc a ON a.seg = c.c_mktsegment
-        WHERE CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)),
+        WHERE ABS(c.c_acctbal) < 1000000000.0
+          AND CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)),
                                    1, 8)) AS BIGINT)
               / 4294967296.0 < a.rate
         GROUP BY c.c_mktsegment
@@ -789,15 +790,22 @@ def q227_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle each and the 5-row rate table broadcasts."""
     from .base import DEC
 
-    cust = table(spark, sf_dir, "customer").select(
-        F.col("c_mktsegment").alias("seg"),
-        "c_custkey",
-        F.col("c_acctbal").alias("v"),
+    cust = (
+        table(spark, sf_dir, "customer")
+        # Exact-moment domain: a corrupt-magnitude balance leaves the
+        # DECIMAL(19,6) square envelope; excluded from the whole
+        # sampling design symmetrically (r11 money probe).
+        .where(F.abs("c_acctbal") < 1e9)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "c_custkey",
+            F.col("c_acctbal").alias("v"),
+        )
     )
     d6 = "decimal(19,6)"
     m = cust.groupBy("seg").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("v").cast(DEC)).cast("double").alias("sx"),
+        F.sum(dterm("v", 6)).cast("double").alias("sx"),
         F.sum(F.col("v").cast(d6) * F.col("v").cast(d6))
         .cast("double")
         .alias("sxx"),

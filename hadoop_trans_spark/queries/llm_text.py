@@ -11,7 +11,7 @@ from ..operators.textstats import (
     lang_guess,
     text_stats,
 )
-from .base import o_davg, query
+from .base import dterm, o_davg, query
 
 
 @query(
@@ -538,7 +538,7 @@ def q133_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     avgdl = dl.agg(
-        F.round(F.sum(F.col("dl").cast("decimal(38,6)")) / F.count("*"), 9)
+        F.round(F.sum(dterm("dl", 6)) / F.count("*"), 9)
         .cast("double")
         .alias("avgdl")
     )

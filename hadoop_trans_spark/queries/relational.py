@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators.asof import asof_join
-from .base import DEC, davg, dsum, o_davg, o_dsum, query, ts_micros
+from .base import DEC, _dec_out, davg, dsum, dterm, o_davg, o_dsum, query, ts_micros
 
 
 # --- E1 + E7 + E13 + E18: the flagship (TPC-H Q1 shape) ----------------------
@@ -216,7 +216,7 @@ def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
            COUNT(o.o_orderkey) AS n_orders,
-           COALESCE(CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 6) AS DOUBLE), 0.0) AS spend
+           COALESCE((CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END), 0.0) AS spend
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey, c.c_mktsegment
     ORDER BY custkey
@@ -317,7 +317,7 @@ def q08_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS t(bucket, lo, hi)
     )
     SELECT b.bucket AS bucket, COUNT(*) AS n_parts,
-           CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(38,6))), 6) AS DOUBLE) AS price_sum
+           (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS price_sum
     FROM part p JOIN buckets b ON p.p_size BETWEEN b.lo AND b.hi
     GROUP BY b.bucket
     ORDER BY bucket
@@ -855,7 +855,16 @@ def q62_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(l_linestatus, '<all>') AS lstatus,
                GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
                COUNT(*) AS n,
-               CAST(ROUND(SUM(CAST(l_quantity AS decimal(38,6))), 6) AS double) AS qty
+               -- Spark-SQL form of dterm (ISFINITE is DuckDB-only):
+               -- abs(NaN/inf) fails both branch tests, so non-finite
+               -- quantities fall out as NULL exactly like the oracle.
+               CAST(ROUND(SUM(
+                 CASE WHEN ABS(l_quantity) < 1e9
+                        THEN CAST(l_quantity AS DECIMAL(38,6))
+                      WHEN ABS(l_quantity) < double('inf')
+                        THEN CAST(CAST(l_quantity AS DECIMAL(38,0))
+                                  AS DECIMAL(38,6))
+                 END), 6) AS double) AS qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY rflag, lstatus, gid
@@ -928,7 +937,7 @@ def q66_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivoted = (
         joined.groupBy("n_name")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6).cast("double"))
+        .agg(_dec_out(F.sum(dterm("o_totalprice", 6)), 6))
     )
     return pivoted.select(
         "n_name",
@@ -973,7 +982,7 @@ def q67_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q104_histogram",
     oracle=f"""
-    SELECT LEAST(CAST(FLOOR(o_totalprice / 30000) AS BIGINT), 19) AS bin,
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 30000), 19) AS BIGINT) AS bin,
            COUNT(*) AS n,
            {o_dsum('o_totalprice')} AS price_sum
     FROM orders
@@ -1083,15 +1092,20 @@ def q111_approx_percentile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT l_returnflag, COUNT(*) AS n,
-               SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sx,
-               SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sy,
-               SUM(CAST(l_quantity AS DECIMAL(38,6))
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sx,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sy,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)
                    * CAST(l_quantity AS DECIMAL(38,6))) AS sxx,
-               SUM(CAST(l_extendedprice AS DECIMAL(38,6))
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)
                    * CAST(l_extendedprice AS DECIMAL(38,6))) AS syy,
-               SUM(CAST(l_quantity AS DECIMAL(38,6))
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)
                    * CAST(l_extendedprice AS DECIMAL(38,6))) AS sxy
-        FROM lineitem GROUP BY 1
+        FROM lineitem
+        -- Exact-moment domain (q232 rule, r11): corrupt-magnitude
+        -- measures leave the decimal square envelope.
+        WHERE ABS(l_quantity) < 1000000000.0
+          AND ABS(l_extendedprice) < 1000000000.0
+        GROUP BY 1
     )
     SELECT l_returnflag, n,
            CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
@@ -1107,7 +1121,9 @@ def q116_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     with partitioning, the closed form over decimal partials is
     bit-identical on any cluster layout. One hash aggregation; the six
     moments ride a single map-side-combined pass."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.abs("l_quantity") < 1e9) & (F.abs("l_extendedprice") < 1e9)
+    )  # exact-moment domain (r11)
     x = F.col("l_quantity").cast(DEC)
     y = F.col("l_extendedprice").cast(DEC)
     s = li.groupBy("l_returnflag").agg(
@@ -1142,10 +1158,10 @@ def q116_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT prio, COUNT(*) AS n,
-               SUM(CAST(x AS DECIMAL(38,6))) AS sx,
-               SUM(CAST(y AS DECIMAL(38,6))) AS sy,
-               SUM(CAST(x AS DECIMAL(38,6)) * CAST(x AS DECIMAL(38,6))) AS sxx,
-               SUM(CAST(x AS DECIMAL(38,6)) * CAST(y AS DECIMAL(38,6))) AS sxy
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(x) THEN (x) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sx,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(y) THEN (y) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(y) THEN (y) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(y) THEN (y) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sy,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(x) THEN (x) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END) * CAST(x AS DECIMAL(38,6))) AS sxx,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(x) THEN (x) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END) * CAST(y AS DECIMAL(38,6))) AS sxy
         FROM daily GROUP BY 1
     )
     SELECT prio, n,
@@ -1214,10 +1230,16 @@ def q117_group_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
            bool_or(o_totalprice > 400000) AS any_jumbo,
            CAST(ROUND(ROUND(median(o_totalprice), 9), 6) AS DOUBLE)
              AS median_price,
-           arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS HUGEINT)
-                                * 1000000000000 + o_orderkey) AS top_order,
-           arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS HUGEINT)
-                                * 1000000000000 + o_orderkey) AS bottom_order
+           arg_max(o_orderkey,
+                   CAST(LEAST(GREATEST(ROUND(o_totalprice * 100),
+                                       -100000000000000000.0),
+                              100000000000000000.0) AS HUGEINT)
+                    * 1000000000000 + o_orderkey) AS top_order,
+           arg_min(o_orderkey,
+                   CAST(LEAST(GREATEST(ROUND(o_totalprice * 100),
+                                       -100000000000000000.0),
+                              100000000000000000.0) AS HUGEINT)
+                    * 1000000000000 + o_orderkey) AS bottom_order
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -1236,9 +1258,16 @@ def q136_agg_battery_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
     midpoint-interpolation ulp differences cannot flip the 1e-6 digit
     (q124 pattern)."""
     o = table(spark, sf_dir, "orders")
+    # Cents clamped to ±1e17 (an exact power of ten in BOTH engines'
+    # conversions) so a ±inf or beyond-envelope price still ranks
+    # deterministically at the extreme instead of crashing the HUGEINT
+    # cast (r11 money probe); ties at the sentinel break on the key.
+    cents = F.least(
+        F.greatest(F.round(F.col("o_totalprice") * 100, 0), F.lit(-1e17)),
+        F.lit(1e17),
+    )
     tiekey = (
-        F.round(F.col("o_totalprice") * 100, 0).cast("decimal(38,0)")
-        * F.lit(1_000_000_000_000)
+        cents.cast("decimal(38,0)") * F.lit(1_000_000_000_000)
         + F.col("o_orderkey")
     )
     return (
@@ -1435,8 +1464,7 @@ def q153_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH nat AS (
         SELECT r.r_name AS region, n.n_name AS nation,
-               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                        AS DECIMAL(38,6))) AS rev
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS rev
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -1444,7 +1472,7 @@ def q153_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT region, nation,
-           CAST(ROUND(rev, 6) AS DOUBLE) AS revenue,
+           (CASE WHEN ABS(rev) < 1000000000 THEN CAST(ROUND(rev, 6) AS DOUBLE) ELSE CAST(CAST(ROUND(rev, 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS revenue,
            CAST(ROUND(CAST(rev AS DOUBLE)
                       / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE),
                       6) AS DOUBLE) AS share_of_region,
@@ -1467,9 +1495,9 @@ def q185_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning-exact before rounding."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_suppkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-        .cast(DEC)
-        .alias("v"),
+        dterm(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+        ).alias("v"),
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = table(spark, sf_dir, "nation").select(
@@ -1488,7 +1516,7 @@ def q185_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nat.select(
         "region",
         "nation",
-        F.round("rev", 6).cast("double").alias("revenue"),
+        _dec_out(F.col("rev"), 6).alias("revenue"),
         F.round(
             F.col("rev").cast("double")
             / F.sum("rev").over(w_region).cast("double"),

@@ -148,8 +148,10 @@ def q26_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(l_extendedprice * l_discount AS DOUBLE) AS mul_,
            CAST(ROUND(l_extendedprice / (l_quantity + 1), 6) AS DOUBLE) AS div_,
            CAST(ROUND(l_extendedprice, 1) AS DOUBLE) AS round1,
-           CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_,
-           CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_,
+           CAST(FLOOR(CASE WHEN ISFINITE(l_extendedprice)
+                           THEN l_extendedprice END) AS BIGINT) AS floor_,
+           CAST(CEIL(CASE WHEN ISFINITE(l_extendedprice)
+                          THEN l_extendedprice END) AS BIGINT) AS ceil_,
            CAST(ABS(l_discount - 0.05) AS DOUBLE) AS abs_,
            CAST(POW(l_quantity, 2) AS DOUBLE) AS pow2,
            CAST(ROUND(SQRT(l_extendedprice), 6) AS DOUBLE) AS sqrt_,
@@ -172,8 +174,21 @@ def q27_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "div_"
             ),
             F.round("l_extendedprice", 1).alias("round1"),
-            F.floor("l_extendedprice").alias("floor_"),
-            F.ceil("l_extendedprice").alias("ceil_"),
+            # Integer results are undefined for non-finite inputs: NULL
+            # on both sides (the oracle's BIGINT cast of floor(inf) is a
+            # hard error, r11 money probe).
+            F.floor(
+                F.when(
+                    F.abs("l_extendedprice") < F.lit(float("inf")),
+                    F.col("l_extendedprice"),
+                )
+            ).alias("floor_"),
+            F.ceil(
+                F.when(
+                    F.abs("l_extendedprice") < F.lit(float("inf")),
+                    F.col("l_extendedprice"),
+                )
+            ).alias("ceil_"),
             F.abs(F.col("l_discount") - 0.05).alias("abs_"),
             F.pow("l_quantity", F.lit(2)).alias("pow2"),
             F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_"),

@@ -14,7 +14,7 @@ from ..operators.similarity import (
     random_hyperplanes,
     signlsh_near_duplicates,
 )
-from .base import o_davg, query, vec_valid
+from .base import dterm, o_davg, query, vec_valid
 
 _COS = (
     "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
@@ -211,7 +211,7 @@ def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  c1.cluster) AS rk
              FROM xs CROSS JOIN c1) WHERE rk = 1)
     SELECT cluster, COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(d2 AS DECIMAL(38,6))), 3) AS DOUBLE) AS inertia
+           (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 3) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS inertia
     FROM a2 GROUP BY 1 ORDER BY 1
     """,
 )
@@ -232,7 +232,7 @@ def q105_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy("cluster")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("d2").cast("decimal(38,6)")), 3)
+            F.round(F.sum(dterm("d2", 6)), 3)
             .cast("double")
             .alias("inertia"),
         )

@@ -33,16 +33,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from .base import DEC, dsum, o_dsum, query
+from .base import DEC, _dec_out, dsum, dterm, o_dsum, o_dterm, query
 
 # Shared revenue expression: exact decimal so partial-aggregation order
 # (and engine) cannot move the result. Built lazily — Column construction
 # needs an active session, and this module imports at registration time.
 def _vol():
-    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return dterm(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
 
 
-_O_VOL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
+# dterm-guarded volume term (r11 money probe: a single inf or ±1e15
+# price must not crash or skew the decimal revenue staging).
+_O_VOL = o_dterm("l_extendedprice * (1 - l_discount)", 6)
 
 
 @query(
@@ -348,13 +350,13 @@ def q172_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sees the same boundary in both engines.
     oracle="""
     WITH thr AS (
-        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+        SELECT CAST(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS DOUBLE)
                / COUNT(*) AS avg_bal
         FROM customer WHERE c_acctbal > 0
     )
     SELECT c.c_mktsegment,
            COUNT(*) AS numcust,
-           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))), 6) AS DOUBLE)
+           (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END)
              AS totacctbal
     FROM customer c CROSS JOIN thr
     WHERE c.c_acctbal > thr.avg_bal
@@ -390,7 +392,7 @@ def q173_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.where(F.col("c_acctbal") > 0)
         .agg(
             (
-                F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+                F.sum(dterm("c_acctbal", 6)).cast("double")
                 / F.count("*")
             ).alias("avg_bal")
         )
@@ -459,8 +461,7 @@ def q193_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q194_forecast_revenue",
     oracle="""
-    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
-                               AS DECIMAL(38,6))), 6) AS DOUBLE)
+    SELECT (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END)
              AS revenue_delta,
            COUNT(*) AS n_lines
     FROM lineitem
@@ -488,14 +489,12 @@ def q194_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.round(
+        _dec_out(
             F.sum(
-                (F.col("l_extendedprice") * F.col("l_discount")).cast(DEC)
+                dterm(F.col("l_extendedprice") * F.col("l_discount"), 6)
             ),
             6,
-        )
-        .cast("double")
-        .alias("revenue_delta"),
+        ).alias("revenue_delta"),
         F.count("*").alias("n_lines"),
     )
 
@@ -509,12 +508,10 @@ def q194_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH avgq AS (
         SELECT l_partkey,
-               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6)))
-                          / COUNT(*), 6) AS DOUBLE) AS aq
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*)) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*)) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS aq
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(ROUND(CAST(ROUND(SUM(CAST(l.l_extendedprice AS
-                                          DECIMAL(38,6))), 6) AS DOUBLE)
+    SELECT CAST(ROUND(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE)
                 / 7.0, 6) AS DOUBLE) AS avg_yearly,
            CAST(COUNT(*) AS BIGINT) AS n_small_lines
     FROM lineitem l
@@ -536,7 +533,7 @@ def q207_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     avgq = li.groupBy("l_partkey").agg(
         F.round(
-            F.sum(F.col("l_quantity").cast(DEC)) / F.count("*"), 6
+            F.sum(dterm("l_quantity", 6)) / F.count("*"), 6
         )
         .cast("double")
         .alias("aq")
@@ -552,7 +549,7 @@ def q207_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_quantity") < 0.2 * F.col("aq"))
         .agg(
             F.round(
-                F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 6).cast(
+                F.round(F.sum(dterm("l_extendedprice", 6)), 6).cast(
                     "double"
                 )
                 / 7.0,
@@ -631,10 +628,7 @@ def q208_discount_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-           CAST(ROUND(SUM(CAST(
-               l.l_extendedprice * (1 - l.l_discount)
-                 - 0.9 * p.p_retailprice * l.l_quantity
-               AS DECIMAL(38,6))), 6) AS DOUBLE) AS profit
+           (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS profit
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -677,8 +671,7 @@ def q209_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg(
-            F.round(F.sum(profit.cast(DEC)), 6)
-            .cast("double")
+            _dec_out(F.sum(dterm(profit, 6)), 6)
             .alias("profit")
         )
         .orderBy("nation", "o_year")

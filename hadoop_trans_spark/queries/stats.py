@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..operators.globalrank import banded_cumsum
-from .base import DEC, query
+from .base import DEC, _dec_out, dterm, query
 
 
 @query(
@@ -34,7 +34,10 @@ from .base import DEC, query
     WITH digits AS (
         SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS
                                 VARCHAR), 1, 1) AS INT) AS digit
-        FROM orders WHERE o_totalprice >= 1.0
+        -- Benford's domain: positive totals that fit DECIMAL(18,2);
+        -- the upper bound also excludes inf/NaN symmetrically (r11).
+        FROM orders
+        WHERE o_totalprice >= 1.0 AND o_totalprice < 1e16
     ),
     obs AS (
         SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
@@ -64,7 +67,10 @@ def q195_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     column-pruned to o_totalprice and the post-agg work is O(9)."""
     digits = (
         table(spark, sf_dir, "orders")
-        .where(F.col("o_totalprice") >= 1.0)
+        .where(
+            (F.col("o_totalprice") >= 1.0)
+            & (F.col("o_totalprice") < 1e16)
+        )
         .select(
             F.substring(
                 F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
@@ -106,25 +112,26 @@ def q195_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT l_shipdate AS day,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 6)
-                    AS DOUBLE) AS rev
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS rev
         FROM lineitem GROUP BY l_shipdate
         -- l_shipdate is date-valued (midnight timestamps), so grouping
         -- by the raw column equals grouping by day; the +INTERVAL join
         -- above matches Spark's date_add on the DATE-cast day.
     ),
+    dd AS (SELECT * FROM daily WHERE ABS(rev) < 1000000000.0),
     pairs AS (
+        -- Exact-moment domain on the daily series (see q232).
         SELECT l.lag, a.rev AS x, b.rev AS y
-        FROM daily a
+        FROM dd a
         CROSS JOIN (SELECT UNNEST(range(1, 8)) AS lag) l
-        JOIN daily b ON b.day = a.day + CAST(l.lag AS INT) * INTERVAL 1 DAY
+        JOIN dd b ON b.day = a.day + CAST(l.lag AS INT) * INTERVAL 1 DAY
     ),
     m AS (
         SELECT lag,
                CAST(COUNT(*) AS DOUBLE) AS n,
                CAST(COUNT(*) AS BIGINT) AS n_pairs,
-               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(x) THEN (x) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS DOUBLE) AS sx,
+               CAST(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(y) THEN (y) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(y) THEN (y) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(y) THEN (y) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS DOUBLE) AS sy,
                CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
                     AS DOUBLE) AS sxy,
                CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
@@ -149,12 +156,12 @@ def q196_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominates and everything after is metadata-sized."""
     li = table(spark, sf_dir, "lineitem")
     daily = li.groupBy(F.col("l_shipdate").alias("day")).agg(
-        F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 6)
-        .cast("double")
+        _dec_out(F.sum(dterm("l_extendedprice", 6)), 6)
         .alias("rev")
     )
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
-    a, b = daily.alias("a"), daily.alias("b")
+    dd = daily.where(F.abs("rev") < 1e9)  # exact-moment domain (r11)
+    a, b = dd.alias("a"), dd.alias("b")
     pairs = (
         a.crossJoin(F.broadcast(lags))
         .join(
@@ -170,8 +177,8 @@ def q196_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = pairs.groupBy("lag").agg(
         F.count("*").cast("double").alias("n"),
         F.count("*").alias("n_pairs"),
-        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum(dterm("x", 6)).cast("double").alias("sx"),
+        F.sum(dterm("y", 6)).cast("double").alias("sy"),
         F.sum(F.col("x").cast(d6) * F.col("y").cast(d6))
         .cast("double")
         .alias("sxy"),
@@ -222,7 +229,7 @@ def q196_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
         SELECT SUM(pos) AS npos, SUM(cnt - pos) AS nneg,
-               SUM(CAST(pos AS DECIMAL(38,6))
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(pos) THEN (pos) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(pos) THEN (pos) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(pos) THEN (pos) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)
                    * (CAST(below AS DECIMAL(38,6))
                       + (CAST(cnt AS DECIMAL(38,6)) + 1) / 2)) AS possum
         FROM ranked
@@ -586,7 +593,7 @@ def q216_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the total on BOTH sides (flagged in the output).
     oracle="""
     WITH binned AS (
-        SELECT LEAST(CAST(FLOOR(o_totalprice / 30000) AS BIGINT), 19) AS bin,
+        SELECT CAST(LEAST(FLOOR(o_totalprice / 30000), 19) AS BIGINT) AS bin,
                CAST(o_orderdate < TIMESTAMP '1996-01-01' AS INT) AS ref
         FROM orders
     ),
@@ -825,13 +832,15 @@ def q231_audience_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spend AS (
         SELECT o_custkey,
-               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 6)
-                    AS DOUBLE) AS v
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS v
         FROM orders GROUP BY o_custkey
     ),
     hist AS (
+        -- Exact-moment domain: per-customer spend beyond |v| < 1e9
+        -- leaves the DECIMAL(19,6) product envelope; excluded
+        -- symmetrically, like non-finite (r11 money probe).
         SELECT v, CAST(COUNT(*) AS BIGINT) AS c
-        FROM spend GROUP BY v
+        FROM spend WHERE ABS(v) < 1000000000.0 GROUP BY v
     ),
     cum AS (
         SELECT v, c,
@@ -845,7 +854,7 @@ def q231_audience_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
            CAST(ROUND(CAST(MAX(s) AS DOUBLE), 6) AS DOUBLE) AS total_spend,
-           CAST(ROUND(1.0 - CAST(SUM(CAST(c AS DECIMAL(38,6))
+           CAST(ROUND(1.0 - CAST(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c) THEN (c) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c) THEN (c) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(c) THEN (c) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)
                      * (CAST(cs AS DECIMAL(38,6)) * 2
                         - CAST(v AS DECIMAL(19,6)) * c)) AS DOUBLE)
                 / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(s) AS DOUBLE)), 6)
@@ -867,13 +876,15 @@ def q232_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the finish."""
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
-        F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6)
-        .cast("double")
+        _dec_out(F.sum(dterm("o_totalprice", 6)), 6)
         .alias("v")
     )
     d6 = "decimal(19,6)"
-    hist = spend.groupBy("v").agg(F.count("*").alias("c")).withColumn(
-        "vs", F.col("v").cast(d6) * F.col("c")
+    hist = (
+        spend.where(F.abs("v") < 1e9)  # exact-moment domain (r11)
+        .groupBy("v")
+        .agg(F.count("*").alias("c"))
+        .withColumn("vs", F.col("v").cast(d6) * F.col("c"))
     )
     cum = banded_cumsum(
         hist,
@@ -997,8 +1008,7 @@ def q233_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH rev AS (
         SELECT p.p_brand AS brand,
                CAST(l.l_shipdate >= TIMESTAMP '1996-01-01' AS INT) AS cur,
-               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))), 6)
-                    AS DOUBLE) AS rev
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS rev
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         GROUP BY p.p_brand, CAST(l.l_shipdate >= TIMESTAMP '1996-01-01'
                                  AS INT)
@@ -1035,8 +1045,7 @@ def q234_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1996-01-01").cast("int").alias("cur"),
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 6)
-            .cast("double")
+            _dec_out(F.sum(dterm("l_extendedprice", 6)), 6)
             .alias("rev")
         )
     )
@@ -1076,8 +1085,7 @@ def q234_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT l_shipdate AS day,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 6)
-                    AS DOUBLE) AS rev
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS rev
         FROM lineitem GROUP BY l_shipdate
     ),
     med AS (
@@ -1122,8 +1130,7 @@ def q236_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts. Fact table → daily agg → metadata-sized everything."""
     li = table(spark, sf_dir, "lineitem")
     daily = li.groupBy(F.col("l_shipdate").alias("day")).agg(
-        F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 6)
-        .cast("double")
+        _dec_out(F.sum(dterm("l_extendedprice", 6)), 6)
         .alias("rev")
     )
     wc = Window.orderBy("rev").rowsBetween(
@@ -1185,14 +1192,14 @@ def q236_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spend AS (
         SELECT o_custkey,
-               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 6)
-                    AS DOUBLE) AS v
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS v
         FROM orders GROUP BY o_custkey
     ),
     hist AS (
+        -- Exact-moment domain (see q232): |v| < 1e9.
         SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
                SUM(CAST(v AS DECIMAL(19,6))) AS s
-        FROM spend GROUP BY v
+        FROM spend WHERE ABS(v) < 1000000000.0 GROUP BY v
     ),
     cum AS (
         SELECT v, c, s,
@@ -1226,14 +1233,17 @@ def q240_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers."""
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
-        F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6)
-        .cast("double")
+        _dec_out(F.sum(dterm("o_totalprice", 6)), 6)
         .alias("v")
     )
     d6 = "decimal(19,6)"
-    hist = spend.groupBy("v").agg(
-        F.count("*").alias("c"),
-        F.sum(F.col("v").cast(d6)).alias("s"),
+    hist = (
+        spend.where(F.abs("v") < 1e9)  # exact-moment domain (r11)
+        .groupBy("v")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("v").cast(d6)).alias("s"),
+        )
     )
     cum = banded_cumsum(
         hist,

@@ -1103,8 +1103,7 @@ def q177_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE daily AS (
         SELECT l_shipdate AS day,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 6)
-                    AS DOUBLE) AS rev
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS rev
         FROM lineitem GROUP BY l_shipdate
     ),
     idx AS (
@@ -1145,8 +1144,7 @@ def q203_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     daily = li.groupBy(F.col("l_shipdate").alias("day")).agg(
-        F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 6)
-        .cast("double")
+        _dec_out(F.sum(dterm("l_extendedprice", 6)), 6)
         .alias("rev")
     )
     # Holt needs two points to seed (l=y1, b=y2-y1): on a shorter
@@ -1236,7 +1234,7 @@ def q203_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_intervals,
            CAST(SUM(dt_us) AS BIGINT) AS span_us,
            CAST({o_dround(
-               o_dec_out('SUM(CAST(value AS DECIMAL(38,6)) * dt_us)', 6)
+               o_dec_out('SUM((CASE WHEN ABS((CASE WHEN ISFINITE(value) THEN (value) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(value) THEN (value) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(value) THEN (value) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END) * dt_us)', 6)
                + ' / SUM(dt_us)', 6)} AS DOUBLE) AS twap
     FROM seq WHERE dt_us IS NOT NULL AND dt_us > 0
       AND (value IS NULL OR ISFINITE(value))
@@ -1466,16 +1464,17 @@ def q235_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT l_shipdate AS day,
                CAST(strftime(l_shipdate, '%w') AS INT) AS dow,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 6)
-                    AS DOUBLE) AS rev
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS rev
         FROM lineitem GROUP BY l_shipdate
     ),
+    dd AS (SELECT * FROM daily WHERE ABS(rev) < 1000000000.0),
     g AS (
+        -- Exact-moment domain on the daily series (q232 rule, r11).
         SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS DOUBLE) AS sx,
                CAST(SUM(CAST(rev AS DECIMAL(19,6))
                         * CAST(rev AS DECIMAL(19,6))) AS DOUBLE) AS sxx
-        FROM daily GROUP BY dow
+        FROM dd GROUP BY dow
     ),
     g2 AS (
         SELECT CAST(SUM(n) AS BIGINT) AS n_days,
@@ -1506,8 +1505,7 @@ def q237_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     daily = li.groupBy(F.col("l_shipdate").alias("day")).agg(
-        F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 6)
-        .cast("double")
+        _dec_out(F.sum(dterm("l_extendedprice", 6)), 6)
         .alias("rev"),
     ).select(
         "rev",
@@ -1515,9 +1513,10 @@ def q237_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek("day") - 1).cast("int").alias("dow"),
     )
     d6 = "decimal(19,6)"
-    g = daily.groupBy("dow").agg(
+    dd = daily.where(F.abs("rev") < 1e9)  # exact-moment domain (r11)
+    g = dd.groupBy("dow").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("rev").cast(DEC)).cast("double").alias("sx"),
+        F.sum(dterm("rev", 6)).cast("double").alias("sx"),
         F.sum(F.col("rev").cast(d6) * F.col("rev").cast(d6))
         .cast("double")
         .alias("sxx"),
@@ -1550,16 +1549,14 @@ def q237_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT l_shipdate AS day,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 6)
-                    AS DOUBLE) AS rev
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS rev
         FROM lineitem GROUP BY l_shipdate
     ),
     ctx AS (
         SELECT day, rev,
                LAG(rev) OVER (ORDER BY day) AS prev,
                LEAD(rev) OVER (ORDER BY day) AS next,
-               CAST(ROUND(SUM(CAST(rev AS DECIMAL(38,6))) OVER ()
-                          / COUNT(*) OVER (), 6) AS DOUBLE) AS mean_rev
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER () / COUNT(*) OVER ()) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER () / COUNT(*) OVER ()) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER () / COUNT(*) OVER (), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER () / COUNT(*) OVER (), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER () / COUNT(*) OVER (), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS mean_rev
         FROM daily
     )
     SELECT strftime(day, '%Y-%m-%d') AS day, rev,
@@ -1581,8 +1578,7 @@ def q238_revenue_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     daily = li.groupBy(F.col("l_shipdate").alias("day")).agg(
-        F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 6)
-        .cast("double")
+        _dec_out(F.sum(dterm("l_extendedprice", 6)), 6)
         .alias("rev")
     )
     wd = Window.orderBy("day")
@@ -1593,7 +1589,7 @@ def q238_revenue_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("rev").over(wd).alias("prev"),
         F.lead("rev").over(wd).alias("next"),
         F.round(
-            F.sum(F.col("rev").cast(DEC)).over(wa) / F.count("*").over(wa), 6
+            F.sum(dterm("rev", 6)).over(wa) / F.count("*").over(wa), 6
         )
         .cast("double")
         .alias("mean_rev"),

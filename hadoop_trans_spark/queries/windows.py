@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators.topk import topk_per_group
-from .base import o_dsum, query, ts_micros
+from .base import _dec_out, dterm, o_dsum, query, ts_micros
 
 
 @query(
@@ -16,13 +16,13 @@ from .base import o_dsum, query, ts_micros
     SELECT o_orderkey AS okey,
            o_orderpriority AS prio,
            row_number() OVER (PARTITION BY o_orderpriority
-                              ORDER BY round(o_totalprice, -3) DESC, o_orderkey) AS rn,
+                              ORDER BY (CASE WHEN ISFINITE(o_totalprice) THEN round(o_totalprice, -3) ELSE o_totalprice END) DESC, o_orderkey) AS rn,
            rank()       OVER (PARTITION BY o_orderpriority
-                              ORDER BY round(o_totalprice, -3) DESC) AS rnk,
+                              ORDER BY (CASE WHEN ISFINITE(o_totalprice) THEN round(o_totalprice, -3) ELSE o_totalprice END) DESC) AS rnk,
            dense_rank() OVER (PARTITION BY o_orderpriority
-                              ORDER BY round(o_totalprice, -3) DESC) AS drnk,
+                              ORDER BY (CASE WHEN ISFINITE(o_totalprice) THEN round(o_totalprice, -3) ELSE o_totalprice END) DESC) AS drnk,
            ntile(4)     OVER (PARTITION BY o_orderpriority
-                              ORDER BY round(o_totalprice, -3) DESC, o_orderkey) AS quartile
+                              ORDER BY (CASE WHEN ISFINITE(o_totalprice) THEN round(o_totalprice, -3) ELSE o_totalprice END) DESC, o_orderkey) AS quartile
     FROM orders
     ORDER BY okey
     """,
@@ -56,11 +56,7 @@ def q20_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(lag(o_totalprice) OVER w AS DOUBLE) AS prev_price,
            CAST(lead(o_totalprice) OVER w AS DOUBLE) AS next_price,
            CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS first_price,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
-                      OVER (PARTITION BY o_custkey
-                            ORDER BY o_orderdate, o_orderkey
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-                AS DOUBLE) AS running_spend
+           (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS running_spend
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ORDER BY okey
@@ -80,8 +76,8 @@ def q21_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
             F.lead("o_totalprice").over(w).cast("double").alias("next_price"),
             F.first("o_totalprice").over(w).cast("double").alias("first_price"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w_run), 6
+            _dec_out(
+                F.sum(dterm("o_totalprice", 6)).over(w_run), 6
             )
             .cast("double")
             .alias("running_spend"),

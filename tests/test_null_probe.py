@@ -869,3 +869,94 @@ def test_query_matches_oracle_on_degenerate_vector_fixture(
         f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
         + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
     )
+
+# --- money-column extreme tier ---------------------------------------------
+#
+# --mode=money plants ±1e15 / -0.0 / +inf in lineitem.l_extendedprice,
+# orders.o_totalprice and customer.c_acctbal, a discount > 1, and a
+# negative quantity — the TPC-H measure columns the events-only extreme
+# mode never reaches. First sweep: 31 failures. Fix classes:
+#
+#   * ~50 HANDWRITTEN oracle `SUM(CAST(x AS DECIMAL(38,6)))` sites and
+#     their Spark twins folded into the shared dterm/o_dterm guard, and
+#     their output conversions into _dec_out/o_dec_out (one inf crashed
+#     DuckDB AND one ±1e15 diverged the low digits above 2^53).
+#   * Binning/int-cast guards: clamp BEFORE the integer cast (q104/q228
+#     histograms), NULL floor/ceil for non-finite (q27), a clamped
+#     argmax tie-key (q136), an explicit positive-finite Benford domain
+#     (q195).
+#   * The squared-moment family (gini/lorenz/acf/seasonality/neyman/
+#     correlation) declares the q107/q159 exact-moment domain
+#     (|v| < 1e9) and excludes beyond-domain rows symmetrically.
+#   * One genuine ordering-tie bug: DuckDB's round(x, -3) maps inf/NaN
+#     to 0 while Spark propagates — q20's rank coarsening now guards
+#     non-finite prices so both engines order them at the extremes.
+MONEY_PROBED = [
+    "q01_pricing_summary",
+    "q06_outer_join_order_counts",
+    "q20_window_rank",
+    "q21_window_analytic",
+    "q27_math_funcs",
+    "q66_pivot",
+    "q104_histogram",
+    "q116_exact_correlation",
+    "q136_agg_battery_modern",
+    "q165_revenue_concentration",
+    "q169_market_share",
+    "q185_share_of_total",
+    "q194_forecast_revenue",
+    "q195_benford_digits",
+    "q196_daily_acf",
+    "q203_holt_forecast",
+    "q227_neyman_sample",
+    "q228_psi_drift",
+    "q232_gini_spend",
+    "q240_lorenz_curve",
+]
+
+
+@pytest.fixture(scope="module")
+def money_dir(tmp_path_factory, smoke_dir):
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("moneyprobe"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t in np_mod.MONEY_INJECT:
+            df = pd.read_parquet(src)
+            for col, plan in np_mod.MONEY_INJECT[t].items():
+                for stride, value in plan.items():
+                    df.loc[df.index[::stride], col] = value
+            assert any(
+                (df[c] == float("inf")).any()
+                for c in np_mod.MONEY_INJECT[t]
+                if df[c].dtype.kind == "f"
+            ) or t == "lineitem"
+            df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def money_oracle(money_dir):
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{money_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", MONEY_PROBED)
+def test_query_matches_oracle_on_money_extreme_fixture(
+    name, spark, money_dir, money_oracle
+):
+    res = compare(
+        name, QUERIES[name](spark, money_dir), money_oracle, ORACLE[name]
+    )
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )

@@ -43,6 +43,11 @@ Modes (--mode=...):
            NaN / +inf components, ±1e30 magnitudes, float32 subnormals)
            — similarity/clustering/quantization rank and NaN-score
            asymmetries (r11)
+  money    extreme values in the TPC-H money/measure columns
+           (lineitem.l_extendedprice ±1e15/-0.0/inf, l_discount > 1,
+           l_quantity negative, orders.o_totalprice, customer.c_acctbal)
+           — the relational revenue/stats paths the events-only extreme
+           mode never reaches (r11)
 """
 
 from __future__ import annotations
@@ -142,6 +147,27 @@ VEC_STRIDES = {
     67: "b",
     71: "s",
     73: "e",  # element NULL — parquet lists carry per-element nulls
+}
+
+# --mode=money: the TPC-H fact/dim measures. These columns are NOT
+# nullable in the schema contract, so NULL is out of scope — the probe
+# plants legal-but-extreme doubles: huge magnitudes (the 2^53 class),
+# -0.0, +inf (the decimal-crash class), a negative quantity (returns/
+# corrections feed Benford/log/sqrt paths), and a discount > 1 (the
+# revenue formula goes negative). Distinct primes per column.
+MONEY_INJECT = {
+    # table -> column -> {stride: value}
+    "lineitem": {
+        "l_extendedprice": {181: 1e15, 191: -0.0, 193: float("inf")},
+        "l_discount": {197: 1.5},
+        "l_quantity": {199: -7.0},
+    },
+    "orders": {
+        "o_totalprice": {181: -1e15, 191: float("inf")},
+    },
+    "customer": {
+        "c_acctbal": {97: 1e15, 101: float("inf"), 103: -0.0},
+    },
 }
 
 
@@ -262,6 +288,16 @@ def main() -> None:
             df.to_parquet(d, index=False)
             print(f"{t}: {len(df)} rows, edge-injected {col} at strides "
                   f"{sorted(values)}")
+        elif mode == "money" and t in MONEY_INJECT:
+            df = pd.read_parquet(s)
+            hits = []
+            for col, plan in MONEY_INJECT[t].items():
+                for stride, value in plan.items():
+                    idx = df.index[:: stride * scale]
+                    df.loc[idx, col] = value
+                    hits.append(f"{col}@{stride}")
+            df.to_parquet(d, index=False)
+            print(f"{t}: {len(df)} rows, money-injected {hits}")
         elif mode == "time" and t == "events" and t in tables:
             df = pd.read_parquet(s)
             for stride, iso in TIME_EVENT_TS.items():
