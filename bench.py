@@ -436,7 +436,98 @@ def compact_stdout_line(
     return line
 
 
+# --adjudicate: warm re-run repeats per flagged mover. 5 draws matches
+# the SCALE.md manual A/B protocol that adjudicated q41 (r8), q40 (r9)
+# and q01 (r11) by hand; min-of-5 is robust to one GC/compilation draw.
+ADJUDICATE_RUNS = 5
+
+
+def adjudicate(here: str) -> None:
+    """Warm A/B re-run of the movers recorded by the LAST bench run
+    (bench_results.json), so a regression like r11's q237 is caught and
+    attributed in-round instead of by the judge (VERDICT r11 item 6).
+
+    For each flagged mover: ADJUDICATE_RUNS warm draws in a fresh
+    session (stage memos cleared per draw), min recorded. Verdict
+    ``real`` if the warm min STILL exceeds the mover gate against the
+    same drift/suite-adjusted baseline the flag used — i.e. the
+    regression reproduces under the low-noise protocol — else
+    ``noise``. Writes bench_adjudication.json and prints one JSON line."""
+    path = os.path.join(here, "bench_results.json")
+    try:
+        with open(path) as fh:
+            detail = json.load(fh)
+    except (OSError, ValueError):
+        print(json.dumps({"error": "bench_results.json missing/unreadable"}))
+        sys.exit(1)
+    movers = detail.get("movers") or []
+    sf_val = detail.get("sf")
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf_val}"
+    )
+    out = {
+        "sf": sf_val,
+        "runs_per_mover": ADJUDICATE_RUNS,
+        "verdicts": [],
+    }
+    if movers:
+        spark = get_spark(app_name="hadoop_trans_spark_adjudicate")
+        QUERIES["q01_pricing_summary"](spark, sf_dir).count()  # warm-up
+        for m in movers:
+            name = m["query"]
+            if name not in QUERIES:
+                continue
+            draws = []
+            for _ in range(ADJUDICATE_RUNS):
+                if name in MEMOIZED:
+                    clear_stage_memo(MEMOIZED[name])
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).count()
+                draws.append(time.perf_counter() - t0)
+            warm_min = min(draws)
+            # Reconstruct the flag's baseline from its own recorded
+            # fields: base_s = prev * drift * suite = cur / ratio.
+            base_s = m["cur_s"] / m["drift_adj_ratio"]
+            ratio = warm_min / base_s
+            verdict = (
+                "real"
+                if ratio > MOVER_THRESHOLD
+                and warm_min - base_s >= MOVER_MIN_ABS_S
+                else "noise"
+            )
+            out["verdicts"].append(
+                {
+                    "query": name,
+                    "flagged_ratio": m["drift_adj_ratio"],
+                    "warm_min_s": round(warm_min, 4),
+                    "warm_draws_s": [round(d, 4) for d in draws],
+                    "baseline_s": round(base_s, 4),
+                    "warm_adj_ratio": round(ratio, 4),
+                    "verdict": verdict,
+                }
+            )
+    with open(os.path.join(here, "bench_adjudication.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(
+        json.dumps(
+            {
+                "adjudicated": len(out["verdicts"]),
+                "real": [
+                    v["query"] for v in out["verdicts"] if v["verdict"] == "real"
+                ],
+                "noise": [
+                    v["query"] for v in out["verdicts"] if v["verdict"] == "noise"
+                ],
+            }
+        )
+    )
+
+
 def main() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    if "--adjudicate" in sys.argv[1:]:
+        adjudicate(here)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="hadoop_trans_spark_bench")
@@ -473,7 +564,6 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    here = os.path.dirname(os.path.abspath(__file__))
 
     calibration = load_calibration(here)
     movers = compute_movers(timings, here, calibration, sf=sf_val)

@@ -32,11 +32,14 @@ from .similarity import _dbl, dot, lit_doubles
 
 DEC = "decimal(38,6)"
 
-def vec_valid(col="embedding"):
-    from ..queries.base import vec_valid as _vv  # deferred: avoids the
+def vec_usable(col="embedding"):
+    # Euclidean validity: non-NULL, all components finite, |x| < VEC_CAP
+    # — WITHOUT the nonzero-norm conjunct (that rule is cosine-only; an
+    # all-zero vector is a legitimate point under squared-distance).
+    from ..queries.base import vec_usable as _vu  # deferred: avoids the
     # queries/__init__ registration cycle (see streaming.jobs)
 
-    return _vv(col)
+    return _vu(col)
 
 
 def init_centroids(
@@ -131,11 +134,13 @@ def kmeans_assignments(
     assignment (id, cluster, d2)."""
     from .stage import materialize_stage
 
-    # A missing vector has no cluster: NULL embeddings are excluded up
-    # front (symmetric with the oracle's WHERE; unfiltered, a NULL in
-    # the seed rows crashed the driver-side centroid iteration —
-    # NULL-probe find, r10).
-    df = df.where(vec_valid(vec))
+    # A missing vector has no cluster: NULL / non-finite / over-cap
+    # embeddings are excluded up front (symmetric with the oracle's
+    # WHERE; unfiltered, a NULL in the seed rows crashed the
+    # driver-side centroid iteration — NULL-probe find, r10; a 1e30
+    # component overflows the decimal moment sums — r11). All-zero
+    # vectors stay IN: Euclidean distance is defined for them.
+    df = df.where(vec_usable(vec))
     v = _dbl(F.col(vec))
     corpus = df.select(
         F.col(id_col).alias("id"), v.alias("v"), dot(v, v).alias("v_sq")

@@ -35,6 +35,14 @@ def vec_valid(col="embedding"):
     return _vv(col)
 
 
+def vec_usable(col="embedding"):
+    # Norm-agnostic validity (no nonzero-norm term) for ops that never
+    # divide by the norm — see queries/base.py vec_usable.
+    from ..queries.base import vec_usable as _vu
+
+    return _vu(col)
+
+
 def _dbl(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
@@ -342,7 +350,10 @@ def quantize_int8(
     ANN index — 4× smaller vectors, scan-bound at 100 TB.
 
     Returns (id, scale, q array<int>, sq_err)."""
-    corpus = corpus.where(vec_valid(vec))  # degenerate-vector rule
+    # Norm-agnostic op: per-component transform, no normalization — the
+    # all-zero vector quantizes fine (scale floor 1e-12, q all zeros),
+    # so only NULL / non-finite / over-cap components are excluded.
+    corpus = corpus.where(vec_usable(vec))
     v = _dbl(F.col(vec))
     max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.lit(127.0) / F.greatest(max_abs, F.lit(1e-12))

@@ -1771,11 +1771,12 @@ def q220_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         binned.groupBy("r_bin", "f_bin", "m_bin")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(
+            # _dec_out (not bare round) mirrors the oracle's o_davg
+            # magnitude branch: a group mean >= 1e9 with a fractional
+            # part rounds to whole units on both engines (advisor, r11).
+            _dec_out(
                 F.sum(dterm("mon", 6)) / F.count("*"), 6
-            )
-            .cast("double")
-            .alias("avg_monetary"),
+            ).alias("avg_monetary"),
         )
         .orderBy("r_bin", "f_bin", "m_bin")
     )

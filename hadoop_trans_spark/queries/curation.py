@@ -239,7 +239,7 @@ def q75_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0)
     ),
     s AS (
       SELECT vec_id, v,

@@ -14,7 +14,7 @@ from ..operators.similarity import (
     random_hyperplanes,
     signlsh_near_duplicates,
 )
-from .base import dterm, o_davg, query, vec_valid
+from .base import _dec_out, dterm, o_davg, query, vec_valid
 
 _COS = (
     "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
@@ -180,7 +180,7 @@ def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q105_kmeans_clusters",
     oracle=f"""
     WITH x AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-           FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+           FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0)),
     xs AS (SELECT id, v, list_dot_product(v, v) AS v_sq FROM x),
     c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
                   v AS c, list_dot_product(v, v) AS c_sq
@@ -232,9 +232,11 @@ def q105_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy("cluster")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(dterm("d2", 6)), 3)
-            .cast("double")
-            .alias("inertia"),
+            # _dec_out at scale 3 mirrors the oracle's magnitude branch:
+            # inertia sums past 1e12 (reachable — components up to
+            # VEC_CAP pass the filter) round to whole units on both
+            # engines instead of diverging in the sub-unit digits.
+            _dec_out(F.sum(dterm("d2", 6)), 3).alias("inertia"),
         )
         .orderBy("cluster")
     )

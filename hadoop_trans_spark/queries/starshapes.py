@@ -532,11 +532,12 @@ def q207_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part side to broadcast size and AQE keys both joins on partkey."""
     li = table(spark, sf_dir, "lineitem")
     avgq = li.groupBy("l_partkey").agg(
-        F.round(
+        # _dec_out mirrors the oracle's o_dec_out magnitude branch on
+        # the mean: >= 1e9 rounds to whole units on both engines
+        # (advisor, r11).
+        _dec_out(
             F.sum(dterm("l_quantity", 6)) / F.count("*"), 6
-        )
-        .cast("double")
-        .alias("aq")
+        ).alias("aq")
     )
     p = (
         table(spark, sf_dir, "part")

@@ -1274,10 +1274,13 @@ def q210_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_intervals"),
             F.sum("dt_us").alias("span_us"),
             dround(
+                # dterm (not a bare decimal cast) mirrors the oracle's
+                # magnitude branch: a finite reading >= 1e9 with a
+                # fractional part (e.g. 1.5e9 + 0.25) rounds to whole
+                # units on BOTH sides instead of only in DuckDB
+                # (advisor find, r11).
                 _dec_out(
-                    F.sum(
-                        F.col("value").cast("decimal(38,6)") * F.col("dt_us")
-                    ),
+                    F.sum(dterm(F.col("value"), 6) * F.col("dt_us")),
                     6,
                 )
                 / F.sum("dt_us"),
@@ -1588,11 +1591,11 @@ def q238_revenue_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev",
         F.lag("rev").over(wd).alias("prev"),
         F.lead("rev").over(wd).alias("next"),
-        F.round(
+        # _dec_out mirrors the oracle's magnitude-branched windowed mean
+        # (whole units when the mean >= 1e9 — advisor, r11).
+        _dec_out(
             F.sum(dterm("rev", 6)).over(wa) / F.count("*").over(wa), 6
-        )
-        .cast("double")
-        .alias("mean_rev"),
+        ).alias("mean_rev"),
     )
     return (
         ctx.where(
