@@ -8,9 +8,23 @@ old 121-entry per-query map mid-object in rounds 1-2 and recorded
 headline set; the full per-query detail goes to ``bench_results.json``
 next to this script.
 
-Each query is executed to completion (count() action) after a warm-up of
-the session; per-query wall-clock is reported plus the total (which still
-covers EVERY declared query, not just the headline set).
+Each query is executed to completion after a warm-up of the session;
+per-query wall-clock is reported plus the total (which still covers
+EVERY declared query, not just the headline set).
+
+Action protocol (v2, round 12): queries execute via a noop-sink WRITE
+(`df.write.format("noop")`), which computes EVERY output column. The
+v1 protocol used `.count()`, and Catalyst rightly optimizes a count:
+unreferenced final-stage expressions are pruned, order-preserving sorts
+are eliminated, and row-count-neutral Windows are removed outright — so
+a query whose outputs feed nothing downstream timed a PARTIAL plan.
+Round-12 bisect (SCALE.md): q20_window_rank timed 0.12 s under count vs
+0.78 s honest (the Window never ran); q01 0.57 vs 1.72 (the eight
+decimal aggregates were pruned); q237's r11 "2.9x regression" was the
+r10 number being fake — the r11 exact-moment filter on `rev` forced the
+daily sums count() had been skipping. Cross-round comparability is
+preserved by tools/bench_calibrate.py --inject-bench, which re-runs the
+PREVIOUS round's code under THIS protocol on today's machine.
 
 Headline queries are timed BEST-OF-2 (two full executions, min recorded):
 single-run timings in a shared 132-query session proved noisy enough in
@@ -442,6 +456,14 @@ def compact_stdout_line(
 ADJUDICATE_RUNS = 5
 
 
+def execute(df) -> None:
+    """The timed action: noop-sink write — computes every output column
+    (protocol v2, see module docstring). count() is NOT equivalent:
+    Catalyst prunes expressions nothing references and removes
+    row-count-neutral operators under it."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def adjudicate(here: str) -> None:
     """Warm A/B re-run of the movers recorded by the LAST bench run
     (bench_results.json), so a regression like r11's q237 is caught and
@@ -472,7 +494,7 @@ def adjudicate(here: str) -> None:
     }
     if movers:
         spark = get_spark(app_name="hadoop_trans_spark_adjudicate")
-        QUERIES["q01_pricing_summary"](spark, sf_dir).count()  # warm-up
+        execute(QUERIES["q01_pricing_summary"](spark, sf_dir))  # warm-up
         for m in movers:
             name = m["query"]
             if name not in QUERIES:
@@ -482,7 +504,7 @@ def adjudicate(here: str) -> None:
                 if name in MEMOIZED:
                     clear_stage_memo(MEMOIZED[name])
                 t0 = time.perf_counter()
-                QUERIES[name](spark, sf_dir).count()
+                execute(QUERIES[name](spark, sf_dir))
                 draws.append(time.perf_counter() - t0)
             warm_min = min(draws)
             # Reconstruct the flag's baseline from its own recorded
@@ -533,7 +555,7 @@ def main() -> None:
     spark = get_spark(app_name="hadoop_trans_spark_bench")
 
     # Warm up the JVM/codegen paths once (not timed).
-    QUERIES["q01_pricing_summary"](spark, sf_dir).count()
+    execute(QUERIES["q01_pricing_summary"](spark, sf_dir))
 
     names = [n for n in HEADLINE if n in QUERIES]
     extra = [n for n in sorted(QUERIES) if n not in names and n.startswith("q")]
@@ -552,7 +574,7 @@ def main() -> None:
                 # and, under min(), would set its recorded time.
                 clear_stage_memo(MEMOIZED[name])
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
+            execute(QUERIES[name](spark, sf_dir))
             return time.perf_counter() - t0
 
         if name in headline:

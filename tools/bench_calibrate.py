@@ -20,10 +20,21 @@ the drift factor machine-readably: code delta = current_total /
 (prev_recorded * prev_rerun / prev_recorded) — i.e. compare
 current_total against prev_rerun_s, not against the stale recording.
 
-Usage: python tools/bench_calibrate.py [prev_commit]
+Usage: python tools/bench_calibrate.py [prev_commit] [--inject-bench]
   prev_commit defaults to the parent of the latest driver round-artifact
   commit ("round N: verdict/..."), i.e. the code state the driver
   benchmarked at the end of the previous round.
+
+--inject-bench copies THIS repo's bench.py over the worktree's before
+running, so the baseline is the previous round's QUERY CODE measured
+under the current round's TIMING PROTOCOL. Required whenever the
+protocol changes (round 12: count() -> noop-sink write — count() let
+Catalyst prune unreferenced final-stage expressions, so v1 numbers
+under-measure pruning-transparent queries and a raw v2-vs-v1 ratio
+conflates protocol with code). The calibration records
+"bench_injected": true so the conflated drift_factor (machine drift x
+protocol change vs the old recorded total) is machine-readably
+attributable.
 """
 
 from __future__ import annotations
@@ -94,15 +105,24 @@ def main() -> None:
         # only in prose (e.g. VERDICT.md quoting the driver's number).
         prev_recorded = float(env_recorded)
         recorded_source = "SPARK_GRAFT_PREV_RECORDED override"
-    prev_commit = (
-        sys.argv[1] if len(sys.argv) > 1 else default_prev_commit(prev_round)
-    )
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    inject_bench = "--inject-bench" in sys.argv[1:]
+    prev_commit = args[0] if args else default_prev_commit(prev_round)
     prev_commit = sh("git", "rev-parse", "--short", prev_commit).strip()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     wt = tempfile.mkdtemp(prefix="bench_calib_")
     try:
         sh("git", "worktree", "add", "--detach", wt, prev_commit)
+        if inject_bench:
+            shutil.copyfile(
+                os.path.join(REPO, "bench.py"), os.path.join(wt, "bench.py")
+            )
+            # The injected bench must not read the MAIN repo's BENCH_r*/
+            # calibration artifacts through the worktree checkout — they
+            # ride the checkout anyway (committed), which is fine: its
+            # own movers/calibration output is discarded; only value +
+            # queries are kept.
         env = dict(os.environ)
         env["SPARK_GRAFT_SF_DIR"] = sf_dir
         # Isolate the worktree run's Python path from the main repo.
@@ -152,6 +172,7 @@ def main() -> None:
             round(rerun["value"] / prev_recorded, 4) if prev_recorded else None
         ),
         "sf": rerun.get("sf"),
+        "bench_injected": inject_bench,
         "queries": rerun_queries,
     }
     with open(os.path.join(REPO, "calibration.json"), "w") as fh:

@@ -15,6 +15,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import execute  # noqa: E402 — v2 noop-sink action (match bench protocol)
 from hadoop_trans_spark.queries import QUERIES  # noqa: E402
 from hadoop_trans_spark.session import get_spark  # noqa: E402
 
@@ -30,7 +31,7 @@ def main() -> None:
     names = [n for n in QUERIES if n.startswith(prefixes)] if prefixes else list(QUERIES)
     spark = get_spark(app_name="time_queries")
     warm = sfs[0] if os.path.isabs(sfs[0]) else f"/root/testdata/{sfs[0]}"
-    QUERIES["q01_pricing_summary"](spark, warm).count()  # warm-up
+    execute(QUERIES["q01_pricing_summary"](spark, warm))  # warm-up
 
     results: dict[str, list[float]] = {}
     for sf in sfs:
@@ -39,7 +40,7 @@ def main() -> None:
         sf_dir = sf if os.path.isabs(sf) else f"/root/testdata/{sf}"
         for name in names:
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
+            execute(QUERIES[name](spark, sf_dir))
             results.setdefault(name, []).append(time.perf_counter() - t0)
 
     print(f"{'query':42s} " + " ".join(f"{sf:>9s}" for sf in sfs) + "  growth")
