@@ -82,17 +82,35 @@ def q47_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q48_media_features",
     oracle="""
+    -- fb must be the first BYTE of the UTF-8 payload (the engine reads
+    -- payload[0] of the media blob), not the first character's
+    -- codepoint: ascii()/unicode() diverge from the leading byte for
+    -- any non-ASCII first char (confusable-probe find, r12). The CASE
+    -- re-derives the UTF-8 leading byte from the codepoint.
+    WITH m AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS nb,
+             unicode(substring(text,1,1)) AS u
+      FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+      SELECT doc_id, nb,
+             CASE WHEN text = '' THEN 0
+                  WHEN u < 128 THEN u
+                  WHEN u < 2048 THEN 192 + u // 64
+                  WHEN u < 65536 THEN 224 + u // 4096
+                  ELSE 240 + u // 262144 END AS fb
+      FROM m
+    )
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-           CAST(octet_length(encode(text)) % 480 AS INT) AS height,
-           CAST(ROUND(
-             ((octet_length(encode(text)) * 1 + ascii(substring(text,1,1))) % 256
-            + (octet_length(encode(text)) * 2 + ascii(substring(text,1,1))) % 256
-            + (octet_length(encode(text)) * 3 + ascii(substring(text,1,1))) % 256
-            + (octet_length(encode(text)) * 4 + ascii(substring(text,1,1))) % 256)::DOUBLE, 6)
-            AS DOUBLE) AS feat_sum
-    FROM documents WHERE text IS NOT NULL
+           nb AS n_bytes,
+           CAST(nb % 640 AS INT) AS width,
+           CAST(nb % 480 AS INT) AS height,
+           CAST(ROUND(((nb * 1 + fb) % 256
+                     + (nb * 2 + fb) % 256
+                     + (nb * 3 + fb) % 256
+                     + (nb * 4 + fb) % 256)::DOUBLE, 6) AS DOUBLE) AS feat_sum
+    FROM b
     ORDER BY doc_id
     """,
 )

@@ -960,3 +960,173 @@ def test_query_matches_oracle_on_money_extreme_fixture(
         f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
         + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
     )
+
+# --- Unicode-confusable / mixed-script tier (round 12) ----------------------
+#
+# --mode=confuse replaces documents.text on strided rows with Cyrillic
+# lookalikes + a full-width Latin token, an NFC/NFD normalization twin
+# pair, zero-width chars glued inside tokens, an RTL run mixed with
+# Latin, and a combining-mark stack — the input class a real web corpus
+# is full of and the pure-ASCII fixtures never draw. First sweep:
+# 240/241, one find:
+#
+#   * q48_media_features: the engine's fake feature extractor reads
+#     payload[0] — the first UTF-8 BYTE of the media blob — while the
+#     oracle used ascii(substring(text,1,1)), the first CHARACTER's
+#     codepoint. Identical on ASCII, divergent on every non-ASCII
+#     leading char (ש → byte 215 vs codepoint 1513). Oracle now
+#     re-derives the UTF-8 leading byte from the codepoint.
+#
+# Everything else held: shingle/token/lang-id/fingerprint paths are
+# codepoint-consistent between Spark and DuckDB (both operate on
+# unnormalized Unicode strings; neither NFC-normalizes, so the NFC/NFD
+# twins stay distinct in BOTH engines — pinned here as canaries).
+CONFUSE_PROBED = [
+    "q48_media_features",
+    "q84_frame_sample",
+    "q35_text_stats",
+    "q36_corpus_quality_profile",
+    "q37_lang_id",
+    "q38_doc_fingerprint",
+    "q40_minhash_lsh_neardup",
+    "q41_simhash",
+    "q42_ngram_jaccard",
+    "q64_dedup_canonical",
+    "q71_decontaminate",
+    "q72_repetition_quality",
+    "q75_pii_redaction",
+    "q103_chunk_documents",
+    "q110_inverted_index",
+    "q118_unigram_logprob",
+    "q126_pmi_bigrams",
+    "q130_token_ids",
+    "q133_bm25_topk",
+    "q134_token_entropy",
+    "q142_shingle_containment",
+    "q149_text_source",
+    "q174_boilerplate_coverage",
+    "q175_bigram_lm_interp",
+    "q201_rake_keywords",
+    "q226_vocab_coverage",
+]
+
+
+@pytest.fixture(scope="module")
+def confuse_dir(tmp_path_factory, smoke_dir):
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("confuseprobe"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t == "documents":
+            df = np_mod.inject_edges(
+                pd.read_parquet(src), "text", np_mod.CONFUSE_DOC_TEXT, scale=1
+            )
+            # The injection must actually plant non-ASCII text.
+            assert df["text"].map(
+                lambda s: isinstance(s, str) and any(ord(c) > 127 for c in s)
+            ).any()
+            df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def confuse_oracle(confuse_dir):
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{confuse_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", CONFUSE_PROBED)
+def test_query_matches_oracle_on_confusable_text_fixture(
+    name, spark, confuse_dir, confuse_oracle
+):
+    res = compare(
+        name, QUERIES[name](spark, confuse_dir), confuse_oracle, ORACLE[name]
+    )
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )
+
+
+# --- hot-key skew tier (round 12) -------------------------------------------
+#
+# --mode=skew rewrites every 37th lineitem row's l_orderkey and every
+# 31st event's user_id to the table's already-most-frequent key: one
+# mega-basket order (~1/37 of ALL lines) and one mega-user (~1/31 of
+# ALL events). Exercises the C(k,2) in-array pair expansion (q178),
+# the skew-join path (q61), per-key windows/sessions on one giant
+# partition, and duplicate (l_orderkey, l_linenumber) pairs that the
+# pristine fixtures' PK uniqueness hides.
+SKEW_PROBED = [
+    "q178_market_basket",
+    "q61_salted_join",
+    "q137_key_skew_profile",
+    "q01_pricing_summary",
+    "q05_revenue_by_nation",
+    "q18_dedup_keep_first",
+    "q23_topk_per_group",
+    "q81_sessionize_batch",
+    "q101_funnel_stages",
+    "q106_event_transitions",
+    "q125_ewma",
+    "q127_session_concurrency",
+    "q143_event_paths",
+    "q160_ohlc_bars",
+    "q210_twap_per_user",
+    "q222_key_sequence_gaps",
+]
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory, smoke_dir):
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("skewprobe"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t in ("lineitem", "events"):
+            df = pd.read_parquet(src)
+            key, stride = (
+                ("l_orderkey", np_mod.SKEW_LINEITEM_STRIDE)
+                if t == "lineitem"
+                else ("user_id", np_mod.SKEW_EVENT_STRIDE)
+            )
+            hot = df[key].mode().iloc[0]
+            df.loc[df.index[::stride], key] = hot
+            assert (df[key] == hot).sum() >= len(df) // stride
+            df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def skew_oracle(skew_dir):
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{skew_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SKEW_PROBED)
+def test_query_matches_oracle_on_hot_key_skew_fixture(
+    name, spark, skew_dir, skew_oracle
+):
+    res = compare(
+        name, QUERIES[name](spark, skew_dir), skew_oracle, ORACLE[name]
+    )
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )

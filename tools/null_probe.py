@@ -48,6 +48,17 @@ Modes (--mode=...):
            l_quantity negative, orders.o_totalprice, customer.c_acctbal)
            — the relational revenue/stats paths the events-only extreme
            mode never reaches (r11)
+  confuse  Unicode confusables + mixed-script documents.text (Cyrillic
+           lookalikes, NFC-vs-NFD normalization twins, zero-width
+           chars, RTL runs, combining-mark stacks, full-width Latin) —
+           the shingle/token/lang-id/regex paths are byte-exact-or-
+           diverge on exactly this class (r12)
+  skew     hot-key skew: one mega-basket order in lineitem (every
+           37th row's l_orderkey rewritten to the hottest key) and one
+           mega-user in events (every 31st row's user_id) — exercises
+           the C(k,2) in-array expansion, per-user windows, and
+           sessionization on the skew shape the fixtures never draw
+           (r12)
 """
 
 from __future__ import annotations
@@ -171,6 +182,39 @@ MONEY_INJECT = {
 }
 
 
+# --mode=confuse: Unicode confusables and script-mixing in
+# documents.text. The fixtures are pure ASCII, so every lower()/regex-
+# split/length/substring assumption in the text family is untested on
+# exactly the input class a real web corpus is full of. Values are
+# REPLACEMENTS (like edge mode) at distinct primes:
+#   - Cyrillic lookalikes inside Latin words (а=U+0430, е=U+0435,
+#     о=U+043E) + a full-width Latin token — confusable dedup, lang-id
+#     n-grams, [a-z] regex classes silently split these differently
+#     than the eye expects;
+#   - an NFC/NFD twin pair in ONE doc ("café" as U+00E9 then as
+#     e+U+0301) — normalization-sensitive shingles/fingerprints and
+#     char-vs-grapheme length;
+#   - zero-width space/joiner/BOM inside tokens — tokenizers that split
+#     on \s+ keep them glued, length() counts them;
+#   - an RTL Hebrew/Arabic run mixed with Latin — script-boundary
+#     tokenization;
+#   - a combining-mark stack (zalgo) — many codepoints, few graphemes.
+CONFUSE_DOC_TEXT = {
+    211: "pаypаl sеcurity аlert frоm ＰＡＹＰＡＬ suppоrt dеsk",
+    223: "café menu and café menu list the same item",
+    227: "zero​width‍glued﻿tokens stay one word",
+    229: "שלום mixed مرحبا with latin hello",
+    233: "ź̴å͇ĺ̴g͇̊ó̴ marks stack deep",
+}
+
+# --mode=skew: hot-key rewrites. Primes chosen so the hot order's
+# basket is ~n/37 lines (sf0.001: ~160 lines ≈ dozens of distinct
+# brands → thousands of in-array pairs) and the hot user owns ~n/31
+# events (one giant window partition / session chain).
+SKEW_LINEITEM_STRIDE = 37
+SKEW_EVENT_STRIDE = 31
+
+
 def inject_ties(df: pd.DataFrame, table: str, scale: int) -> tuple[pd.DataFrame, int]:
     """Copy a key value from the PREVIOUS row (same user for events) onto
     strided rows, creating exact duplicates under distinct ids."""
@@ -236,6 +280,9 @@ def main() -> None:
     if mode == "emptydim" and tables == ["events", "documents", "embeddings"]:
         # Default target set for the dim mode is the dim tables.
         tables = list(DIM_TABLES)
+    if mode == "skew" and tables == ["events", "documents", "embeddings"]:
+        # Default target set for the skew mode is the hot-key tables.
+        tables = ["lineitem", "events"]
 
     os.makedirs(dst, exist_ok=True)
     strides_by_table = {
@@ -360,6 +407,27 @@ def main() -> None:
                 strides = sorted(EXTREME_DOC_TEXT)
             df.to_parquet(d, index=False)
             print(f"{t}: {len(df)} rows, extreme-injected at strides {strides}")
+        elif mode == "confuse" and t == "documents" and t in tables:
+            df = inject_edges(pd.read_parquet(s), "text", CONFUSE_DOC_TEXT, scale)
+            df.to_parquet(d, index=False)
+            print(f"{t}: {len(df)} rows, confusable-injected text at strides "
+                  f"{sorted(CONFUSE_DOC_TEXT)}")
+        elif mode == "skew" and t in ("lineitem", "events") and t in tables:
+            df = pd.read_parquet(s)
+            key, stride = (
+                ("l_orderkey", SKEW_LINEITEM_STRIDE)
+                if t == "lineitem"
+                else ("user_id", SKEW_EVENT_STRIDE)
+            )
+            # Hot key := the source's already-most-frequent key, so the
+            # rewrite keeps referential integrity (the key exists in the
+            # parent table) while concentrating ~1/stride of all rows.
+            hot = df[key].mode().iloc[0]
+            idx = df.index[:: stride * scale]
+            df.loc[idx, key] = hot
+            df.to_parquet(d, index=False)
+            print(f"{t}: {len(df)} rows, {len(idx)} rows rewritten to hot "
+                  f"{key}={hot}")
         elif mode == "null" and t in tables and t in strides_by_table:
             df = inject(pd.read_parquet(s), strides_by_table[t], scale)
             nulls = {c: int(df[c].isna().sum()) for c in strides_by_table[t]}
