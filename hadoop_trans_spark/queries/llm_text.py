@@ -1141,3 +1141,88 @@ def q226_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --- Unicode normalization / homoglyph curation (round 12) -------------------
+from ..operators.unicode_norm import (  # noqa: E402
+    CONFUSABLE_FROM,
+    CONFUSABLE_TO,
+    ZERO_WIDTH_CLASS,
+    confusable_skeleton,
+    nfc_normalized,
+)
+
+
+@query(
+    "q242_unicode_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_raw,
+           CAST(length(nfc_normalize(
+                  regexp_replace(text, '{ZERO_WIDTH_CLASS}', '', 'g')))
+                AS BIGINT) AS n_norm,
+           COALESCE(nfc_normalize(
+                  regexp_replace(text, '{ZERO_WIDTH_CLASS}', '', 'g')) <> text,
+                FALSE) AS changed
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q242_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text form for curation: strip zero-width/BOM chars
+    (JVM regexp), then NFC-compose via an Arrow-batched pandas UDF —
+    the one step Spark has no builtin for (operators/unicode_norm.py).
+    `changed` is two-state (COALESCE FALSE on NULL text) because the
+    tri-state boolean does not round-trip the pandas bridges
+    identically (q30/q31 rule). Oracle: DuckDB nfc_normalize."""
+    d = table(spark, sf_dir, "documents")
+    norm = nfc_normalized(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_raw"),
+            F.length(norm).cast("long").alias("n_norm"),
+            F.coalesce(norm != F.col("text"), F.lit(False)).alias("changed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q243_confusable_skeleton_dedup",
+    oracle=f"""
+    SELECT min(doc_id) AS canonical_id,
+           md5(lower(translate(regexp_replace(text, '{ZERO_WIDTH_CLASS}', '', 'g'),
+                               '{CONFUSABLE_FROM}', '{CONFUSABLE_TO}'))) AS skeleton_hash,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_raw_variants
+    FROM documents
+    WHERE text IS NOT NULL
+    GROUP BY skeleton_hash
+    HAVING COUNT(*) > 1
+    ORDER BY canonical_id
+    """,
+)
+def q243_confusable_skeleton_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph-aware exact dedup: key on the confusable SKELETON
+    (zero-width stripped, Cyrillic lookalikes folded to Latin,
+    lowercased — operators/unicode_norm.py) so "pаypаl" and "paypal"
+    land in one cluster. Entirely JVM-side (translate/lower/regexp):
+    one hash-shuffle on the skeleton digest, no pairwise work —
+    contentless (NULL) docs excluded per the dedup-family rule.
+    n_raw_variants > 1 inside a cluster = confusable-only variants the
+    byte-exact dedup (q39) would have missed."""
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sk = confusable_skeleton(F.col("text"))
+    return (
+        d.select("doc_id", F.md5(sk).alias("skeleton_hash"), "text")
+        .groupBy("skeleton_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_docs"),
+            F.countDistinct("text").alias("n_raw_variants"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select("canonical_id", "skeleton_hash", "n_docs", "n_raw_variants")
+        .orderBy("canonical_id")
+    )

@@ -678,3 +678,92 @@ def test_embedding_neardup_matches_bruteforce(spark, smoke_dir):
     expect.sort(key=lambda r: (r["id_a"], r["id_b"]))
     assert _rows(spark, smoke_dir, "q43_embedding_neardup") == expect
     assert expect
+
+
+# --- round 12: Unicode normalization / homoglyph skeleton -------------------
+#
+# Pure-Python rederivation via the stdlib's unicodedata (Unicode TR#15
+# canonical composition) and str.translate — no repo SQL. The DuckDB
+# oracle's nfc_normalize is utf8proc, so NFC itself is cross-checked by
+# three independent implementations (ICU-free stdlib here, utf8proc in
+# the oracle, and the engine's pandas-UDF path).
+
+_ZW = "​‌‍﻿"
+_CONFUSE_MAP = str.maketrans("аеорсхуіѕј", "aeopcxyisj")
+
+
+def _strip_zw(t: str) -> str:
+    return "".join(ch for ch in t if ch not in _ZW)
+
+
+def test_unicode_normalize_matches_python(spark, smoke_dir):
+    """q242: raw/NFC lengths + changed flag per doc."""
+    import unicodedata
+
+    expect = []
+    for d, t, *_ in _docs(smoke_dir):
+        norm = unicodedata.normalize("NFC", _strip_zw(t))
+        expect.append(
+            {
+                "doc_id": int(d),
+                "n_raw": len(t),
+                "n_norm": len(norm),
+                "changed": norm != t,
+            }
+        )
+    assert _rows(spark, smoke_dir, "q242_unicode_normalize") == expect
+
+
+def test_confusable_skeleton_dedup_matches_python(spark, smoke_dir):
+    """q243: clusters keyed on the homoglyph skeleton (zero-width
+    stripped, Cyrillic lookalikes folded, lowercased), md5-hashed.
+    The smoke fixture has no duplicate texts, so the pristine result
+    is empty — assert that AND the cluster arithmetic on a synthetic
+    confusable corpus appended in-memory via DuckDB-free plumbing."""
+    groups: dict[str, list[tuple[int, str]]] = {}
+    for d, t, *_ in _docs(smoke_dir):
+        if t is None:
+            continue
+        sk = _strip_zw(t).translate(_CONFUSE_MAP).lower()
+        h = hashlib.md5(sk.encode("utf-8")).hexdigest()
+        groups.setdefault(h, []).append((int(d), t))
+    expect = [
+        {
+            "canonical_id": min(d for d, _ in members),
+            "skeleton_hash": h,
+            "n_docs": len(members),
+            "n_raw_variants": len({t for _, t in members}),
+        }
+        for h, members in groups.items()
+        if len(members) > 1
+    ]
+    expect.sort(key=lambda r: r["canonical_id"])
+    assert _rows(spark, smoke_dir, "q243_confusable_skeleton_dedup") == expect
+
+
+def test_confusable_skeleton_collapses_homoglyph_variants(spark, tmp_path):
+    """q243 on a hand-built corpus: the Cyrillic spoof, the zero-width
+    variant, and the case variant of one string must land in ONE
+    cluster with n_raw_variants = 3; the unrelated doc stays out."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "paypal security alert",
+                "pаypаl security аlert",          # Cyrillic а/е lookalikes
+                "pay​pal security alert",     # zero-width split
+                "unrelated document",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [21, 21, 22, 18],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = _rows(spark, str(tmp_path), "q243_confusable_skeleton_dedup")
+    assert len(rows) == 1
+    assert rows[0]["canonical_id"] == 1
+    assert rows[0]["n_docs"] == 3
+    assert rows[0]["n_raw_variants"] == 3
