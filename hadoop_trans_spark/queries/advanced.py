@@ -184,7 +184,7 @@ def q155_chisq_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pre AS (
         SELECT l_returnflag AS f, l_extendedprice AS p,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS w
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS w
         FROM lineitem GROUP BY 1, 2
     ),
     cum AS (
@@ -577,7 +577,10 @@ def q161_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH big AS (
         SELECT l_orderkey
         FROM lineitem GROUP BY l_orderkey
-        HAVING SUM(l_quantity) > 300
+        -- the threshold must see the SAME guarded terms as the Spark
+        -- side's sum(dterm(...)) — a plain SUM diverges the qualifying
+        -- set when a quantity is corrupt (hostile probe, r12)
+        HAVING SUM({o_dterm('l_quantity', 6)}) > 300
     )
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
@@ -726,7 +729,7 @@ def q164_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH rev AS (
         SELECT p.p_brand,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS r
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS r
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
     ),
@@ -1101,11 +1104,11 @@ def q179_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
         SELECT p_brand, COUNT(*) AS n,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rq) THEN (rq) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rq) THEN (rq) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rq) THEN (rq) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sx,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(re) THEN (re) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(re) THEN (re) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(re) THEN (re) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sy,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rq * rq) THEN (rq * rq) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rq * rq) THEN (rq * rq) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rq * rq) THEN (rq * rq) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sxx,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(re * re) THEN (re * re) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(re * re) THEN (re * re) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(re * re) THEN (re * re) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS syy,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rq * re) THEN (rq * re) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rq * re) THEN (rq * re) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rq * re) THEN (rq * re) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sxy
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rq) THEN (rq) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rq) THEN (rq) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(rq) THEN (rq) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(rq) THEN (rq) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sx,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(re) THEN (re) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(re) THEN (re) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(re) THEN (re) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(re) THEN (re) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sy,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rq * rq) THEN (rq * rq) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rq * rq) THEN (rq * rq) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(rq * rq) THEN (rq * rq) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(rq * rq) THEN (rq * rq) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sxx,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(re * re) THEN (re * re) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(re * re) THEN (re * re) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(re * re) THEN (re * re) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(re * re) THEN (re * re) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS syy,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rq * re) THEN (rq * re) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rq * re) THEN (rq * re) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(rq * re) THEN (rq * re) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(rq * re) THEN (rq * re) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sxy
         FROM r GROUP BY 1
     )
     SELECT p_brand, n,
@@ -1615,7 +1618,7 @@ def q219_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(datediff('day', MAX(o_orderdate),
                     (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS rec,
                CAST(COUNT(*) AS BIGINT) AS freq,
-               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS mon
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(o_totalprice) THEN (o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS mon
         FROM orders GROUP BY o_custkey
     ),
     cuts AS (
@@ -1790,7 +1793,7 @@ def q220_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH nat AS (
         SELECT r.r_name AS region, n.n_name AS nation,
-               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS rev
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS rev
         FROM orders o
         JOIN customer c ON c.c_custkey = o.o_custkey
         JOIN nation n ON n.n_nationkey = c.c_nationkey

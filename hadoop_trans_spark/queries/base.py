@@ -54,6 +54,12 @@ DEC = "decimal(38,6)"
 
 INF = float("inf")
 
+# 2^53 — the largest magnitude where every integer is exactly
+# representable in a double, i.e. where the dterm units branch is
+# exact AND fits decimal(38,0) on both engines. Shared by dterm and
+# o_dterm so the engine and oracle branch identically (r12).
+EXACT_INT_CAP = float(2**53)
+
 
 def _finite(c: Column) -> Column:
     """``c`` where finite, NULL otherwise (NaN/±inf excluded like NULL).
@@ -143,10 +149,15 @@ def dterm(col: Column | str, scale: int = 9) -> Column:
     # KEEPS its explicit ROUND because DuckDB's bare cast tie mode is
     # not pinned.
     a = F.abs(c)
+    # The units branch ENFORCES the documented |x| < 2^53 domain: it
+    # used to admit anything finite, and a single 1e154 row turned the
+    # decimal(38,0) cast into an ANSI NUMERIC_VALUE_OUT_OF_RANGE
+    # job-killer in BOTH engines (hostile-value probe, r12). Beyond
+    # 2^53 the conversion isn't exact anyway — excluded like NULL.
     return (
         F.when(a < F.lit(cap), c.cast(f"decimal(38,{scale})"))
         .when(
-            a < F.lit(INF),
+            a < F.lit(EXACT_INT_CAP),
             c.cast("decimal(38,0)").cast(f"decimal(38,{scale})"),
         )
     )
@@ -306,13 +317,15 @@ def o_dround(expr: str, scale: int = 6) -> str:
 
 
 def o_dterm(expr: str, scale: int = 9) -> str:
-    """DuckDB mirror of dterm (see its docstring for the 2^53 rationale)."""
+    """DuckDB mirror of dterm (see its docstring for the 2^53 rationale;
+    the units branch enforces |x| < 2^53 — NULL beyond, r12)."""
     cap = 10.0 ** (15 - scale)
     fin = o_finite(expr)
     return (
         f"(CASE WHEN ABS({fin}) < {cap:.0f} "
         f"THEN CAST(ROUND({fin}, {scale}) AS DECIMAL(38,{scale})) "
-        f"ELSE CAST(CAST(ROUND({fin}, 0) AS DECIMAL(38,0)) "
+        f"WHEN ABS({fin}) < {int(EXACT_INT_CAP)} "
+        f"THEN CAST(CAST(ROUND({fin}, 0) AS DECIMAL(38,0)) "
         f"AS DECIMAL(38,{scale})) END)"
     )
 

@@ -662,7 +662,7 @@ def q197_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_clipped_low,
            CAST(SUM(CASE WHEN c.c_acctbal > k.p95 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_clipped_high,
-           (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*)) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*)) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 0) AS DECIMAL(38,0)) AS DOUBLE) END)
+           (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*)) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*)) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) THEN (LEAST(GREATEST(c.c_acctbal, k.p05), k.p95)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 0) AS DECIMAL(38,0)) AS DOUBLE) END)
                AS winsorized_mean
     FROM customer c JOIN cuts k ON k.seg = c.c_mktsegment
     GROUP BY c.c_mktsegment, k.n, k.p05, k.p95
@@ -742,7 +742,7 @@ def q206_winsorize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
         SELECT c_mktsegment AS seg,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS DOUBLE) AS sx,
+               CAST(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS DOUBLE) AS sx,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(19,6))
                         * CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS sxx
         FROM customer WHERE ABS(c_acctbal) < 1000000000.0

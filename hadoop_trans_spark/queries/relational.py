@@ -216,7 +216,7 @@ def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
            COUNT(o.o_orderkey) AS n_orders,
-           COALESCE((CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END), 0.0) AS spend
+           COALESCE((CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(o.o_totalprice) THEN (o.o_totalprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END), 0.0) AS spend
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey, c.c_mktsegment
     ORDER BY custkey
@@ -317,7 +317,7 @@ def q08_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS t(bucket, lo, hi)
     )
     SELECT b.bucket AS bucket, COUNT(*) AS n_parts,
-           (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS price_sum
+           (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(p_retailprice) THEN (p_retailprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS price_sum
     FROM part p JOIN buckets b ON p.p_size BETWEEN b.lo AND b.hi
     GROUP BY b.bucket
     ORDER BY bucket
@@ -856,12 +856,15 @@ def q62_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
                COUNT(*) AS n,
                -- Spark-SQL form of dterm (ISFINITE is DuckDB-only):
-               -- abs(NaN/inf) fails both branch tests, so non-finite
-               -- quantities fall out as NULL exactly like the oracle.
+               -- abs(NaN/inf/1e154) fails both branch tests, so
+               -- non-finite AND beyond-2^53 quantities fall out as
+               -- NULL exactly like the oracle (the unguarded units
+               -- branch was an ANSI decimal-overflow job-killer —
+               -- hostile-value probe, r12).
                CAST(ROUND(SUM(
                  CASE WHEN ABS(l_quantity) < 1e9
                         THEN CAST(l_quantity AS DECIMAL(38,6))
-                      WHEN ABS(l_quantity) < double('inf')
+                      WHEN ABS(l_quantity) < 9007199254740992
                         THEN CAST(CAST(l_quantity AS DECIMAL(38,0))
                                   AS DECIMAL(38,6))
                  END), 6) AS double) AS qty
@@ -1092,13 +1095,13 @@ def q111_approx_percentile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT l_returnflag, COUNT(*) AS n,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sx,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sy,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sx,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sy,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)
                    * CAST(l_quantity AS DECIMAL(38,6))) AS sxx,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)
                    * CAST(l_extendedprice AS DECIMAL(38,6))) AS syy,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)
                    * CAST(l_extendedprice AS DECIMAL(38,6))) AS sxy
         FROM lineitem
         -- Exact-moment domain (q232 rule, r11): corrupt-magnitude
@@ -1158,10 +1161,10 @@ def q116_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT prio, COUNT(*) AS n,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(x) THEN (x) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sx,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(y) THEN (y) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(y) THEN (y) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(y) THEN (y) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sy,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(x) THEN (x) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END) * CAST(x AS DECIMAL(38,6))) AS sxx,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(x) THEN (x) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END) * CAST(y AS DECIMAL(38,6))) AS sxy
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(x) THEN (x) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(x) THEN (x) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sx,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(y) THEN (y) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(y) THEN (y) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(y) THEN (y) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(y) THEN (y) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS sy,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(x) THEN (x) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(x) THEN (x) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END) * CAST(x AS DECIMAL(38,6))) AS sxx,
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(x) THEN (x) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(x) THEN (x) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(x) THEN (x) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END) * CAST(y AS DECIMAL(38,6))) AS sxy
         FROM daily GROUP BY 1
     )
     SELECT prio, n,
@@ -1464,7 +1467,7 @@ def q153_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH nat AS (
         SELECT r.r_name AS region, n.n_name AS nation,
-               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS rev
+               SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount)) THEN (l.l_extendedprice * (1 - l.l_discount)) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS rev
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         JOIN nation n ON s.s_nationkey = n.n_nationkey

@@ -32,6 +32,10 @@ from .base import dround, o_dround, query
            starts_with(c_name, 'Customer') AS is_cust,
            ends_with(c_name, '1') AS ends_one,
            lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           -- split_part returns '' when the separator is absent; the
+           -- Spark twin must NOT use plain element_at, which is an
+           -- ANSI ArrayIndexOutOfBounds job-killer on a '#'-less name
+           -- (hostile-string probe find, r12).
            split_part(c_name, '#', 2) AS after_hash
     FROM customer
     ORDER BY custkey
@@ -56,7 +60,16 @@ def q24_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").startswith("Customer").alias("is_cust"),
             F.col("c_name").endswith("1").alias("ends_one"),
             F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
-            F.element_at(F.split("c_name", "#"), 2).alias("after_hash"),
+            # DuckDB split_part semantics: '' (not an error, not NULL)
+            # when part 2 doesn't exist; NULL input stays NULL. Plain
+            # element_at is an ANSI crash on a '#'-less name.
+            F.when(
+                F.col("c_name").isNotNull(),
+                F.coalesce(
+                    F.try_element_at(F.split("c_name", "#"), F.lit(2)),
+                    F.lit(""),
+                ),
+            ).alias("after_hash"),
         )
         .orderBy("custkey")
     )
@@ -146,7 +159,13 @@ def q26_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey * 8 + l_linenumber AS rid,
            CAST(l_extendedprice + l_quantity AS DOUBLE) AS add_,
            CAST(l_extendedprice * l_discount AS DOUBLE) AS mul_,
-           CAST(ROUND(l_extendedprice / (l_quantity + 1), 6) AS DOUBLE) AS div_,
+           -- Division is defined only for a nonzero divisor: NULL
+           -- otherwise, on BOTH sides (plain / is an ANSI
+           -- DIVIDE_BY_ZERO job-killer for l_quantity = -1; the
+           -- hostile-value probe find, r12).
+           CAST(ROUND(CASE WHEN l_quantity + 1 <> 0
+                           THEN l_extendedprice / (l_quantity + 1) END, 6)
+                AS DOUBLE) AS div_,
            CAST(ROUND(l_extendedprice, 1) AS DOUBLE) AS round1,
            CAST(FLOOR(CASE WHEN ISFINITE(l_extendedprice)
                            THEN l_extendedprice END) AS BIGINT) AS floor_,
@@ -170,9 +189,9 @@ def q27_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
             (F.col("l_extendedprice") + F.col("l_quantity")).alias("add_"),
             (F.col("l_extendedprice") * F.col("l_discount")).alias("mul_"),
-            F.round(F.col("l_extendedprice") / (F.col("l_quantity") + 1), 6).alias(
-                "div_"
-            ),
+            F.round(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") + 1), 6
+            ).alias("div_"),
             F.round("l_extendedprice", 1).alias("round1"),
             # Integer results are undefined for non-finite inputs: NULL
             # on both sides (the oracle's BIGINT cast of floor(inf) is a

@@ -211,7 +211,7 @@ def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  c1.cluster) AS rk
              FROM xs CROSS JOIN c1) WHERE rk = 1)
     SELECT cluster, COUNT(*) AS n,
-           (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 3) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS inertia
+           (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 3) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS inertia
     FROM a2 GROUP BY 1 ORDER BY 1
     """,
 )

@@ -30,7 +30,16 @@ def q52_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip via their shortest decimal repr)."""
     base = tempfile.mkdtemp(prefix="htspark_csv_")
     c = table(spark, sf_dir, "customer")
-    c.write.mode("overwrite").option("header", "true").csv(f"{base}/customer")
+    # Whitespace-trim off on BOTH sides of the boundary: the write-side
+    # default trims edge chars <= 0x20 (incl. NUL) out of values —
+    # the roundtrip must be byte-faithful (hostile probe, r12).
+    (
+        c.write.mode("overwrite")
+        .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(f"{base}/customer")
+    )
 
     schema = (
         "c_custkey long, c_name string, c_nationkey int, "

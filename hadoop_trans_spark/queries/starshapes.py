@@ -350,13 +350,13 @@ def q172_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sees the same boundary in both engines.
     oracle="""
     WITH thr AS (
-        SELECT CAST(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS DOUBLE)
+        SELECT CAST(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(c_acctbal) THEN (c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS DOUBLE)
                / COUNT(*) AS avg_bal
         FROM customer WHERE c_acctbal > 0
     )
     SELECT c.c_mktsegment,
            COUNT(*) AS numcust,
-           (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END)
+           (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(c.c_acctbal) THEN (c.c_acctbal) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END)
              AS totacctbal
     FROM customer c CROSS JOIN thr
     WHERE c.c_acctbal > thr.avg_bal
@@ -461,7 +461,7 @@ def q193_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q194_forecast_revenue",
     oracle="""
-    SELECT (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END)
+    SELECT (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice * l_discount) THEN (l_extendedprice * l_discount) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END)
              AS revenue_delta,
            COUNT(*) AS n_lines
     FROM lineitem
@@ -508,10 +508,10 @@ def q194_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH avgq AS (
         SELECT l_partkey,
-               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*)) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*)) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS aq
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*)) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*)) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_quantity) THEN (l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) / COUNT(*), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS aq
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(ROUND(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE)
+    SELECT CAST(ROUND(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice) THEN (l.l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE)
                 / 7.0, 6) AS DOUBLE) AS avg_yearly,
            CAST(COUNT(*) AS BIGINT) AS n_small_lines
     FROM lineitem l
@@ -629,7 +629,7 @@ def q208_discount_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-           (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS profit
+           (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) THEN (l.l_extendedprice * (1 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS profit
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey

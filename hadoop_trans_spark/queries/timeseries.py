@@ -1103,7 +1103,7 @@ def q177_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE daily AS (
         SELECT l_shipdate AS day,
-               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS rev
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS rev
         FROM lineitem GROUP BY l_shipdate
     ),
     idx AS (
@@ -1234,7 +1234,7 @@ def q203_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_intervals,
            CAST(SUM(dt_us) AS BIGINT) AS span_us,
            CAST({o_dround(
-               o_dec_out('SUM((CASE WHEN ABS((CASE WHEN ISFINITE(value) THEN (value) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(value) THEN (value) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(value) THEN (value) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END) * dt_us)', 6)
+               o_dec_out('SUM((CASE WHEN ABS((CASE WHEN ISFINITE(value) THEN (value) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(value) THEN (value) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(value) THEN (value) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(value) THEN (value) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END) * dt_us)', 6)
                + ' / SUM(dt_us)', 6)} AS DOUBLE) AS twap
     FROM seq WHERE dt_us IS NOT NULL AND dt_us > 0
       AND (value IS NULL OR ISFINITE(value))
@@ -1467,14 +1467,14 @@ def q235_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT l_shipdate AS day,
                CAST(strftime(l_shipdate, '%w') AS INT) AS dow,
-               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS rev
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS rev
         FROM lineitem GROUP BY l_shipdate
     ),
     dd AS (SELECT * FROM daily WHERE ABS(rev) < 1000000000.0),
     g AS (
         -- Exact-moment domain on the daily series (q232 rule, r11).
         SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS DOUBLE) AS sx,
+               CAST(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) AS DOUBLE) AS sx,
                CAST(SUM(CAST(rev AS DECIMAL(19,6))
                         * CAST(rev AS DECIMAL(19,6))) AS DOUBLE) AS sxx
         FROM dd GROUP BY dow
@@ -1552,14 +1552,14 @@ def q237_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT l_shipdate AS day,
-               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS rev
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(l_extendedprice) THEN (l_extendedprice) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS rev
         FROM lineitem GROUP BY l_shipdate
     ),
     ctx AS (
         SELECT day, rev,
                LAG(rev) OVER (ORDER BY day) AS prev,
                LEAD(rev) OVER (ORDER BY day) AS next,
-               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER () / COUNT(*) OVER ()) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER () / COUNT(*) OVER ()) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER () / COUNT(*) OVER (), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER () / COUNT(*) OVER (), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) ELSE CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER () / COUNT(*) OVER (), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS mean_rev
+               (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER () / COUNT(*) OVER ()) < 1000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER () / COUNT(*) OVER ()) < 1000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER () / COUNT(*) OVER (), 6) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER () / COUNT(*) OVER (), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(rev) THEN (rev) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(rev) THEN (rev) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)) OVER () / COUNT(*) OVER (), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS mean_rev
         FROM daily
     )
     SELECT strftime(day, '%Y-%m-%d') AS day, rev,

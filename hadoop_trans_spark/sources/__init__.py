@@ -19,8 +19,19 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
 
 
 def read_csv(spark: SparkSession, path: str, schema: T.StructType | str, header: bool = True) -> DataFrame:
-    """CSV ingest with an explicit schema (no inferSchema scan)."""
-    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+    """CSV ingest with an explicit schema (no inferSchema scan).
+
+    ignoreLeading/TrailingWhiteSpace are OFF: the univocity trim treats
+    every char <= 0x20 as padding, so the defaults silently corrupt
+    values with edge whitespace or an edge NUL byte (hostile-string
+    probe, r12) — an ingest boundary must be byte-faithful."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+    )
 
 
 def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:

@@ -1008,6 +1008,10 @@ CONFUSE_PROBED = [
     "q175_bigram_lm_interp",
     "q201_rake_keywords",
     "q226_vocab_coverage",
+    # r12 additions built FOR this input class: NFC audit + homoglyph
+    # skeleton dedup (the 5 injected confusable docs must cluster).
+    "q242_unicode_normalize",
+    "q243_confusable_skeleton_dedup",
 ]
 
 
@@ -1125,6 +1129,96 @@ def test_query_matches_oracle_on_hot_key_skew_fixture(
 ):
     res = compare(
         name, QUERIES[name](spark, skew_dir), skew_oracle, ORACLE[name]
+    )
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )
+
+
+# --- hostile scalar-input tier (round 12, r11-verdict item 7) ----------------
+#
+# --mode=hostile breaks two fixture-wide assumptions: every c_name is
+# "Customer#<digits>" (injected: embedded NUL bytes, a '#'-less name,
+# a double-'#' name) and every l_quantity is a small positive number
+# (injected: 1e154, -1e155, -1.0). First sweep: 13 failures —
+# overwhelmingly ANSI job-killers, the worst class at 100 TB:
+#
+#   * q24: plain element_at(split(name,'#'), 2) is an ANSI
+#     ArrayIndexOutOfBounds crash on a '#'-less name; DuckDB
+#     split_part returns ''. Now try_element_at + coalesce('').
+#   * q27: price/(quantity+1) is an ANSI DIVIDE_BY_ZERO crash at
+#     quantity = -1. Now try_divide, NULL-divisor CASE in the oracle.
+#   * dterm/o_dterm's units branch admitted ANY finite value into a
+#     DECIMAL(38,0) cast — one 1e154 quantity crashed BOTH engines
+#     (q01/q11/q14/q19/q33/q62/q92/q93/q156/q207/q209...). The branch
+#     now enforces the documented |x| < 2^53 exactness domain (NULL
+#     beyond), in the helpers AND in the 121 frozen inline expansions
+#     the r11 transformer left in oracle strings.
+#   * q162: the HAVING SUM(l_quantity) > 300 threshold was guarded on
+#     the Spark side only — qualifying sets diverged.
+#   * q52: Spark CSV's default univocity trim treats every char
+#     <= 0x20 as padding — an edge-NUL name silently lost its NUL
+#     through the roundtrip. ignoreLeading/TrailingWhiteSpace now off
+#     on both sides of the boundary (byte-faithful ingest).
+HOSTILE_PROBED = [
+    "q24_string_funcs",
+    "q27_math_funcs",
+    "q01_pricing_summary",
+    "q11_agg_battery",
+    "q14_cube",
+    "q19_verify_fingerprint",
+    "q33_migrate_fidelity",
+    "q52_csv_roundtrip",
+    "q62_grouping_sets",
+    "q92_binned_range_join",
+    "q93_observe_metrics",
+    "q156_weighted_median",
+    "q162_large_volume_orders",
+    "q207_small_qty_revenue",
+    "q209_profit_by_nation_year",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory, smoke_dir):
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("hostileprobe"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t in ("customer", "lineitem"):
+            df = pd.read_parquet(src)
+            col, plan = (
+                ("c_name", np_mod.HOSTILE_CUSTOMER_NAME)
+                if t == "customer"
+                else ("l_quantity", np_mod.HOSTILE_LINEITEM_QTY)
+            )
+            for stride, value in plan.items():
+                df.loc[df.index[::stride], col] = value
+            df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def hostile_oracle(hostile_dir):
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{hostile_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HOSTILE_PROBED)
+def test_query_matches_oracle_on_hostile_scalar_fixture(
+    name, spark, hostile_dir, hostile_oracle
+):
+    res = compare(
+        name, QUERIES[name](spark, hostile_dir), hostile_oracle, ORACLE[name]
     )
     assert res.match, (
         f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"

@@ -59,6 +59,10 @@ Modes (--mode=...):
            the C(k,2) in-array expansion, per-user windows, and
            sessionization on the skew shape the fixtures never draw
            (r12)
+  hostile  scalar-battery hostile inputs: NUL-containing / separator-
+           free customer.c_name values and lineitem.l_quantity at
+           1e154 / -1e155 / -1.0 — the string-split and divisor
+           assumptions ANSI mode turns into job-killers (r12)
 """
 
 from __future__ import annotations
@@ -215,6 +219,24 @@ SKEW_LINEITEM_STRIDE = 37
 SKEW_EVENT_STRIDE = 31
 
 
+# --mode=hostile: the r11-verdict item-7 canary class. c_name values
+# break the fixtures' universal "Customer#<digits>" shape: embedded
+# NUL bytes (length/regex/hash paths), a name with NO '#' separator
+# (split_part part-2 is '' in DuckDB; plain element_at is an ANSI
+# ArrayIndexOutOfBounds job-killer — found live), and double-'#'.
+# l_quantity values: 1e154 (pow2 huge but finite), -1e155 (pow2
+# overflows to +inf in both engines), -1.0 (quantity+1 divisor hits
+# exact zero: ANSI DIVIDE_BY_ZERO job-killer — found live).
+HOSTILE_CUSTOMER_NAME = {
+    7: "Customer\x00#000000007",
+    11: "\x00Customer#11",
+    13: "Cust\x00omer#13x",
+    17: "tail-nul\x00",
+    19: "mid\x00dle#cut\x00#z",
+}
+HOSTILE_LINEITEM_QTY = {23: 1e154, 29: -1e155, 31: -1.0}
+
+
 def inject_ties(df: pd.DataFrame, table: str, scale: int) -> tuple[pd.DataFrame, int]:
     """Copy a key value from the PREVIOUS row (same user for events) onto
     strided rows, creating exact duplicates under distinct ids."""
@@ -283,6 +305,8 @@ def main() -> None:
     if mode == "skew" and tables == ["events", "documents", "embeddings"]:
         # Default target set for the skew mode is the hot-key tables.
         tables = ["lineitem", "events"]
+    if mode == "hostile" and tables == ["events", "documents", "embeddings"]:
+        tables = ["customer", "lineitem"]
 
     os.makedirs(dst, exist_ok=True)
     strides_by_table = {
@@ -407,6 +431,18 @@ def main() -> None:
                 strides = sorted(EXTREME_DOC_TEXT)
             df.to_parquet(d, index=False)
             print(f"{t}: {len(df)} rows, extreme-injected at strides {strides}")
+        elif mode == "hostile" and t in ("customer", "lineitem") and t in tables:
+            df = pd.read_parquet(s)
+            col, plan = (
+                ("c_name", HOSTILE_CUSTOMER_NAME)
+                if t == "customer"
+                else ("l_quantity", HOSTILE_LINEITEM_QTY)
+            )
+            for stride, value in plan.items():
+                df.loc[df.index[:: stride * scale], col] = value
+            df.to_parquet(d, index=False)
+            print(f"{t}: {len(df)} rows, hostile {col} at strides "
+                  f"{sorted(plan)}")
         elif mode == "confuse" and t == "documents" and t in tables:
             df = inject_edges(pd.read_parquet(s), "text", CONFUSE_DOC_TEXT, scale)
             df.to_parquet(d, index=False)
