@@ -19,6 +19,7 @@ partition files cluster-to-cluster; the only driver work is metadata
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -105,6 +106,27 @@ class MigrateReport:
         return all(v.equal for v in self.verify.values())
 
 
+@contextmanager
+def raw_partition_values(spark: SparkSession):
+    """Partition values are IDENTITY, not numbers. With Spark's default
+    partition-column type inference, par_dt=01 and par_dt=1 both infer
+    to int 1 — a migrate would silently RENAME zero-padded partition
+    dirs (par_dt=02 → par_dt=2) and MERGE colliding ones (01 + 1 → 1),
+    and the per-key verification, grouping by the same inferred value
+    on both sides, cannot see it (hostile-layout probe find, r12).
+    Every pipeline read of a Hive-partitioned layout runs with
+    inference off so values round-trip byte-exactly. Inference happens
+    at DataFrame CREATION (schema resolution), so only the reads need
+    to sit inside this context, not the actions."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def migrate(spark: SparkSession, job: MigrateJob, sink: AlertSink | None = None) -> MigrateReport:
     sink = sink or AlertSink()
     report = MigrateReport()
@@ -146,7 +168,10 @@ def migrate(spark: SparkSession, job: MigrateJob, sink: AlertSink | None = None)
         # 4. ONE distributed copy job. The isin filter prunes source
         #    partitions at planning time (PartitionFilters in the scan);
         #    dynamic partition overwrite keeps idempotent re-runs safe.
-        src_df = spark.read.parquet(job.src_path).where(F.col(pn).isin(to_copy))
+        #    Inference off: the partition column stays the STRING the
+        #    dir spells, so the destination layout is byte-identical.
+        with raw_partition_values(spark):
+            src_df = spark.read.parquet(job.src_path).where(F.col(pn).isin(to_copy))
         writer = src_df.write.partitionBy(pn)
         if job.mode == "overwrite":
             writer = writer.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -160,8 +185,9 @@ def migrate(spark: SparkSession, job: MigrateJob, sink: AlertSink | None = None)
     #    grouped-fingerprint scan per side covers every copied partition;
     #    only mismatching keys pay for the row-level diff.
     if job.verify_after and report.copied:
-        src_df = spark.read.parquet(job.src_path)
-        dst_df = spark.read.parquet(job.dst_path)
+        with raw_partition_values(spark):
+            src_df = spark.read.parquet(job.src_path)
+            dst_df = spark.read.parquet(job.dst_path)
         report.verify = verify_partitions(src_df, dst_df, pn, report.copied)
         for k, rep in report.verify.items():
             if not rep.equal:

@@ -138,3 +138,37 @@ def test_semantic4_verify_symmetric(spark, smoke_dir):
 
     rep = verify(li, li)
     assert rep.equal
+
+
+def test_zero_padded_partition_values_round_trip_exactly(spark, tmp_path):
+    """Partition values are identity, not numbers (r12 hostile-layout
+    probe find): with default type inference, par_dt=01/02 were
+    silently RENAMED to par_dt=1/2 at the destination and a colliding
+    par_dt=1 was MERGED into the same output dir — and the per-key
+    verification, grouping both sides by the same inferred int, stayed
+    green through it. migrate now reads partitioned layouts with
+    inference off (raw_partition_values); the destination layout must
+    be byte-identical and every source key individually verified."""
+    import os
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(1, "01"), (2, "02"), (3, "1")], "id long, par_dt string"
+    )
+    df.write.partitionBy("par_dt").parquet(f"{src}/t")
+
+    rep = migrate(
+        spark, MigrateJob(src_root=src, dst_root=dst, table="t", partition_name="par_dt")
+    )
+    assert rep.ok
+    assert rep.copied == ["01", "02", "1"]
+    assert sorted(
+        d for d in os.listdir(f"{dst}/t") if d.startswith("par_dt=")
+    ) == ["par_dt=01", "par_dt=02", "par_dt=1"]
+    assert set(rep.verify) == {"01", "02", "1"}
+    assert all(v.equal for v in rep.verify.values())
+    # The session conf is restored after the pipeline run.
+    assert (
+        spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled")
+        == "true"
+    )
