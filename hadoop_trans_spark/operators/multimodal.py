@@ -340,17 +340,28 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
                     raise NotImplementedError(
                         f"no audio decoder for {meta['mime']!r}"
                     )
-                with wave.open(io.BytesIO(bytes(payload))) as w:
-                    sr = w.getframerate()
-                    n = w.getnframes()
-                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
-                        raise ValueError(
-                            f"doc {doc_id}: only PCM16 mono supported, got "
-                            f"width={w.getsampwidth()} ch={w.getnchannels()}"
-                        )
-                    x = np.frombuffer(
-                        w.readframes(n), dtype="<i2"
-                    ).astype(np.int64)
+                # Malformed payloads are DEAD-LETTERED (skipped), never
+                # raised — one truncated clip must not kill a 100 TB
+                # job (same rule as NULL payloads). validate_media
+                # accounts for them upstream (r12 quarantine).
+                try:
+                    with wave.open(io.BytesIO(bytes(payload))) as w:
+                        sr = w.getframerate()
+                        n = w.getnframes()
+                        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                            raise ValueError(
+                                f"doc {doc_id}: only PCM16 mono supported, "
+                                f"got width={w.getsampwidth()} "
+                                f"ch={w.getnchannels()}"
+                            )
+                        frames = w.readframes(n)
+                        if len(frames) < n * 2:
+                            raise EOFError(f"doc {doc_id}: truncated data")
+                        x = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                except (Exception,) as exc:  # noqa: BLE001 — dead-letter path
+                    if isinstance(exc, NotImplementedError):
+                        raise
+                    continue
                 rows["doc_id"].append(int(doc_id))
                 rows["sample_rate"].append(sr)
                 rows["n_frames"].append(n)
@@ -432,17 +443,22 @@ def decode_ppm_features(df: DataFrame) -> DataFrame:
                     raise NotImplementedError(
                         f"no image decoder for {meta['mime']!r}"
                     )
-                buf = bytes(payload)
-                magic, dims, maxval_rest = buf.split(b"\n", 2)
-                if magic != b"P6":
-                    raise ValueError(f"bad PPM magic in doc {doc_id}")
-                w, h = (int(v) for v in dims.split())
-                maxval, raw = maxval_rest.split(b"\n", 1)
-                if int(maxval) != 255:
-                    raise ValueError("only 8-bit PPM supported")
-                px = np.frombuffer(raw, dtype=np.uint8)
-                if px.size != w * h * 3:
-                    raise ValueError(f"truncated PPM in doc {doc_id}")
+                # Dead-letter malformed images (r12 quarantine rule):
+                # one bad blob must not kill the job.
+                try:
+                    buf = bytes(payload)
+                    magic, dims, maxval_rest = buf.split(b"\n", 2)
+                    if magic != b"P6":
+                        raise ValueError(f"bad PPM magic in doc {doc_id}")
+                    w, h = (int(v) for v in dims.split())
+                    maxval, raw = maxval_rest.split(b"\n", 1)
+                    if int(maxval) != 255:
+                        raise ValueError("only 8-bit PPM supported")
+                    px = np.frombuffer(raw, dtype=np.uint8)
+                    if px.size != w * h * 3:
+                        raise ValueError(f"truncated PPM in doc {doc_id}")
+                except (Exception,):  # noqa: BLE001 — dead-letter path
+                    continue
                 sums = px.astype(np.float64).reshape(-1, 3).sum(axis=0)
                 n_px = float(w * h)
                 rows["doc_id"].append(int(doc_id))
@@ -659,12 +675,21 @@ def decode_spectral(df: DataFrame) -> DataFrame:
                     raise NotImplementedError(
                         f"no audio decoder for {meta['mime']!r}"
                     )
-                with wave.open(io.BytesIO(bytes(payload))) as w:
-                    sr = w.getframerate()
-                    n = w.getnframes()
-                    x = np.frombuffer(
-                        w.readframes(n), dtype="<i2"
-                    ).astype(np.float64)
+                # Dead-letter malformed clips (r12 quarantine rule).
+                try:
+                    with wave.open(io.BytesIO(bytes(payload))) as w:
+                        sr = w.getframerate()
+                        n = w.getnframes()
+                        frames = w.readframes(n)
+                        if len(frames) < n * 2:
+                            raise EOFError(f"doc {doc_id}: truncated data")
+                        x = np.frombuffer(frames, dtype="<i2").astype(
+                            np.float64
+                        )
+                except (Exception,) as exc:  # noqa: BLE001 — dead-letter path
+                    if isinstance(exc, NotImplementedError):
+                        raise
+                    continue
                 mag = np.abs(np.fft.rfft(x))
                 dom = int(np.argmax(mag[1:]) + 1) if n > 1 else 0
                 rows["doc_id"].append(int(doc_id))
@@ -676,3 +701,94 @@ def decode_spectral(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(_decode, SPECTRAL_SCHEMA)
+
+
+# --- corruption quarantine (round 12) ----------------------------------------
+#
+# A 100 TB media corpus ALWAYS contains truncated and garbage blobs; a
+# decoder that raises on the first one kills the whole job. The
+# production shape is validate-then-decode: `validate_media` classifies
+# every payload structurally (cheap header parse + byte accounting,
+# pure map, no shuffle), the decode operators DEAD-LETTER what still
+# slips through (skip, never crash — same rule as NULL payloads), and
+# the pipeline reconciles counts between the two.
+
+QUARANTINE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("status", T.StringType()),  # ok | header | payload
+    ]
+)
+
+
+def validate_media(df: DataFrame) -> DataFrame:
+    """Structural triage of WAV payloads, Arrow-batched:
+
+    - ``header``: the RIFF/fmt chunk grammar does not parse (bad magic,
+      truncated header) — nothing downstream can use the blob;
+    - ``payload``: the header parses but the data chunk holds fewer
+      bytes than the declared frame count (a truncated upload) —
+      metadata is salvageable, samples are not;
+    - ``ok``: structurally sound.
+
+    Classification is deterministic (grammar + byte arithmetic), so a
+    corpus with rule-injected corruption has a closed-form oracle."""
+    import io
+    import wave
+
+    def _validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k.name: [] for k in QUARANTINE_SCHEMA.fields
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["mime"] != WAV_MIME:
+                    raise NotImplementedError(
+                        f"no validator for {meta['mime']!r}"
+                    )
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    with wave.open(io.BytesIO(raw)) as w:
+                        n = w.getnframes()
+                        width = w.getsampwidth() * w.getnchannels()
+                        got = len(w.readframes(n))
+                    status = "ok" if got >= n * width else "payload"
+                except Exception:
+                    status = "header"
+                rows["doc_id"].append(int(doc_id))
+                rows["n_bytes"].append(len(raw))
+                rows["status"].append(status)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_validate, QUARANTINE_SCHEMA)
+
+
+def corrupt_tone_wavs(df: DataFrame) -> DataFrame:
+    """Deterministic corruption injector for quarantine tests/queries:
+    by doc_id % 4 — 0 intact, 1 magic bytes replaced (header-dead),
+    2 data chunk cut in half (payload-dead), 3 truncated to 6 bytes
+    (header-dead). The classes map 1:1 onto validate_media statuses,
+    giving q244 its closed-form oracle. The canonical stdlib WAV
+    header is 44 bytes, so [:44 + rest//2] keeps the header intact."""
+
+    def _corrupt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            payloads = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                k = int(doc_id) % 4
+                if k == 1:
+                    raw = b"JUNK" + raw[4:]
+                elif k == 2:
+                    raw = raw[: 44 + (len(raw) - 44) // 2]
+                elif k == 3:
+                    raw = raw[:6]
+                payloads.append(raw)
+            out["payload"] = payloads
+            yield out
+
+    return df.mapInPandas(_corrupt, MEDIA_SCHEMA)

@@ -389,3 +389,58 @@ def q229_spectral_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     return decode_spectral(attach_tone_wav(docs)).orderBy("doc_id")
+
+
+@query(
+    "q244_media_quarantine",
+    # Closed-form oracle from the deterministic corruption rule: clips
+    # are 44 + 2*512 = 1068 bytes; doc_id % 4 → 0 intact ('ok', 1068),
+    # 1 magic-flip ('header', 1068 bytes still present), 2 data chunk
+    # halved ('payload', 44 + 512 = 556), 3 truncated to 6 bytes
+    # ('header', 6). The engine must arrive at the same triage via a
+    # REAL structural parse of the corrupted bytes.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'ok'
+                               WHEN 2 THEN 'payload'
+                               ELSE 'header' END AS status,
+               CASE doc_id % 4 WHEN 2 THEN 556
+                               WHEN 3 THEN 6
+                               ELSE 1068 END AS n_bytes
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT status,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM d GROUP BY status ORDER BY status
+    """,
+)
+def q244_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-blob triage — the validate-then-decode production shape
+    for a 100 TB media corpus (one truncated upload must cost one
+    quarantined row, not the job). Pipeline: synthesize tone WAVs →
+    deterministically corrupt a subset (operators.multimodal
+    .corrupt_tone_wavs) → validate_media structurally classifies every
+    payload (RIFF grammar parse + declared-vs-actual byte accounting,
+    pure map) → aggregate per status. The decode operators themselves
+    dead-letter whatever slips past triage (same rule as NULL
+    payloads), so the quarantine counts reconcile the pipeline."""
+    from ..operators.multimodal import (
+        attach_tone_wav,
+        corrupt_tone_wavs,
+        validate_media,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    triage = validate_media(corrupt_tone_wavs(attach_tone_wav(docs)))
+    return (
+        triage.groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("status")
+    )
