@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 from . import fs
 from .alerts import Alert, AlertSink
-from .verify import VerifyReport, verify, verify_partitions
+from .verify import (
+    DEFAULT_PARTITION,
+    VerifyReport,
+    partition_key_str,
+    verify,
+    verify_partitions,
+)
 
 # Joda → java.time pattern compatibility: the reference's `-pp` patterns
 # (yyyyMM, yyyyMMdd) are valid Spark date_format patterns unchanged.
@@ -170,8 +176,16 @@ def migrate(spark: SparkSession, job: MigrateJob, sink: AlertSink | None = None)
         #    dynamic partition overwrite keeps idempotent re-runs safe.
         #    Inference off: the partition column stays the STRING the
         #    dir spells, so the destination layout is byte-identical.
+        #    The NULL partition's rows read back with a NULL key, never
+        #    the sentinel dir name — an isin on the sentinel matches
+        #    NOTHING and silently drops the whole partition (r12 probe
+        #    find); it needs an explicit isNull branch.
+        named = [k for k in to_copy if k != DEFAULT_PARTITION]
+        cond = F.col(pn).isin(named) if named else F.lit(False)
+        if DEFAULT_PARTITION in to_copy:
+            cond = cond | F.col(pn).isNull()
         with raw_partition_values(spark):
-            src_df = spark.read.parquet(job.src_path).where(F.col(pn).isin(to_copy))
+            src_df = spark.read.parquet(job.src_path).where(cond)
         writer = src_df.write.partitionBy(pn)
         if job.mode == "overwrite":
             writer = writer.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -192,8 +206,8 @@ def migrate(spark: SparkSession, job: MigrateJob, sink: AlertSink | None = None)
         for k, rep in report.verify.items():
             if not rep.equal:
                 rep = verify(
-                    src_df.where(F.col(pn).cast("string") == k),
-                    dst_df.where(F.col(pn).cast("string") == k),
+                    src_df.where(partition_key_str(pn) == k),
+                    dst_df.where(partition_key_str(pn) == k),
                 )
                 report.verify[k] = rep
                 sink.emit(Alert("error", "verify_mismatch", job.table, k, rep.render()))

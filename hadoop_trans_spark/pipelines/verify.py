@@ -15,6 +15,19 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Hive's directory name for the NULL partition value. Rows in this
+# partition read back with a NULL key, so every keyed filter/groupBy
+# must canonicalize NULL -> this sentinel or the partition becomes
+# invisible to copy AND verification (r12 hostile-layout probe: migrate
+# reported it copied, moved zero rows, and verified green).
+DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def partition_key_str(part_col: str) -> F.Column:
+    """The partition key as the string the DIRECTORY spells: NULL
+    values map to Hive's default-partition sentinel."""
+    return F.coalesce(F.col(part_col).cast("string"), F.lit(DEFAULT_PARTITION))
+
 
 def _canon_col(df: DataFrame, name: str) -> F.Column:
     """Canonicalize a column to a stable string for row hashing
@@ -83,10 +96,11 @@ def verify_partitions(
 
     def fp_by(df: DataFrame, prefix: str) -> DataFrame:
         d = df.select(*sorted(df.columns))
+        k = partition_key_str(part_col)
         if keys is not None:
-            d = d.where(F.col(part_col).cast("string").isin([str(k) for k in keys]))
+            d = d.where(k.isin([str(x) for x in keys]))
         h = row_hash(d.drop(part_col))
-        return d.groupBy(F.col(part_col).cast("string").alias("k")).agg(
+        return d.groupBy(k.alias("k")).agg(
             F.count(F.lit(1)).alias(f"{prefix}_rows"),
             F.sum(h.cast("decimal(38,0)")).alias(f"{prefix}_sum"),
             F.count_distinct(h).alias(f"{prefix}_distinct"),

@@ -172,3 +172,36 @@ def test_zero_padded_partition_values_round_trip_exactly(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled")
         == "true"
     )
+
+
+def test_null_partition_rows_survive_migration(spark, tmp_path):
+    """Hive's NULL partition (__HIVE_DEFAULT_PARTITION__) reads back
+    with a NULL key, never the sentinel string — so the copy filter's
+    isin matched nothing: migrate REPORTED the partition copied, moved
+    zero rows, and verification (keyed the same way) stayed green
+    through the loss (r12 hostile-layout probe find). The copy
+    predicate now carries an explicit isNull branch and verification
+    canonicalizes NULL keys onto the sentinel."""
+    import os
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(1, "01"), (2, None), (3, "")], "id long, par_dt string"
+    )
+    df.write.partitionBy("par_dt").parquet(f"{src}/t")
+
+    rep = migrate(
+        spark, MigrateJob(src_root=src, dst_root=dst, table="t", partition_name="par_dt")
+    )
+    assert rep.ok
+    assert rep.copied == ["01", "__HIVE_DEFAULT_PARTITION__"]
+    assert sorted(
+        d for d in os.listdir(f"{dst}/t") if d.startswith("par_dt=")
+    ) == ["par_dt=01", "par_dt=__HIVE_DEFAULT_PARTITION__"]
+    assert set(rep.verify) == {"01", "__HIVE_DEFAULT_PARTITION__"}
+    assert all(v.equal for v in rep.verify.values())
+    # All three rows arrived ('' collapses into the NULL partition at
+    # WRITE time on the source side — a property of the Hive layout
+    # itself, not of the migration).
+    back = spark.read.parquet(f"{dst}/t")
+    assert back.count() == 3
