@@ -122,7 +122,8 @@ def decode_media(df: DataFrame) -> DataFrame:
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["features"].append([float(s) / n_px for s in sums])
-            yield pd.DataFrame(rows)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
     return df.mapInPandas(_decode_batch, FEATURE_SCHEMA)
 
@@ -206,7 +207,8 @@ def frame_sample(df: DataFrame, fps_us: int = 40_000) -> DataFrame:
                     rows["frame_hash"].append(
                         hashlib.md5(f"{checksum}:{i}".encode()).hexdigest()
                     )
-            yield pd.DataFrame(rows)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
     return df.mapInPandas(_sample, FRAME_SCHEMA)
 
@@ -237,7 +239,8 @@ def attach_raw_rgb(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         "checksum": hashlib.sha256(payload).hexdigest(),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
     return df.select(F.col(id_col)).mapInPandas(_encode, MEDIA_SCHEMA)
 
@@ -306,7 +309,8 @@ def attach_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         "checksum": hashlib.sha256(payload).hexdigest(),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
     return df.select(F.col(id_col)).mapInPandas(_encode, MEDIA_SCHEMA)
 
@@ -375,7 +379,8 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
                 rows["n_zero_cross"].append(
                     int(np.sum(x[:-1] * x[1:] < 0)) if n > 1 else 0
                 )
-            yield pd.DataFrame(rows)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
     return df.mapInPandas(_decode, WAV_FEATURE_SCHEMA)
 
@@ -418,7 +423,8 @@ def attach_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         "checksum": hashlib.sha256(payload).hexdigest(),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
     return df.select(F.col(id_col)).mapInPandas(_encode, MEDIA_SCHEMA)
 
@@ -466,7 +472,8 @@ def decode_ppm_features(df: DataFrame) -> DataFrame:
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["features"].append([float(s) / n_px for s in sums])
-            yield pd.DataFrame(rows)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
     return df.mapInPandas(_decode, FEATURE_SCHEMA)
 
@@ -520,7 +527,8 @@ def attach_banded_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         "checksum": hashlib.sha256(payload).hexdigest(),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
     return df.select(F.col(id_col)).mapInPandas(_encode, MEDIA_SCHEMA)
 
@@ -579,7 +587,8 @@ def ahash_ppm(df: DataFrame) -> DataFrame:
                 rows["doc_id"].append(int(doc_id))
                 rows["ahash"].append(f"{val:016x}")
                 rows["payload_md5"].append(hashlib.md5(buf).hexdigest())
-            yield pd.DataFrame(rows)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
     return df.mapInPandas(_hash, AHASH_SCHEMA)
 
@@ -644,7 +653,8 @@ def attach_tone_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         "checksum": hashlib.sha256(payload).hexdigest(),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
     return df.select(F.col(id_col)).mapInPandas(_encode, MEDIA_SCHEMA)
 
@@ -698,7 +708,8 @@ def decode_spectral(df: DataFrame) -> DataFrame:
                 rows["dominant_bin"].append(dom)
                 rows["dominant_hz"].append(dom * sr / n)
                 rows["peak"].append(int(np.abs(x).max()) if n else 0)
-            yield pd.DataFrame(rows)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
     return df.mapInPandas(_decode, SPECTRAL_SCHEMA)
 
@@ -761,7 +772,8 @@ def validate_media(df: DataFrame) -> DataFrame:
                 rows["doc_id"].append(int(doc_id))
                 rows["n_bytes"].append(len(raw))
                 rows["status"].append(status)
-            yield pd.DataFrame(rows)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
     return df.mapInPandas(_validate, QUARANTINE_SCHEMA)
 

@@ -267,9 +267,13 @@ def test_wav_decode_matches_python_wave_model(spark):
         assert got[i] == (sr, n, n * 1_000_000 // sr, peak, rms, zc)
 
 
-def test_wav_decode_rejects_wrong_mime_and_ppm_rejects_truncation(spark):
-    """Malformed media must fail LOUDLY, not produce silent features:
-    wrong mime → NotImplementedError; truncated PPM → ValueError."""
+def test_wav_decode_rejects_wrong_mime_and_ppm_dead_letters_truncation(spark):
+    """Two failure contracts (r12 quarantine split): an UNSUPPORTED
+    mime is a configuration error and must fail LOUDLY
+    (NotImplementedError — the documented codec gate); a MALFORMED
+    payload of a supported mime is data, not configuration, and is
+    dead-lettered (skipped) so one truncated blob cannot kill a
+    100 TB job — validate_media accounts for it upstream."""
     import pytest
     from pyspark.sql.utils import PythonException
 
@@ -288,13 +292,21 @@ def test_wav_decode_rejects_wrong_mime_and_ppm_rejects_truncation(spark):
         decode_wav_features(bad_mime).collect()
 
     truncated = encode_ppm(7)[:-5]
-    bad_ppm = spark.createDataFrame(
-        [(
-            7,
-            truncated,
-            {"mime": "image/x-portable-pixmap", "n_bytes": len(truncated), "checksum": "c"},
-        )],
+    good = encode_ppm(8)
+    mixed = spark.createDataFrame(
+        [
+            (
+                7,
+                truncated,
+                {"mime": "image/x-portable-pixmap", "n_bytes": len(truncated), "checksum": "c"},
+            ),
+            (
+                8,
+                good,
+                {"mime": "image/x-portable-pixmap", "n_bytes": len(good), "checksum": "c"},
+            ),
+        ],
         MEDIA_SCHEMA,
     )
-    with pytest.raises(PythonException, match="truncated PPM"):
-        decode_ppm_features(bad_ppm).collect()
+    rows = decode_ppm_features(mixed).collect()
+    assert [r.doc_id for r in rows] == [8]  # corrupt row quarantined, good row decoded
