@@ -116,7 +116,13 @@ def q25_partition_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS INT) AS m,
            CAST(day(o_orderdate) AS INT) AS dom,
            CAST(dayofweek(o_orderdate) AS INT) % 7 + 1 AS dow,
-           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           -- Text rendering past year 9999 is format-undefined (Spark
+           -- emits ISO expanded '+10000-…', DuckDB plain '10000-…'):
+           -- the battery declares the 4-digit-year domain, NULL beyond
+           -- (boundary-date probe find, r12).
+           CASE WHEN year(o_orderdate + INTERVAL 30 DAY) <= 9999
+                THEN strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')
+           END AS plus30,
            datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
            strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
            epoch(o_orderdate) AS unix_sec
@@ -139,7 +145,10 @@ def q26_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("o_orderdate").alias("m"),
             F.dayofmonth("o_orderdate").alias("dom"),
             F.dayofweek("o_orderdate").alias("dow"),
-            F.date_format(F.date_add("o_orderdate", 30), "yyyy-MM-dd").alias("plus30"),
+            F.when(
+                F.year(F.date_add("o_orderdate", 30)) <= 9999,
+                F.date_format(F.date_add("o_orderdate", 30), "yyyy-MM-dd"),
+            ).alias("plus30"),
             F.datediff(
                 F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
             ).alias("days_since"),

@@ -1224,3 +1224,82 @@ def test_query_matches_oracle_on_hostile_scalar_fixture(
         f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
         + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
     )
+
+
+# --- boundary-date tier (round 12) -------------------------------------------
+#
+# --mode=date plants year-0001 / 9999-12-31 / Gregorian-gap-1582 /
+# pre-epoch / leap-day instants into the RELATIONAL date columns
+# (l_shipdate, o_orderdate) — the r11 time mode only reached events.ts.
+# First sweep: **243/244 — one find**: Spark's date_format renders
+# years beyond 9999 as ISO-expanded '+10000-01-30' while DuckDB's
+# strftime emits '10000-01-30'; q26's add-then-format (the only
+# arithmetic-then-render site) now declares the 4-digit-year domain
+# (NULL beyond) symmetrically. Everything else held: both engines are
+# proleptic Gregorian, so the 1582 gap and year-1 epochs agree, and
+# the ship-date daily-series family has no unbounded grid to explode.
+DATE_PROBED = [
+    "q26_date_funcs",  # the find
+    "q33_migrate_fidelity",
+    "q99_rolling_7day",
+    "q177_cusum_changepoint",
+    "q186_late_shipment_orders",
+    "q194_forecast_revenue",
+    "q196_daily_acf",
+    "q203_holt_forecast",
+    "q209_profit_by_nation_year",
+    "q219_fulfillment_latency",
+    "q237_seasonality_strength",
+    "q238_revenue_peaks",
+]
+
+
+@pytest.fixture(scope="module")
+def date_dir(tmp_path_factory, smoke_dir):
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("dateprobe"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t in np_mod.DATE_COLUMNS:
+            tab = pq.read_table(src)
+            col = np_mod.DATE_COLUMNS[t]
+            vals = tab.column(col).to_pylist()
+            for stride, parts in np_mod.DATE_BOUNDARY.items():
+                for i in range(0, len(vals), stride):
+                    vals[i] = datetime(*parts)
+            arr = pa.array(vals, type=pa.timestamp("us"))
+            tab = tab.set_column(tab.schema.get_field_index(col), col, arr)
+            pq.write_table(tab, os.path.join(dst, f"{t}.parquet"))
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def date_oracle(date_dir):
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{date_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DATE_PROBED)
+def test_query_matches_oracle_on_boundary_date_fixture(
+    name, spark, date_dir, date_oracle
+):
+    res = compare(
+        name, QUERIES[name](spark, date_dir), date_oracle, ORACLE[name]
+    )
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )

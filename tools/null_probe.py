@@ -63,6 +63,10 @@ Modes (--mode=...):
            free customer.c_name values and lineitem.l_quantity at
            1e154 / -1e155 / -1.0 — the string-split and divisor
            assumptions ANSI mode turns into job-killers (r12)
+  date     boundary DATEs in the RELATIONAL date columns (the time
+           mode only reaches events.ts): year 0001, 9999-12-31,
+           the 1582 Gregorian-gap week, pre-epoch, leap day — into
+           lineitem.l_shipdate and orders.o_orderdate (r12)
 """
 
 from __future__ import annotations
@@ -237,6 +241,22 @@ HOSTILE_CUSTOMER_NAME = {
 HOSTILE_LINEITEM_QTY = {23: 1e154, 29: -1e155, 31: -1.0}
 
 
+# --mode=date: boundary instants for the RELATIONAL date columns
+# (timestamp[us] in the fixtures; the values exceed pandas' ns range,
+# so injection goes through pyarrow like the nan/vec modes). Finds:
+# Spark date_format renders years > 9999 as ISO-expanded '+10000-…'
+# while DuckDB strftime emits '10000-…' — q26's add-then-format now
+# declares the 4-digit-year domain (NULL beyond) on both sides.
+DATE_BOUNDARY = {
+    41: (1, 1, 1, 0, 0, 0),          # proleptic minimum year
+    43: (9999, 12, 31, 23, 59, 59),  # last 4-digit-year instant
+    47: (1582, 10, 5, 12, 0, 0),     # inside the Gregorian adoption gap
+    53: (1969, 12, 31, 23, 0, 0),    # pre-epoch
+    59: (2000, 2, 29, 0, 0, 0),      # leap day
+}
+DATE_COLUMNS = {"lineitem": "l_shipdate", "orders": "o_orderdate"}
+
+
 def inject_ties(df: pd.DataFrame, table: str, scale: int) -> tuple[pd.DataFrame, int]:
     """Copy a key value from the PREVIOUS row (same user for events) onto
     strided rows, creating exact duplicates under distinct ids."""
@@ -307,6 +327,8 @@ def main() -> None:
         tables = ["lineitem", "events"]
     if mode == "hostile" and tables == ["events", "documents", "embeddings"]:
         tables = ["customer", "lineitem"]
+    if mode == "date" and tables == ["events", "documents", "embeddings"]:
+        tables = list(DATE_COLUMNS)
 
     os.makedirs(dst, exist_ok=True)
     strides_by_table = {
@@ -431,6 +453,26 @@ def main() -> None:
                 strides = sorted(EXTREME_DOC_TEXT)
             df.to_parquet(d, index=False)
             print(f"{t}: {len(df)} rows, extreme-injected at strides {strides}")
+        elif mode == "date" and t in DATE_COLUMNS and t in tables:
+            # pyarrow path: the year-1/9999 instants overflow pandas'
+            # datetime64[ns]; build the timestamp[us] array directly.
+            from datetime import datetime
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tab = pq.read_table(s)
+            col = DATE_COLUMNS[t]
+            vals = tab.column(col).to_pylist()
+            n_hit = 0
+            for stride, parts in DATE_BOUNDARY.items():
+                for i in range(0, len(vals), stride * scale):
+                    vals[i] = datetime(*parts)
+                    n_hit += 1
+            arr = pa.array(vals, type=pa.timestamp("us"))
+            tab = tab.set_column(tab.schema.get_field_index(col), col, arr)
+            pq.write_table(tab, d)
+            print(f"{t}: {len(vals)} rows, boundary {col} on {n_hit} hits")
         elif mode == "hostile" and t in ("customer", "lineitem") and t in tables:
             df = pd.read_parquet(s)
             col, plan = (
