@@ -184,8 +184,18 @@ def migrate(spark: SparkSession, job: MigrateJob, sink: AlertSink | None = None)
         cond = F.col(pn).isin(named) if named else F.lit(False)
         if DEFAULT_PARTITION in to_copy:
             cond = cond | F.col(pn).isNull()
+        #    mergeSchema: a schema-evolved partition (one that gained a
+        #    column) otherwise has that column SILENTLY DROPPED by the
+        #    sampled-file schema — and verification, reading the source
+        #    the same way, stays green through the loss (r12 probe
+        #    find). A copy tool must read the superset schema; older
+        #    partitions carry NULLs for the newer columns.
         with raw_partition_values(spark):
-            src_df = spark.read.parquet(job.src_path).where(cond)
+            src_df = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(job.src_path)
+                .where(cond)
+            )
         writer = src_df.write.partitionBy(pn)
         if job.mode == "overwrite":
             writer = writer.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -200,8 +210,8 @@ def migrate(spark: SparkSession, job: MigrateJob, sink: AlertSink | None = None)
     #    only mismatching keys pay for the row-level diff.
     if job.verify_after and report.copied:
         with raw_partition_values(spark):
-            src_df = spark.read.parquet(job.src_path)
-            dst_df = spark.read.parquet(job.dst_path)
+            src_df = spark.read.option("mergeSchema", "true").parquet(job.src_path)
+            dst_df = spark.read.option("mergeSchema", "true").parquet(job.dst_path)
         report.verify = verify_partitions(src_df, dst_df, pn, report.copied)
         for k, rep in report.verify.items():
             if not rep.equal:

@@ -205,3 +205,30 @@ def test_null_partition_rows_survive_migration(spark, tmp_path):
     # itself, not of the migration).
     back = spark.read.parquet(f"{dst}/t")
     assert back.count() == 3
+
+
+def test_schema_evolved_partition_columns_survive_migration(spark, tmp_path):
+    """A partition that GAINED a column (schema evolution — the normal
+    life of a long-lived warehouse table) had that column silently
+    dropped by the sampled-file schema on the copy read, and
+    verification, reading the source the same way, stayed green
+    through the loss (r12 probe find, the third verification-blind
+    loss class). migrate now reads with mergeSchema: the destination
+    carries the superset schema, older partitions hold NULLs for the
+    newer columns, and the evolved column's data arrives intact."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    a = spark.createDataFrame([(1, 10.0, "01")], "id long, v double, par_dt string")
+    b = spark.createDataFrame(
+        [(2, 20.0, "extra", "02")], "id long, v double, note string, par_dt string"
+    )
+    a.write.partitionBy("par_dt").parquet(f"{src}/t")
+    b.write.mode("append").partitionBy("par_dt").parquet(f"{src}/t")
+
+    rep = migrate(
+        spark, MigrateJob(src_root=src, dst_root=dst, table="t", partition_name="par_dt")
+    )
+    assert rep.ok and rep.copied == ["01", "02"]
+    back = spark.read.option("mergeSchema", "true").parquet(f"{dst}/t")
+    assert "note" in back.columns
+    rows = {r.id: r.note for r in back.collect()}
+    assert rows == {1: None, 2: "extra"}
