@@ -95,7 +95,13 @@ def _compact_partition(
     bak_dir = f"{part_dir}._compact_bak"
     try:
         (
-            spark.read.parquet(part_dir)
+            # mergeSchema: files inside one partition can disagree on
+            # schema (evolution mid-partition). Without the merge the
+            # rewrite keeps a SAMPLED file's schema — whether the
+            # evolved column survives depends on listing order
+            # (nondeterministic data loss; r12 probe, migrate twin).
+            spark.read.option("mergeSchema", "true")
+            .parquet(part_dir)
             .coalesce(n_target)
             .write.mode("overwrite")
             .option("compression", "snappy")

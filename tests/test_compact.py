@@ -108,3 +108,29 @@ def test_two_level_partitions(spark, smoke_dir, tmp_path):
     assert report.compacted
     assert all("/" in rel and "event_type=" in rel for rel in report.compacted)
     assert verify(before, spark.read.parquet(path)).equal
+
+
+def test_compaction_preserves_schema_evolved_columns(spark, tmp_path):
+    """Files inside one partition can disagree on schema (evolution
+    mid-partition). Without mergeSchema the rewrite keeps a SAMPLED
+    file's schema, so whether the evolved column survives depends on
+    file listing order — nondeterministic data loss (r12 probe; the
+    migrate twin failed deterministically). The read now merges
+    footers; this pins the contract."""
+    from hadoop_trans_spark.pipelines import compact_table
+
+    path = str(tmp_path / "t" / "par_dt=01")
+    a = spark.createDataFrame([(i, float(i)) for i in range(50)], "id long, v double")
+    b = spark.createDataFrame(
+        [(100 + i, float(i), f"x{i}") for i in range(50)],
+        "id long, v double, note string",
+    )
+    a.repartition(6).write.parquet(path)
+    b.repartition(6).write.mode("append").parquet(path)
+
+    rep = compact_table(spark, str(tmp_path / "t"), target_file_bytes=64 * 1024 * 1024)
+    assert not rep.failed
+    after = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "note" in after.columns
+    assert after.count() == 100
+    assert after.where("note is not null").count() == 50
