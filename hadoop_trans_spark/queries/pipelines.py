@@ -132,3 +132,50 @@ def q34_compact_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q245_schema_drift",
+    # Closed-form oracle from the staging rule: the 199601 partition is
+    # written WITHOUT l_tax (2 files), 199602 with the full fixture
+    # schema (2 files) — so every lineitem file column shows 4 files
+    # except l_tax (2 with, 2 missing); one physical type everywhere.
+    oracle="""
+    WITH cols(col_name) AS (VALUES
+        ('l_orderkey'), ('l_partkey'), ('l_suppkey'), ('l_linenumber'),
+        ('l_quantity'), ('l_extendedprice'), ('l_discount'), ('l_tax'),
+        ('l_returnflag'), ('l_linestatus'), ('l_shipdate'))
+    SELECT col_name,
+           CAST(CASE WHEN col_name = 'l_tax' THEN 2 ELSE 4 END AS BIGINT)
+             AS n_files_with,
+           CAST(CASE WHEN col_name = 'l_tax' THEN 2 ELSE 0 END AS BIGINT)
+             AS n_files_missing,
+           CAST(1 AS BIGINT) AS n_types
+    FROM cols ORDER BY col_name
+    """,
+)
+def q245_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift audit (pipelines/schema_report.py): stage a
+    two-partition warehouse whose older partition predates a column
+    (the shape behind the round-12 silent-loss finds), then report —
+    per column — how many data files carry it, how many lack it, and
+    how many physical types it spans. The footer sweep runs
+    executor-side (Arrow-batched mapInPandas over the path list); the
+    driver only lists files. This is the query an operator runs BEFORE
+    migrate/compact to know a table disagrees with itself."""
+    from ..pipelines.schema_report import schema_drift_report
+
+    base = tempfile.mkdtemp(prefix="htspark_drift_")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-03-01")
+        )
+        .withColumn("par_dt", F.date_format("l_shipdate", "yyyyMM"))
+    )
+    old = li.where(F.col("par_dt") == "199601").drop("par_dt", "l_tax")
+    new = li.where(F.col("par_dt") == "199602").drop("par_dt")
+    old.repartition(2).write.parquet(f"{base}/lineitem/par_dt=199601")
+    new.repartition(2).write.parquet(f"{base}/lineitem/par_dt=199602")
+    return schema_drift_report(spark, f"{base}/lineitem")

@@ -513,3 +513,85 @@ def test_kmeans_matches_unrolled_lloyd(spark, smoke_dir):
         for c_idx, ds in sorted(agg.items())
     ]
     assert _rows(spark, smoke_dir, "q105_kmeans_clusters") == expect
+
+
+def test_schema_drift_report_matches_independent_walk(spark, tmp_path):
+    """q245's operator re-derived independently: os.walk the staged
+    dir, read every footer with pyarrow directly, aggregate with
+    collections — no repo operator, no Spark, no SQL."""
+    import os
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from hadoop_trans_spark.pipelines.schema_report import schema_drift_report
+
+    a = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    b = spark.createDataFrame([(2, 20.0, "x")], "id long, v double, note string")
+    a.repartition(2).write.parquet(str(tmp_path / "t" / "p=1"))
+    b.repartition(2).write.parquet(str(tmp_path / "t" / "p=2"))
+
+    files = []
+    for root, _dirs, names in os.walk(tmp_path / "t"):
+        files += [
+            os.path.join(root, n)
+            for n in names
+            if not n.startswith(("_", ".")) and n.endswith(".parquet")
+        ]
+    with_count: dict[str, int] = defaultdict(int)
+    types: dict[str, set] = defaultdict(set)
+    for f in files:
+        for field in pq.read_schema(f):
+            with_count[field.name] += 1
+            types[field.name].add(str(field.type))
+    expect = sorted(
+        [
+            {
+                "col_name": c,
+                "n_files_with": with_count[c],
+                "n_files_missing": len(files) - with_count[c],
+                "n_types": len(types[c]),
+            }
+            for c in with_count
+        ],
+        key=lambda r: r["col_name"],
+    )
+
+    got = [
+        r.asDict()
+        for r in schema_drift_report(spark, str(tmp_path / "t")).collect()
+    ]
+    assert got == expect
+    # the drift is real: note is present in exactly the evolved files
+    assert with_count["note"] == 2 and len(files) == 4
+
+
+def test_schema_drift_query_matches_staging_rule(spark, smoke_dir):
+    """q245 end-to-end: the staged warehouse drops l_tax from the
+    older partition (2 files) and keeps the full fixture schema in the
+    newer one (2 files) — the report must state exactly that, derived
+    here from the staging rule alone."""
+    from hadoop_trans_spark.queries import QUERIES
+
+    fixture_cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ]
+    expect = sorted(
+        [
+            {
+                "col_name": c,
+                "n_files_with": 2 if c == "l_tax" else 4,
+                "n_files_missing": 2 if c == "l_tax" else 0,
+                "n_types": 1,
+            }
+            for c in fixture_cols
+        ],
+        key=lambda r: r["col_name"],
+    )
+    got = [
+        r.asDict()
+        for r in QUERIES["q245_schema_drift"](spark, smoke_dir).collect()
+    ]
+    assert got == expect
