@@ -28,8 +28,24 @@ _COMBOS = (
 )
 
 
+# Baskets beyond this are excluded from pair mining entirely (hub
+# removal). The C(k,2) expansion materializes one array of k(k-1)/2
+# structs per basket BEFORE exploding: at the cap that's ~524k structs
+# (tens of MB, safe); unguarded, ONE mega-basket of 16k items built a
+# 131M-struct array and took down the whole JVM with it (r12 hot-key
+# skew probe at sf0.1 — q200 OOM killed the session and the 50 queries
+# after it). A basket that large is an ETL artifact or a bot, not
+# co-purchase signal — the same judgment as q204's degree>64 hub prune.
+# Consumers' oracles mirror the exclusion.
+MAX_BASKET = 1024
+
+
 def copurchase_pairs(
-    df: DataFrame, key_col: str, item_col: str, weighted: bool = False
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    weighted: bool = False,
+    max_basket: int | None = MAX_BASKET,
 ) -> DataFrame:
     """Item pairs (u < v) co-occurring under one key of ``df``.
 
@@ -39,14 +55,17 @@ def copurchase_pairs(
     key-count (columns u, v, w). Measured 2.3 s vs 4.5 s against the
     equivalent lineitem self-join for the sf0.1 part-pair table.
 
-    Skew caveat (same as any co-occurrence mine): one pathological
-    mega-key makes one huge basket AND a quadratic in-array expansion —
-    cap basket size upstream (slice the set) when the domain allows it;
-    TPC-H order baskets are ≤7, event types-per-user ≤5.
+    Skew guard (ENFORCED since r12 — the documented-only cap was a
+    live JVM killer under one hot key): baskets with more than
+    ``max_basket`` distinct items are dropped before the quadratic
+    in-array expansion. Pass ``max_basket=None`` only when the item
+    domain is inherently tiny (e.g. p_brand: 25 values).
     """
     sets = df.groupBy(key_col).agg(
         F.array_sort(F.collect_set(item_col)).alias("ps")
     )
+    if max_basket is not None:
+        sets = sets.where(F.size("ps") <= max_basket)
     pairs = sets.select(F.explode(F.expr(_COMBOS)).alias("p")).select(
         "p.u", "p.v"
     )

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..operators.cooccur import copurchase_pairs
+from ..operators.cooccur import MAX_BASKET, copurchase_pairs
 from ..operators.graph import pagerank
 from .base import query
 
@@ -161,12 +161,17 @@ def _part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q140_triangle_count",
-    oracle="""
+    oracle=f"""
     WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    ok AS (
+        SELECT l_orderkey FROM li GROUP BY l_orderkey
+        HAVING COUNT(*) <= {MAX_BASKET}
+    ),
     pairs AS (
         SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
         FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)
         GROUP BY 1, 2
     ),
     e AS (
@@ -235,14 +240,19 @@ def q140_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q147_recursive_bfs",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE li AS (
         SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    ok AS (
+        SELECT l_orderkey FROM li GROUP BY l_orderkey
+        HAVING COUNT(*) <= {MAX_BASKET}
     ),
     pairs AS (
         SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
         FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)
         GROUP BY 1, 2
     ),
     backbone AS (
@@ -324,12 +334,18 @@ def q147_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q200_degree_distribution",
     # Pure integer set algebra (distinct pairs → per-node degree →
-    # histogram) — exact in both engines, no floats anywhere.
-    oracle="""
-    WITH pairs AS (
+    # histogram) — exact in both engines, no floats anywhere. The
+    # basket cap mirrors the operator's enforced hub removal (r12).
+    oracle=f"""
+    WITH ok AS (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING COUNT(DISTINCT l_partkey) <= {MAX_BASKET}
+    ),
+    pairs AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)
     ),
     und AS (
         SELECT u AS node, v AS nbr FROM pairs
@@ -371,11 +387,16 @@ def q200_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is rounded at 1e-6 BEFORE the top-20 rank (ties broken on the
     # pair key). A raw double SUM would depend on aggregation order,
     # which differs between engines and across Spark task schedules.
-    oracle="""
-    WITH pairs AS (
+    oracle=f"""
+    WITH ok AS (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING COUNT(DISTINCT l_partkey) <= {MAX_BASKET}
+    ),
+    pairs AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)
     ),
     und AS (
         SELECT u AS node, v AS nbr FROM pairs

@@ -98,3 +98,27 @@ def test_salted_join_is_row_identical_to_plain_join(spark, data):
     )
     want = sorted(map(tuple, big.join(small, "k").collect()))
     assert got == want
+
+
+def test_copurchase_pairs_drops_mega_baskets(spark):
+    """The C(k,2) in-array expansion materializes k(k-1)/2 structs per
+    basket BEFORE exploding — one 16k-item basket built a 131M-struct
+    array and OOM'd the whole JVM (r12 hot-key skew probe at sf0.1,
+    q200; the crash also invalidated the 50 queries after it in the
+    session). The documented-only cap is now ENFORCED: baskets beyond
+    max_basket are excluded entirely (hub removal, the q204 judgment),
+    small baskets are untouched, and consumers' oracles carry the same
+    exclusion."""
+    from hadoop_trans_spark.operators.cooccur import copurchase_pairs
+
+    rows = [(1, i) for i in range(10)]      # mega-basket under a tiny cap
+    rows += [(2, 100), (2, 101), (2, 102)]  # normal basket
+    df = spark.createDataFrame(rows, "k long, item long")
+
+    capped = copurchase_pairs(df, "k", "item", max_basket=5)
+    got = sorted(map(tuple, capped.collect()))
+    assert got == [(100, 101), (100, 102), (101, 102)]
+
+    # cap off -> the quadratic expansion is the caller's choice
+    full = copurchase_pairs(df, "k", "item", max_basket=None)
+    assert full.count() == 45 + 3
