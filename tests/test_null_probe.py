@@ -1303,3 +1303,67 @@ def test_query_matches_oracle_on_boundary_date_fixture(
         f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
         + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
     )
+
+
+# --- signed-key tier (round 12) ----------------------------------------------
+#
+# --mode=negkey plants -1 / -1000003 / ±2^62 into events.user_id. Full
+# sweep: **245/245, zero finds** — DuckDB's // and % are C-style
+# truncation exactly like Spark's div/% (verified -7//2 = -3, -7%2 =
+# -1), and no key expression scales into int64 overflow. Pinned so a
+# future floor-division oracle rewrite or key-scaling expression goes
+# red here instead of shipping.
+NEGKEY_PROBED = [
+    "q73_hash_split",
+    "q74_stratified_sample",
+    "q106_event_transitions",
+    "q127_session_concurrency",
+    "q128_new_vs_returning",
+    "q143_event_paths",
+    "q184_forget_users",
+    "q197_k_anonymity",
+    "q210_twap_per_user",
+    "q222_key_sequence_gaps",
+]
+
+
+@pytest.fixture(scope="module")
+def negkey_dir(tmp_path_factory, smoke_dir):
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("negkeyprobe"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t == "events":
+            df = pd.read_parquet(src)
+            for stride, v in np_mod.NEGKEY_USER_ID.items():
+                df.loc[df.index[::stride], "user_id"] = v
+            assert (df["user_id"] < 0).any()
+            df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def negkey_oracle(negkey_dir):
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{negkey_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NEGKEY_PROBED)
+def test_query_matches_oracle_on_signed_key_fixture(
+    name, spark, negkey_dir, negkey_oracle
+):
+    res = compare(
+        name, QUERIES[name](spark, negkey_dir), negkey_oracle, ORACLE[name]
+    )
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )

@@ -67,6 +67,10 @@ Modes (--mode=...):
            mode only reaches events.ts): year 0001, 9999-12-31,
            the 1582 Gregorian-gap week, pre-epoch, leap day — into
            lineitem.l_shipdate and orders.o_orderdate (r12)
+  negkey   negative / ±2^62 events.user_id — integer division, modulo
+           and overflow surfaces on signed keys (r12: zero finds —
+           DuckDB's // and % are C-style truncation like Spark's
+           div/%, pinned as canaries)
 """
 
 from __future__ import annotations
@@ -255,6 +259,12 @@ DATE_BOUNDARY = {
     59: (2000, 2, 29, 0, 0, 0),      # leap day
 }
 DATE_COLUMNS = {"lineitem": "l_shipdate", "orders": "o_orderdate"}
+
+# --mode=negkey: signed-key hostility in events.user_id. -1 and a
+# negative prime exercise the %/div sign conventions (both engines are
+# C-style truncation — verified, not assumed); ±2^62 sits one shift
+# from int64 overflow for any key-scaling expression.
+NEGKEY_USER_ID = {61: -1, 67: -1000003, 71: -(2**62), 73: 2**62}
 
 
 def inject_ties(df: pd.DataFrame, table: str, scale: int) -> tuple[pd.DataFrame, int]:
@@ -453,6 +463,13 @@ def main() -> None:
                 strides = sorted(EXTREME_DOC_TEXT)
             df.to_parquet(d, index=False)
             print(f"{t}: {len(df)} rows, extreme-injected at strides {strides}")
+        elif mode == "negkey" and t == "events" and t in tables:
+            df = pd.read_parquet(s)
+            for stride, v in NEGKEY_USER_ID.items():
+                df.loc[df.index[:: stride * scale], "user_id"] = v
+            df.to_parquet(d, index=False)
+            print(f"{t}: {len(df)} rows, signed user_id at strides "
+                  f"{sorted(NEGKEY_USER_ID)}")
         elif mode == "date" and t in DATE_COLUMNS and t in tables:
             # pyarrow path: the year-1/9999 instants overflow pandas'
             # datetime64[ns]; build the timestamp[us] array directly.
