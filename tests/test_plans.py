@@ -976,6 +976,54 @@ def test_sweep_window_matches_computed_rotation():
     assert r.returncode == 0, f"{r.stdout}\n{r.stderr}"
 
 
+def test_sweep_check_treats_post_commit_correctness_file_as_pending():
+    """r12 verdict item 1: the driver drops CORRECTNESS_r{N}.json AFTER
+    the builder's last commit, which made `--check` (and the tripwire
+    test above) red at judge time in five rounds. `pending_rounds` must
+    classify an untracked/modified CORRECTNESS file as pending; a file
+    already incorporated in HEAD must NOT be pending (so a builder who
+    forgets to rotate still trips the check)."""
+    import importlib.util
+    import os
+    from unittest import mock
+
+    repo = __file__.rsplit("/tests/", 1)[0]
+    spec = importlib.util.spec_from_file_location(
+        "rotate_sweep", os.path.join(repo, "tools", "rotate_sweep.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    class _R:
+        def __init__(self, stdout):
+            self.stdout = stdout
+
+    # untracked r13 file + modified r12 file -> both pending
+    with mock.patch.object(
+        mod.subprocess,
+        "run",
+        return_value=_R("?? CORRECTNESS_r13.json\n M CORRECTNESS_r12.json\n"),
+    ):
+        assert mod.pending_rounds() == frozenset({12, 13})
+    # clean tree -> nothing pending (forgot-to-rotate stays a hard fail)
+    with mock.patch.object(mod.subprocess, "run", return_value=_R("")):
+        assert mod.pending_rounds() == frozenset()
+    # not a git checkout -> degrade to the strict behavior
+    with mock.patch.object(
+        mod.subprocess, "run", side_effect=OSError("no git")
+    ):
+        assert mod.pending_rounds() == frozenset()
+    # compute_window must honour the exclusion: excluding a round means
+    # its rows do not advance any query's vintage
+    rounds = {2: {"qa": {"hash_match": True}}, 3: {"qa": {"hash_match": True}}}
+    last_round, _ = mod.latest_status(rounds, {"qa"})
+    assert last_round == {"qa": 3}
+    last_round, _ = mod.latest_status(
+        {k: v for k, v in rounds.items() if k != 3}, {"qa"}
+    )
+    assert last_round == {"qa": 2}
+
+
 def test_every_declared_query_has_a_third_engine_model():
     """Round 9 closed the third-engine model gap (241/241 queries have
     an independent non-SQL rederivation in tests/test_third_engine_*.py

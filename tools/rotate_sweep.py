@@ -34,6 +34,7 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -110,12 +111,14 @@ def priority_key(name: str, last_round: dict, last_ok: dict) -> tuple:
     return (3, last_round[name], qnum(name))  # green: oldest round first
 
 
-def compute_window() -> list[str]:
+def compute_window(exclude_rounds: frozenset = frozenset()) -> list[str]:
     from hadoop_trans_spark.queries import QUERIES
 
     rounds: dict[int, dict] = {}
     for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        if rnd in exclude_rounds:
+            continue
         with open(p) as fh:
             rounds[rnd] = json.load(fh)
     last_round, last_ok = latest_status(rounds, set(QUERIES))
@@ -123,6 +126,37 @@ def compute_window() -> list[str]:
         QUERIES, key=lambda n: priority_key(n, last_round, last_ok)
     )
     return ordered[:WINDOW]
+
+
+def pending_rounds() -> frozenset:
+    """Rounds whose CORRECTNESS file has NOT been incorporated by any
+    commit yet (untracked, or modified relative to HEAD).
+
+    The driver drops ``CORRECTNESS_r{N}.json`` AFTER the builder's last
+    commit, so at judge time the committed window is necessarily one
+    rotation behind the on-disk files — that is PENDING, not stale (it
+    produced the judge-time red in five rounds: 3, 4, 10, 11, 12). The
+    moment any commit lands with the file tracked (the driver's own
+    round-wrap commit does this), the round stops being pending and the
+    window must reflect it — so a builder who forgets to rotate at
+    round start still trips the check.
+    """
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain", "--", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            check=True,
+        ).stdout
+    except Exception:
+        return frozenset()  # not a git checkout: nothing is pending
+    pend = set()
+    for line in out.splitlines():
+        m = re.search(r"CORRECTNESS_r(\d+)\.json", line)
+        if m:
+            pend.add(int(m.group(1)))
+    return frozenset(pend)
 
 
 def current_window() -> list[str]:
@@ -136,6 +170,15 @@ def main() -> None:
     if "--check" in sys.argv:
         cur = current_window()
         if cur != window:
+            pend = pending_rounds()
+            if pend and cur == compute_window(exclude_rounds=pend):
+                print(
+                    "window PENDING — CORRECTNESS file(s) for round(s) "
+                    f"{sorted(pend)} landed after the last commit; the "
+                    "committed window matches the pre-landing computation. "
+                    "Rotate at next round start (tools/round_start.py)."
+                )
+                return
             print("window STALE — run `python tools/rotate_sweep.py`")
             print("computed head:", window[:5], "... current head:", cur[:5])
             raise SystemExit(1)
