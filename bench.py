@@ -379,6 +379,12 @@ def _movers_against(
                     "query": name,
                     "prev_s": round(prev_s, 4),
                     "cur_s": round(cur_s, 4),
+                    # Exact baseline the flag compared against, recorded
+                    # directly (ADVICE r12): adjudicate() previously
+                    # reconstructed it as cur_s/drift_adj_ratio from two
+                    # fields EACH rounded to 4dp, so near-threshold
+                    # verdicts could flip vs the flag's true baseline.
+                    "base_s": round(base_s, 6),
                     "drift_adj_ratio": round(ratio, 4),
                     "suite_med_ratio": round(suite, 4),
                     "baseline": baseline,
@@ -507,9 +513,10 @@ def adjudicate(here: str) -> None:
                 execute(QUERIES[name](spark, sf_dir))
                 draws.append(time.perf_counter() - t0)
             warm_min = min(draws)
-            # Reconstruct the flag's baseline from its own recorded
-            # fields: base_s = prev * drift * suite = cur / ratio.
-            base_s = m["cur_s"] / m["drift_adj_ratio"]
+            # Prefer the directly-recorded baseline (ADVICE r12);
+            # reconstruct from the rounded fields only for mover entries
+            # written by pre-r13 bench versions.
+            base_s = m.get("base_s") or (m["cur_s"] / m["drift_adj_ratio"])
             ratio = warm_min / base_s
             verdict = (
                 "real"

@@ -728,7 +728,8 @@ QUARANTINE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("status", T.StringType()),  # ok | header | payload
+        # ok | header | payload | unsupported
+        T.StructField("status", T.StringType()),
     ]
 )
 
@@ -741,7 +742,11 @@ def validate_media(df: DataFrame) -> DataFrame:
     - ``payload``: the header parses but the data chunk holds fewer
       bytes than the declared frame count (a truncated upload) —
       metadata is salvageable, samples are not;
-    - ``ok``: structurally sound.
+    - ``unsupported``: structurally sound but not PCM16 mono — the
+      decode operators reject exactly that format (ADVICE r12: triage
+      previously called these 'ok' while decode dead-lettered them, so
+      the two stages' counts could not reconcile);
+    - ``ok``: structurally sound AND decodable (PCM16 mono).
 
     Classification is deterministic (grammar + byte arithmetic), so a
     corpus with rule-injected corruption has a closed-form oracle."""
@@ -764,9 +769,15 @@ def validate_media(df: DataFrame) -> DataFrame:
                 try:
                     with wave.open(io.BytesIO(raw)) as w:
                         n = w.getnframes()
-                        width = w.getsampwidth() * w.getnchannels()
+                        sampwidth = w.getsampwidth()
+                        channels = w.getnchannels()
                         got = len(w.readframes(n))
-                    status = "ok" if got >= n * width else "payload"
+                    if got < n * sampwidth * channels:
+                        status = "payload"
+                    elif sampwidth != 2 or channels != 1:
+                        status = "unsupported"
+                    else:
+                        status = "ok"
                 except Exception:
                     status = "header"
                 rows["doc_id"].append(int(doc_id))

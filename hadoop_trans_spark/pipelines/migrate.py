@@ -123,7 +123,19 @@ def raw_partition_values(spark: SparkSession):
     Every pipeline read of a Hive-partitioned layout runs with
     inference off so values round-trip byte-exactly. Inference happens
     at DataFrame CREATION (schema resolution), so only the reads need
-    to sit inside this context, not the actions."""
+    to sit inside this context, not the actions.
+
+    Concurrency note (ADVICE r12): this toggles SESSION-scoped conf, so
+    a concurrent read on the SAME SparkSession during the window would
+    silently get inference disabled (or re-enabled mid-migrate by a
+    competing context exit). The pipelines are single-threaded per
+    session by design — the CLI owns its session — and nested use is
+    safe (the restore is value-based, not stack-based, and both nesting
+    levels set the same value). Callers embedding migrate() in a
+    multi-threaded driver should hand it `spark.newSession()` so the
+    conf mutation is isolated; per-read DataFrameReader options cannot
+    express this knob (it is consulted at partition discovery, before
+    reader options apply)."""
     key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     old = spark.conf.get(key, "true")
     spark.conf.set(key, "false")

@@ -310,3 +310,47 @@ def test_wav_decode_rejects_wrong_mime_and_ppm_dead_letters_truncation(spark):
     )
     rows = decode_ppm_features(mixed).collect()
     assert [r.doc_id for r in rows] == [8]  # corrupt row quarantined, good row decoded
+
+
+def test_validate_media_triage_reconciles_with_wav_decode(spark):
+    """ADVICE r12: a structurally sound stereo / non-16-bit WAV used to
+    triage 'ok' while decode_wav_features dead-lettered it, breaking
+    the validate-then-decode count reconciliation. Such clips must now
+    triage 'unsupported', so (#ok == #decoded rows) holds exactly."""
+    import io
+    import wave as wave_mod
+
+    from hadoop_trans_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        WAV_MIME,
+        decode_wav_features,
+        encode_wav_tone,
+        validate_media,
+    )
+
+    def wav(channels: int, sampwidth: int) -> bytes:
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(sampwidth)
+            w.setframerate(8000)
+            w.writeframes(b"\x01" * (64 * channels * sampwidth))
+        return buf.getvalue()
+
+    clips = [
+        (1, encode_wav_tone(1)),  # PCM16 mono -> ok, decodable
+        (2, wav(2, 2)),  # stereo PCM16 -> unsupported
+        (3, wav(1, 1)),  # 8-bit mono -> unsupported
+        (4, b"JUNKJUNKJUNK"),  # header-dead
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, p, {"mime": WAV_MIME, "n_bytes": len(p), "checksum": "c"})
+            for i, p in clips
+        ],
+        MEDIA_SCHEMA,
+    )
+    triage = {r.doc_id: r.status for r in validate_media(df).collect()}
+    assert triage == {1: "ok", 2: "unsupported", 3: "unsupported", 4: "header"}
+    decoded = sorted(r.doc_id for r in decode_wav_features(df).collect())
+    assert decoded == sorted(i for i, s in triage.items() if s == "ok")

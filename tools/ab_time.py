@@ -29,7 +29,13 @@ def main() -> None:
         n = int(args[i + 1])
         args = args[:i] + args[i + 2 :]
     sf_dir = sf if os.path.isabs(sf) else f"/root/testdata/{sf}"
+    if not args:
+        # str.startswith(()) is always False — with no prefixes the tool
+        # would warm up, print nothing, and exit 0 (ADVICE r12).
+        raise SystemExit(__doc__.strip())
     names = [q for q in QUERIES if q.startswith(tuple(args))]
+    if not names:
+        raise SystemExit(f"no queries match prefixes {args}")
     from bench import execute  # the v2 noop-sink action — match the protocol
 
     spark = get_spark(app_name="ab_time")
