@@ -21,6 +21,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MARKER = "## Per-query driver history"
 
+# Evidence notes for queries whose latest green driver row is a 0-row
+# hash match (the empty case): where the NON-EMPTY behavior is proven.
+ZERO_ROW_EVIDENCE = {
+    "q222_key_sequence_gaps": (
+        "clean fixture has no orderkey gaps by construction; non-empty "
+        "case proven by tests/test_analytics_properties.py::"
+        "test_key_gap_audit_finds_planted_gaps_exactly (keys 1..5000 with "
+        "three cut ranges -> exact gap rows) and the clean==0 assertion "
+        "beside it"
+    ),
+    "q243_confusable_skeleton_dedup": (
+        "clean fixture is pure ASCII (no confusable clusters); "
+        "non-empty case proven by tests/test_third_engine_dedup_text.py "
+        "::test_confusable_skeleton_collapses_homoglyph_variants "
+        "(hand-built Cyrillic-spoof/zero-width/case-variant corpus -> one "
+        "cluster, n_raw_variants=3) and the r12 null_probe --mode=confuse sweep"
+    ),
+}
+
 
 def load_rounds() -> dict[int, dict]:
     rounds: dict[int, dict] = {}
@@ -194,6 +213,35 @@ def main() -> None:
             ),
             "",
         ]
+
+    # Zero-row driver evidence (VERDICT r12 item 4): a driver row that
+    # hash-matched on ZERO rows proves only the empty case — the real
+    # behavior must be carried by a non-empty canary or probe mode,
+    # named here so the judge can check the evidence chain. A zero-row
+    # query with no note is flagged loudly.
+    zero_row = []
+    for rnd in sorted(rounds):
+        for name, row in rounds[rnd].items():
+            if name in QUERIES and row.get("spark_rows") == 0 and row.get(
+                "hash_match"
+            ):
+                zero_row.append(name)
+    # keep only queries whose LATEST row is the zero-row one
+    zero_latest = sorted(
+        {
+            n
+            for n in zero_row
+            if rounds[max(r for r, _ in history[n])][n].get("spark_rows") == 0
+        }
+    )
+    if zero_latest:
+        lines += ["## Zero-row driver evidence", ""]
+        for n in zero_latest:
+            note = ZERO_ROW_EVIDENCE.get(
+                n, "NEEDS EVIDENCE — add a non-empty canary and note it here"
+            )
+            lines += [f"- {n}: {note}"]
+        lines += [""]
 
     path = os.path.join(REPO, "COVERAGE.md")
     with open(path) as fh:
