@@ -461,6 +461,15 @@ def compact_stdout_line(
 # and q01 (r11) by hand; min-of-5 is robust to one GC/compilation draw.
 ADJUDICATE_RUNS = 5
 
+# Escalation before a `real` verdict sticks: some queries have a long
+# JIT/codegen warm-up tail (q220 r13: draws kept descending through
+# draw 8 and only plateaued ~1.75 s after five draws sat at ~2.4 s — a
+# 5-draw min mislabeled pure warm-up as a 1.68x regression; the 12-draw
+# back-to-back A/B vs the r11 worktree showed parity). A mover that
+# still exceeds the gate after 5 draws gets ESCALATE_RUNS more; the
+# verdict uses the min over ALL draws.
+ADJUDICATE_ESCALATE_RUNS = 7
+
 
 def execute(df) -> None:
     """The timed action: noop-sink write — computes every output column
@@ -512,18 +521,29 @@ def adjudicate(here: str) -> None:
                 t0 = time.perf_counter()
                 execute(QUERIES[name](spark, sf_dir))
                 draws.append(time.perf_counter() - t0)
-            warm_min = min(draws)
             # Prefer the directly-recorded baseline (ADVICE r12);
             # reconstruct from the rounded fields only for mover entries
             # written by pre-r13 bench versions.
             base_s = m.get("base_s") or (m["cur_s"] / m["drift_adj_ratio"])
+
+            def _gate(ws: float) -> bool:
+                return (
+                    ws / base_s > MOVER_THRESHOLD
+                    and ws - base_s >= MOVER_MIN_ABS_S
+                )
+
+            escalated = False
+            if _gate(min(draws)):
+                escalated = True
+                for _ in range(ADJUDICATE_ESCALATE_RUNS):
+                    if name in MEMOIZED:
+                        clear_stage_memo(MEMOIZED[name])
+                    t0 = time.perf_counter()
+                    execute(QUERIES[name](spark, sf_dir))
+                    draws.append(time.perf_counter() - t0)
+            warm_min = min(draws)
             ratio = warm_min / base_s
-            verdict = (
-                "real"
-                if ratio > MOVER_THRESHOLD
-                and warm_min - base_s >= MOVER_MIN_ABS_S
-                else "noise"
-            )
+            verdict = "real" if _gate(warm_min) else "noise"
             out["verdicts"].append(
                 {
                     "query": name,
@@ -532,6 +552,7 @@ def adjudicate(here: str) -> None:
                     "warm_draws_s": [round(d, 4) for d in draws],
                     "baseline_s": round(base_s, 4),
                     "warm_adj_ratio": round(ratio, 4),
+                    "escalated": escalated,
                     "verdict": verdict,
                 }
             )
