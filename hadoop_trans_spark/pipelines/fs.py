@@ -52,6 +52,14 @@ def list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     return sorted(out)
 
 
+def qualify(spark: SparkSession, path: str) -> str:
+    """Fully-qualified URI form of ``path`` (file:/… locally, hdfs://…
+    on a cluster) — what listFiles returns, and what a basePath must
+    match when a read is given explicit file URIs."""
+    fs, p = _fs_and_path(spark, path)
+    return fs.makeQualified(p).toString()
+
+
 def rename(spark: SparkSession, src: str, dst: str) -> bool:
     """Metadata-level rename — atomic on HDFS and POSIX; on object stores
     use a commit-marker strategy instead (documented in SCALE.md)."""

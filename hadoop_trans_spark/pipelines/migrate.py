@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 
 from . import fs
 from .alerts import Alert, AlertSink
+from .health import data_files as health_data_files
+from .health import scan_parquet_health
 from .verify import (
     DEFAULT_PARTITION,
     VerifyReport,
@@ -89,6 +91,11 @@ class MigrateJob:
     end: str | None = None  # reference `-e`
     mode: str = "skip"  # conflict policy: skip | overwrite | fail
     verify_after: bool = True
+    # Footer-validate every candidate source file before the copy reads
+    # it; corrupt files are quarantined (excluded + reported + alerted)
+    # instead of killing the whole distributed copy job (r13; see
+    # pipelines/health.py for the contract). Metadata-only cost.
+    quarantine_scan: bool = True
 
     @property
     def src_path(self) -> str:
@@ -106,6 +113,9 @@ class MigrateReport:
     conflicts: list[str] = field(default_factory=list)
     verify: dict[str, VerifyReport] = field(default_factory=dict)
     alerts: list[Alert] = field(default_factory=list)
+    # corrupt source files excluded from the copy: {path, reason} each
+    # (pipelines/health.py contract — reported, never silently skipped)
+    quarantined: list[dict] = field(default_factory=list)
 
     @property
     def ok(self) -> bool:
@@ -196,6 +206,32 @@ def migrate(spark: SparkSession, job: MigrateJob, sink: AlertSink | None = None)
         cond = F.col(pn).isin(named) if named else F.lit(False)
         if DEFAULT_PARTITION in to_copy:
             cond = cond | F.col(pn).isNull()
+        #    Container health (r13, pipelines/health.py): footer-validate
+        #    the candidate files first — one truncated upload must cost
+        #    one quarantined FILE (reported + alerted), not the whole
+        #    distributed copy job.
+        healthy: list[str] | None = None
+        if job.quarantine_scan:
+            candidates: list[str] = []
+            for k in to_copy:
+                candidates += health_data_files(
+                    spark, f"{job.src_path}/{pn}={k}"
+                )
+            healthy, quarantined = scan_parquet_health(spark, candidates)
+            if quarantined:
+                report.quarantined = quarantined
+                for q in quarantined:
+                    sink.emit(
+                        Alert(
+                            "error",
+                            "corrupt_file",
+                            job.table,
+                            q["path"],
+                            f"quarantined (excluded from copy): {q['reason']}",
+                        )
+                    )
+            else:
+                healthy = None  # normal path: whole-directory read
         #    mergeSchema: a schema-evolved partition (one that gained a
         #    column) otherwise has that column SILENTLY DROPPED by the
         #    sampled-file schema — and verification, reading the source
@@ -203,26 +239,56 @@ def migrate(spark: SparkSession, job: MigrateJob, sink: AlertSink | None = None)
         #    find). A copy tool must read the superset schema; older
         #    partitions carry NULLs for the newer columns.
         with raw_partition_values(spark):
-            src_df = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(job.src_path)
-                .where(cond)
-            )
-        writer = src_df.write.partitionBy(pn)
-        if job.mode == "overwrite":
-            writer = writer.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            if healthy is not None:
+                # explicit healthy-file read; basePath keeps the
+                # partition column resolvable from the dir layout
+                reader = spark.read.option("mergeSchema", "true").option(
+                    "basePath", fs.qualify(spark, job.src_path)
+                )
+                src_df = (
+                    reader.parquet(*healthy).where(cond)
+                    if healthy
+                    else None
+                )
+            else:
+                src_df = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(job.src_path)
+                    .where(cond)
+                )
+        if src_df is None:
+            report.copied = []
+            to_copy = []
         else:
-            writer = writer.mode("append")
-        writer.parquet(job.dst_path)
-        report.copied = sorted(to_copy)
+            writer = src_df.write.partitionBy(pn)
+            if job.mode == "overwrite":
+                writer = writer.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                )
+            else:
+                writer = writer.mode("append")
+            writer.parquet(job.dst_path)
+            report.copied = sorted(to_copy)
 
     # 5. Post-copy verification (R11) per copied partition — row-content,
     #    both directions (upgrade over file-size compare). Batched: one
     #    grouped-fingerprint scan per side covers every copied partition;
-    #    only mismatching keys pay for the row-level diff.
+    #    only mismatching keys pay for the row-level diff. When files
+    #    were quarantined the SOURCE side reads the same healthy file
+    #    list the copy read, so the fingerprints reconcile exactly and
+    #    the report is "equal, minus the NAMED quarantined files" — the
+    #    quarantine entries carry the loss, verification proves the
+    #    copy moved everything it was allowed to read.
     if job.verify_after and report.copied:
         with raw_partition_values(spark):
-            src_df = spark.read.option("mergeSchema", "true").parquet(job.src_path)
+            if report.quarantined and healthy:
+                src_df = (
+                    spark.read.option("mergeSchema", "true")
+                    .option("basePath", fs.qualify(spark, job.src_path))
+                    .parquet(*healthy)
+                )
+            else:
+                src_df = spark.read.option("mergeSchema", "true").parquet(job.src_path)
             dst_df = spark.read.option("mergeSchema", "true").parquet(job.dst_path)
         report.verify = verify_partitions(src_df, dst_df, pn, report.copied)
         for k, rep in report.verify.items():

@@ -99,7 +99,7 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(id, simhash) fingerprints on `documents` (32-bit, word-3-grams)."""
+    """(id, simhash) fingerprints on `documents` (64-bit, word-3-grams)."""
     return _memo_stage(
         spark,
         sf_dir,
@@ -240,12 +240,18 @@ def q40_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     votes AS (
       SELECT id, b,
-             SUM(((strpos('0123456789abcdef', substring(md5(tok), b+1, 1)) - 1) % 2) * 2 - 1) AS s
-      FROM toks, generate_series(0, 31) t(b)
+             SUM((((CASE WHEN b < 32
+                    THEN strpos('0123456789abcdef', substring(md5(tok), b+1, 1))
+                    ELSE strpos('0123456789abcdef', substring(md5('s2:' || tok), b-31, 1))
+                    END) - 1) % 2) * 2 - 1) AS s
+      FROM toks, generate_series(0, 63) t(b)
       GROUP BY id, b
     )
     SELECT id AS doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)
+           CAST(SUM(CASE WHEN s > 0 THEN
+                      CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                           ELSE CAST(pow(2, b) AS BIGINT) END
+                    ELSE 0 END)
                 AS BIGINT) AS simhash
     FROM votes
     GROUP BY id
@@ -253,8 +259,10 @@ def q40_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q41_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints over word-3-gram shingle features
-    (operators.simhash); the Hamming-pair stage is q63.
+    """64-bit SimHash fingerprints over word-3-gram shingle features
+    (operators.simhash — widened from 32 in r13 after the pair-growth
+    audit caught 8-bit pigeonhole segments degenerating; bit 63 is the
+    bigint sign bit in both engines); the Hamming-pair stage is q63.
 
     Bench note: this query pays the one-time fingerprint-stage build
     (md5 per shingle) that q63 then reuses via the stage memo, so its
@@ -279,13 +287,19 @@ def q41_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     votes AS (
       SELECT id, b,
-             SUM(((strpos('0123456789abcdef', substring(md5(tok), b+1, 1)) - 1) % 2) * 2 - 1) AS s
-      FROM toks, generate_series(0, 31) t(b)
+             SUM((((CASE WHEN b < 32
+                    THEN strpos('0123456789abcdef', substring(md5(tok), b+1, 1))
+                    ELSE strpos('0123456789abcdef', substring(md5('s2:' || tok), b-31, 1))
+                    END) - 1) % 2) * 2 - 1) AS s
+      FROM toks, generate_series(0, 63) t(b)
       GROUP BY id, b
     ),
     sims AS (
       SELECT id,
-             SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+             CAST(SUM(CASE WHEN s > 0 THEN
+                        CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                             ELSE CAST(pow(2, b) AS BIGINT) END
+                      ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY id
     )
     SELECT a.id AS id_a, b.id AS id_b,

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..pipelines import MigrateJob, compact_table, migrate
+from ..pipelines.fs import exists as fs_exists
 from .base import dsum, o_dsum, query, ts_micros
 
 
@@ -179,3 +180,102 @@ def q245_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     old.repartition(2).write.parquet(f"{base}/lineitem/par_dt=199601")
     new.repartition(2).write.parquet(f"{base}/lineitem/par_dt=199602")
     return schema_drift_report(spark, f"{base}/lineitem")
+
+
+@query(
+    "q246_footer_quarantine",
+    # Closed-form oracle from the corruption rule: each 1996 month is
+    # staged as exactly ONE parquet file (hash repartition on par_dt —
+    # all of a month's rows land in one task); 199603's footer is
+    # truncated and 199604's magic is flipped, so those two files are
+    # quarantined, their partitions arrive EMPTY at the destination,
+    # and every other month arrives in full.
+    oracle="""
+    WITH m AS (
+        SELECT strftime(l_shipdate, '%Y%m') AS par_dt, COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+        GROUP BY 1)
+    SELECT par_dt,
+           CAST(CASE WHEN par_dt IN ('199603', '199604')
+                     THEN 0 ELSE n END AS BIGINT) AS n_dst_rows,
+           CAST(CASE WHEN par_dt IN ('199603', '199604')
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_quarantined
+    FROM m ORDER BY par_dt
+    """,
+)
+def q246_footer_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-container triage through the REAL migrate pipeline (r13,
+    pipelines/health.py): stage a one-file-per-month 1996 warehouse,
+    corrupt two files at the byte level (footer truncated / magic
+    flipped), migrate the year. One corrupt file must cost one
+    quarantined FILE — excluded from the copy, named in the report,
+    alerted — never the job (the distributed-copy crash) and never a
+    silent skip. The emitted fingerprint proves all three: healthy
+    months copied in full, poisoned months copied empty, and exactly
+    one quarantine entry per corrupt file."""
+    import os
+
+    base = tempfile.mkdtemp(prefix="htspark_footer_")
+    src_root, dst_root = f"{base}/src", f"{base}/dst"
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .withColumn("par_dt", F.date_format("l_shipdate", "yyyyMM"))
+    )
+    li.repartition("par_dt").write.mode("overwrite").partitionBy(
+        "par_dt"
+    ).parquet(f"{src_root}/lineitem")
+
+    def corrupt(month: str, mode: str) -> None:
+        d = f"{src_root}/lineitem/par_dt={month}"
+        if not os.path.isdir(d):
+            return  # empty shard: month absent, nothing to poison
+        for f in os.listdir(d):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                p = os.path.join(d, f)
+                raw = open(p, "rb").read()
+                if mode == "truncate":
+                    open(p, "wb").write(raw[: max(4, len(raw) // 2)])
+                else:
+                    open(p, "wb").write(raw[:-4] + b"JUNK")
+
+    corrupt("199603", "truncate")
+    corrupt("199604", "garbage")
+
+    report = migrate(
+        spark,
+        MigrateJob(
+            src_root, dst_root, "lineitem",
+            start="1996-01-01", end="1996-12-31",
+        ),
+    )
+    # quarantine count per month, from the report (metadata-sized)
+    months = [r.par_dt for r in li.select("par_dt").distinct().collect()]
+    qcount = {
+        m: sum(1 for q in report.quarantined if f"/par_dt={m}/" in q["path"])
+        for m in months
+    }
+    if report.copied and fs_exists(spark, f"{dst_root}/lineitem"):
+        dst = spark.read.schema(li.schema).parquet(f"{dst_root}/lineitem")
+    else:
+        dst = spark.createDataFrame([], li.schema)
+    dst_counts = dst.groupBy(
+        F.col("par_dt").cast("string").alias("par_dt")
+    ).agg(F.count("*").alias("n_dst_rows"))
+    months_df = spark.createDataFrame(
+        [(m, qcount[m]) for m in months], "par_dt string, n_quarantined long"
+    )
+    return (
+        months_df.join(dst_counts, "par_dt", "left")
+        .select(
+            "par_dt",
+            F.coalesce(F.col("n_dst_rows"), F.lit(0)).alias("n_dst_rows"),
+            "n_quarantined",
+        )
+        .orderBy("par_dt")
+    )

@@ -61,10 +61,20 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
 def read_xml(spark: SparkSession, path: str, schema: T.StructType | str, row_tag: str = "row") -> DataFrame:
     """XML ingest (built into Spark 4; formerly spark-xml). Schema is
     declared like every other text boundary — XML inference is an extra
-    full scan plus type guessing, both wrong at 100 TB."""
+    full scan plus type guessing, both wrong at 100 TB.
+
+    ignoreSurroundingSpaces is OFF: the default silently trims edge
+    whitespace from element text — the same <= 0x20 corruption class as
+    the CSV univocity trim (r12 hostile probe; r13 found the XML twin).
+    Characters ILLEGAL in XML 1.0 (NUL, 0x01–0x1F except tab/LF/CR)
+    cannot cross this boundary at all — the WRITER fails loudly, which
+    is the correct contract (a loud refusal, never silent mangling);
+    route such payloads through a binary-safe format (parquet/ORC both
+    round-trip NULs byte-exactly)."""
     return (
         spark.read.format("xml")
         .option("rowTag", row_tag)
+        .option("ignoreSurroundingSpaces", "false")
         .schema(schema)
         .load(path)
     )

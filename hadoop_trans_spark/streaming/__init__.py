@@ -22,6 +22,8 @@ from .jobs import (
     tumbling_counts,
     user_streaks,
     user_streaks_tws,
+    user_streaks_updates,
+    complete_totals_stream,
 )
 
 __all__ = [
@@ -41,4 +43,6 @@ __all__ = [
     "late_data_drop",
     "user_streaks",
     "user_streaks_tws",
+    "user_streaks_updates",
+    "complete_totals_stream",
 ]

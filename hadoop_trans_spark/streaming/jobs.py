@@ -65,9 +65,14 @@ def events_stream_schema(spark: SparkSession, sf_dir: str) -> StructType:
     stream schema fails the parquet column conversion). One batch footer
     probe; normalize_event_ts then converts either layout to a UTC
     TIMESTAMP instant (see catalog)."""
-    dtype = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get(
-        "ts"
-    )
+    # Footer probe honors the same layout flexibility as the stream
+    # glob: a staged dir (tools/stream_probe.py) holds events_000…, the
+    # fixture holds events.parquet — pathGlobFilter resolves both.
+    dtype = dict(
+        spark.read.option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+        .dtypes
+    ).get("ts")
     ts_type = LongType() if dtype == "bigint" else TimestampNTZType()
     return StructType(
         [
@@ -85,14 +90,17 @@ def read_events_stream(
     spark: SparkSession,
     sf_dir: str,
     max_files_per_trigger: int | None = None,
-    glob: str = "events.parquet",
+    glob: str = "events*.parquet",
 ) -> DataFrame:
     """events.parquet as a stream (file source needs a dir → glob filter).
 
-    ``glob`` widens the watched set for continuous-arrival sources (a
-    real migrate loop watches a landing dir where files keep arriving,
-    e.g. ``events*.parquet``); the default pins the fixture file so the
-    other fixture tables in the same dir never leak into the stream."""
+    The default glob keeps the other fixture tables out of the stream
+    (no table name besides ``events`` starts with "events") while also
+    matching multi-file staged layouts (``events_000.parquet``, …) —
+    how tools/stream_probe.py feeds the same jobs in several
+    micro-batches with a stop/resume between them. Continuous-arrival
+    sources (a real migrate loop watching a landing dir) pass their own
+    glob."""
     reader = (
         spark.readStream.schema(events_stream_schema(spark, sf_dir))
         .option("pathGlobFilter", glob)
@@ -556,20 +564,12 @@ def stream_migrate(
 # --- custom stateful operator: applyInPandasWithState -------------------------
 
 
-def user_streaks(
-    spark: SparkSession, sf_dir: str, gap_seconds: int = 600
+def user_streaks_updates(
+    stream: DataFrame, gap_seconds: int = 600
 ) -> DataFrame:
-    """Per-user activity streaks via a CUSTOM stateful operator.
-
-    A streak is a maximal run of events where each inter-arrival gap is
-    < ``gap_seconds``. This is the `applyInPandasWithState` surface for
-    stateful logic Spark's built-in windows can't express (the operator
-    tracks (event_count, current_streak, longest_streak, last_ts) across
-    micro-batches; state is per-key and watermark/timeout-evictable at
-    scale — here NoTimeout since the fixture is finite).
-
-    Returns the final (user_id, n_events, max_streak) per user.
-    """
+    """The applyInPandasWithState UPDATE stream behind ``user_streaks``
+    (exposed separately so the restart probe — tools/stream_probe.py —
+    can drive it across a checkpoint stop/resume boundary)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -598,13 +598,31 @@ def user_streaks(
             }
         )
 
-    stream = read_events_stream(spark, sf_dir)
-    updates = stream.groupBy("user_id").applyInPandasWithState(
+    return stream.groupBy("user_id").applyInPandasWithState(
         track,
         "user_id long, n_events long, max_streak long",
         "n long, cur long, best long, last_us long",
         "update",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_streaks(
+    spark: SparkSession, sf_dir: str, gap_seconds: int = 600
+) -> DataFrame:
+    """Per-user activity streaks via a CUSTOM stateful operator.
+
+    A streak is a maximal run of events where each inter-arrival gap is
+    < ``gap_seconds``. This is the `applyInPandasWithState` surface for
+    stateful logic Spark's built-in windows can't express (the operator
+    tracks (event_count, current_streak, longest_streak, last_ts) across
+    micro-batches; state is per-key and watermark/timeout-evictable at
+    scale — here NoTimeout since the fixture is finite).
+
+    Returns the final (user_id, n_events, max_streak) per user.
+    """
+    updates = user_streaks_updates(
+        read_events_stream(spark, sf_dir), gap_seconds
     )
     final = run_to_memory(updates, "update")
     # update mode re-emits a key's row each batch it changes; counters are
@@ -898,9 +916,20 @@ def complete_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT the stream length — acceptable precisely when the group
     cardinality is bounded, which is why the repo's unbounded-key
     aggregations (q132 distinct users) use watermarked append instead."""
-    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
-    totals = stream.groupBy("event_type").agg(
+    return run_to_memory(
+        complete_totals_stream(
+            read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+        ),
+        "complete",
+    )
+
+
+def complete_totals_stream(stream: DataFrame) -> DataFrame:
+    """The unwatermarked global aggregate behind ``complete_mode_totals``
+    (exposed for the restart probe: complete mode re-emits full state,
+    so after a checkpoint resume the LAST run's table alone must equal
+    the batch aggregate)."""
+    return stream.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(_dterm()("value", 6)).alias("sum_value_dec"),
     )
-    return run_to_memory(totals, "complete")

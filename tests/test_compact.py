@@ -134,3 +134,51 @@ def test_compaction_preserves_schema_evolved_columns(spark, tmp_path):
     assert "note" in after.columns
     assert after.count() == 100
     assert after.where("note is not null").count() == 50
+
+
+def test_compact_corrupt_file_fails_partition_keeps_data(
+    spark, small_files_table
+):
+    """r13 footer probe, compact side: a corrupt parquet file must fail
+    ONLY its own partition — alerted, originals left fully intact (a
+    rewrite that excluded the corrupt file and then deleted originals
+    would LOSE its rows) — while every other partition compacts. This
+    pins the existing per-partition failure isolation as the chosen
+    contract for compaction (migrate's quarantine-and-copy contract
+    cannot apply here: compact DELETES sources after the swap, so a
+    partition with an unreadable file must not be rewritten at all)."""
+    import os
+
+    from hadoop_trans_spark.pipelines.alerts import AlertSink
+
+    parts = sorted(
+        d for d in os.listdir(small_files_table) if d.startswith("par_dt=")
+    )
+    victim = f"{small_files_table}/{parts[0]}"
+    files = sorted(
+        f for f in os.listdir(victim)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    n_victim_files = len(files)
+    target = os.path.join(victim, files[0])
+    raw = open(target, "rb").read()
+    open(target, "wb").write(raw[: max(4, len(raw) // 2)])  # cut footer
+
+    sink = AlertSink()
+    report = compact_table(
+        spark, small_files_table, target_file_bytes=64 * 1024 * 1024,
+        sink=sink,
+    )
+    rel = parts[0]
+    assert report.failed == [rel]
+    assert any(
+        a.kind == "compact_failure" and a.partition == rel
+        for a in sink.alerts
+    )
+    # victim partition untouched: same file names, corrupt file present
+    assert sorted(
+        f for f in os.listdir(victim)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ) == files and len(files) == n_victim_files
+    # all other qualifying partitions still compacted
+    assert set(report.compacted) == set(parts[1:])

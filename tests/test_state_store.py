@@ -106,3 +106,66 @@ def test_stream_migrate_restart_resumes_from_checkpoint(
     )
     assert out2 == dest
     assert spark.read.parquet(dest).count() == 2 * n
+
+
+def _load_stream_probe():
+    import importlib.util
+    import os
+
+    repo = __file__.rsplit("/tests/", 1)[0]
+    spec = importlib.util.spec_from_file_location(
+        "stream_probe", os.path.join(repo, "tools", "stream_probe.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_stateful_restart_matches_single_run(spark, smoke_dir, tmp_path):
+    """r13 streaming restart contract (VERDICT r12 item 3), pinned for
+    the two state shapes with the most machinery behind them: a
+    watermarked windowed aggregate (tumbling) and the custom
+    applyInPandasWithState operator (streaks). The fixture is staged as
+    4 ts-ordered files; a run stopped after 2 files and resumed from
+    its checkpoint over the full set must produce exactly the rows of a
+    never-stopped run — open-window partials, watermark position, and
+    per-key custom state all live in (and must come back from) the
+    state store. The full 10-family sweep is tools/stream_probe.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_trans_spark.streaming import (
+        read_events_stream,
+        tumbling_counts,
+        user_streaks_updates,
+    )
+
+    sp = _load_stream_probe()
+    full = str(tmp_path / "full")
+    sp.stage_split(smoke_dir, full, 4)
+    files = sorted(f for f in os.listdir(full) if f.startswith("events_"))
+    assert len(files) == 4
+
+    def es(d):
+        return read_events_stream(spark, d, max_files_per_trigger=1)
+
+    for build, mode, canon in [
+        (lambda d: tumbling_counts(es(d)), "append", sp.canon_rows),
+        (lambda d: user_streaks_updates(es(d)), "update", sp.canon_streaks),
+    ]:
+        single = sp.run_available_now(
+            build(full), mode, tempfile.mkdtemp(prefix="ckpt_s_")
+        )
+        grow = tempfile.mkdtemp(prefix="grow_")
+        for f in files[:2]:
+            shutil.copy2(os.path.join(full, f), os.path.join(grow, f))
+        ckpt = tempfile.mkdtemp(prefix="ckpt_r_")
+        p1 = sp.run_available_now(build(grow), mode, ckpt)
+        for f in files[2:]:
+            shutil.copy2(os.path.join(full, f), os.path.join(grow, f))
+        p2 = sp.run_available_now(build(grow), mode, ckpt)
+        a = canon(sp.flat(single))
+        b = canon(sp.flat(p1) + sp.flat(p2))
+        assert a, "single run produced no rows"
+        assert a == b

@@ -551,23 +551,31 @@ def test_minhash_pairs_match_python(spark, smoke_dir):
     assert _rows(spark, smoke_dir, "q40_minhash_lsh_neardup") == expect
 
 
-def _simhash32(text: str) -> int:
+def _simhash64(text: str) -> int:
     """Charikar '02: each distinct lowercased word-3-gram votes ±1 on all
-    32 bits; vote for BIT b is the parity of hex digit b of md5(gram)."""
+    64 bits; bit b takes the parity of hex digit b of md5(gram) for
+    b < 32 and of digit b-32 of md5('s2:' + gram) above (widened from
+    32 in r13 — pair-growth audit). Bit 63 is the bigint sign bit, so
+    the model returns the same SIGNED value both engines emit."""
     grams = _shingles(text.lower())
-    votes = [0] * 32
+    votes = [0] * 64
     for g in grams:
-        h = hashlib.md5(g.encode()).hexdigest()
+        h1 = hashlib.md5(g.encode()).hexdigest()
+        h2 = hashlib.md5(("s2:" + g).encode()).hexdigest()
         for b in range(32):
-            votes[b] += int(h[b], 16) % 2
+            votes[b] += int(h1[b], 16) % 2
+            votes[32 + b] += int(h2[b], 16) % 2
     n = len(grams)
-    return sum(1 << b for b in range(32) if 2 * votes[b] - n > 0)
+    fp = sum(1 << b for b in range(63) if 2 * votes[b] - n > 0)
+    if 2 * votes[63] - n > 0:
+        fp -= 1 << 63
+    return fp
 
 
 def test_simhash_matches_python(spark, smoke_dir):
-    """q41: 32-bit fingerprints."""
+    """q41: 64-bit fingerprints (signed bigint)."""
     expect = [
-        {"doc_id": int(d), "simhash": _simhash32(t)}
+        {"doc_id": int(d), "simhash": _simhash64(t)}
         for d, t, *_ in _docs(smoke_dir)
     ]
     assert _rows(spark, smoke_dir, "q41_simhash") == expect
@@ -576,7 +584,7 @@ def test_simhash_matches_python(spark, smoke_dir):
 def test_simhash_neardup_matches_bruteforce(spark, smoke_dir):
     """q63: Hamming ≤ 3 pairs — brute-force over all fingerprints, which
     the pigeonhole segment blocking must reproduce losslessly."""
-    fps = {int(d): _simhash32(t) for d, t, *_ in _docs(smoke_dir)}
+    fps = {int(d): _simhash64(t) for d, t, *_ in _docs(smoke_dir)}
     ids = sorted(fps)
     expect = []
     for x in range(len(ids)):

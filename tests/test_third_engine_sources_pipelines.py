@@ -595,3 +595,33 @@ def test_schema_drift_query_matches_staging_rule(spark, smoke_dir):
         for r in QUERIES["q245_schema_drift"](spark, smoke_dir).collect()
     ]
     assert got == expect
+
+
+def test_footer_quarantine_matches_pyarrow_model(spark, smoke_dir):
+    """q246 re-derived without the repo's SQL or pipelines: read the
+    1996 lineitem months with pyarrow, apply the corruption rule by
+    hand (months 03/04 poisoned -> quarantined -> 0 destination rows,
+    every other month arrives in full), and compare."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{smoke_dir}/lineitem.parquet", columns=["l_shipdate"]
+    )
+    months: dict[str, int] = {}
+    for v in t.column("l_shipdate").to_pylist():
+        if v.year == 1996:
+            m = f"{v.year}{v.month:02d}"
+            months[m] = months.get(m, 0) + 1
+    expect = [
+        {
+            "par_dt": m,
+            "n_dst_rows": 0 if m in ("199603", "199604") else n,
+            "n_quarantined": 1 if m in ("199603", "199604") else 0,
+        }
+        for m, n in sorted(months.items())
+    ]
+    got = [
+        r.asDict()
+        for r in QUERIES["q246_footer_quarantine"](spark, smoke_dir).collect()
+    ]
+    assert got == expect

@@ -71,6 +71,23 @@ Modes (--mode=...):
            and overflow surfaces on signed keys (r12: zero finds —
            DuckDB's // and % are C-style truncation like Spark's
            div/%, pinned as canaries)
+
+Streaming (r13): every injected dir also feeds the state-store RESTART
+probe — stop mid-stream, resume from the checkpoint, compare against a
+never-stopped run across all ten stateful operator families:
+
+  python tools/null_probe.py /root/testdata/sf0.001 /tmp/p --mode=time
+  python tools/stream_probe.py /tmp/p
+
+Corrupt-container (footer) class (r13): NOT a fixture mode here, by
+design — a corrupt fixture TABLE must fail queries loudly (garbage in a
+query's input is a configuration error), while quarantine-and-report is
+a PIPELINE contract. It is probed where the contract lives: q246 runs
+byte-level footer corruption through the real migrate pipeline under
+the driver's hash gate (queries/pipelines.py), pipelines/health.py
+holds the scan, and tests/test_migrate.py + tests/test_compact.py pin
+both pipelines' behavior (migrate: quarantine the file; compact: fail
+only that partition, originals intact).
 """
 
 from __future__ import annotations

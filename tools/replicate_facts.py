@@ -89,10 +89,37 @@ def main() -> None:
     )
     docs = table(spark, src, "documents")
     did_off = docs.agg(F.max("doc_id")).first()[0] + 1
+    # Text is SALTED per copy (every word suffixed with the copy id, copy
+    # 0 byte-identical to the source): the lang suffix alone only shards
+    # LANGUAGE-blocked operators — content-blocked ones (MinHash bands,
+    # SimHash segments) still see N byte-identical twins per doc and
+    # correctly flag C(N,2) true duplicate pairs per doc, drowning the
+    # growth signal the replica exists to measure (r13 pair_growth find:
+    # q40 read 602x at 8x replication before the salt). Word-level salt
+    # changes every shingle, so copies are genuinely distinct documents.
+    salted = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.concat(w, F.lit("_c"), F.col("copy").cast("string")),
+        ),
+    )
     (
         docs.crossJoin(copies)
         .withColumn("doc_id", F.col("doc_id") + F.col("copy") * did_off)
         .withColumn("lang", F.concat_ws("-", "lang", F.col("copy").cast("string")))
+        .withColumn(
+            "text",
+            F.when(F.col("copy") == 0, F.col("text")).otherwise(
+                F.when(F.col("text").isNotNull(), salted)
+            ),
+        )
+        .withColumn(
+            "n_chars",
+            F.when(F.col("copy") == 0, F.col("n_chars")).otherwise(
+                F.length("text").cast(docs.schema["n_chars"].dataType)
+            ),
+        )
         .drop("copy")
         .write.mode("overwrite")
         .parquet(f"{dst}/documents.parquet")
