@@ -1220,12 +1220,18 @@ def test_simhash_matches_python_model_and_blocking_is_exact(spark, data):
         sh = {
             " ".join(ws[i : i + 3]) for i in range(max(len(ws) - 2, 1))
         }
-        votes = [0] * 32
+        votes = [0] * 64
         for tok in sh:
-            dig = hl.md5(tok.encode()).hexdigest()
+            d1 = hl.md5(tok.encode()).hexdigest()
+            d2 = hl.md5(("s2:" + tok).encode()).hexdigest()
             for b in range(32):
-                votes[b] += int(dig[b], 16) % 2
-        return sum(1 << b for b in range(32) if 2 * votes[b] - len(sh) > 0)
+                votes[b] += int(d1[b], 16) % 2
+                votes[32 + b] += int(d2[b], 16) % 2
+        n = len(sh)
+        fp = sum(1 << b for b in range(63) if 2 * votes[b] - n > 0)
+        if 2 * votes[63] - n > 0:
+            fp -= 1 << 63  # bigint sign bit (64-bit widening, r13)
+        return fp
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
