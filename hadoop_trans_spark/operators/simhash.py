@@ -9,17 +9,19 @@ Features are word 3-gram shingles, not unigram tokens: documents drawn
 from a shared vocabulary have near-identical unigram SETS (SimHash sees
 the set, not counts), which collapses fingerprints corpus-wide; shingle
 sets differ wherever word order does, so random pairs sit near Hamming
-b/2 while true near-dups stay ≤3. b=64 from TWO md5 parity masks
-(digit b of md5(tok) votes bit b; digit b of md5('s2:'||tok) votes bit
-32+b) — deliberately every step (md5, hex-digit parity, sum, bit
-assembly) is reproducible in ANSI SQL, so the DuckDB oracle runs the
-identical pipeline. b was 32 through r12; the r13 pair-growth audit
-(tools/pair_growth.py) measured the pigeonhole blocks degenerating —
-32/4 = 8-bit segments give only 256 buckets per segment, so candidate
-pairs grew ~n²/256 (61× pairs at 8× docs). 16-bit segments put the
-same corpus across 65 536 buckets per segment. At 100 TB the explode
-factor is |shingles|×64, all map-side; the only shuffle is the final
-groupBy(doc).
+b/2 while true near-dups stay ≤3. b=64 from ONE md5: fingerprint bit b
+takes BIT (b mod 4) of hex digit (b div 4) — the digest's first 64
+actual bits, not digit parities — so every step (md5, digit value, bit
+extract, sum, assembly) is reproducible in ANSI SQL and the DuckDB
+oracle runs the identical pipeline. b was 32 digit-parities through
+r12; the r13 pair-growth audit (tools/pair_growth.py) measured the
+pigeonhole blocks degenerating — 32/4 = 8-bit segments give only 256
+buckets per segment, so candidate pairs grew ~n²/256 (61× pairs at 8×
+docs). 16-bit segments put the same corpus across 65 536 buckets per
+segment, at the SAME md5 count per shingle (an interim two-digest
+variant measured ~1.23× on q41; nibble-bit extraction restored single
+md5). At 100 TB the explode factor is |shingles|×64, all map-side; the
+only shuffle is the final groupBy(doc).
 """
 
 from __future__ import annotations
@@ -42,45 +44,50 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """(id, simhash) with a 64-bit fingerprint as bigint (bit 63 is the
     sign bit — xor/bit_count are bit-pattern ops, sign-agnostic).
 
-    Physical shape: one row per (doc, shingle). Each md5 digest folds
-    into TWO 32-bit PARITY MASKS in one projection (translate
-    hex→parity chars, conv base-2; the second digest salts the token),
-    then a single codegen'd hash aggregation sums the 64 bit positions; the fingerprint assembles from the counts
-    (vote sum for bit b = 2·ones_b − n). Equivalent-but-slow shapes,
-    measured at sf0.1: explode (shingle × bit) rows → 10s (32× the
-    shuffle rows); nested higher-order lambdas → 100s (interpreted
-    per-element eval). This one: ~1.5-4s depending on session pressure
-    (bench times it inside a 132-query shared session; best-of-2 in a
-    warm session ≈ 3s, dominated by md5 over shingles). At 100 TB the
-    shuffle carries only the per-doc partial count vectors (map-side
-    combine)."""
-    parity = "".join("01"[int(c, 16) % 2] for c in HEX)  # digit → parity
+    Physical shape: one row per (doc, shingle). ONE md5 per shingle;
+    the digest's first 16 hex digits parse as two 32-bit chunks (conv
+    base-16 — bigint-safe), fingerprint bit b reads bit (b mod 4) of
+    digit (b div 4) via shifts, then a single codegen'd hash
+    aggregation sums the 64 bit positions; the fingerprint assembles
+    from the counts (vote sum for bit b = 2·ones_b − n).
+    Equivalent-but-slow shapes, measured at sf0.1: explode
+    (shingle × bit) rows → 10s (32× the shuffle rows); nested
+    higher-order lambdas → 100s (interpreted per-element eval); a
+    two-digest 64-bit variant → 1.23× warm (md5 dominates — hence one
+    digest). At 100 TB the shuffle carries only the per-doc partial
+    count vectors (map-side combine)."""
     # NULL-text docs get no fingerprint (word_shingles rule: contentless
     # docs are excluded from content dedup — NULL-probe find, r10).
     df = df.where(F.col(text_col).isNotNull())
-    masks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_array(F.lower(F.col(text_col)), k=3)).alias("tok"),
-    ).select(
-        "id",
-        F.conv(
-            F.translate(F.md5("tok"), HEX, parity), 2, 10
-        ).cast("bigint").alias("m0"),
-        F.conv(
-            F.translate(
-                F.md5(F.concat(F.lit("s2:"), F.col("tok"))), HEX, parity
-            ),
-            2,
-            10,
-        ).cast("bigint").alias("m1"),
+    masks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                shingle_array(F.lower(F.col(text_col)), k=3)
+            ).alias("tok"),
+        )
+        # md5 in its OWN projection so the two chunk extractions below
+        # share one digest (identical md5 subtrees in one select are
+        # not guaranteed to collapse under codegen)
+        .select("id", F.md5("tok").alias("h"))
+        .select(
+            "id",
+            # digits 0..7 / 8..15 of the digest, parsed big-endian:
+            # digit d is the nibble at shift 4*(7 - d%8) of chunk c{d//8}
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("c0"),
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("c1"),
+        )
     )
-    # Digest digit b (1-based char b+1) of mask k is bit (31-b) of m{k};
-    # fingerprint bit b takes digit b of m0 (b < 32) / digit b-32 of m1.
+    # Fingerprint bit b = bit (b%4) of digit (b//4):
+    # (c{(b//4)//8} >> (4*(7 - (b//4)%8) + b%4)) & 1
     counts = masks.groupBy("id").agg(
         F.count(F.lit(1)).alias("n"),
         *[
             F.sum(
-                F.expr(f"(m{b // 32} >> {31 - (b % 32)}) & 1")
+                F.expr(
+                    f"(c{(b // 4) // 8} >> "
+                    f"{4 * (7 - (b // 4) % 8) + b % 4}) & 1"
+                )
             ).alias(f"s{b}")
             for b in range(N_BITS)
         ],

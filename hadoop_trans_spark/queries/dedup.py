@@ -240,10 +240,9 @@ def q40_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     votes AS (
       SELECT id, b,
-             SUM((((CASE WHEN b < 32
-                    THEN strpos('0123456789abcdef', substring(md5(tok), b+1, 1))
-                    ELSE strpos('0123456789abcdef', substring(md5('s2:' || tok), b-31, 1))
-                    END) - 1) % 2) * 2 - 1) AS s
+             SUM((((strpos('0123456789abcdef',
+                           substring(md5(tok), b // 4 + 1, 1)) - 1)
+                   >> (b % 4)) & 1) * 2 - 1) AS s
       FROM toks, generate_series(0, 63) t(b)
       GROUP BY id, b
     )
@@ -287,10 +286,9 @@ def q41_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     votes AS (
       SELECT id, b,
-             SUM((((CASE WHEN b < 32
-                    THEN strpos('0123456789abcdef', substring(md5(tok), b+1, 1))
-                    ELSE strpos('0123456789abcdef', substring(md5('s2:' || tok), b-31, 1))
-                    END) - 1) % 2) * 2 - 1) AS s
+             SUM((((strpos('0123456789abcdef',
+                           substring(md5(tok), b // 4 + 1, 1)) - 1)
+                   >> (b % 4)) & 1) * 2 - 1) AS s
       FROM toks, generate_series(0, 63) t(b)
       GROUP BY id, b
     ),

@@ -1222,11 +1222,9 @@ def test_simhash_matches_python_model_and_blocking_is_exact(spark, data):
         }
         votes = [0] * 64
         for tok in sh:
-            d1 = hl.md5(tok.encode()).hexdigest()
-            d2 = hl.md5(("s2:" + tok).encode()).hexdigest()
-            for b in range(32):
-                votes[b] += int(d1[b], 16) % 2
-                votes[32 + b] += int(d2[b], 16) % 2
+            dig = hl.md5(tok.encode()).hexdigest()
+            for b in range(64):
+                votes[b] += (int(dig[b // 4], 16) >> (b % 4)) & 1
         n = len(sh)
         fp = sum(1 << b for b in range(63) if 2 * votes[b] - n > 0)
         if 2 * votes[63] - n > 0:
@@ -1250,7 +1248,7 @@ def test_simhash_matches_python_model_and_blocking_is_exact(spark, data):
     for i in ids:
         for j in ids:
             if i < j:
-                d = bin(want_fp[i] ^ want_fp[j]).count("1")
+                d = bin((want_fp[i] ^ want_fp[j]) & ((1 << 64) - 1)).count("1")
                 if d <= 3:
                     want_pairs[(i, j)] = d
     assert got_pairs == want_pairs, (got_pairs, want_pairs)

@@ -552,19 +552,18 @@ def test_minhash_pairs_match_python(spark, smoke_dir):
 
 
 def _simhash64(text: str) -> int:
-    """Charikar '02: each distinct lowercased word-3-gram votes ±1 on all
-    64 bits; bit b takes the parity of hex digit b of md5(gram) for
-    b < 32 and of digit b-32 of md5('s2:' + gram) above (widened from
-    32 in r13 — pair-growth audit). Bit 63 is the bigint sign bit, so
-    the model returns the same SIGNED value both engines emit."""
+    """Charikar '02: each distinct lowercased word-3-gram votes ±1 on
+    all 64 bits; fingerprint bit b takes BIT (b % 4) of hex digit
+    (b // 4) of md5(gram) — the digest's first 64 actual bits (widened
+    from 32 digit-parities in r13, pair-growth audit). Bit 63 is the
+    bigint sign bit, so the model returns the same SIGNED value both
+    engines emit."""
     grams = _shingles(text.lower())
     votes = [0] * 64
     for g in grams:
-        h1 = hashlib.md5(g.encode()).hexdigest()
-        h2 = hashlib.md5(("s2:" + g).encode()).hexdigest()
-        for b in range(32):
-            votes[b] += int(h1[b], 16) % 2
-            votes[32 + b] += int(h2[b], 16) % 2
+        h = hashlib.md5(g.encode()).hexdigest()
+        for b in range(64):
+            votes[b] += (int(h[b // 4], 16) >> (b % 4)) & 1
     n = len(grams)
     fp = sum(1 << b for b in range(63) if 2 * votes[b] - n > 0)
     if 2 * votes[63] - n > 0:
@@ -589,7 +588,7 @@ def test_simhash_neardup_matches_bruteforce(spark, smoke_dir):
     expect = []
     for x in range(len(ids)):
         for y in range(x + 1, len(ids)):
-            h = bin(fps[ids[x]] ^ fps[ids[y]]).count("1")
+            h = bin((fps[ids[x]] ^ fps[ids[y]]) & ((1 << 64) - 1)).count("1")
             if h <= 3:
                 expect.append(
                     {"id_a": ids[x], "id_b": ids[y], "hamming": h}
