@@ -815,3 +815,83 @@ def corrupt_tone_wavs(df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(_corrupt, MEDIA_SCHEMA)
+
+
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),  # re-encoded P6 size
+        T.StructField("n_white", T.LongType()),  # diagonal pixels kept
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def resize_ppm_thumbnail(df: DataFrame, size: int = 8) -> DataFrame:
+    """REAL image resize: P6 decode → nearest-neighbor resample to
+    size×size (numpy fancy indexing, no codec library) → P6 re-encode →
+    feature row from the RE-ENCODED bytes. The thumbnail/preview step of
+    a multimodal ingest pipeline, with the NN convention pinned exactly
+    (src_y = i·h div size, src_x = j·w div size) so the closed-form
+    oracle can reproduce per-channel means from the generator's
+    geometry. Malformed payloads dead-letter (the q244 quarantine rule);
+    at 100 TB the resample is pure map-side Arrow-batch work — no
+    shuffle, output rows are a fixed 3·size² bytes each regardless of
+    input resolution (the property that makes thumbnail tables
+    broadcast-friendly downstream)."""
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k.name: [] for k in THUMBNAIL_SCHEMA.fields
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["mime"] != PPM_MIME:
+                    raise NotImplementedError(
+                        f"no image decoder for {meta['mime']!r}"
+                    )
+                try:
+                    buf = bytes(payload)
+                    magic, dims, maxval_rest = buf.split(b"\n", 2)
+                    if magic != b"P6":
+                        raise ValueError(f"bad PPM magic in doc {doc_id}")
+                    w, h = (int(v) for v in dims.split())
+                    maxval, raw = maxval_rest.split(b"\n", 1)
+                    if int(maxval) != 255:
+                        raise ValueError("only 8-bit PPM supported")
+                    px = np.frombuffer(raw, dtype=np.uint8)
+                    if px.size != w * h * 3:
+                        raise ValueError(f"truncated PPM in doc {doc_id}")
+                except (Exception,):  # noqa: BLE001 — dead-letter path
+                    continue
+                img = px.reshape(h, w, 3)
+                ys = (np.arange(size) * h) // size
+                xs = (np.arange(size) * w) // size
+                thumb = img[ys][:, xs]  # nearest-neighbor resample
+                out = (
+                    f"P6\n{size} {size}\n255\n".encode("ascii")
+                    + thumb.tobytes()
+                )
+                white = int(
+                    (thumb == 255).all(axis=2).sum()
+                )
+                means = thumb.astype(np.float64).reshape(-1, 3).mean(axis=0)
+                rows["doc_id"].append(int(doc_id))
+                rows["out_w"].append(size)
+                rows["out_h"].append(size)
+                rows["n_bytes"].append(len(out))
+                rows["n_white"].append(white)
+                rows["mean_r"].append(float(means[0]))
+                rows["mean_g"].append(float(means[1]))
+                rows["mean_b"].append(float(means[2]))
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
+
+    return df.mapInPandas(_resize, THUMBNAIL_SCHEMA)

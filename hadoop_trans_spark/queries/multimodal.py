@@ -444,3 +444,71 @@ def q244_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "q247_ppm_thumbnail",
+    # Closed-form oracle from the generator's geometry + the pinned NN
+    # convention: the source image is a solid (r,g,b) fill with a white
+    # main diagonal, and thumbnail pixel (i,j) samples source
+    # (i*h//8, j*w//8) — so a thumbnail pixel is white iff
+    # j*w//8 == i*h//8. n_white enumerates the 64 cells per doc;
+    # channel means follow in closed form. The re-encoded P6 is always
+    # 11 header bytes + 192 pixel bytes.
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               16 + doc_id % 8 AS w,
+               8 + doc_id % 5 AS h,
+               doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
+               (doc_id * 13) % 256 AS b
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    wh AS (
+        SELECT p.doc_id,
+               COUNT(*) FILTER (
+                   WHERE (j.j * p.w) // 8 = (i.i * p.h) // 8
+               ) AS n_white
+        FROM p,
+             generate_series(0, 7) i(i),
+             generate_series(0, 7) j(j)
+        GROUP BY p.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+           CAST(11 + 192 AS BIGINT) AS n_bytes,
+           CAST(wh.n_white AS BIGINT) AS n_white,
+           CAST(ROUND((p.r * (64 - wh.n_white) + 255 * wh.n_white)
+                      / 64.0, 6) AS DOUBLE) AS mean_r,
+           CAST(ROUND((p.g * (64 - wh.n_white) + 255 * wh.n_white)
+                      / 64.0, 6) AS DOUBLE) AS mean_g,
+           CAST(ROUND((p.b * (64 - wh.n_white) + 255 * wh.n_white)
+                      / 64.0, 6) AS DOUBLE) AS mean_b
+    FROM p JOIN wh ON wh.doc_id = p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def q247_ppm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (the thumbnail/preview step of a multimodal
+    ingest): P6 decode → nearest-neighbor resample to 8×8 (numpy fancy
+    indexing) → P6 re-encode → features from the re-encoded bytes
+    (operators.multimodal.resize_ppm_thumbnail). The NN convention is
+    pinned (src_y = i·h div 8, src_x = j·w div 8) so the generator's
+    white-diagonal geometry gives every output a closed form the oracle
+    states independently — the engine must arrive at it via a real
+    decode/resample/re-encode of the bytes. At 100 TB: pure map-side
+    Arrow work, fixed 203-byte outputs regardless of input resolution."""
+    from ..operators.multimodal import attach_ppm, resize_ppm_thumbnail
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    thumbs = resize_ppm_thumbnail(attach_ppm(docs), size=8)
+    return thumbs.select(
+        "doc_id",
+        "out_w",
+        "out_h",
+        "n_bytes",
+        "n_white",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("doc_id")

@@ -14,7 +14,15 @@ from ..operators.similarity import (
     random_hyperplanes,
     signlsh_near_duplicates,
 )
-from .base import _dec_out, dterm, o_davg, query, vec_valid
+from .base import (
+    _dec_out,
+    dterm,
+    o_davg,
+    o_vec_usable,
+    query,
+    vec_usable,
+    vec_valid,
+)
 
 _COS = (
     "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
@@ -595,3 +603,85 @@ def q211_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+@query(
+    "q248_embedding_meanpool",
+    # Pooling means are decimal sums of 1e-9-rounded components divided
+    # by the group count (order-free cross-row sum); the pooled-norm
+    # expression lists its 8 squared terms in one literal operand order
+    # so both engines evaluate the identical float expression. Emitted
+    # dims capped at 8/4 to keep the oracle's unnest cheap — the plan is
+    # identical at d=64.
+    oracle="""
+    WITH x AS (
+        SELECT vec_id % 50 AS grp, g.i - 1 AS pos,
+               CAST(embedding[g.i] AS DOUBLE) AS v
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i) g
+        WHERE {vec_ok}
+    ),
+    a AS (
+        SELECT grp,
+               SUM(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS n_vecs,
+               SUM(CASE WHEN pos = 0 THEN CAST(ROUND(v, 9) AS DECIMAL(38,9)) END) AS s0,
+               SUM(CASE WHEN pos = 1 THEN CAST(ROUND(v, 9) AS DECIMAL(38,9)) END) AS s1,
+               SUM(CASE WHEN pos = 2 THEN CAST(ROUND(v, 9) AS DECIMAL(38,9)) END) AS s2,
+               SUM(CASE WHEN pos = 3 THEN CAST(ROUND(v, 9) AS DECIMAL(38,9)) END) AS s3,
+               SUM(CASE WHEN pos = 4 THEN CAST(ROUND(v, 9) AS DECIMAL(38,9)) END) AS s4,
+               SUM(CASE WHEN pos = 5 THEN CAST(ROUND(v, 9) AS DECIMAL(38,9)) END) AS s5,
+               SUM(CASE WHEN pos = 6 THEN CAST(ROUND(v, 9) AS DECIMAL(38,9)) END) AS s6,
+               SUM(CASE WHEN pos = 7 THEN CAST(ROUND(v, 9) AS DECIMAL(38,9)) END) AS s7
+        FROM x GROUP BY grp
+    )
+    SELECT grp,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(ROUND(CAST(s0 AS DOUBLE) / n_vecs, 6) AS DOUBLE) AS m0,
+           CAST(ROUND(CAST(s1 AS DOUBLE) / n_vecs, 6) AS DOUBLE) AS m1,
+           CAST(ROUND(CAST(s2 AS DOUBLE) / n_vecs, 6) AS DOUBLE) AS m2,
+           CAST(ROUND(CAST(s3 AS DOUBLE) / n_vecs, 6) AS DOUBLE) AS m3,
+           CAST(ROUND(SQRT((CAST(s0 AS DOUBLE) / n_vecs) * (CAST(s0 AS DOUBLE) / n_vecs) + (CAST(s1 AS DOUBLE) / n_vecs) * (CAST(s1 AS DOUBLE) / n_vecs) + (CAST(s2 AS DOUBLE) / n_vecs) * (CAST(s2 AS DOUBLE) / n_vecs) + (CAST(s3 AS DOUBLE) / n_vecs) * (CAST(s3 AS DOUBLE) / n_vecs) + (CAST(s4 AS DOUBLE) / n_vecs) * (CAST(s4 AS DOUBLE) / n_vecs) + (CAST(s5 AS DOUBLE) / n_vecs) * (CAST(s5 AS DOUBLE) / n_vecs) + (CAST(s6 AS DOUBLE) / n_vecs) * (CAST(s6 AS DOUBLE) / n_vecs) + (CAST(s7 AS DOUBLE) / n_vecs) * (CAST(s7 AS DOUBLE) / n_vecs)), 6) AS DOUBLE) AS norm8
+    FROM a ORDER BY grp
+    """.replace("{vec_ok}", o_vec_usable()),
+)
+def q248_embedding_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elementwise mean-pooling of embedding vectors per group — the
+    chunk→document pooling step of an embedding pipeline (chunks are
+    embedded independently, the document vector is their centroid).
+    Physical shape: posexplode BEFORE the aggregation, so the one
+    shuffle carries (group, dim)-keyed partial decimal sums with
+    map-side combine — O(groups × d) rows regardless of corpus size;
+    pooled means come from ONE conditional-sum hash agg (no pivot
+    shuffle, no self-join). Zero vectors are valid pooling inputs
+    (vec_usable, not the cosine-only nonzero-norm rule); NaN/inf
+    components exclude the vector symmetrically with the oracle."""
+    d = 8
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .where(vec_usable())
+        .select(
+            (F.col("vec_id") % 50).alias("grp"),
+            F.slice("embedding", 1, d).alias("e"),
+        )
+    )
+    x = emb.select(
+        "grp", F.posexplode(F.col("e").cast("array<double>")).alias("pos", "v")
+    )
+    dec = F.round(F.col("v"), 9).cast("decimal(38,9)")
+    a = x.groupBy("grp").agg(
+        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).alias("n_vecs"),
+        *[
+            F.sum(F.when(F.col("pos") == k, dec)).alias(f"s{k}")
+            for k in range(d)
+        ],
+    )
+    m = [
+        (F.col(f"s{k}").cast("double") / F.col("n_vecs")) for k in range(d)
+    ]
+    norm8 = sum(mk * mk for mk in m)
+    return a.select(
+        "grp",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        *[F.round(m[k], 6).alias(f"m{k}") for k in range(4)],
+        F.round(F.sqrt(norm8), 6).alias("norm8"),
+    ).orderBy("grp")

@@ -311,3 +311,33 @@ def test_wav_decoder_dead_letters_corrupt_payloads(spark, smoke_dir):
         if int(d) % 5 == 0 and int(d) % 4 == 0
     )
     assert got == want
+
+
+def test_ppm_thumbnail_matches_pure_python_resize(spark, smoke_dir):
+    """q247 re-derived without numpy or the repo operators: rebuild each
+    PPM with encode_ppm's documented rule, nearest-neighbor resample by
+    hand (src_y = i*h//8, src_x = j*w//8), and compare white counts,
+    re-encoded size, and channel means."""
+    rows = {
+        r["doc_id"]: r
+        for r in _rows(spark, smoke_dir, "q247_ppm_thumbnail")
+    }
+    ids = sorted(
+        int(d) for d, *_ in _docs(smoke_dir) if int(d) % 10 == 0
+    )
+    assert sorted(rows) == ids
+    for i in ids:
+        w, h = 16 + i % 8, 8 + i % 5
+        rgb = (i % 256, (i * 7) % 256, (i * 13) % 256)
+        thumb = []
+        for yi in range(8):
+            for xj in range(8):
+                y, x = (yi * h) // 8, (xj * w) // 8
+                thumb.append((255, 255, 255) if x == y else rgb)
+        n_white = sum(1 for p in thumb if p == (255, 255, 255))
+        r = rows[i]
+        assert (r["out_w"], r["out_h"], r["n_bytes"]) == (8, 8, 11 + 192)
+        assert r["n_white"] == n_white
+        for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
+            want = sum(p[ch] for p in thumb) / 64.0
+            assert abs(r[name] - want) < 1e-9, (i, name)

@@ -3161,3 +3161,35 @@ def test_semi_anti_buckets_match_python_membership(spark, smoke_dir):
         k = int(r["k"])
         want = "big_spender" if k in big else "no_big_order"
         assert got[k] == (r["nm"], want), k
+
+
+def test_embedding_meanpool_matches_numpy_model(spark, smoke_dir):
+    """q248 re-derived with numpy only: group vectors by vec_id % 50,
+    mean the first 8 dims per group (decimal-free — at fixture scale
+    the float64 mean of float32 inputs agrees to well past 1e-6), and
+    compare means + the 8-dim pooled norm."""
+    import math
+
+    rows = _rows(spark, smoke_dir, "q248_embedding_meanpool")
+    emb = _df(
+        f"select vec_id, embedding from "
+        f"read_parquet('{smoke_dir}/embeddings.parquet')"
+    )
+    groups: dict[int, list] = {}
+    for _, r in emb.iterrows():
+        v = r["embedding"]
+        if v is None or any(
+            x is None or not math.isfinite(x) or abs(x) >= 1e15 for x in v
+        ):
+            continue
+        groups.setdefault(int(r["vec_id"]) % 50, []).append(
+            np.asarray(v[:8], dtype=np.float64)
+        )
+    assert rows, "q248 returned no rows"
+    for r in rows:
+        vs = groups[r["grp"]]
+        assert r["n_vecs"] == len(vs)
+        m = np.mean(np.stack(vs), axis=0)
+        for k in range(4):
+            assert abs(r[f"m{k}"] - m[k]) < 1e-5, (r, m)
+        assert abs(r["norm8"] - float(np.sqrt((m * m).sum()))) < 1e-5
