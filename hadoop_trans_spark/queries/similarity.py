@@ -184,9 +184,12 @@ def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
-@query(
-    "q105_kmeans_clusters",
-    oracle=f"""
+# Shared unrolled-Lloyd CTE (2 iterations, k=8): init by lowest ids,
+# per-iteration assignment with rounded distances and ordinal
+# tie-breaks, decimal-mean centroid update — a2 is the final
+# (id, cluster, d2) assignment. Used by q105 (cluster fingerprint)
+# and q249 (SemDeDup semantic dedup within clusters).
+_KMEANS_CTE = f"""
     WITH x AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
            FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0)),
     xs AS (SELECT id, v, list_dot_product(v, v) AS v_sq FROM x),
@@ -218,6 +221,12 @@ def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           - 2 * list_dot_product(xs.v, c1.c), 6),
                                  c1.cluster) AS rk
              FROM xs CROSS JOIN c1) WHERE rk = 1)
+"""
+
+
+@query(
+    "q105_kmeans_clusters",
+    oracle=_KMEANS_CTE + f"""
     SELECT cluster, COUNT(*) AS n,
            (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000000 THEN (CASE WHEN ABS(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END))) < 1000000000000 THEN CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 3) AS DOUBLE) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) ELSE CAST(CAST(ROUND(SUM((CASE WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 1000000000 THEN CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 6) AS DECIMAL(38,6)) WHEN ABS((CASE WHEN ISFINITE(d2) THEN (d2) END)) < 9007199254740992 THEN CAST(CAST(ROUND((CASE WHEN ISFINITE(d2) THEN (d2) END), 0) AS DECIMAL(38,0)) AS DECIMAL(38,6)) END)), 0) AS DECIMAL(38,0)) AS DOUBLE) END) AS inertia
     FROM a2 GROUP BY 1 ORDER BY 1
@@ -685,3 +694,89 @@ def q248_embedding_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(m[k], 6).alias(f"m{k}") for k in range(4)],
         F.round(F.sqrt(norm8), 6).alias("norm8"),
     ).orderBy("grp")
+
+
+@query(
+    "q249_semantic_dedup",
+    # SemDeDup (Abbas et al. '23 shape): cluster the embedding space,
+    # then near-dup ONLY within clusters — the cluster is the blocking
+    # key, so the quadratic is bounded by cluster size instead of the
+    # corpus. The oracle extends the unrolled-Lloyd CTE (a2 = final
+    # assignments) with the within-cluster cosine pair join (nonzero
+    # norms only — the cosine-validity rule) and the keep-lowest-id
+    # drop rule.
+    oracle=_KMEANS_CTE + """
+    , vv AS (
+        SELECT a2.id, a2.cluster, xs.v,
+               sqrt(xs.v_sq) AS n
+        FROM a2 JOIN xs ON xs.id = a2.id
+        WHERE xs.v_sq > 0
+    ),
+    dup AS (
+        SELECT a.cluster, a.id AS id_a, b.id AS id_b
+        FROM vv a JOIN vv b
+          ON a.cluster = b.cluster AND a.id < b.id
+        WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4
+    ),
+    dropped AS (
+        SELECT cluster, id_b FROM dup GROUP BY cluster, id_b
+    )
+    SELECT a2.cluster,
+           COUNT(*) AS n_members,
+           CAST(COALESCE(MAX(d.n_dropped), 0) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COALESCE(MAX(d.n_dropped), 0) AS BIGINT)
+               AS n_kept
+    FROM a2
+    LEFT JOIN (SELECT cluster, COUNT(*) AS n_dropped
+               FROM dropped GROUP BY cluster) d
+           ON d.cluster = a2.cluster
+    GROUP BY a2.cluster
+    ORDER BY a2.cluster
+    """,
+)
+def q249_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — semantic deduplication of an embedding corpus: k-means
+    clusters the space (operators/kmeans.py, the q105 operator), then
+    cosine near-dups are found ONLY within a cluster
+    (operators.similarity.embedding_near_duplicates with the CLUSTER as
+    the blocking key) and each duplicate pair keeps its lowest id. At
+    100 TB this is the standard shape: the cluster step is a broadcast
+    scan per iteration, the pair step's quadratic is bounded by cluster
+    size (sub-shard or cap clusters that exceed a budget — the same
+    hot-bucket rule as LSH bands), and the drop set is an anti-join.
+    Zero-norm vectors cluster fine (Euclidean) but cannot cosine-pair;
+    they are always kept — stated identically in the oracle.
+    Threshold 0.4 is fixture-calibrated so the driver row exercises a
+    NON-empty drop set (the q243 zero-row lesson)."""
+    from ..operators.kmeans import kmeans_assignments
+    from ..operators.similarity import embedding_near_duplicates
+
+    e = table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assignments(e, k=8, iters=2).select(
+        F.col("id").alias("vec_id"), "cluster"
+    )
+    blocked = e.join(assigned, "vec_id")
+    pairs = embedding_near_duplicates(blocked, threshold=0.4, block="cluster")
+    dropped = (
+        pairs.join(
+            assigned.select(F.col("vec_id").alias("id_b"), "cluster"), "id_b"
+        )
+        .select("cluster", "id_b")
+        .distinct()
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n_members"))
+        .join(dropped, "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+            (
+                F.col("n_members") - F.coalesce(F.col("n_dropped"), F.lit(0))
+            ).cast("long").alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )

@@ -3193,3 +3193,90 @@ def test_embedding_meanpool_matches_numpy_model(spark, smoke_dir):
         for k in range(4):
             assert abs(r[f"m{k}"] - m[k]) < 1e-5, (r, m)
         assert abs(r["norm8"] - float(np.sqrt((m * m).sum()))) < 1e-5
+
+
+def test_semantic_dedup_matches_python_lloyd_plus_cosine(spark, smoke_dir):
+    """q249 re-derived in pure Python: two deterministic Lloyd
+    iterations (init = first 8 ids, d2 rounded HALF_UP at 6 before the
+    argmin, Decimal centroid means), then within-cluster cosine pairs
+    at >= 0.4 (rounded at 6) among nonzero-norm vectors, dropping the
+    higher id of each pair."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = _df(
+        f"select vec_id, embedding from "
+        f"read_parquet('{smoke_dir}/embeddings.parquet') order by vec_id"
+    )
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for _, r in emb.iterrows()
+    }
+
+    def rnd6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def assign(cents):
+        out = {}
+        for i, v in vecs.items():
+            v_sq = dot(v, v)
+            best = None
+            for c_idx, c in cents.items():
+                d2 = rnd6(v_sq + dot(c, c) - 2 * dot(v, c))
+                if best is None or (d2, c_idx) < best:
+                    best = (d2, c_idx)
+            out[i] = best[1]
+        return out
+
+    cents = {j: vecs[i] for j, i in enumerate(sorted(vecs)[:8])}
+    a1 = assign(cents)
+    members: dict[int, list] = {}
+    for i, c in a1.items():
+        members.setdefault(c, []).append(vecs[i])
+    c1 = {}
+    for c, ms in members.items():
+        c1[c] = [
+            float(
+                (
+                    sum(
+                        Decimal(repr(m[p])).quantize(
+                            Decimal("0.000001"), ROUND_HALF_UP
+                        )
+                        for m in ms
+                    )
+                    / len(ms)
+                ).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+            for p in range(len(ms[0]))
+        ]
+    a2 = assign(c1)
+
+    by_cluster: dict[int, list] = {}
+    for i, c in a2.items():
+        by_cluster.setdefault(c, []).append(i)
+    expect = []
+    for c in sorted(by_cluster):
+        ids = sorted(by_cluster[c])
+        nz = [i for i in ids if dot(vecs[i], vecs[i]) > 0]
+        dropped = set()
+        for x in range(len(nz)):
+            for y in range(x + 1, len(nz)):
+                a, b = vecs[nz[x]], vecs[nz[y]]
+                cos = rnd6(dot(a, b) / (dot(a, a) ** 0.5 * dot(b, b) ** 0.5))
+                if cos >= 0.4:
+                    dropped.add(nz[y])
+        expect.append(
+            {
+                "cluster": c,
+                "n_members": len(ids),
+                "n_dropped": len(dropped),
+                "n_kept": len(ids) - len(dropped),
+            }
+        )
+    assert _rows(spark, smoke_dir, "q249_semantic_dedup") == expect
+    assert sum(r["n_dropped"] for r in expect) > 0, "fixture drop set empty"
