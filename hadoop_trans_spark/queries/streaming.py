@@ -610,3 +610,85 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_stream_full_outer_join(spark, sf_dir), "append"
     )
     return out.orderBy("click_id", "view_id")
+
+
+@query(
+    "q250_stream_restart_tumbling",
+    # Same emission rule as q54 (windows finalized by the final
+    # watermark), but computed ACROSS A PROCESS RESTART: the oracle
+    # cannot see the stop/resume, so a hash match proves the
+    # checkpoint round-trip emitted exactly the windows a never-stopped
+    # run emits — no losses (state forgotten) and no duplicates (state
+    # replayed).
+    oracle=f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events
+                WHERE {O_TS_DOMAIN})
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {o_dsum('value')} AS sum_value
+    FROM events, wm
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= w
+      AND {O_TS_DOMAIN}
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q250_stream_restart_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store restart THROUGH the driver's hash gate (r13; the full
+    ten-family sweep is tools/stream_probe.py): events staged as two
+    ts-ordered files; a tumbling windowed aggregate (the q54 job) runs
+    file 1 to completion into a foreachBatch collector with a
+    persistent checkpoint, STOPS, file 2 lands, and a NEW query resumes
+    from the SAME checkpoint. Open-window partials and the watermark
+    cross the restart inside the state store; the union of both phases
+    must hash-match the batch oracle exactly — the contract a
+    production stream lives by and a single availableNow pass never
+    exercises."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..streaming.jobs import _pinned_state_partitions, tumbling_counts
+
+    work = tempfile.mkdtemp(prefix="htspark_restart_")
+    src = os.path.join(sf_dir, "events.parquet")
+    t = pq.read_table(src)
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), f"{work}/events_000.parquet")
+    later = t.slice(half)
+
+    collected: list = []
+
+    def run_phase(ckpt: str) -> None:
+        sdf = tumbling_counts(
+            read_events_stream(spark, work, max_files_per_trigger=1)
+        )
+        with _pinned_state_partitions(spark):
+            q = (
+                sdf.writeStream.foreachBatch(
+                    lambda bdf, _id: collected.extend(bdf.collect())
+                )
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("restart phase did not finish")
+
+    ckpt = tempfile.mkdtemp(prefix="htspark_restart_ckpt_")
+    run_phase(ckpt)  # phase 1: first half only
+    pq.write_table(later, f"{work}/events_001.parquet")
+    run_phase(ckpt)  # phase 2: resumed from the same checkpoint
+    shutil.rmtree(work, ignore_errors=True)
+
+    out = spark.createDataFrame(collected, tumbling_counts(
+        read_events_stream(spark, sf_dir)
+    ).schema)
+    return out.orderBy("window_start", "event_type")

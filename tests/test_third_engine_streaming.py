@@ -502,3 +502,35 @@ def test_stream_complete_totals_matches_pandas(spark, smoke_dir):
     ]
     got = _rows(spark, smoke_dir, "q189_stream_complete_totals")
     assert got == expect
+
+
+def test_stream_restart_tumbling_matches_event_time_model(spark, smoke_dir):
+    """q250: the tumbling emission rule computed ACROSS a checkpoint
+    stop/resume must equal the same pandas event-time model q54 is held
+    to — the model cannot see the restart, so agreement proves the
+    state round-trip emitted exactly the never-stopped set."""
+    ev = _events(smoke_dir, "ts, event_type, value")
+    t = _us(ev["ts"])
+    wm = int(t.max()) - DELAY_US
+    ws = t - (t % US_HOUR)
+    m = pd.DataFrame(
+        {"ws": ws, "event_type": ev["event_type"], "value": ev["value"]}
+    )
+    m = m[m["ws"] + US_HOUR <= wm]
+    expect = []
+    for (w, et), grp in sorted(
+        m.groupby(["ws", "event_type"], sort=True).groups.items()
+    ):
+        g = m.loc[grp]
+        s = sum(_dec6(v) for v in g["value"])
+        expect.append(
+            {
+                "window_start": int(w),
+                "event_type": et,
+                "n_events": len(g),
+                "sum_value": float(s),
+            }
+        )
+    got = _rows(spark, smoke_dir, "q250_stream_restart_tumbling")
+    assert got == expect
+    assert expect, "fixture produced no finalized windows"
