@@ -190,7 +190,17 @@ def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (id, cluster, d2) assignment. Used by q105 (cluster fingerprint)
 # and q249 (SemDeDup semantic dedup within clusters).
 _KMEANS_CTE = f"""
-    WITH x AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+    WITH x AS (
+           -- v is coalesce-sanitized so every downstream
+           -- list_dot_product is a TOTAL function: DuckDB's optimizer
+           -- may reorder a later predicate (e.g. v_sq > 0) below this
+           -- CTE's validity filter, evaluating the dot on rows the
+           -- filter excludes — list_dot_product ERRORS on their NULL
+           -- elements (r13 vec-probe find via q249's vv join).
+           -- Surviving rows carry no NULL elements, values unchanged.
+           SELECT vec_id AS id,
+                  list_transform(embedding::DOUBLE[],
+                                 y -> coalesce(y, 0.0)) AS v
            FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) < 1000000000000000, FALSE))) = 0)),
     xs AS (SELECT id, v, list_dot_product(v, v) AS v_sq FROM x),
     c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
@@ -707,7 +717,14 @@ def q248_embedding_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop rule.
     oracle=_KMEANS_CTE + """
     , vv AS (
-        SELECT a2.id, a2.cluster, xs.v,
+        -- coalesce-sanitized vector: DuckDB may evaluate the dup CTE's
+        -- cosine predicate BEFORE the validity filters (filter
+        -- reordering assumes total expressions), and list_dot_product
+        -- ERRORS on NULL elements it would see on rows the filters
+        -- exclude (r13 vec-probe find on this query's first draft).
+        -- Surviving rows have no NULL elements, so values are unchanged.
+        SELECT a2.id, a2.cluster,
+               list_transform(xs.v, y -> coalesce(y, 0.0)) AS v,
                sqrt(xs.v_sq) AS n
         FROM a2 JOIN xs ON xs.id = a2.id
         WHERE xs.v_sq > 0
