@@ -609,7 +609,7 @@ def test_footer_quarantine_matches_pyarrow_model(spark, smoke_dir):
     )
     months: dict[str, int] = {}
     for v in t.column("l_shipdate").to_pylist():
-        if v.year == 1996:
+        if v.year == 1996 and v.month <= 6:  # H1 staging window
             m = f"{v.year}{v.month:02d}"
             months[m] = months.get(m, 0) + 1
     expect = [
