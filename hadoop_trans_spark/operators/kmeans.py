@@ -132,6 +132,21 @@ def kmeans_assignments(
 ) -> DataFrame:
     """Run ``iters`` Lloyd iterations; return the final per-vector
     assignment (id, cluster, d2)."""
+    return kmeans_fit(df, k=k, iters=iters, vec=vec, id_col=id_col)[0]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Like kmeans_assignments, but also returns the centroid rows the
+    FINAL assignment used — (assignments_df, [Row(cluster, c, c_sq)]).
+    Consumers that need the fitted model (PQ codebooks q251, IVF cell
+    routing) read the centroids; the rows are k driver-side literals,
+    never a distributed collect of data."""
     from .stage import materialize_stage
 
     # A missing vector has no cluster: NULL / non-finite / over-cap
@@ -157,13 +172,16 @@ def kmeans_assignments(
         # typed assignment rather than building a zero-element literal
         # centroid array (F.array() types as VOID and the transform
         # lambda fails analysis — empty-input probe find, r10).
-        return corpus.select(
-            "id",
-            F.lit(None).cast("int").alias("cluster"),
-            F.lit(None).cast("double").alias("d2"),
+        return (
+            corpus.select(
+                "id",
+                F.lit(None).cast("int").alias("cluster"),
+                F.lit(None).cast("double").alias("d2"),
+            ),
+            [],
         )
     assigned = assign(corpus, cents)
     for _ in range(iters - 1):
         cents = update_centroids(assigned).collect()
         assigned = assign(corpus, cents)
-    return assigned.select("id", "cluster", "d2")
+    return assigned.select("id", "cluster", "d2"), cents

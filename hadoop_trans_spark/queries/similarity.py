@@ -797,3 +797,170 @@ def q249_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def _pq_subspace_cte(s: int, lo: int, hi: int, k: int = 4) -> str:
+    """Unrolled 2-iteration Lloyd over one PQ subspace (q105's CTE shape
+    parameterized): xb must already exist as (id, v) valid sanitized
+    full vectors. Emits xq{s} (subvectors + norms), c1{s} (the fitted
+    codebook) and a2{s} (the per-vector code)."""
+    davg = o_davg("v[pos]", count="COUNT(*)")
+    return f"""
+    xs{s} AS (SELECT id, v[{lo}:{hi}] AS v FROM xb),
+    xq{s} AS (SELECT id, v, list_dot_product(v, v) AS v_sq FROM xs{s}),
+    c0{s} AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+                     v AS c, list_dot_product(v, v) AS c_sq
+              FROM (SELECT id, v FROM xs{s} ORDER BY id LIMIT {k})),
+    a1{s} AS (SELECT * FROM (
+              SELECT xq.id, xq.v, c.cluster,
+                     ROW_NUMBER() OVER (PARTITION BY xq.id
+                         ORDER BY ROUND(xq.v_sq + c.c_sq
+                             - 2 * list_dot_product(xq.v, c.c), 6),
+                                  c.cluster) AS rk
+              FROM xq{s} xq CROSS JOIN c0{s} c) WHERE rk = 1),
+    m1{s} AS (SELECT cluster, pos, {davg} AS m
+              FROM (SELECT cluster, v,
+                           UNNEST(range(1, len(v) + 1)) AS pos FROM a1{s})
+              GROUP BY 1, 2),
+    c1{s} AS (SELECT cluster, c, list_dot_product(c, c) AS c_sq
+              FROM (SELECT cluster, list(m ORDER BY pos) AS c
+                    FROM m1{s} GROUP BY 1)),
+    a2{s} AS (SELECT id, cluster FROM (
+              SELECT xq.id, c.cluster,
+                     ROW_NUMBER() OVER (PARTITION BY xq.id
+                         ORDER BY ROUND(xq.v_sq + c.c_sq
+                             - 2 * list_dot_product(xq.v, c.c), 6),
+                                  c.cluster) AS rk
+              FROM xq{s} xq CROSS JOIN c1{s} c) WHERE rk = 1),
+    lut{s} AS (SELECT q.id AS q_id, c.cluster,
+                      ROUND(xq.v_sq + c.c_sq
+                          - 2 * list_dot_product(xq.v, c.c), 6) AS d2
+               FROM qids q
+               JOIN xq{s} xq ON xq.id = q.id
+               CROSS JOIN c1{s} c)"""
+
+
+_PQ_ORACLE = (
+    """
+    WITH xb AS (
+           SELECT vec_id AS id,
+                  list_transform(embedding::DOUBLE[],
+                                 y -> coalesce(y, 0.0)) AS v
+           FROM embeddings WHERE ("""
+    + o_vec_usable()
+    + """)),
+    qids AS (SELECT id FROM xb WHERE id < 5),"""
+    + _pq_subspace_cte(0, 1, 32)
+    + ","
+    + _pq_subspace_cte(1, 33, 64)
+    + """,
+    cand AS (
+        SELECT l0.q_id, a0.id AS neighbor_id,
+               ROUND(l0.d2 + l1.d2, 6) AS approx_d2
+        FROM a20 a0
+        JOIN a21 a1x ON a1x.id = a0.id
+        JOIN lut0 l0 ON l0.cluster = a0.cluster
+        JOIN lut1 l1 ON l1.cluster = a1x.cluster AND l1.q_id = l0.q_id
+        WHERE a0.id <> l0.q_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY approx_d2, neighbor_id) AS rk
+        FROM cand
+    )
+    SELECT q_id, CAST(rk AS INT) AS rk, neighbor_id,
+           CAST(approx_d2 AS DOUBLE) AS approx_d2
+    FROM ranked WHERE rk <= 3
+    ORDER BY q_id, rk
+    """
+)
+
+
+@query("q251_pq_ann", oracle=_PQ_ORACLE)
+def q251_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the memory-scale path of a 100 TB
+    vector index (IVF routes the search, q45; PQ compresses the
+    residuals): the embedding splits into 2 subspaces, each fitted with
+    its own k=4 codebook (the SAME deterministic Lloyd as q105, on the
+    subvectors), every vector is encoded as a 2-code tuple, and a query
+    scores candidates from a LOOKUP TABLE — one distance per (query,
+    subspace, codeword), never a full-vector dot per candidate. Top-3
+    approximate neighbors per query, ties broken by id. At 100 TB the
+    codes table is 2 bytes/vector (vs 256 for float32 d=64 — the whole
+    point), the LUT is queries × 8 cells broadcast, and scoring is one
+    equi-join on the code columns."""
+    from ..operators.kmeans import kmeans_fit
+
+    e = table(spark, sf_dir, "embeddings").where(vec_usable())
+    # Sanitize exactly like the oracle's xb (no NULL elements survive
+    # the usable filter, so values are unchanged — the coalesce keeps
+    # every downstream dot total under ANY predicate ordering).
+    vd = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda y: F.coalesce(y, F.lit(0.0)),
+    )
+    base = e.select("vec_id", vd.alias("v"))
+
+    codes = None
+    luts = []
+    for s, (lo, n) in enumerate(((1, 32), (33, 32))):
+        sub = base.select(
+            "vec_id", F.slice("v", lo, n).alias("embedding")
+        )
+        assigned, cents = kmeans_fit(sub, k=4, iters=2)
+        c_s = assigned.select(
+            F.col("id").alias("vec_id"), F.col("cluster").alias(f"code{s}")
+        )
+        codes = c_s if codes is None else codes.join(c_s, "vec_id")
+        cent_df = spark.createDataFrame(
+            [(int(r["cluster"]), list(r["c"]), float(r["c_sq"])) for r in cents],
+            f"cluster int, c array<double>, c_sq double",
+        )
+        qv = sub.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            ).alias("q_sq"),
+        )
+        dot_qc = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("c"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        luts.append(
+            qv.crossJoin(F.broadcast(cent_df)).select(
+                F.col("q_id").alias(f"q{s}"),
+                F.col("cluster").alias(f"k{s}"),
+                F.round(
+                    F.col("q_sq") + F.col("c_sq") - 2 * dot_qc, 6
+                ).alias(f"d2_{s}"),
+            )
+        )
+
+    cand = (
+        codes.join(
+            F.broadcast(luts[0]), F.col("code0") == F.col("k0")
+        )
+        .join(
+            F.broadcast(luts[1]),
+            (F.col("code1") == F.col("k1")) & (F.col("q0") == F.col("q1")),
+        )
+        .where(F.col("vec_id") != F.col("q0"))
+        .select(
+            F.col("q0").alias("q_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("d2_0") + F.col("d2_1"), 6).alias("approx_d2"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("q_id").orderBy("approx_d2", "neighbor_id")
+    )
+    return (
+        cand.withColumn("rk", rk)
+        .where(F.col("rk") <= 3)
+        .select("q_id", "rk", "neighbor_id", "approx_d2")
+        .orderBy("q_id", "rk")
+    )

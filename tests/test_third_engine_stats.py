@@ -3280,3 +3280,97 @@ def test_semantic_dedup_matches_python_lloyd_plus_cosine(spark, smoke_dir):
         )
     assert _rows(spark, smoke_dir, "q249_semantic_dedup") == expect
     assert sum(r["n_dropped"] for r in expect) > 0, "fixture drop set empty"
+
+
+def test_pq_ann_matches_python_codebooks(spark, smoke_dir):
+    """q251 re-derived in pure Python: per-subspace 2-iteration Lloyd
+    (init first 4 ids, d2 rounded HALF_UP at 6 with ordinal tie-break,
+    Decimal centroid means rounded at 6), PQ codes, LUT distances, and
+    the (approx_d2, id)-ranked top-3 per query."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = _df(
+        f"select vec_id, embedding from "
+        f"read_parquet('{smoke_dir}/embeddings.parquet') order by vec_id"
+    )
+    full = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for _, r in emb.iterrows()
+    }
+
+    def rnd6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def fit(vecs):  # -> (codes, centroids)
+        def assign(cents):
+            out = {}
+            for i, v in vecs.items():
+                v_sq = dot(v, v)
+                best = None
+                for c_idx, c in cents.items():
+                    d2 = rnd6(v_sq + dot(c, c) - 2 * dot(v, c))
+                    if best is None or (d2, c_idx) < best:
+                        best = (d2, c_idx)
+                out[i] = best[1]
+            return out
+
+        cents = {j: vecs[i] for j, i in enumerate(sorted(vecs)[:4])}
+        a1 = assign(cents)
+        members: dict[int, list] = {}
+        for i, c in a1.items():
+            members.setdefault(c, []).append(vecs[i])
+        c1 = {}
+        for c, ms in members.items():
+            c1[c] = [
+                float(
+                    (
+                        sum(
+                            Decimal(repr(m[p])).quantize(
+                                Decimal("0.000001"), ROUND_HALF_UP
+                            )
+                            for m in ms
+                        )
+                        / len(ms)
+                    ).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+                )
+                for p in range(len(ms[0]))
+            ]
+        return assign(c1), c1
+
+    subs = [
+        ({i: v[:32] for i, v in full.items()}),
+        ({i: v[32:] for i, v in full.items()}),
+    ]
+    fits = [fit(s) for s in subs]
+    expect = []
+    for q in sorted(i for i in full if i < 5):
+        luts = []
+        for s, (codes, cents) in enumerate(fits):
+            qv = subs[s][q]
+            q_sq = dot(qv, qv)
+            luts.append(
+                {c: rnd6(q_sq + dot(cv, cv) - 2 * dot(qv, cv))
+                 for c, cv in cents.items()}
+            )
+        cand = sorted(
+            (
+                rnd6(luts[0][fits[0][0][x]] + luts[1][fits[1][0][x]]),
+                x,
+            )
+            for x in full
+            if x != q
+        )
+        for rk, (d2, x) in enumerate(cand[:3], 1):
+            expect.append(
+                {"q_id": q, "rk": rk, "neighbor_id": x, "approx_d2": d2}
+            )
+    got = _rows(spark, smoke_dir, "q251_pq_ann")
+    assert got == expect
