@@ -58,6 +58,13 @@ RESHAPED: dict[str, int] = {
     "q137": 6,
     "q182": 6,
     "q198": 6,
+    # round-13 reshapes: q41/q63 SimHash widened to a 64-bit fingerprint
+    # with 16-bit pigeonhole segments (commits 459a3a4/9226064); q122's
+    # XML reader trim contract changed (commit 9b212e1). Their latest
+    # driver rows (r12/r9/r9) prove the pre-reshape code.
+    "q41": 13,
+    "q63": 13,
+    "q122": 13,
 }
 
 
