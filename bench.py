@@ -479,7 +479,7 @@ def execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def adjudicate(here: str) -> None:
+def adjudicate(here: str, names: list[str] | None = None) -> None:
     """Warm A/B re-run of the movers recorded by the LAST bench run
     (bench_results.json), so a regression like r11's q237 is caught and
     attributed in-round instead of by the judge (VERDICT r11 item 6).
@@ -489,7 +489,14 @@ def adjudicate(here: str) -> None:
     ``real`` if the warm min STILL exceeds the mover gate against the
     same drift/suite-adjusted baseline the flag used — i.e. the
     regression reproduces under the low-noise protocol — else
-    ``noise``. Writes bench_adjudication.json and prints one JSON line."""
+    ``noise``. Writes bench_adjudication.json and prints one JSON line.
+
+    ``--adjudicate qA qB ...`` (r14): adjudicate the NAMED queries
+    against the fresh calibration.json per-query map (drift 1.0 —
+    same-machine rerun) instead of bench_results.json's mover list.
+    Needed when the driver's round-end bench flagged movers but its
+    bench_results.json was since overwritten by a local run — the
+    BENCH_r{N}.json artifact keeps only mover NAMES."""
     path = os.path.join(here, "bench_results.json")
     try:
         with open(path) as fh:
@@ -499,6 +506,26 @@ def adjudicate(here: str) -> None:
         sys.exit(1)
     movers = detail.get("movers") or []
     sf_val = detail.get("sf")
+    if names:
+        calib = load_calibration(here)
+        if not (calib and isinstance(calib.get("queries"), dict)):
+            print(json.dumps({"error": "named adjudication needs calibration.json with a per-query map"}))
+            sys.exit(1)
+        sf_val = calib.get("sf", sf_val)
+        movers = []
+        for n in names:
+            base = calib["queries"].get(n)
+            if not isinstance(base, (int, float)) or base <= 0:
+                print(json.dumps({"error": f"{n}: no calibration baseline"}))
+                sys.exit(1)
+            movers.append(
+                {
+                    "query": n,
+                    "base_s": base,
+                    "drift_adj_ratio": None,
+                    "baseline": f"calibration_rerun(r{calib.get('prev_round')})",
+                }
+            )
     sf_dir = os.environ.get(
         "SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf_val}"
     )
@@ -576,7 +603,8 @@ def adjudicate(here: str) -> None:
 def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     if "--adjudicate" in sys.argv[1:]:
-        adjudicate(here)
+        i = sys.argv.index("--adjudicate")
+        adjudicate(here, names=[a for a in sys.argv[i + 1:] if a.startswith("q")])
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

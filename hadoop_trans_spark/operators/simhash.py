@@ -103,7 +103,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 
 def hamming_pairs(
-    sim: DataFrame, max_distance: int = 3, max_bucket: int = 1000
+    sim: DataFrame, max_distance: int = 3, max_bucket: int | None = 1000
 ) -> DataFrame:
     """(id_a, id_b, hamming) for pairs within the distance budget.
 
@@ -118,9 +118,13 @@ def hamming_pairs(
     quadratic self-join (the minhash candidate_pairs guard, r13): a
     fingerprint segment shared by a boilerplate-heavy cluster is the
     simhash twin of a hot LSH band, and one such bucket is a C(k,2)
-    blow-up. Recall caveat applies only inside dropped buckets —
-    everything there is mutually near-identical, exactly the mass a
-    dedup job caps everywhere else too."""
+    blow-up. Recall caveat (ADVICE r13): sharing one 16-bit segment does
+    NOT bound the Hamming distance over the other 48 bits, so a dropped
+    bucket can lose TRUE pairs, not just near-identical mass — the cap
+    is a declared recall/cost trade, and q63's oracle models the exact
+    same windowed-count filter so the declared semantics (capped) are
+    what the oracle checks. Pass ``max_bucket=None`` for exact recall
+    when the corpus is known boilerplate-light."""
     n_seg = max_distance + 1
     seg_bits = N_BITS // n_seg
     # Materialize the (id, simhash) table once: the self-join would
@@ -138,9 +142,10 @@ def hamming_pairs(
             f"shiftrightunsigned(simhash, seg * {seg_bits}) & {(1 << seg_bits) - 1}"
         ),
     )
-    segs = segs.withColumn(
-        "bucket_n", F.count("*").over(W.partitionBy("seg", "seg_val"))
-    ).where(F.col("bucket_n") <= max_bucket)
+    if max_bucket is not None:
+        segs = segs.withColumn(
+            "bucket_n", F.count("*").over(W.partitionBy("seg", "seg_val"))
+        ).where(F.col("bucket_n") <= max_bucket)
     a = segs.select("seg", "seg_val", F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
     b = segs.select("seg", "seg_val", F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
     return (

@@ -211,6 +211,7 @@ def migrate(spark: SparkSession, job: MigrateJob, sink: AlertSink | None = None)
         #    one quarantined FILE (reported + alerted), not the whole
         #    distributed copy job.
         healthy: list[str] | None = None
+        healthy_all: list[str] = []
         if job.quarantine_scan:
             candidates: list[str] = []
             for k in to_copy:
@@ -230,6 +231,28 @@ def migrate(spark: SparkSession, job: MigrateJob, sink: AlertSink | None = None)
                             f"quarantined (excluded from copy): {q['reason']}",
                         )
                     )
+                # Schema-union source (ADVICE r13): the narrowed
+                # healthy-file read below would merge only the to_copy
+                # partitions' schemas, silently dropping a column that
+                # exists ONLY in a partition outside the copy set —
+                # the exact r12 schema-evolution class, reintroduced by
+                # the quarantine path. Health-scan the WHOLE table
+                # (footer-parse only, the same metadata cost the normal
+                # path's mergeSchema inference pays) and derive the
+                # union schema from every healthy file table-wide; the
+                # copy still reads only the healthy to_copy files.
+                # Corrupt files outside the copy set contribute nothing
+                # to the schema and are not copied, so they are not
+                # quarantine entries — the copy contract never touched
+                # them.
+                copy_set = set(candidates)
+                rest = [
+                    f
+                    for f in health_data_files(spark, job.src_path)
+                    if f not in copy_set
+                ]
+                rest_ok, _ = scan_parquet_health(spark, rest)
+                healthy_all = sorted(healthy + rest_ok)
             else:
                 healthy = None  # normal path: whole-directory read
         #    mergeSchema: a schema-evolved partition (one that gained a
@@ -241,10 +264,24 @@ def migrate(spark: SparkSession, job: MigrateJob, sink: AlertSink | None = None)
         with raw_partition_values(spark):
             if healthy is not None:
                 # explicit healthy-file read; basePath keeps the
-                # partition column resolvable from the dir layout
-                reader = spark.read.option("mergeSchema", "true").option(
-                    "basePath", fs.qualify(spark, job.src_path)
+                # partition column resolvable from the dir layout.
+                # The schema is the TABLE-WIDE healthy union (see the
+                # scan above): files lacking a newer column read it as
+                # NULLs instead of dropping it from the copy.
+                base = fs.qualify(spark, job.src_path)
+                union_schema = (
+                    spark.read.option("mergeSchema", "true")
+                    .option("basePath", base)
+                    .parquet(*healthy_all)
+                    .schema
+                    if healthy_all
+                    else None
                 )
+                reader = spark.read.option("mergeSchema", "true").option(
+                    "basePath", base
+                )
+                if union_schema is not None:
+                    reader = reader.schema(union_schema)
                 src_df = (
                     reader.parquet(*healthy).where(cond)
                     if healthy
@@ -282,11 +319,16 @@ def migrate(spark: SparkSession, job: MigrateJob, sink: AlertSink | None = None)
     if job.verify_after and report.copied:
         with raw_partition_values(spark):
             if report.quarantined and healthy:
-                src_df = (
-                    spark.read.option("mergeSchema", "true")
-                    .option("basePath", fs.qualify(spark, job.src_path))
-                    .parquet(*healthy)
+                # same narrowed file list AND the same table-wide union
+                # schema the copy wrote — the destination carries NULLs
+                # for columns absent from these files, so the source
+                # fingerprints must be computed over the identical shape.
+                vreader = spark.read.option("mergeSchema", "true").option(
+                    "basePath", fs.qualify(spark, job.src_path)
                 )
+                if union_schema is not None:
+                    vreader = vreader.schema(union_schema)
+                src_df = vreader.parquet(*healthy)
             else:
                 src_df = spark.read.option("mergeSchema", "true").parquet(job.src_path)
             dst_df = spark.read.option("mergeSchema", "true").parquet(job.dst_path)

@@ -299,10 +299,28 @@ def q41_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE CAST(pow(2, b) AS BIGINT) END
                       ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY id
+    ),
+    segs AS (
+      -- mirror hamming_pairs' pigeonhole blocking INCLUDING its
+      -- max_bucket=1000 skew cap (ADVICE r13): the declared semantics
+      -- are the capped ones, so the oracle applies the identical
+      -- windowed-count filter. (x >> n) & 65535 equals Spark's
+      -- shiftrightunsigned low-16 extraction for negative bigints too.
+      SELECT id, simhash, t.seg,
+             (simhash >> (t.seg * 16)) & 65535 AS seg_val
+      FROM sims, generate_series(0, 3) t(seg)
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT id, simhash, seg, seg_val,
+               COUNT(*) OVER (PARTITION BY seg, seg_val) AS bucket_n
+        FROM segs)
+      WHERE bucket_n <= 1000
     )
-    SELECT a.id AS id_a, b.id AS id_b,
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sims a JOIN sims b ON a.id < b.id
+    FROM kept a JOIN kept b
+      ON a.seg = b.seg AND a.seg_val = b.seg_val AND a.id < b.id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     ORDER BY id_a, id_b
     """,
@@ -312,8 +330,10 @@ def q63_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking (operators.simhash.hamming_pairs): the fingerprint splits
     into 4 segments, pigeonhole guarantees any pair within the budget
     shares one exact segment, so candidates come from an equi-join on
-    (segment, value) — the oracle's naive O(n²) self-join confirms the
-    blocked plan loses nothing."""
+    (segment, value). The oracle runs the SAME blocked plan including
+    the max_bucket=1000 skew cap (ADVICE r13: the cap can drop true
+    pairs on boilerplate-heavy corpora, so an uncapped all-pairs oracle
+    would diverge — the capped semantics are the declared contract)."""
     from ..operators.simhash import hamming_pairs
 
     return (

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..operators.merge import merge_upsert, snapshot_diff
 from .base import _dec_out, dsum, dterm, o_dsum, query
+from ..tmputil import staging_dir
 
 
 def _changes(orders: DataFrame) -> DataFrame:
@@ -654,7 +655,6 @@ def q184_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite touches only partitions containing forgotten keys when the
     table is partitioned/bucketed by the key — here the full-table
     rewrite is the worst-case path, exercised deliberately."""
-    import tempfile
 
     e = table(spark, sf_dir, "events")
     forget = (
@@ -662,7 +662,7 @@ def q184_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id") % 31 == 0)
         .distinct()
     )
-    dest = tempfile.mkdtemp(prefix="htspark_forget_") + "/events_clean"
+    dest = staging_dir("htspark_forget_") + "/events_clean"
     survivors = e.join(F.broadcast(forget), "user_id", "left_anti")
     survivors.write.mode("overwrite").parquet(dest)
 
@@ -807,10 +807,9 @@ def q190_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     is directory deletion. The fixture's v2 applies a deterministic
     price adjustment and restores rows v1 had filtered, so the two
     fingerprints differ meaningfully."""
-    import tempfile
 
     o = table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="htspark_tt_") + "/orders_versioned"
+    base = staging_dir("htspark_tt_") + "/orders_versioned"
     v1 = o.where(F.col("o_orderkey") % 5 != 0)
     v2 = o.withColumn(
         "o_totalprice",

@@ -6,7 +6,6 @@ proving copy fidelity end-to-end through the driver's hash gate.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -15,6 +14,7 @@ from ..catalog import table
 from ..pipelines import MigrateJob, compact_table, migrate
 from ..pipelines.fs import exists as fs_exists
 from .base import dsum, o_dsum, query, ts_micros
+from ..tmputil import staging_dir
 
 
 @query(
@@ -37,7 +37,7 @@ def q33_migrate_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed copy → verify), then fingerprint the DESTINATION per
     partition. Matching the source-side oracle proves byte-faithful
     migration (reference R9+R11 end-to-end)."""
-    base = tempfile.mkdtemp(prefix="htspark_migrate_")
+    base = staging_dir("htspark_migrate_")
     src_root, dst_root = f"{base}/src", f"{base}/dst"
 
     # Stage the migrate window plus flanking quarters — enough partitions
@@ -103,7 +103,7 @@ def q34_compact_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (size-aware selection → coalesce → snappy → atomic swap), then
     fingerprint the compacted table. Matching the oracle computed on the
     original events proves content-hash invariance (reference R13–R16)."""
-    base = tempfile.mkdtemp(prefix="htspark_compact_")
+    base = staging_dir("htspark_compact_")
     path = f"{base}/events"
 
     ev = table(spark, sf_dir, "events").withColumn(
@@ -166,7 +166,7 @@ def q245_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     migrate/compact to know a table disagrees with itself."""
     from ..pipelines.schema_report import schema_drift_report
 
-    base = tempfile.mkdtemp(prefix="htspark_drift_")
+    base = staging_dir("htspark_drift_")
     li = (
         table(spark, sf_dir, "lineitem")
         .where(
@@ -217,7 +217,7 @@ def q246_footer_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     one quarantine entry per corrupt file."""
     import os
 
-    base = tempfile.mkdtemp(prefix="htspark_footer_")
+    base = staging_dir("htspark_footer_")
     src_root, dst_root = f"{base}/src", f"{base}/dst"
     # H1 1996 only: six staged partitions prove the contract exactly as
     # twelve did (the two poisoned months sit inside), at half the

@@ -638,7 +638,12 @@ def q211_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(embedding[g.i] AS DOUBLE) AS v
         FROM embeddings
         CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i) g
-        WHERE {vec_ok}
+        -- len >= 8 on BOTH sides (ADVICE r13): the CROSS JOIN row would
+        -- otherwise count a short vector in n_vecs (embedding[i] past
+        -- the end is NULL but the row exists) while Spark's posexplode
+        -- of the short slice emits fewer rows — state the counting rule
+        -- once, identically.
+        WHERE {vec_ok} AND len(embedding) >= 8
     ),
     a AS (
         SELECT grp,
@@ -677,7 +682,10 @@ def q248_embedding_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = 8
     emb = (
         table(spark, sf_dir, "embeddings")
-        .where(vec_usable())
+        # size >= d mirrors the oracle's len(embedding) >= 8 conjunct
+        # (ADVICE r13): a shorter vector must not count toward n_vecs in
+        # either engine.
+        .where(vec_usable() & (F.size("embedding") >= d))
         .select(
             (F.col("vec_id") % 50).alias("grp"),
             F.slice("embedding", 1, d).alias("e"),

@@ -3,7 +3,6 @@ schemas, fingerprinted against the original table."""
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -11,6 +10,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..sources import read_csv, read_json, read_orc, read_xml
 from .base import dsum, o_dsum, query
+from ..tmputil import staging_dir
 
 
 @query(
@@ -28,7 +28,7 @@ def q52_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer → CSV (header) → read back with a declared schema →
     fingerprint. Proves the CSV boundary preserves content (doubles
     round-trip via their shortest decimal repr)."""
-    base = tempfile.mkdtemp(prefix="htspark_csv_")
+    base = staging_dir("htspark_csv_")
     c = table(spark, sf_dir, "customer")
     # Whitespace-trim off on BOTH sides of the boundary: the write-side
     # default trims edge chars <= 0x20 (incl. NUL) out of values —
@@ -71,7 +71,7 @@ def q52_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q53_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → JSON lines (ts as epoch-micros to sidestep text timestamp
     formats) → read back with declared schema → fingerprint."""
-    base = tempfile.mkdtemp(prefix="htspark_json_")
+    base = staging_dir("htspark_json_")
     ev = table(spark, sf_dir, "events").select(
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
@@ -114,7 +114,7 @@ def q78_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar boundary besides parquet; the oracle reads the original
     parquet, so a match proves the ORC round-trip is content-lossless
     (timestamps compared as epoch-micros)."""
-    base = tempfile.mkdtemp(prefix="htspark_orc_")
+    base = staging_dir("htspark_orc_")
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
@@ -153,7 +153,7 @@ def q122_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix (CSV q52, JSON q53, ORC q78, XML here) against the same
     parquet-reading oracle, proving the XML boundary is content-lossless
     for longs/doubles/strings."""
-    base = tempfile.mkdtemp(prefix="htspark_xml_")
+    base = staging_dir("htspark_xml_")
     s = table(spark, sf_dir, "supplier")
     (
         s.write.mode("overwrite")
@@ -269,7 +269,7 @@ def q112_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     through. At 100 TB footer-schema merging is a planning-time
     metadata operation; pin the canonical schema in a catalog once a
     table stabilizes so the scan skips per-file merging."""
-    base = tempfile.mkdtemp(prefix="htspark_evo_")
+    base = staging_dir("htspark_evo_")
     o = table(spark, sf_dir, "orders")
     v1 = o.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
@@ -405,7 +405,7 @@ def q149_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-splittable stream, which is the honest trade of this format —
     at 100 TB you shard into many ~100 MB .gz files so parallelism
     comes from file count (exactly what the write below produces)."""
-    base = tempfile.mkdtemp(prefix="htspark_text_")
+    base = staging_dir("htspark_text_")
     # A delimited line format cannot carry NULL fields: concat_ws SKIPS
     # nulls, so a NULL lang/text row would emit a short line that
     # shatters the 3-field parse contract on read-back (getItem(2) is an
@@ -490,7 +490,7 @@ def q150_binaryfile_source(
                 f"tempfs, invalid under master={master!r}; pass blob_base="
                 "<shared storage path> (e.g. hdfs://... or s3a://...)"
             )
-        blob_base = tempfile.mkdtemp(prefix="htspark_bin_")
+        blob_base = staging_dir("htspark_bin_")
     base = blob_base
     # NULL text = no blob to materialize (encode(None) would crash the
     # executor task) — skipped symmetrically with the oracle's WHERE
@@ -559,7 +559,7 @@ def q180_range_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the recurring fact-table layout job: one range
     shuffle (sampled boundaries), in-task sort, and the same audit
     query validates the layout cheaply after every rewrite."""
-    base = tempfile.mkdtemp(prefix="htspark_rangelayout_")
+    base = staging_dir("htspark_rangelayout_")
     path = f"{base}/lineitem_ranged"
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate", "l_quantity"
@@ -642,7 +642,7 @@ def q213_corrupt_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rows the parser actually failed)."""
     import os
 
-    base = tempfile.mkdtemp(prefix="htspark_badjson_")
+    base = staging_dir("htspark_badjson_")
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
@@ -710,7 +710,7 @@ def q221_nested_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     content exactly (the document-shaped layout a crawl/label store
     uses). The nest step is one orderkey-keyed collect_list agg;
     re-reading prunes to the nested columns actually referenced."""
-    base = tempfile.mkdtemp(prefix="htspark_nested_")
+    base = staging_dir("htspark_nested_")
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
     )

@@ -644,17 +644,24 @@ def q250_stream_restart_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross the restart inside the state store; the union of both phases
     must hash-match the batch oracle exactly — the contract a
     production stream lives by and a single availableNow pass never
-    exercises."""
+    exercises.
+
+    Harness shape vs deployment shape (the q183/q189 note): the
+    foreachBatch collector's ``bdf.collect()`` exists only to hand the
+    finalized windows back through the query contract and is bounded at
+    |windows|x|event_types| rows; a production job writes each
+    micro-batch to a sink table instead — nothing crosses the driver."""
     import os
     import shutil
-    import tempfile
+
+    from ..tmputil import staging_dir
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from ..streaming.jobs import _pinned_state_partitions, tumbling_counts
 
-    work = tempfile.mkdtemp(prefix="htspark_restart_")
+    work = staging_dir("htspark_restart_")
     src = os.path.join(sf_dir, "events.parquet")
     t = pq.read_table(src)
     t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
@@ -682,11 +689,17 @@ def q250_stream_restart_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.stop()
                 raise TimeoutError("restart phase did not finish")
 
-    ckpt = tempfile.mkdtemp(prefix="htspark_restart_ckpt_")
-    run_phase(ckpt)  # phase 1: first half only
-    pq.write_table(later, f"{work}/events_001.parquet")
-    run_phase(ckpt)  # phase 2: resumed from the same checkpoint
-    shutil.rmtree(work, ignore_errors=True)
+    # try/finally over BOTH phases (ADVICE r13): a raising phase, or a
+    # normal run, must not leak the staged input or the state-store
+    # checkpoint dir across repeated bench/driver sweeps.
+    ckpt = staging_dir("htspark_restart_ckpt_")
+    try:
+        run_phase(ckpt)  # phase 1: first half only
+        pq.write_table(later, f"{work}/events_001.parquet")
+        run_phase(ckpt)  # phase 2: resumed from the same checkpoint
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     out = spark.createDataFrame(collected, tumbling_counts(
         read_events_stream(spark, sf_dir)

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import contextlib
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +43,7 @@ from pyspark.sql.types import (
 )
 
 from hadoop_trans_spark.catalog import normalize_event_ts
+from ..tmputil import staging_dir
 
 
 def _dsum():
@@ -149,7 +149,7 @@ def run_to_memory(
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", staging_dir("ckpt_"))
             .start()
         )
         finished = query.awaitTermination(timeout_sec)
@@ -465,7 +465,7 @@ def stream_upsert_sink(
     from ..operators.merge import merge_upsert
     from ..operators.stage import materialize_stage
 
-    base = tempfile.mkdtemp(prefix="stream_upsert_")
+    base = staging_dir("stream_upsert_")
     stage, dest = f"{base}/stage", dest or f"{base}/target"
     os.makedirs(stage)
     src = f"{sf_dir}/events.parquet"
@@ -494,7 +494,7 @@ def stream_upsert_sink(
     with _pinned_state_partitions(spark):
         query = (
             stream.writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", staging_dir("ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -546,8 +546,8 @@ def stream_migrate(
     up only files it has not yet committed. Left as None (fixture runs),
     a fresh tempdir is minted and the run processes everything once.
     """
-    dest = dest or tempfile.mkdtemp(prefix="stream_migrate_")
-    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
+    dest = dest or staging_dir("stream_migrate_")
+    checkpoint = checkpoint or staging_dir("ckpt_")
     stream = read_events_stream(spark, sf_dir, glob=glob)
     query = (
         stream.writeStream.format("parquet")
@@ -748,7 +748,7 @@ def _stage_late_batches(
     from ..operators.stage import memo_stage
 
     def _build() -> str:
-        stage = tempfile.mkdtemp(prefix="late_stage_")
+        stage = staging_dir("late_stage_")
         events = table(spark, sf_dir, "events")
         batch = (
             F.when(F.col("event_id") % late_mod == 0, F.lit(2))
@@ -850,7 +850,7 @@ def stream_windowed_topk(
     window's types at a time."""
     from pyspark.sql.window import Window
 
-    dest = tempfile.mkdtemp(prefix="topk_dest_") + "/out"
+    dest = staging_dir("topk_dest_") + "/out"
     stream = _stage_late_batches(spark, sf_dir, late_mod)
     agg = (
         watermarked(stream, "ts", delay)
@@ -895,7 +895,7 @@ def stream_windowed_topk(
         query = (
             agg.writeStream.outputMode("append")
             .foreachBatch(rank_batch)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", staging_dir("ckpt_"))
             .trigger(availableNow=True)
             .start()
         )

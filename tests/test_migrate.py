@@ -305,6 +305,45 @@ def test_corrupt_footer_quarantines_file_not_job(spark, smoke_dir, tmp_path):
             assert per_part_dst.get(k) == n_src
 
 
+def test_quarantine_read_keeps_out_of_window_columns(spark, tmp_path):
+    """ADVICE r13: when files are quarantined, the copy reads an
+    explicit healthy-file list restricted to the to_copy partitions —
+    mergeSchema over only those files would DROP a column that exists
+    solely in a partition outside the copy set (the r12
+    schema-evolution class, reintroduced by the quarantine path). The
+    union schema must come from all healthy files table-wide: copied
+    rows carry the out-of-window column as NULLs, exactly like the
+    normal whole-directory read."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    a = spark.createDataFrame(
+        [(1, 10.0, "199601"), (2, 20.0, "199601")],
+        "id long, v double, par_dt string",
+    )
+    b = spark.createDataFrame(
+        [(3, 30.0, "evolved", "199602")],
+        "id long, v double, note string, par_dt string",
+    )
+    # two files in the migrated partition so a healthy sibling survives
+    a.repartition(2).write.partitionBy("par_dt").parquet(f"{src}/t")
+    b.write.mode("append").partitionBy("par_dt").parquet(f"{src}/t")
+    _corrupt_one_file(f"{src}/t/par_dt=199601", "truncate")
+
+    report = migrate(
+        spark,
+        MigrateJob(
+            src_root=src, dst_root=dst, table="t",
+            start="1996-01-01", end="1996-01-31",  # 199601 only
+        ),
+    )
+    assert report.copied == ["199601"]
+    assert len(report.quarantined) == 1
+    assert all(v.equal for v in report.verify.values())
+    back = spark.read.option("mergeSchema", "true").parquet(f"{dst}/t")
+    # the out-of-window 199602-only column survives as NULLs
+    assert "note" in back.columns
+    assert [r.note for r in back.collect()] == [None]
+
+
 def test_clean_source_skips_quarantine_path(spark, src_warehouse, tmp_path):
     """No corrupt files → empty quarantine, no corrupt_file alerts, and
     results identical to a scan-disabled run (the normal whole-dir read)."""
