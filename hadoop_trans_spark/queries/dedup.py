@@ -948,3 +948,115 @@ def q142_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q252_span_dedup",
+    # The identical windowed pipeline in DuckDB: same md5 window keys,
+    # same corpus-wide >= 2 occurrence rule, same lag-islands merge.
+    # Equal-length intervals sorted by start have monotonic ends, so the
+    # lag-based merge (new span iff start > prev_start + K) is exact —
+    # no running-max needed.
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS start,
+             md5(array_to_string(list_slice(
+               string_split(lower(text),' '), i, i+7), ' ')) AS h
+      FROM documents,
+           LATERAL unnest(range(1,
+             greatest(len(string_split(lower(text),' '))-7, 0)+1)) t(i)
+      WHERE text IS NOT NULL
+    ),
+    d AS (
+      SELECT doc_id, start FROM (
+        SELECT doc_id, start, count(*) OVER (PARTITION BY h) AS cnt FROM w)
+      WHERE cnt >= 2
+    ),
+    m AS (
+      SELECT doc_id, start,
+             CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start)
+                       IS NULL
+                       OR start > lag(start) OVER (PARTITION BY doc_id
+                                                   ORDER BY start) + 8
+                  THEN 1 ELSE 0 END AS news
+      FROM d
+    ),
+    g AS (
+      SELECT doc_id, start,
+             SUM(news) OVER (PARTITION BY doc_id ORDER BY start
+                             ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT doc_id,
+           MIN(start) AS span_start,
+           MAX(start) + 7 AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM g GROUP BY doc_id, sid
+    ORDER BY doc_id, span_start
+    """,
+)
+def q252_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (repeated-span) dedup — the suffix-array method
+    of Lee et al. '22 ("Deduplicating Training Data Makes Language
+    Models Better"), approximated the way a distributed engine runs it:
+    exact-hash dedup of OVERLAPPING K-token windows with span merge.
+    Doc-level dedup (q39/q40/q41/q249) misses the boilerplate/license/
+    template spans repeated across otherwise-distinct documents; this
+    tier finds every maximal token span whose K-token windows all occur
+    >= 2 times corpus-wide — the removal targets of the suffix-array
+    pass, at K-token resolution.
+
+    Physical shape (scale-first): the window fan-out is map-side
+    (explode of per-doc slices, |tokens| rows per doc); duplicate
+    detection is ONE hash shuffle keyed on the md5 window fingerprint
+    (count-over-partition — counting, never pairing, so a hot
+    boilerplate window costs one big count, NEVER a C(k,2) pair
+    blow-up: volume is linear in corpus size by construction); the
+    lag-islands span merge shuffles once on doc_id, and the final
+    per-span groupBy reuses that partitioning. K=8 whitespace tokens,
+    the shared tokenization convention (simhash/minhash lineage).
+
+    Output: one row per maximal duplicated span — (doc_id, 1-based
+    token span_start/span_end, n_windows merged into the span)."""
+    K = 8
+    toks = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+        .where(F.size("t") >= K)
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {K} + 1), "
+                f"i -> struct(CAST(i AS BIGINT) AS start, "
+                f"md5(array_join(slice(t, i, {K}), ' ')) AS h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.start", "w.h")
+    dup = wins.withColumn(
+        "cnt", F.count("*").over(W.partitionBy("h"))
+    ).where(F.col("cnt") >= 2)
+    prev = F.lag("start").over(W.partitionBy("doc_id").orderBy("start"))
+    m = dup.withColumn(
+        "news",
+        F.when(prev.isNull() | (F.col("start") > prev + K), 1).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("news").over(
+            W.partitionBy("doc_id")
+            .orderBy("start")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        m.groupBy("doc_id", "sid")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + F.lit(K - 1)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+        .orderBy("doc_id", "span_start")
+    )

@@ -1457,3 +1457,20 @@ def test_null_text_exclusion_pushed_to_parquet_scan(spark, smoke_dir):
     scan_lines = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     assert scan_lines, plan
     assert any("IsNotNull(text)" in ln for ln in scan_lines), plan
+
+
+def test_span_dedup_counts_never_pairs(spark, smoke_dir):
+    """q252 (repeated-span dedup): duplicate detection must be a
+    count-over-partition on the window fingerprint — ONE hash shuffle
+    on h, one on doc_id for the islands merge (reused by the span
+    groupBy), and NO self-join of windows (a pairing plan would be
+    C(k,2) on hot boilerplate windows). The orderBy range exchange is
+    the only other exchange allowed."""
+    df = QUERIES["q252_span_dedup"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    hash_ex = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    keys = [k.split("#")[0] for k in hash_ex]
+    assert sorted(keys) == ["doc_id", "h"], plan

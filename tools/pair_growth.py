@@ -229,6 +229,37 @@ def q204_wedges(spark, d):
     return int(r.pairs or 0)
 
 
+def q252_span_windows(spark, d):
+    """Duplicated-window volume (queries/dedup.py q252_span_dedup): rows
+    surviving the corpus-wide count>=2 filter — the span-merge stage
+    input. q252 COUNTS window occurrences (one hash shuffle), never
+    pairs them, so a hot boilerplate window contributes its occurrence
+    count, not C(k,2) — this counter proves that stays ~linear."""
+    K = 8
+    toks = (
+        table(spark, d, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.split(F.lower("text"), " ").alias("t"))
+        .where(F.size("t") >= K)
+    )
+    wins = toks.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {K} + 1), "
+                f"i -> md5(array_join(slice(t, i, {K}), ' ')))"
+            )
+        ).alias("h")
+    )
+    r = (
+        wins.groupBy("h")
+        .count()
+        .where(F.col("count") >= 2)
+        .agg(F.sum("count").alias("v"))
+        .collect()[0]
+    )
+    return int(r.v or 0)
+
+
 COUNTERS = {
     "q40_minhash_lsh": q40_minhash,
     "q41_simhash_pigeonhole": q41_simhash,
@@ -237,6 +268,7 @@ COUNTERS = {
     "q157_sorted_neighborhood": q157_neighborhood,
     "q200_basket_cap": q200_baskets,
     "q204_hub_pruned_wedges": q204_wedges,
+    "q252_span_window_volume": q252_span_windows,
 }
 
 
