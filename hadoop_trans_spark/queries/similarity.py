@@ -884,47 +884,36 @@ _PQ_ORACLE = (
 )
 
 
-@query("q251_pq_ann", oracle=_PQ_ORACLE)
-def q251_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN — the memory-scale path of a 100 TB
-    vector index (IVF routes the search, q45; PQ compresses the
-    residuals): the embedding splits into 2 subspaces, each fitted with
-    its own k=4 codebook (the SAME deterministic Lloyd as q105, on the
-    subvectors), every vector is encoded as a 2-code tuple, and a query
-    scores candidates from a LOOKUP TABLE — one distance per (query,
-    subspace, codeword), never a full-vector dot per candidate. Top-3
-    approximate neighbors per query, ties broken by id. At 100 TB the
-    codes table is 2 bytes/vector (vs 256 for float32 d=64 — the whole
-    point), the LUT is queries × 8 cells broadcast, and scoring is one
-    equi-join on the code columns."""
+def _pq_encode(
+    spark: SparkSession,
+    base: DataFrame,
+    q_pred,
+    subspaces=((1, 32), (33, 32)),
+    k: int = 4,
+):
+    """PQ codebook fit + encode + query LUT build, shared by q251 (flat
+    PQ) and q253 (IVF+PQ). ``base`` is (vec_id, v) sanitized doubles;
+    ``q_pred`` selects the query rows. Returns (codes, luts): codes =
+    (vec_id, code0, code1) — 2 bytes/vector at scale; luts[s] =
+    (q{s}, k{s}, d2_{s}), |queries| x k rows, broadcast-sized."""
     from ..operators.kmeans import kmeans_fit
-
-    e = table(spark, sf_dir, "embeddings").where(vec_usable())
-    # Sanitize exactly like the oracle's xb (no NULL elements survive
-    # the usable filter, so values are unchanged — the coalesce keeps
-    # every downstream dot total under ANY predicate ordering).
-    vd = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda y: F.coalesce(y, F.lit(0.0)),
-    )
-    base = e.select("vec_id", vd.alias("v"))
 
     codes = None
     luts = []
-    for s, (lo, n) in enumerate(((1, 32), (33, 32))):
+    for s, (lo, n) in enumerate(subspaces):
         sub = base.select(
             "vec_id", F.slice("v", lo, n).alias("embedding")
         )
-        assigned, cents = kmeans_fit(sub, k=4, iters=2)
+        assigned, cents = kmeans_fit(sub, k=k, iters=2)
         c_s = assigned.select(
             F.col("id").alias("vec_id"), F.col("cluster").alias(f"code{s}")
         )
         codes = c_s if codes is None else codes.join(c_s, "vec_id")
         cent_df = spark.createDataFrame(
             [(int(r["cluster"]), list(r["c"]), float(r["c_sq"])) for r in cents],
-            f"cluster int, c array<double>, c_sq double",
+            "cluster int, c array<double>, c_sq double",
         )
-        qv = sub.where(F.col("vec_id") < 5).select(
+        qv = sub.where(q_pred).select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("qv"),
             F.aggregate(
@@ -947,6 +936,32 @@ def q251_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias(f"d2_{s}"),
             )
         )
+    return codes, luts
+
+
+@query("q251_pq_ann", oracle=_PQ_ORACLE)
+def q251_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the memory-scale path of a 100 TB
+    vector index (IVF routes the search, q45; PQ compresses the
+    residuals): the embedding splits into 2 subspaces, each fitted with
+    its own k=4 codebook (the SAME deterministic Lloyd as q105, on the
+    subvectors), every vector is encoded as a 2-code tuple, and a query
+    scores candidates from a LOOKUP TABLE — one distance per (query,
+    subspace, codeword), never a full-vector dot per candidate. Top-3
+    approximate neighbors per query, ties broken by id. At 100 TB the
+    codes table is 2 bytes/vector (vs 256 for float32 d=64 — the whole
+    point), the LUT is queries × 8 cells broadcast, and scoring is one
+    equi-join on the code columns."""
+    e = table(spark, sf_dir, "embeddings").where(vec_usable())
+    # Sanitize exactly like the oracle's xb (no NULL elements survive
+    # the usable filter, so values are unchanged — the coalesce keeps
+    # every downstream dot total under ANY predicate ordering).
+    vd = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda y: F.coalesce(y, F.lit(0.0)),
+    )
+    base = e.select("vec_id", vd.alias("v"))
+    codes, luts = _pq_encode(spark, base, F.col("vec_id") < 5)
 
     cand = (
         codes.join(
@@ -959,6 +974,149 @@ def q251_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("q0"))
         .select(
             F.col("q0").alias("q_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("d2_0") + F.col("d2_1"), 6).alias("approx_d2"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("q_id").orderBy("approx_d2", "neighbor_id")
+    )
+    return (
+        cand.withColumn("rk", rk)
+        .where(F.col("rk") <= 3)
+        .select("q_id", "rk", "neighbor_id", "approx_d2")
+        .orderBy("q_id", "rk")
+    )
+
+
+_IVFPQ_ORACLE = (
+    """
+    WITH xb AS (
+           SELECT vec_id AS id, label,
+                  list_transform(embedding::DOUBLE[],
+                                 y -> coalesce(y, 0.0)) AS v
+           FROM embeddings WHERE ("""
+    + o_vec_usable()
+    + """)),
+    qids AS (SELECT id FROM xb WHERE id < 5),"""
+    + _pq_subspace_cte(0, 1, 32)
+    + ","
+    + _pq_subspace_cte(1, 33, 64)
+    + f""",
+    mc AS (SELECT label, pos, {o_davg("v[pos]", count="COUNT(*)")} AS m
+           FROM (SELECT label, v, UNNEST(range(1, len(v) + 1)) AS pos
+                 FROM xb)
+           GROUP BY 1, 2),
+    cents AS (SELECT label, c, list_dot_product(c, c) AS c_sq
+              FROM (SELECT label, list(m ORDER BY pos) AS c
+                    FROM mc GROUP BY 1)),
+    qv AS (SELECT id, v, list_dot_product(v, v) AS v_sq
+           FROM xb WHERE id < 5),
+    routed AS (SELECT q_id, label FROM (
+        SELECT q.id AS q_id, c.label,
+               ROW_NUMBER() OVER (PARTITION BY q.id
+                   ORDER BY ROUND(q.v_sq + c.c_sq
+                       - 2 * list_dot_product(q.v, c.c), 6),
+                            c.label) AS crk
+        FROM qv q CROSS JOIN cents c) WHERE crk <= 2),
+    cand AS (
+        SELECT r.q_id, a0.id AS neighbor_id,
+               ROUND(l0.d2 + l1.d2, 6) AS approx_d2
+        FROM a20 a0
+        JOIN a21 a1x ON a1x.id = a0.id
+        JOIN xb ON xb.id = a0.id
+        JOIN routed r ON r.label = xb.label
+        JOIN lut0 l0 ON l0.cluster = a0.cluster AND l0.q_id = r.q_id
+        JOIN lut1 l1 ON l1.cluster = a1x.cluster AND l1.q_id = r.q_id
+        WHERE a0.id <> r.q_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY approx_d2, neighbor_id) AS rk
+        FROM cand
+    )
+    SELECT q_id, CAST(rk AS INT) AS rk, neighbor_id,
+           CAST(approx_d2 AS DOUBLE) AS approx_d2
+    FROM ranked WHERE rk <= 3
+    ORDER BY q_id, rk
+    """
+)
+
+
+@query("q253_ivfpq_ann", oracle=_IVFPQ_ORACLE)
+def q253_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composition — how a production vector index actually
+    runs at 100 TB: IVF ROUTES (per-cell centroids, probe the top-2
+    cells per query — q45's stage), PQ SCORES (2-byte codes + a
+    broadcast lookup table — q251's stage). The scoring path touches
+    only the routed cells' code rows and never computes a full-vector
+    dot per candidate: the only exact dots are centroid build
+    (corpus, one (cell,dim) agg), routing (queries x |cells|), and LUT
+    build (queries x k codewords) — all broadcast-sized or one-pass.
+
+    Plan shape: equi-joins only. codes->label attach is an equi-join
+    here because the fixture is one flat table; a production index
+    stores the code table partitionBy(cell) so the attach is a
+    write-time property and the routed-cell restriction is partition
+    PRUNING, not a join. Quality upgrade documented, not implemented:
+    residual encoding (PQ on x - centroid[cell], LUT per (query,cell)
+    instead of per query) — same join shape, k x |probed cells| LUT
+    rows, strictly better recall at equal code budget.
+
+    Codebooks are fitted corpus-wide on the raw vectors (the flat-PQ
+    variant), identically to q251, so the two queries share the
+    _pq_encode stage and their approx_d2 values are directly
+    comparable: q253 = q251 restricted to the routed cells."""
+    from ..operators.kmeans import dot, update_centroids
+
+    e = table(spark, sf_dir, "embeddings").where(vec_usable())
+    vd = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda y: F.coalesce(y, F.lit(0.0)),
+    )
+    xb = e.select("vec_id", "label", vd.alias("v"))
+    codes, luts = _pq_encode(
+        spark, xb.select("vec_id", "v"), F.col("vec_id") < 5
+    )
+
+    # IVF routing: decimal-mean cell centroids (update_centroids is the
+    # proven engine/oracle mean pair), L2 rank, top-2 cells per query.
+    cents = update_centroids(
+        xb.select(F.col("label").alias("cluster"), "v")
+    )
+    qv = xb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        dot(F.col("v"), F.col("v")).alias("q_sq"),
+    )
+    d2c = F.round(
+        F.col("q_sq") + F.col("c_sq") - 2 * dot(F.col("qv"), F.col("c")), 6
+    )
+    crk = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("d2c"), F.col("cluster"))
+    )
+    routed = (
+        qv.crossJoin(F.broadcast(cents))
+        .withColumn("d2c", d2c)
+        .withColumn("crk", crk)
+        .where(F.col("crk") <= 2)
+        .select("q_id", F.col("cluster").alias("label"))
+    )
+
+    cand = (
+        codes.join(xb.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(routed), "label")
+        .join(
+            F.broadcast(luts[0]),
+            (F.col("code0") == F.col("k0")) & (F.col("q0") == F.col("q_id")),
+        )
+        .join(
+            F.broadcast(luts[1]),
+            (F.col("code1") == F.col("k1")) & (F.col("q1") == F.col("q_id")),
+        )
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(F.col("d2_0") + F.col("d2_1"), 6).alias("approx_d2"),
         )

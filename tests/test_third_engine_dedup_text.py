@@ -774,3 +774,43 @@ def test_confusable_skeleton_collapses_homoglyph_variants(spark, tmp_path):
     assert rows[0]["canonical_id"] == 1
     assert rows[0]["n_docs"] == 3
     assert rows[0]["n_raw_variants"] == 3
+
+
+def test_span_dedup_matches_python_window_merge(spark, smoke_dir):
+    """q252: overlapping 8-token window hashes, corpus-wide count >= 2,
+    per-doc merge of overlapping/adjacent duplicated windows into
+    maximal spans — re-derived with plain dicts and a linear scan."""
+    K = 8
+    wins: list[tuple[int, int, str]] = []
+    for d, t, *_ in _docs(smoke_dir):
+        if t is None:
+            continue
+        toks = t.lower().split(" ")
+        for i in range(len(toks) - K + 1):
+            h = hashlib.md5(" ".join(toks[i : i + K]).encode()).hexdigest()
+            wins.append((int(d), i + 1, h))
+    cnt = Counter(h for _, _, h in wins)
+    by_doc: dict[int, list[int]] = {}
+    for d, s, h in wins:
+        if cnt[h] >= 2:
+            by_doc.setdefault(d, []).append(s)
+    expect = []
+    for d in sorted(by_doc):
+        starts = sorted(by_doc[d])
+        first, prev, nw = starts[0], starts[0], 1
+        for s in starts[1:]:
+            if s > prev + K:
+                expect.append(
+                    {"doc_id": d, "span_start": first,
+                     "span_end": prev + K - 1, "n_windows": nw}
+                )
+                first, nw = s, 0
+            prev = s
+            nw += 1
+        expect.append(
+            {"doc_id": d, "span_start": first,
+             "span_end": prev + K - 1, "n_windows": nw}
+        )
+    got = _rows(spark, smoke_dir, "q252_span_dedup")
+    assert got == expect
+    assert expect, "fixture has no repeated 8-token spans — merge untested"

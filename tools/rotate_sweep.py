@@ -65,6 +65,10 @@ RESHAPED: dict[str, int] = {
     "q41": 13,
     "q63": 13,
     "q122": 13,
+    # round-14 reshape: q251's codebook/LUT build factored into
+    # _pq_encode (shared with the new q253 IVF+PQ composition); its r13
+    # driver row proves the pre-refactor inline loop.
+    "q251": 14,
 }
 
 
