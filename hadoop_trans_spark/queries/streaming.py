@@ -705,3 +705,107 @@ def q250_stream_restart_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, sf_dir)
     ).schema)
     return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "q254_stream_restart_session",
+    # q56's batch oracle (lag-islands session merge, sessions finalized
+    # by the final watermark) — computed across a process restart. The
+    # session state is the gnarlier restart case the tumbling gate
+    # (q250) does not cover: an OPEN session (gap not yet elapsed at
+    # the stop) must survive the checkpoint and MERGE with events that
+    # arrive after the resume, or the engine double-emits the two
+    # halves as separate sessions.
+    f"""
+    WITH o AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events WHERE {O_TS_DOMAIN}
+    ), f AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL
+                         OR ts - prev >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS news
+        FROM o
+    ), g AS (
+        SELECT user_id, ts,
+               sum(news) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    ), wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events
+                WHERE {O_TS_DOMAIN})
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start,
+           epoch_us(max(ts) + INTERVAL '30 minutes') AS session_end,
+           count(*) AS n_events
+    FROM g, wm
+    GROUP BY user_id, sid, w
+    HAVING max(ts) + INTERVAL '30 minutes' <= w
+    ORDER BY user_id, session_start
+    """,
+)
+def q254_stream_restart_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window state across a stop/resume (VERDICT r13 item 7 —
+    the q250 harness applied to the q56 job): events staged as two
+    ts-ordered files, the 30-minute-gap session job runs file 1 to
+    completion with a persistent checkpoint, STOPS mid-corpus (open
+    sessions + the watermark live in the state store), file 2 lands,
+    and a NEW query resumes from the SAME checkpoint. Gap-merge across
+    the restart is the hard part: a session whose first half arrived
+    before the stop and second half after must emit ONCE, merged. The
+    union of both phases must hash-match q56's batch oracle.
+
+    Harness shape vs deployment shape (the q250 note): the foreachBatch
+    collector's ``bdf.collect()`` is bounded at |finalized sessions|
+    and exists to return the result through the query contract; a
+    production job writes micro-batches to a sink table."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..streaming.jobs import _pinned_state_partitions
+    from ..tmputil import staging_dir
+
+    work = staging_dir("htspark_restart_sess_")
+    src = os.path.join(sf_dir, "events.parquet")
+    t = pq.read_table(src)
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), f"{work}/events_000.parquet")
+    later = t.slice(half)
+
+    collected: list = []
+
+    def run_phase(ckpt: str) -> None:
+        sdf = session_windows(
+            read_events_stream(spark, work, max_files_per_trigger=1)
+        )
+        with _pinned_state_partitions(spark):
+            q = (
+                sdf.writeStream.foreachBatch(
+                    lambda bdf, _id: collected.extend(bdf.collect())
+                )
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("session restart phase did not finish")
+
+    ckpt = staging_dir("htspark_restart_sess_ckpt_")
+    try:
+        run_phase(ckpt)  # phase 1: first half, open sessions checkpointed
+        pq.write_table(later, f"{work}/events_001.parquet")
+        run_phase(ckpt)  # phase 2: resumed; open sessions must gap-merge
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    out = spark.createDataFrame(collected, session_windows(
+        read_events_stream(spark, sf_dir)
+    ).schema)
+    return out.orderBy("user_id", "session_start")

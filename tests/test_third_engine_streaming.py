@@ -534,3 +534,38 @@ def test_stream_restart_tumbling_matches_event_time_model(spark, smoke_dir):
     got = _rows(spark, smoke_dir, "q250_stream_restart_tumbling")
     assert got == expect
     assert expect, "fixture produced no finalized windows"
+
+
+def test_stream_restart_session_matches_gap_island_model(spark, smoke_dir):
+    """q254: the session gap-merge computed ACROSS a checkpoint
+    stop/resume must equal the same pure-Python gap-and-island model
+    q56 is held to — the model cannot see the restart, so agreement
+    proves an open session straddling the stop emitted ONCE, merged,
+    not as two half-sessions."""
+    ev = _events(smoke_dir, "user_id, ts")
+    ev = ev.assign(tu=_us(ev["ts"]))
+    wm = int(ev["tu"].max()) - DELAY_US
+    expect = []
+    for uid, grp in ev.groupby("user_id", sort=True):
+        ts_sorted = sorted(grp["tu"].tolist())
+        sessions: list[list[int]] = []
+        for tu in ts_sorted:
+            if sessions and tu - sessions[-1][-1] < GAP_US:
+                sessions[-1].append(tu)
+            else:
+                sessions.append([tu])
+        for s in sessions:
+            end = s[-1] + GAP_US
+            if end <= wm:
+                expect.append(
+                    {
+                        "user_id": int(uid),
+                        "session_start": s[0],
+                        "session_end": end,
+                        "n_events": len(s),
+                    }
+                )
+    expect.sort(key=lambda r: (r["user_id"], r["session_start"]))
+    got = _rows(spark, smoke_dir, "q254_stream_restart_session")
+    assert got == expect
+    assert expect, "fixture produced no finalized sessions"

@@ -76,7 +76,12 @@ def stage_split(src_dir: str, out_dir: str, n_files: int) -> None:
         )
 
 
-def run_available_now(sdf, output_mode: str, checkpoint: str):
+ABORT_MARK = "stream_probe injected crash"
+
+
+def run_available_now(
+    sdf, output_mode: str, checkpoint: str, abort_after: int | None = None
+):
     """One availableNow pass through a foreachBatch collector; returns
     [(batch_id, rows)] in batch order.
 
@@ -86,7 +91,21 @@ def run_available_now(sdf, output_mode: str, checkpoint: str):
     refuses outright ("This query does not support recovering from
     checkpoint location"). It is also the honest production shape: a
     resumed job replays only uncommitted batches, so the collector sees
-    each batch exactly once across both phases."""
+    each batch exactly once across both phases.
+
+    ``abort_after=N`` injects the UNCLEAN-restart crash (VERDICT r13
+    item 4): the sink function completes its write for batch N (rows
+    collected — the external side effect happened) and then raises, so
+    the query dies BETWEEN the sink write and the batch's commit-log
+    entry — the harsher window a clean stop() never exercises. On
+    resume Spark must replay batch N (it never committed) with state
+    stores rolled back to version N: the collector legitimately sees
+    batch N twice, which is exactly why foreachBatch's contract is
+    at-least-once and production sinks key their writes on batchId.
+    The probe models that idempotent sink: merge_by_batch_id keeps the
+    LAST write per batch_id before comparing."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
     from hadoop_trans_spark.streaming.jobs import _pinned_state_partitions
 
     spark = sdf.sparkSession
@@ -94,6 +113,8 @@ def run_available_now(sdf, output_mode: str, checkpoint: str):
 
     def sink(bdf, batch_id: int) -> None:
         batches.append((batch_id, bdf.collect()))
+        if abort_after is not None and batch_id >= abort_after:
+            raise RuntimeError(f"{ABORT_MARK} after sink write of batch {batch_id}")
 
     name = f"probe_{uuid.uuid4().hex}"
     with _pinned_state_partitions(spark):
@@ -105,10 +126,26 @@ def run_available_now(sdf, output_mode: str, checkpoint: str):
             .option("checkpointLocation", checkpoint)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(f"stream {name} did not finish")
+        try:
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(f"stream {name} did not finish")
+        except StreamingQueryException as ex:
+            if abort_after is None or ABORT_MARK not in str(ex):
+                raise
     return batches
+
+
+def merge_by_batch_id(phases) -> list[tuple[int, list]]:
+    """Idempotent-sink fold across crash/resume phases: the resume
+    replays the uncommitted batch under the SAME batch_id, and a
+    production exactly-once sink (txn keyed on batchId) overwrites it —
+    keep the last write per batch_id, in batch order."""
+    final: dict[int, list] = {}
+    for phase in phases:
+        for bid, rows in phase:
+            final[bid] = rows
+    return [(bid, final[bid]) for bid in sorted(final)]
 
 
 def flat(batches) -> list:
@@ -216,11 +253,16 @@ def main() -> None:
     src = args[0] if args else "/root/testdata/sf0.001"
     n_files = 6
     only = None
+    abort_points: list[int] = []
     for a in sys.argv[1:]:
         if a.startswith("--files="):
             n_files = int(a.split("=", 1)[1])
         if a.startswith("--jobs="):
             only = a.split("=", 1)[1].split(",")
+        if a == "--abort":
+            abort_points = [1, 3]
+        elif a.startswith("--abort="):
+            abort_points = [int(x) for x in a.split("=", 1)[1].split(",")]
 
     from hadoop_trans_spark.session import get_spark
 
@@ -275,6 +317,33 @@ def main() -> None:
             ]
             bad.append(name)
         print(json.dumps({name: status}))
+
+        # UNCLEAN restarts: crash between sink write and batch commit at
+        # each abort point (all files present from the start), resume
+        # from the same checkpoint, idempotent-sink merge by batch_id.
+        for ap in abort_points:
+            ckpt_a = tempfile.mkdtemp(prefix="ckpt_a_")
+            crashed = run_available_now(
+                build(spark, full), mode, ckpt_a, abort_after=ap
+            )
+            resumed = run_available_now(build(spark, full), mode, ckpt_a)
+            merged = merge_by_batch_id([crashed, resumed])
+            aa, bb = canon(single, [merged])
+            replayed = {b for b, _ in crashed} & {b for b, _ in resumed}
+            ok2 = aa == bb
+            st2 = {
+                "abort_after_batch": ap,
+                "single_rows": len(aa),
+                "crash_resume_rows": len(bb),
+                "replayed_batch_ids": sorted(replayed),
+                "match": ok2,
+            }
+            if not ok2:
+                sa, sb = set(aa), set(bb)
+                st2["missing"] = [repr(x) for x in sorted(sa - sb)[:5]]
+                st2["extra"] = [repr(x) for x in sorted(sb - sa)[:5]]
+                bad.append(f"{name}@abort{ap}")
+            print(json.dumps({f"{name}_abort{ap}": st2}))
     print(
         f"\n=== STREAM RESTART PROBE === jobs: {len(table)}  bad: {len(bad)}"
         + (f"  ({','.join(bad)})" if bad else "")
