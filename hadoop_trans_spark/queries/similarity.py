@@ -890,12 +890,17 @@ def _pq_encode(
     q_pred,
     subspaces=((1, 32), (33, 32)),
     k: int = 4,
+    fit_sample_frac: float | None = None,
 ):
     """PQ codebook fit + encode + query LUT build, shared by q251 (flat
     PQ) and q253 (IVF+PQ). ``base`` is (vec_id, v) sanitized doubles;
     ``q_pred`` selects the query rows. Returns (codes, luts): codes =
     (vec_id, code0, code1) — 2 bytes/vector at scale; luts[s] =
-    (q{s}, k{s}, d2_{s}), |queries| x k rows, broadcast-sized."""
+    (q{s}, k{s}, d2_{s}), |queries| x k rows, broadcast-sized.
+    ``fit_sample_frac`` passes through to kmeans_fit: at corpus scale
+    the codebooks are fitted on a deterministic sample and only the
+    ENCODE pass (one nearest-codeword projection, zero shuffle) touches
+    every vector."""
     from ..operators.kmeans import kmeans_fit
 
     codes = None
@@ -904,7 +909,9 @@ def _pq_encode(
         sub = base.select(
             "vec_id", F.slice("v", lo, n).alias("embedding")
         )
-        assigned, cents = kmeans_fit(sub, k=k, iters=2)
+        assigned, cents = kmeans_fit(
+            sub, k=k, iters=2, fit_sample_frac=fit_sample_frac
+        )
         c_s = assigned.select(
             F.col("id").alias("vec_id"), F.col("cluster").alias(f"code{s}")
         )
