@@ -1060,3 +1060,176 @@ def q252_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "span_start", "span_end", "n_windows")
         .orderBy("doc_id", "span_start")
     )
+
+
+@query(
+    "q255_span_removal",
+    # The identical removal pipeline in DuckDB: same window keys, same
+    # canonical-first rule (row_number over h ordered by doc_id,start),
+    # same token-coverage removal. range(a,b) is end-exclusive, so
+    # range(start, start+8) covers the window's 8 token positions;
+    # string_agg over zero kept rows is NULL -> md5('') on both sides.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    w AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS start,
+             md5(array_to_string(list_slice(t, i, i+7), ' ')) AS h
+      FROM base,
+           LATERAL unnest(range(1, greatest(len(t)-7, 0)+1)) s(i)
+    ),
+    r AS (
+      SELECT doc_id, start,
+             count(*) OVER (PARTITION BY h) AS cnt,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY doc_id, start) AS rn
+      FROM w
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+      FROM r, LATERAL unnest(range(start, start+8)) u(p)
+      WHERE cnt >= 2 AND rn > 1
+    ),
+    tok AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+      FROM base, LATERAL unnest(range(1, len(t)+1)) s(i)
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.pos, tok.tok
+      FROM tok LEFT JOIN rem
+        ON tok.doc_id = rem.doc_id AND tok.pos = rem.pos
+      WHERE rem.doc_id IS NULL
+    ),
+    km AS (
+      SELECT doc_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+      FROM kept GROUP BY doc_id
+    ),
+    nt AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM base
+    ),
+    nr AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+      FROM rem GROUP BY doc_id
+    )
+    SELECT nt.doc_id, nt.n_tokens,
+           COALESCE(nr.n_removed, 0) AS n_removed,
+           COALESCE(km.kept_md5, md5('')) AS kept_md5
+    FROM nt
+    LEFT JOIN nr ON nt.doc_id = nr.doc_id
+    LEFT JOIN km ON nt.doc_id = km.doc_id
+    ORDER BY nt.doc_id
+    """,
+)
+def q255_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL step of substring-level dedup — q252 finds the
+    duplicated spans; this pass rewrites the corpus with them stripped,
+    the ExactSubstr contract of Lee et al. '22: every duplicated
+    K-token window keeps exactly ONE canonical occurrence corpus-wide
+    (the first by (doc_id, start) — deterministic, no tie possible
+    since start is unique per doc) and every other occurrence's token
+    positions are removed from their documents. A token survives iff
+    no non-canonical duplicated window covers it; the rebuilt text is
+    the kept tokens in original order.
+
+    Physical shape (scale-first): window fan-out is map-side;
+    canonical election is count + row_number over the SAME window
+    partition on h — one hash shuffle, one in-partition sort, never a
+    pair join (hot boilerplate windows cost one partition sort, not
+    C(k,2)); coverage expansion is a map-side explode of K positions
+    per removal window; the kept-token filter is a LEFT ANTI equi-join
+    on (doc_id, pos); the rebuild is a per-doc sort-by-position
+    aggregation bounded by max document length. Every stage is linear
+    in corpus volume. At 100 TB the rebuilt text would be written back
+    partitioned; here we return the per-doc audit row (token counts +
+    md5 of the rebuilt text) so the oracle can hash-compare without
+    shipping full rewritten documents through the gate.
+
+    Output: one row per non-NULL-text document — (doc_id, n_tokens,
+    n_removed, kept_md5), n_removed = 0 for untouched docs, kept_md5 =
+    md5('') when removal consumed every token."""
+    K = 8
+    base = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    )
+    wins = (
+        base.where(F.size("t") >= K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {K} + 1), "
+                    f"i -> struct(CAST(i AS BIGINT) AS start, "
+                    f"md5(array_join(slice(t, i, {K}), ' ')) AS h))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.start", "w.h")
+    )
+    # One ordered window spec serves both functions: count over the
+    # unbounded frame equals the partition count, and sharing the
+    # (partition, order) pair keeps the plan at ONE exchange on h + one
+    # sort (separate specs planned a second h exchange).
+    hw = W.partitionBy("h").orderBy("doc_id", "start")
+    ranked = wins.withColumn(
+        "cnt",
+        F.count("*").over(
+            hw.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ),
+    ).withColumn("rn", F.row_number().over(hw))
+    rem = (
+        ranked.where((F.col("cnt") >= 2) & (F.col("rn") > 1))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(K - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok = base.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+    kept = tok.join(rem, ["doc_id", "pos"], "left_anti")
+    # n_removed is derived as n_tokens - n_kept (removal positions are
+    # always valid token positions, so the identity is exact) — counting
+    # rem directly would plan the whole window/election subtree twice.
+    km = kept.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            )
+        ).alias("kept_md5"),
+        F.count("*").alias("n_kept"),
+    )
+    nt = base.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+    return (
+        nt.join(km, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(
+                "kept_md5", F.lit(hashlib_md5_empty())
+            ).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def hashlib_md5_empty() -> str:
+    """md5('') — the kept_md5 of a fully-removed document, matching the
+    oracle's COALESCE(..., md5(''))."""
+    import hashlib
+
+    return hashlib.md5(b"").hexdigest()

@@ -1474,3 +1474,21 @@ def test_span_dedup_counts_never_pairs(spark, smoke_dir):
     hash_ex = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
     keys = [k.split("#")[0] for k in hash_ex]
     assert sorted(keys) == ["doc_id", "h"], plan
+
+
+def test_span_removal_single_election_shuffle(spark, smoke_dir):
+    """q255 (span removal): canonical election must be ONE Window node
+    over ONE hash exchange on h (count + row_number share the ordered
+    spec); the only other exchanges are the removal-position distinct
+    on (doc_id, pos) and the per-doc rebuild on doc_id — n_removed is
+    derived from the kept side so the election subtree is planned
+    ONCE. No pair join anywhere (ExactSubstr counts and ranks, never
+    pairs)."""
+    df = QUERIES["q255_span_removal"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    hash_ex = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    keys = [k.split("#")[0] for k in hash_ex]
+    assert sorted(keys) == ["doc_id", "doc_id", "h"], plan
+    assert plan.count("Window ") == 1, plan

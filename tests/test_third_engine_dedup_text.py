@@ -814,3 +814,48 @@ def test_span_dedup_matches_python_window_merge(spark, smoke_dir):
     got = _rows(spark, smoke_dir, "q252_span_dedup")
     assert got == expect
     assert expect, "fixture has no repeated 8-token spans — merge untested"
+
+
+def test_span_removal_matches_python_exactsubstr(spark, smoke_dir):
+    """q255: ExactSubstr removal re-derived with dicts — every
+    duplicated 8-token window keeps its first occurrence by
+    (doc_id, start); all other occurrences' token positions are
+    removed; the rebuilt text is the kept tokens in order."""
+    K = 8
+    toks_by_doc: dict[int, list[str]] = {}
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d, t, *_ in _docs(smoke_dir):
+        if t is None:
+            continue
+        toks = t.lower().split(" ")
+        toks_by_doc[int(d)] = toks
+        for i in range(len(toks) - K + 1):
+            h = hashlib.md5(" ".join(toks[i : i + K]).encode()).hexdigest()
+            occ.setdefault(h, []).append((int(d), i + 1))
+    removed: dict[int, set[int]] = {}
+    for h, sites in occ.items():
+        if len(sites) < 2:
+            continue
+        for d, s in sorted(sites)[1:]:
+            removed.setdefault(d, set()).update(range(s, s + K))
+    expect = []
+    for d in sorted(toks_by_doc):
+        toks = toks_by_doc[d]
+        gone = removed.get(d, set())
+        kept = [w for i, w in enumerate(toks, start=1) if i not in gone]
+        expect.append(
+            {
+                "doc_id": d,
+                "n_tokens": len(toks),
+                "n_removed": len(toks) - len(kept),
+                "kept_md5": hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            }
+        )
+    got = _rows(spark, smoke_dir, "q255_span_removal")
+    assert got == expect
+    assert any(r["n_removed"] > 0 for r in expect), (
+        "fixture has no repeated spans — removal untested"
+    )
+    assert any(
+        r["n_removed"] == r["n_tokens"] for r in expect
+    ), "no fully-removed duplicate doc in fixture — md5('') branch untested"
