@@ -807,14 +807,26 @@ def q249_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_subspace_cte(s: int, lo: int, hi: int, k: int = 4) -> str:
+def _pq_subspace_cte(
+    s: int, lo: int, hi: int, k: int = 4, src: str = "xb", lut: bool = True
+) -> str:
     """Unrolled 2-iteration Lloyd over one PQ subspace (q105's CTE shape
-    parameterized): xb must already exist as (id, v) valid sanitized
-    full vectors. Emits xq{s} (subvectors + norms), c1{s} (the fitted
-    codebook) and a2{s} (the per-vector code)."""
+    parameterized): ``src`` must already exist as (id, v) valid
+    sanitized full vectors (``xb`` for flat PQ; the residual base for
+    q256). Emits xq{s} (subvectors + norms), c1{s} (the fitted
+    codebook) and a2{s} (the per-vector code); ``lut`` adds the flat
+    per-query LUT (q251/q253) — residual variants build their own
+    (query, cell)-keyed LUT instead."""
     davg = o_davg("v[pos]", count="COUNT(*)")
+    lut_cte = f""",
+    lut{s} AS (SELECT q.id AS q_id, c.cluster,
+                      ROUND(xq.v_sq + c.c_sq
+                          - 2 * list_dot_product(xq.v, c.c), 6) AS d2
+               FROM qids q
+               JOIN xq{s} xq ON xq.id = q.id
+               CROSS JOIN c1{s} c)"""
     return f"""
-    xs{s} AS (SELECT id, v[{lo}:{hi}] AS v FROM xb),
+    xs{s} AS (SELECT id, v[{lo}:{hi}] AS v FROM {src}),
     xq{s} AS (SELECT id, v, list_dot_product(v, v) AS v_sq FROM xs{s}),
     c0{s} AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
                      v AS c, list_dot_product(v, v) AS c_sq
@@ -839,13 +851,7 @@ def _pq_subspace_cte(s: int, lo: int, hi: int, k: int = 4) -> str:
                          ORDER BY ROUND(xq.v_sq + c.c_sq
                              - 2 * list_dot_product(xq.v, c.c), 6),
                                   c.cluster) AS rk
-              FROM xq{s} xq CROSS JOIN c1{s} c) WHERE rk = 1),
-    lut{s} AS (SELECT q.id AS q_id, c.cluster,
-                      ROUND(xq.v_sq + c.c_sq
-                          - 2 * list_dot_product(xq.v, c.c), 6) AS d2
-               FROM qids q
-               JOIN xq{s} xq ON xq.id = q.id
-               CROSS JOIN c1{s} c)"""
+              FROM xq{s} xq CROSS JOIN c1{s} c) WHERE rk = 1){lut_cte if lut else ""}"""
 
 
 _PQ_ORACLE = (
@@ -894,17 +900,22 @@ def _pq_encode(
 ):
     """PQ codebook fit + encode + query LUT build, shared by q251 (flat
     PQ) and q253 (IVF+PQ). ``base`` is (vec_id, v) sanitized doubles;
-    ``q_pred`` selects the query rows. Returns (codes, luts): codes =
+    ``q_pred`` selects the query rows (None skips the flat LUT build
+    entirely — residual variants key their LUTs by (query, cell) and
+    build them themselves). Returns (codes, luts): codes =
     (vec_id, code0, code1) — 2 bytes/vector at scale; luts[s] =
     (q{s}, k{s}, d2_{s}), |queries| x k rows, broadcast-sized.
     ``fit_sample_frac`` passes through to kmeans_fit: at corpus scale
     the codebooks are fitted on a deterministic sample and only the
     ENCODE pass (one nearest-codeword projection, zero shuffle) touches
-    every vector."""
+    every vector. Also returns the fitted per-subspace codebook
+    DataFrames (cluster, c, c_sq) so residual variants (q256) can build
+    their own (query, cell)-keyed LUTs."""
     from ..operators.kmeans import kmeans_fit
 
     codes = None
     luts = []
+    books = []
     for s, (lo, n) in enumerate(subspaces):
         sub = base.select(
             "vec_id", F.slice("v", lo, n).alias("embedding")
@@ -920,6 +931,9 @@ def _pq_encode(
             [(int(r["cluster"]), list(r["c"]), float(r["c_sq"])) for r in cents],
             "cluster int, c array<double>, c_sq double",
         )
+        books.append(cent_df)
+        if q_pred is None:
+            continue
         qv = sub.where(q_pred).select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("qv"),
@@ -943,7 +957,7 @@ def _pq_encode(
                 ).alias(f"d2_{s}"),
             )
         )
-    return codes, luts
+    return codes, luts, books
 
 
 @query("q251_pq_ann", oracle=_PQ_ORACLE)
@@ -968,7 +982,7 @@ def q251_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda y: F.coalesce(y, F.lit(0.0)),
     )
     base = e.select("vec_id", vd.alias("v"))
-    codes, luts = _pq_encode(spark, base, F.col("vec_id") < 5)
+    codes, luts, _books = _pq_encode(spark, base, F.col("vec_id") < 5)
 
     cand = (
         codes.join(
@@ -1082,7 +1096,7 @@ def q253_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda y: F.coalesce(y, F.lit(0.0)),
     )
     xb = e.select("vec_id", "label", vd.alias("v"))
-    codes, luts = _pq_encode(
+    codes, luts, _books = _pq_encode(
         spark, xb.select("vec_id", "v"), F.col("vec_id") < 5
     )
 
@@ -1124,6 +1138,190 @@ def q253_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("d2_0") + F.col("d2_1"), 6).alias("approx_d2"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("q_id").orderBy("approx_d2", "neighbor_id")
+    )
+    return (
+        cand.withColumn("rk", rk)
+        .where(F.col("rk") <= 3)
+        .select("q_id", "rk", "neighbor_id", "approx_d2")
+        .orderBy("q_id", "rk")
+    )
+
+
+_IVFPQ_RES_ORACLE = (
+    """
+    WITH xb AS (
+           SELECT vec_id AS id, label,
+                  list_transform(embedding::DOUBLE[],
+                                 y -> coalesce(y, 0.0)) AS v
+           FROM embeddings WHERE ("""
+    + o_vec_usable()
+    + f""")),
+    qids AS (SELECT id FROM xb WHERE id < 5),
+    mc AS (SELECT label, pos, {o_davg("v[pos]", count="COUNT(*)")} AS m
+           FROM (SELECT label, v, UNNEST(range(1, len(v) + 1)) AS pos
+                 FROM xb)
+           GROUP BY 1, 2),
+    cents AS (SELECT label, c, list_dot_product(c, c) AS c_sq
+              FROM (SELECT label, list(m ORDER BY pos) AS c
+                    FROM mc GROUP BY 1)),
+    rb AS (SELECT xb.id,
+                  list_transform(range(1, len(xb.v) + 1),
+                                 i -> xb.v[i] - c.c[i]) AS v
+           FROM xb JOIN cents c ON c.label = xb.label),"""
+    + _pq_subspace_cte(0, 1, 32, src="rb", lut=False)
+    + ","
+    + _pq_subspace_cte(1, 33, 64, src="rb", lut=False)
+    + """,
+    qv AS (SELECT id, v, list_dot_product(v, v) AS v_sq
+           FROM xb WHERE id < 5),
+    routed AS (SELECT q_id, label FROM (
+        SELECT q.id AS q_id, c.label,
+               ROW_NUMBER() OVER (PARTITION BY q.id
+                   ORDER BY ROUND(q.v_sq + c.c_sq
+                       - 2 * list_dot_product(q.v, c.c), 6),
+                            c.label) AS crk
+        FROM qv q CROSS JOIN cents c) WHERE crk <= 2),
+    qr AS (SELECT r.q_id, r.label,
+                  list_transform(range(1, len(q.v) + 1),
+                                 i -> q.v[i] - c.c[i]) AS rv
+           FROM routed r
+           JOIN qv q ON q.id = r.q_id
+           JOIN cents c ON c.label = r.label),
+    rlut0 AS (SELECT q_id, label, c.cluster,
+                     ROUND(list_dot_product(sub, sub) + c.c_sq
+                         - 2 * list_dot_product(sub, c.c), 6) AS d2
+              FROM (SELECT q_id, label, rv[1:32] AS sub FROM qr)
+              CROSS JOIN c10 c),
+    rlut1 AS (SELECT q_id, label, c.cluster,
+                     ROUND(list_dot_product(sub, sub) + c.c_sq
+                         - 2 * list_dot_product(sub, c.c), 6) AS d2
+              FROM (SELECT q_id, label, rv[33:64] AS sub FROM qr)
+              CROSS JOIN c11 c),
+    cand AS (
+        SELECT l0.q_id, a0.id AS neighbor_id,
+               ROUND(l0.d2 + l1.d2, 6) AS approx_d2
+        FROM a20 a0
+        JOIN a21 a1x ON a1x.id = a0.id
+        JOIN xb ON xb.id = a0.id
+        JOIN rlut0 l0 ON l0.cluster = a0.cluster AND l0.label = xb.label
+        JOIN rlut1 l1 ON l1.cluster = a1x.cluster AND l1.label = xb.label
+                     AND l1.q_id = l0.q_id
+        WHERE a0.id <> l0.q_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY approx_d2, neighbor_id) AS rk
+        FROM cand
+    )
+    SELECT q_id, CAST(rk AS INT) AS rk, neighbor_id,
+           CAST(approx_d2 AS DOUBLE) AS approx_d2
+    FROM ranked WHERE rk <= 3
+    ORDER BY q_id, rk
+    """
+)
+
+
+@query("q256_ivfpq_residual_ann", oracle=_IVFPQ_RES_ORACLE)
+def q256_ivfpq_residual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF+PQ (IVFADC, Jégou et al. '11) — the quality
+    upgrade q253's docstring documented: PQ codebooks are fitted on the
+    RESIDUALS x - centroid[cell] instead of the raw vectors. Residuals
+    concentrate near zero, so the same 2-byte code budget quantizes a
+    much tighter distribution — strictly better recall at equal code
+    size. The price is LUT shape: the query-side distance table is per
+    (query, PROBED CELL) — queries x nprobe x k rows instead of
+    queries x k — because the query must be re-expressed as a residual
+    against each cell it probes.
+
+    Scale shape (identical joins to q253, one extra map-side zip_with):
+    the residual transform is zero-shuffle (centroids broadcast, one
+    elementwise subtract per vector); codebook fit/encode reuses
+    _pq_encode on the residual base; routing is queries x |cells|
+    broadcast; scoring is an equi-join of the 2-byte codes against the
+    (query, cell)-keyed LUT broadcast — joining the LUT on (code,
+    cell) IS the IVF restriction, no separate routed-cells join. No
+    full-vector dot ever touches a candidate row."""
+    from ..operators.kmeans import dot, update_centroids
+
+    e = table(spark, sf_dir, "embeddings").where(vec_usable())
+    vd = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda y: F.coalesce(y, F.lit(0.0)),
+    )
+    xb = e.select("vec_id", "label", vd.alias("v"))
+    cents = update_centroids(
+        xb.select(F.col("label").alias("cluster"), "v")
+    )
+    rb = xb.join(
+        F.broadcast(cents), xb["label"] == cents["cluster"]
+    ).select(
+        "vec_id",
+        F.zip_with("v", "c", lambda a, b: a - b).alias("v"),
+    )
+    codes, _luts, books = _pq_encode(spark, rb, None)
+
+    qv = xb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        dot(F.col("v"), F.col("v")).alias("q_sq"),
+    )
+    d2c = F.round(
+        F.col("q_sq") + F.col("c_sq") - 2 * dot(F.col("qv"), F.col("c")), 6
+    )
+    crk = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("d2c"), F.col("cluster"))
+    )
+    routed = (
+        qv.crossJoin(F.broadcast(cents))
+        .withColumn("d2c", d2c)
+        .withColumn("crk", crk)
+        .where(F.col("crk") <= 2)
+        .select(
+            "q_id",
+            F.col("cluster").alias("rlabel"),
+            F.zip_with("qv", "c", lambda a, b: a - b).alias("rv"),
+        )
+    )
+    rluts = []
+    for s, (lo, n) in enumerate(((1, 32), (33, 32))):
+        sub = F.slice("rv", lo, n)
+        rluts.append(
+            routed.select("q_id", "rlabel", sub.alias("sub"))
+            .crossJoin(F.broadcast(books[s]))
+            .select(
+                F.col("q_id").alias(f"q{s}"),
+                F.col("rlabel").alias(f"l{s}"),
+                F.col("cluster").alias(f"k{s}"),
+                F.round(
+                    dot(F.col("sub"), F.col("sub"))
+                    + F.col("c_sq")
+                    - 2 * dot(F.col("sub"), F.col("c")),
+                    6,
+                ).alias(f"d2_{s}"),
+            )
+        )
+    cand = (
+        codes.join(xb.select("vec_id", "label"), "vec_id")
+        .join(
+            F.broadcast(rluts[0]),
+            (F.col("code0") == F.col("k0"))
+            & (F.col("label") == F.col("l0")),
+        )
+        .join(
+            F.broadcast(rluts[1]),
+            (F.col("code1") == F.col("k1"))
+            & (F.col("label") == F.col("l1"))
+            & (F.col("q0") == F.col("q1")),
+        )
+        .where(F.col("vec_id") != F.col("q0"))
+        .select(
+            F.col("q0").alias("q_id"),
             F.col("vec_id").alias("neighbor_id"),
             F.round(F.col("d2_0") + F.col("d2_1"), 6).alias("approx_d2"),
         )

@@ -3487,3 +3487,127 @@ def test_ivfpq_ann_matches_pure_python(spark, smoke_dir):
             )
     got = _rows(spark, smoke_dir, "q253_ivfpq_ann")
     assert got == expect
+
+
+def test_ivfpq_residual_ann_matches_pure_python(spark, smoke_dir):
+    """q256 re-derived in pure Python: IVFADC — per-label Decimal-mean
+    cell centroids, residuals x - centroid[cell], the q251 PQ model
+    fitted on the RESIDUAL subspaces, routing by rounded L2 with label
+    tie-break, and a (query, probed-cell)-keyed LUT built from the
+    query's residual against each probed cell."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = _df(
+        f"select vec_id, embedding, label from "
+        f"read_parquet('{smoke_dir}/embeddings.parquet') order by vec_id"
+    )
+    full = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for _, r in emb.iterrows()
+    }
+    label = {int(r["vec_id"]): int(r["label"]) for _, r in emb.iterrows()}
+
+    def rnd6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def dmean(vals):
+        return float(
+            (
+                sum(
+                    Decimal(repr(v)).quantize(
+                        Decimal("0.000001"), ROUND_HALF_UP
+                    )
+                    for v in vals
+                )
+                / len(vals)
+            ).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    def fit(vecs):
+        def assign(cents):
+            out = {}
+            for i, v in vecs.items():
+                v_sq = dot(v, v)
+                best = None
+                for c_idx, c in cents.items():
+                    d2 = rnd6(v_sq + dot(c, c) - 2 * dot(v, c))
+                    if best is None or (d2, c_idx) < best:
+                        best = (d2, c_idx)
+                out[i] = best[1]
+            return out
+
+        cents = {j: vecs[i] for j, i in enumerate(sorted(vecs)[:4])}
+        a1 = assign(cents)
+        members: dict[int, list] = {}
+        for i, c in a1.items():
+            members.setdefault(c, []).append(vecs[i])
+        c1 = {
+            c: [dmean([m[p] for m in ms]) for p in range(len(ms[0]))]
+            for c, ms in members.items()
+        }
+        return assign(c1), c1
+
+    # Cell centroids over the full vectors, then per-vector residuals
+    # against the vector's OWN cell.
+    cells: dict[int, list[int]] = {}
+    for i in full:
+        cells.setdefault(label[i], []).append(i)
+    cents = {
+        lb: [dmean([full[i][p] for i in ids]) for p in range(64)]
+        for lb, ids in cells.items()
+    }
+    resid = {
+        i: [v[p] - cents[label[i]][p] for p in range(64)]
+        for i, v in full.items()
+    }
+    subs = [
+        {i: r[:32] for i, r in resid.items()},
+        {i: r[32:] for i, r in resid.items()},
+    ]
+    fits = [fit(s) for s in subs]
+
+    expect = []
+    for q in sorted(i for i in full if i < 5):
+        qv, q_sq = full[q], dot(full[q], full[q])
+        ranked_cells = sorted(
+            (rnd6(q_sq + dot(c, c) - 2 * dot(qv, c)), lb)
+            for lb, c in cents.items()
+        )
+        probed = [lb for _, lb in ranked_cells[:2]]
+        # (cell, codeword) LUT from the query's residual vs that cell.
+        rlut: dict[tuple[int, int, int], float] = {}
+        for lb in probed:
+            qr = [qv[p] - cents[lb][p] for p in range(64)]
+            qsubs = [qr[:32], qr[32:]]
+            for s, (_codes, cbook) in enumerate(fits):
+                qs = qsubs[s]
+                qs_sq = dot(qs, qs)
+                for c, cv in cbook.items():
+                    rlut[(s, lb, c)] = rnd6(
+                        qs_sq + dot(cv, cv) - 2 * dot(qs, cv)
+                    )
+        cand = sorted(
+            (
+                rnd6(
+                    rlut[(0, label[x], fits[0][0][x])]
+                    + rlut[(1, label[x], fits[1][0][x])]
+                ),
+                x,
+            )
+            for x in full
+            if x != q and label[x] in probed
+        )
+        for rk, (d2, x) in enumerate(cand[:3], 1):
+            expect.append(
+                {"q_id": q, "rk": rk, "neighbor_id": x, "approx_d2": d2}
+            )
+    got = _rows(spark, smoke_dir, "q256_ivfpq_residual_ann")
+    assert got == expect
