@@ -71,6 +71,14 @@ Modes (--mode=...):
            and overflow surfaces on signed keys (r12: zero finds —
            DuckDB's // and % are C-style truncation like Spark's
            div/%, pinned as canaries)
+  monolabel every embeddings row in ONE cell — degenerate IVF layout:
+           routing has a single candidate cell, label-blocked near-dup
+           becomes a whole-corpus block, residual encoding collapses
+           to x - global-mean (r14)
+  uniqlabel every embeddings row its OWN cell — singleton cells:
+           centroid == the vector, residuals all-zero (PQ fit on
+           identical points → empty-cluster drop + pure tiebreak
+           ranks), label blocks emit zero pairs (r14)
 
 Streaming (r13): every injected dir also feeds the state-store RESTART
 probe — stop mid-stream, resume from the checkpoint, compare against a
@@ -426,6 +434,23 @@ def main() -> None:
             df.to_parquet(d, index=False)
             print(f"{t}: {len(df)} rows, boundary ts at strides "
                   f"{sorted(TIME_EVENT_TS)}")
+        elif (
+            mode in ("monolabel", "uniqlabel")
+            and t == "embeddings"
+            and t in tables
+        ):
+            df = pd.read_parquet(s)
+            dt = df["label"].dtype
+            if mode == "monolabel":
+                df["label"] = df["label"].iloc[0] if len(df) else 0
+            else:
+                df["label"] = df["vec_id"]
+            df["label"] = df["label"].astype(dt)
+            df.to_parquet(d, index=False)
+            print(
+                f"{t}: {len(df)} rows, label -> "
+                f"{df['label'].nunique()} distinct cell(s)"
+            )
         elif mode == "vec" and t == "embeddings" and t in tables:
             # pyarrow path: pandas' writer converts NaN to NULL even
             # inside LIST elements (the r11 nan-mode find), so the
