@@ -1031,7 +1031,7 @@ def q252_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"transform(sequence(1, size(t) - {K} + 1), "
                 f"i -> struct(CAST(i AS BIGINT) AS start, "
-                f"md5(array_join(slice(t, i, {K}), ' ')) AS h))"
+                f"unhex(md5(array_join(slice(t, i, {K}), ' '))) AS h))"
             )
         ).alias("w"),
     ).select("doc_id", "w.start", "w.h")
@@ -1164,7 +1164,7 @@ def q255_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(
                     f"transform(sequence(1, size(t) - {K} + 1), "
                     f"i -> struct(CAST(i AS BIGINT) AS start, "
-                    f"md5(array_join(slice(t, i, {K}), ' ')) AS h))"
+                    f"unhex(md5(array_join(slice(t, i, {K}), ' '))) AS h))"
                 )
             ).alias("w"),
         )
