@@ -1367,3 +1367,66 @@ def test_query_matches_oracle_on_signed_key_fixture(
         f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
         + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
     )
+
+
+# --- degenerate-cell tier (round 14) -----------------------------------------
+#
+# --mode=monolabel / --mode=uniqlabel rewrite embeddings.label to ONE
+# cell / singleton cells. Label-family sweep: **14/14, zero finds** —
+# trivial routing (crk<=2 over 1 cell), whole-corpus label blocks,
+# all-zero residuals (PQ fit on identical points drops empty clusters
+# identically in both engines, ranks are pure id tiebreaks), and
+# empty label-block pair sets all agree. Pinned so a future routing
+# rewrite that assumes >=2 cells, or a residual path that divides by
+# within-cell variance, goes red here instead of shipping.
+LABEL_PROBED = [
+    "q43_embedding_neardup",
+    "q45_ivf_topk",
+    "q119_hard_negatives",
+    "q248_embedding_meanpool",
+    "q253_ivfpq_ann",
+    "q256_ivfpq_residual_ann",
+    "q249_semantic_dedup",
+]
+
+
+def _label_dir(tmp_path_factory, smoke_dir, mode):
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp(f"{mode}probe"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t == "embeddings":
+            df = pd.read_parquet(src)
+            dt = df["label"].dtype
+            if mode == "monolabel":
+                df["label"] = df["label"].iloc[0]
+            else:
+                df["label"] = df["vec_id"]
+            df["label"] = df["label"].astype(dt)
+            df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.fixture(scope="module", params=["monolabel", "uniqlabel"])
+def label_probe(request, tmp_path_factory, smoke_dir):
+    d = _label_dir(tmp_path_factory, smoke_dir, request.param)
+    con = duckdb.connect()
+    for t in _load_null_probe().TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet')"
+        )
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", LABEL_PROBED)
+def test_query_matches_oracle_on_degenerate_cells(name, spark, label_probe):
+    d, con = label_probe
+    res = compare(name, QUERIES[name](spark, d), con, ORACLE[name])
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )
