@@ -950,6 +950,62 @@ def q142_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_K = 8
+
+
+def span_windows(spark: SparkSession, sf_dir: str, K: int = SPAN_K) -> DataFrame:
+    """(doc_id, start, h): overlapping K-token windows over `documents`,
+    keyed by the BINARY md5 digest (16 bytes — the hex string doubled
+    the shuffle width for nothing, r14 shuffle-audit find). Map-side
+    fan-out: |tokens| rows per doc, no shuffle. Shared by the span-dedup
+    tier (q252 find / q255 remove / q257 incremental)."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+        .where(F.size("t") >= K)
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {K} + 1), "
+                f"i -> struct(CAST(i AS BIGINT) AS start, "
+                f"unhex(md5(array_join(slice(t, i, {K}), ' '))) AS h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.start", "w.h")
+
+
+def merge_spans(dup: DataFrame, K: int = SPAN_K) -> DataFrame:
+    """Lag-islands merge of duplicated window starts into maximal spans:
+    one shuffle on doc_id, reused by the per-span groupBy. Equal-length
+    intervals sorted by start have monotonic ends, so the lag rule (new
+    span iff start > prev + K) is exact without a running max."""
+    prev = F.lag("start").over(W.partitionBy("doc_id").orderBy("start"))
+    m = dup.withColumn(
+        "news",
+        F.when(prev.isNull() | (F.col("start") > prev + K), 1).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("news").over(
+            W.partitionBy("doc_id")
+            .orderBy("start")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        m.groupBy("doc_id", "sid")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + F.lit(K - 1)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+        .orderBy("doc_id", "span_start")
+    )
+
+
 @query(
     "q252_span_dedup",
     # The identical windowed pipeline in DuckDB: same md5 window keys,
@@ -1018,48 +1074,11 @@ def q252_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per maximal duplicated span — (doc_id, 1-based
     token span_start/span_end, n_windows merged into the span)."""
-    K = 8
-    toks = (
-        table(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())
-        .select("doc_id", F.split(F.lower("text"), " ").alias("t"))
-        .where(F.size("t") >= K)
-    )
-    wins = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(t) - {K} + 1), "
-                f"i -> struct(CAST(i AS BIGINT) AS start, "
-                f"unhex(md5(array_join(slice(t, i, {K}), ' '))) AS h))"
-            )
-        ).alias("w"),
-    ).select("doc_id", "w.start", "w.h")
+    wins = span_windows(spark, sf_dir)
     dup = wins.withColumn(
         "cnt", F.count("*").over(W.partitionBy("h"))
     ).where(F.col("cnt") >= 2)
-    prev = F.lag("start").over(W.partitionBy("doc_id").orderBy("start"))
-    m = dup.withColumn(
-        "news",
-        F.when(prev.isNull() | (F.col("start") > prev + K), 1).otherwise(0),
-    ).withColumn(
-        "sid",
-        F.sum("news").over(
-            W.partitionBy("doc_id")
-            .orderBy("start")
-            .rowsBetween(W.unboundedPreceding, 0)
-        ),
-    )
-    return (
-        m.groupBy("doc_id", "sid")
-        .agg(
-            F.min("start").alias("span_start"),
-            (F.max("start") + F.lit(K - 1)).alias("span_end"),
-            F.count("*").alias("n_windows"),
-        )
-        .select("doc_id", "span_start", "span_end", "n_windows")
-        .orderBy("doc_id", "span_start")
-    )
+    return merge_spans(dup)
 
 
 @query(
@@ -1150,26 +1169,13 @@ def q255_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per non-NULL-text document — (doc_id, n_tokens,
     n_removed, kept_md5), n_removed = 0 for untouched docs, kept_md5 =
     md5('') when removal consumed every token."""
-    K = 8
+    K = SPAN_K
     base = (
         table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select("doc_id", F.split(F.lower("text"), " ").alias("t"))
     )
-    wins = (
-        base.where(F.size("t") >= K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(t) - {K} + 1), "
-                    f"i -> struct(CAST(i AS BIGINT) AS start, "
-                    f"unhex(md5(array_join(slice(t, i, {K}), ' '))) AS h))"
-                )
-            ).alias("w"),
-        )
-        .select("doc_id", "w.start", "w.h")
-    )
+    wins = span_windows(spark, sf_dir)
     # One ordered window spec serves both functions: count over the
     # unbounded frame equals the partition count, and sharing the
     # (partition, order) pair keeps the plan at ONE exchange on h + one
@@ -1233,3 +1239,75 @@ def hashlib_md5_empty() -> str:
     import hashlib
 
     return hashlib.md5(b"").hexdigest()
+
+
+@query(
+    "q257_incremental_span_dedup",
+    # Same window keys; the corpus/new split follows q86's even/odd
+    # convention, the detection rule is EXISTS-in-corpus-index (semi
+    # join) instead of q252's corpus-wide count, and the islands merge
+    # is the shared tail.
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS start,
+             md5(array_to_string(list_slice(
+               string_split(lower(text),' '), i, i+7), ' ')) AS h
+      FROM documents,
+           LATERAL unnest(range(1,
+             greatest(len(string_split(lower(text),' '))-7, 0)+1)) t(i)
+      WHERE text IS NOT NULL
+    ),
+    idx AS (SELECT DISTINCT h FROM w WHERE doc_id % 2 = 0),
+    d AS (
+      SELECT w.doc_id, w.start
+      FROM w JOIN idx ON w.h = idx.h
+      WHERE w.doc_id % 2 = 1
+    ),
+    m AS (
+      SELECT doc_id, start,
+             CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start)
+                       IS NULL
+                       OR start > lag(start) OVER (PARTITION BY doc_id
+                                                   ORDER BY start) + 8
+                  THEN 1 ELSE 0 END AS news
+      FROM d
+    ),
+    g AS (
+      SELECT doc_id, start,
+             SUM(news) OVER (PARTITION BY doc_id ORDER BY start
+                             ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT doc_id,
+           MIN(start) AS span_start,
+           MAX(start) + 7 AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM g GROUP BY doc_id, sid
+    ORDER BY doc_id, span_start
+    """,
+)
+def q257_incremental_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of span dedup: a daily increment is checked
+    against the standing corpus window INDEX, not re-deduped
+    corpus-wide (q252's full pass runs once; this runs per batch —
+    q86's incremental tier, one level down at span grain). Corpus =
+    even doc_ids, new batch = odd doc_ids (the q86 split convention);
+    a new-doc window is flagged iff its fingerprint EXISTS in the
+    corpus index, and flagged windows merge into maximal spans — the
+    text regions of the increment already present in the corpus (the
+    removal targets before the batch is admitted).
+
+    Physical shape: the corpus index is distinct(h) — 16 bytes/row,
+    one hash shuffle; detection is a LEFT SEMI equi-join on h (at 100
+    TB the index is a standing table bucketed by h, so the probe is
+    bucket-local and the increment — the small side — never
+    re-shuffles the corpus); the islands merge shuffles once on the
+    new batch's doc_id. Within-batch repetition is q252's job run on
+    the increment alone; this operator's contract is new-vs-corpus
+    only."""
+    wins = span_windows(spark, sf_dir)
+    idx = (
+        wins.where(F.col("doc_id") % 2 == 0).select("h").distinct()
+    )
+    dup = wins.where(F.col("doc_id") % 2 == 1).join(idx, "h", "left_semi")
+    return merge_spans(dup)

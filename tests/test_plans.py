@@ -1492,3 +1492,18 @@ def test_span_removal_single_election_shuffle(spark, smoke_dir):
     keys = [k.split("#")[0] for k in hash_ex]
     assert sorted(keys) == ["doc_id", "doc_id", "h"], plan
     assert plan.count("Window ") == 1, plan
+
+
+def test_incremental_span_dedup_semi_join_only(spark, smoke_dir):
+    """q257 (incremental span dedup): detection must be a LEFT SEMI
+    equi-join of new-batch windows against the distinct corpus index —
+    no pair join, no cartesian; exchanges are the index distinct on h,
+    the join sides, and the islands merge on doc_id."""
+    df = QUERIES["q257_incremental_span_dedup"](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    hash_ex = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    keys = sorted(k.split("#")[0] for k in hash_ex)
+    assert set(keys) <= {"doc_id", "h"}, plan

@@ -859,3 +859,43 @@ def test_span_removal_matches_python_exactsubstr(spark, smoke_dir):
     assert any(
         r["n_removed"] == r["n_tokens"] for r in expect
     ), "no fully-removed duplicate doc in fixture — md5('') branch untested"
+
+
+def test_incremental_span_dedup_matches_python(spark, smoke_dir):
+    """q257: odd-doc (new batch) windows flagged iff their hash exists
+    in the even-doc (corpus) window index, merged into maximal spans —
+    re-derived with sets and a linear scan."""
+    K = 8
+    wins: list[tuple[int, int, str]] = []
+    for d, t, *_ in _docs(smoke_dir):
+        if t is None:
+            continue
+        toks = t.lower().split(" ")
+        for i in range(len(toks) - K + 1):
+            h = hashlib.md5(" ".join(toks[i : i + K]).encode()).hexdigest()
+            wins.append((int(d), i + 1, h))
+    idx = {h for d, _, h in wins if d % 2 == 0}
+    by_doc: dict[int, list[int]] = {}
+    for d, s, h in wins:
+        if d % 2 == 1 and h in idx:
+            by_doc.setdefault(d, []).append(s)
+    expect = []
+    for d in sorted(by_doc):
+        starts = sorted(by_doc[d])
+        first, prev, nw = starts[0], starts[0], 1
+        for s in starts[1:]:
+            if s > prev + K:
+                expect.append(
+                    {"doc_id": d, "span_start": first,
+                     "span_end": prev + K - 1, "n_windows": nw}
+                )
+                first, nw = s, 0
+            prev = s
+            nw += 1
+        expect.append(
+            {"doc_id": d, "span_start": first,
+             "span_end": prev + K - 1, "n_windows": nw}
+        )
+    got = _rows(spark, smoke_dir, "q257_incremental_span_dedup")
+    assert got == expect
+    assert expect, "no cross-split repeated spans in fixture — untested"
