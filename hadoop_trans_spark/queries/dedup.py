@@ -956,11 +956,15 @@ SPAN_K = 8
 def span_windows(spark: SparkSession, sf_dir: str, K: int = SPAN_K) -> DataFrame:
     """(doc_id, start, h): overlapping K-token windows over `documents`,
     keyed by the BINARY md5 digest (16 bytes — the hex string doubled
-    the shuffle width for nothing, r14 shuffle-audit find). Map-side
-    fan-out: |tokens| rows per doc, no shuffle. Shared by the span-dedup
-    tier (q252 find / q255 remove / q257 incremental)."""
+    the shuffle width for nothing, r14 shuffle-audit find). The scan is
+    parallelized first (grams3_table's rule: a small consolidated
+    documents file is ONE scan split, which ran the md5-dominated
+    fan-out single-threaded — measured 5.4 s → 0.9 s at sf0.1). The
+    fan-out itself is map-side: |tokens| rows per doc, no shuffle.
+    Shared by the span-dedup tier (q252 find / q255 remove / q257
+    incremental)."""
     toks = (
-        table(spark, sf_dir, "documents")
+        parallelize_stage(table(spark, sf_dir, "documents"))
         .where(F.col("text").isNotNull())
         .select("doc_id", F.split(F.lower("text"), " ").alias("t"))
         .where(F.size("t") >= K)
