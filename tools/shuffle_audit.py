@@ -52,6 +52,8 @@ AUDITED = [
     "q252_span_dedup",
     "q253_ivfpq_ann",
     "q255_span_removal",
+    "q256_ivfpq_residual_ann",
+    "q257_incremental_span_dedup",
 ]
 
 
