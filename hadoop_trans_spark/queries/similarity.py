@@ -902,7 +902,7 @@ def _pq_encode(
     PQ) and q253 (IVF+PQ). ``base`` is (vec_id, v) sanitized doubles;
     ``q_pred`` selects the query rows (None skips the flat LUT build
     entirely — residual variants key their LUTs by (query, cell) and
-    build them themselves). Returns (codes, luts): codes =
+    build them themselves). Returns (codes, luts, books): codes =
     (vec_id, code0, code1) — 2 bytes/vector at scale; luts[s] =
     (q{s}, k{s}, d2_{s}), |queries| x k rows, broadcast-sized.
     ``fit_sample_frac`` passes through to kmeans_fit: at corpus scale
