@@ -1430,3 +1430,57 @@ def test_query_matches_oracle_on_degenerate_cells(name, spark, label_probe):
         f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
         + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
     )
+
+
+# --- short-document tier (round 14) ------------------------------------------
+#
+# Every document shorter than the span window (K=8 tokens): the span
+# tier's fan-out emits ZERO windows, so q252/q257 must return empty and
+# q255 must pass every document through untouched (n_removed=0,
+# kept_md5 = the doc's own lowercase token join) — the
+# greatest(len-7,0) guard in the oracles and the size(t)>=K filter in
+# span_windows must agree on the boundary.
+SHORTDOC_PROBED = [
+    "q252_span_dedup",
+    "q255_span_removal",
+    "q257_incremental_span_dedup",
+]
+
+
+@pytest.fixture(scope="module")
+def shortdoc_probe(tmp_path_factory, smoke_dir):
+    np_mod = _load_null_probe()
+    dst = str(tmp_path_factory.mktemp("shortdocprobe"))
+    for t in np_mod.TABLES:
+        src = os.path.join(smoke_dir, f"{t}.parquet")
+        if t == "documents":
+            df = pd.read_parquet(src)
+            # 0..7 tokens, one NULL, one empty, one exactly K-1, and two
+            # byte-identical 7-token twins (would be dup spans at K=7).
+            texts = [None, "", "one", "a b c d e f g", "a b c d e f g"]
+            df["text"] = [
+                texts[i % len(texts)] for i in range(len(df))
+            ]
+            df.to_parquet(os.path.join(dst, f"{t}.parquet"), index=False)
+        else:
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    con = duckdb.connect()
+    for t in np_mod.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{dst}/{t}.parquet')"
+        )
+    yield dst, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SHORTDOC_PROBED)
+def test_span_tier_on_subwindow_documents(name, spark, shortdoc_probe):
+    d, con = shortdoc_probe
+    res = compare(name, QUERIES[name](spark, d), con, ORACLE[name])
+    assert res.match, (
+        f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})\n"
+        + "\n".join(f"  spark={a!r}\n  duck ={b!r}" for a, b in res.mismatches)
+    )
+    if name != "q255_span_removal":
+        assert res.spark_rows == 0, "sub-window docs must yield no spans"
