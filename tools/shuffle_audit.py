@@ -19,7 +19,9 @@ Usage:
   python tools/shuffle_audit.py /root/testdata/sf0.01 /tmp/x8 8
 
 Caveat: events is NOT replicated by default (copy unchanged), so the
-audited set sticks to lineitem/orders/documents/embeddings consumers.
+default audited set sticks to lineitem/orders/documents/embeddings
+consumers. ``--events`` switches to the events-family set — pair it
+with a replica built ``--with-events``.
 """
 
 from __future__ import annotations
@@ -56,6 +58,26 @@ AUDITED = [
     "q257_incremental_span_dedup",
 ]
 
+# Events-family set (user-keyed windows, sessionization, self-joins,
+# iterative chains) — audited against a --with-events replica, where
+# user_id AND event_id shift per copy so per-user state sees 8x users,
+# not 8x duplicate rows.
+AUDITED_EVENTS = [
+    "q81_sessionize_batch",
+    "q99_rolling_7day",
+    "q100_cohort_retention",
+    "q101_funnel_stages",
+    "q106_event_transitions",
+    "q127_session_concurrency",
+    "q143_event_paths",
+    "q187_rolling_hll_distinct",
+    "q196_daily_acf",
+    "q210_twap_per_user",
+    "q217_transition_entropy",
+    "q231_audience_jaccard",
+    "q239_markov_stationary",
+]
+
 
 def _stages(ui: str) -> list[dict]:
     apps = json.load(
@@ -70,10 +92,10 @@ def _stages(ui: str) -> list[dict]:
     )
 
 
-def measure(spark, sf_dir: str) -> dict[str, dict]:
+def measure(spark, sf_dir: str, audited: list[str]) -> dict[str, dict]:
     ui = spark.sparkContext.uiWebUrl
     out = {}
-    for name in AUDITED:
+    for name in audited:
         seen = {s["stageId"] for s in _stages(ui)}
         QUERIES[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -97,16 +119,17 @@ def main() -> None:
     if len(args) < 3:
         raise SystemExit(__doc__.strip().split("Usage:")[1])
     base_dir, repl_dir, factor = args[0], args[1], float(args[2])
+    audited = AUDITED_EVENTS if "--events" in sys.argv else AUDITED
     # The engine session disables the UI; the status REST API rides on
     # it, so turn it on for this measurement session only.
     spark = get_spark(
         app_name="shuffle_audit",
         extra_conf={"spark.ui.enabled": "true"},
     )
-    base = measure(spark, base_dir)
-    repl = measure(spark, repl_dir)
+    base = measure(spark, base_dir, audited)
+    repl = measure(spark, repl_dir, audited)
     bad = []
-    for name in AUDITED:
+    for name in audited:
         b, r = base[name], repl[name]
         w1, wn = b["shuffle_write_mb"], r["shuffle_write_mb"]
         growth = (wn / w1) if w1 else (float("inf") if wn else 1.0)
@@ -128,7 +151,7 @@ def main() -> None:
             bad.append(name)
         print(json.dumps(row))
     print(
-        f"\n=== SHUFFLE GROWTH === ops: {len(AUDITED)}  factor: "
+        f"\n=== SHUFFLE GROWTH === ops: {len(audited)}  factor: "
         f"{factor:g}x  superlinear: {len(bad)}"
         + (f"  ({','.join(bad)})" if bad else "")
     )
