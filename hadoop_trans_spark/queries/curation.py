@@ -858,3 +858,206 @@ def q227_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# --- q258: learned quality filter (logistic regression in-engine) -----------
+
+# Feature expressions shared verbatim (as SQL text for the oracle, as
+# Column builders for Spark). All three are plain double arithmetic
+# over character counts, so both engines produce bit-identical feature
+# vectors; every rounded quantity goes through the dterm/o_dterm
+# portable-rounding pair and every mean through the integer-side
+# HALF_UP division (o_davg's formula), so the unrolled training run is
+# engine-reproducible — the same discipline as the kmeans/pagerank
+# iterative oracles.
+_LOGREG_ITERS = 3
+_LOGREG_FEATS = ["b", "x1_len", "x2_thrate", "x3_wordlen"]
+
+
+def _logreg_feature_sql() -> str:
+    return """
+      SELECT CAST(LEAST(len(text), 2000) AS DOUBLE) / 1000.0 AS x1,
+             CAST(len(text) - len(replace(text, 'th', '')) AS DOUBLE)
+                  / 2.0 / GREATEST(len(text), 1) * 100.0 AS x2,
+             CAST(len(text) AS DOUBLE)
+                  / len(string_split(text, ' ')) / 10.0 AS x3,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents WHERE text IS NOT NULL"""
+
+
+def _logreg_m9(expr: str) -> str:
+    """Exact HALF_UP mean of ROUND(expr, 9) at scale 9, integer-side
+    (o_davg's formula at 9dp term grain), emitted as DOUBLE."""
+    s_ = f"SUM({{pre}}{expr})".replace("{pre}", "")
+    s_ = (
+        f"SUM(CASE WHEN ABS({expr}) < 1000000.0 THEN "
+        f"CAST(ROUND({expr}, 9) AS DECIMAL(38,9)) END)"
+    )
+    si = (
+        f"(CAST(TRUNC({s_}) AS HUGEINT) * 1000000000 "
+        f"+ CAST(({s_} - TRUNC({s_})) * 1000000000 AS HUGEINT))"
+    )
+    n = "CAST(COUNT(*) AS HUGEINT)"
+    hu = (
+        f"(CASE WHEN {si} >= 0 THEN (2*{si} + {n}) // (2*{n}) "
+        f"ELSE -((2*(-{si}) + {n}) // (2*{n})) END)"
+    )
+    return f"(CAST({hu} AS DOUBLE) / 1000000000)"
+
+
+def _logreg_oracle() -> str:
+    """Unrolled GD: iteration k computes z from the running weights,
+    p = 1/(1+exp(-z)) (identical input double -> exp ulp class, the
+    q241 convention), per-doc terms 0.5*(y-p)*x_j, and adds their
+    exact mean to each weight."""
+    xs = ["1.0", "x1", "x2", "x3"]
+    ctes = [f"d AS ({_logreg_feature_sql()})"]
+    prev = None
+    for k in range(1, _LOGREG_ITERS + 1):
+        if prev is None:
+            p = "0.5"  # w=0 -> z=0 -> sigmoid exactly one half
+            src = "d"
+        else:
+            z = (
+                f"({prev}.w0 + {prev}.w1*x1 + {prev}.w2*x2 "
+                f"+ {prev}.w3*x3)"
+            )
+            p = f"(1.0 / (1.0 + exp(-{z})))"
+            src = f"d CROSS JOIN {prev}"
+        terms = [f"(0.5 * (y - {p}) * {x})" for x in xs]
+        cols = []
+        for j, t in enumerate(terms):
+            base = f"{prev}.w{j} + " if prev else ""
+            cols.append(f"{base}{_logreg_m9(t)} AS w{j}")
+        group = (
+            f" GROUP BY {prev}.w0, {prev}.w1, {prev}.w2, {prev}.w3"
+            if prev
+            else ""
+        )
+        ctes.append(
+            f"i{k} AS (SELECT {', '.join(cols)} FROM {src}{group})"
+        )
+        prev = f"i{k}"
+    zf = f"({prev}.w0 + {prev}.w1*x1 + {prev}.w2*x2 + {prev}.w3*x3)"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    acc AS (
+      SELECT CAST(ROUND(AVG(CASE WHEN ({zf} >= 0) = (y = 1.0)
+                               THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS v
+      FROM d CROSS JOIN {prev}
+      GROUP BY {prev}.w0, {prev}.w1, {prev}.w2, {prev}.w3
+    )
+    SELECT feature, value FROM (
+      SELECT 'b' AS feature, w0 AS value FROM {prev}
+      UNION ALL SELECT 'x1_len', w1 FROM {prev}
+      UNION ALL SELECT 'x2_thrate', w2 FROM {prev}
+      UNION ALL SELECT 'x3_wordlen', w3 FROM {prev}
+      UNION ALL SELECT 'train_acc', v FROM acc
+    ) ORDER BY feature
+    """
+    )
+
+
+@query("q258_quality_logreg", oracle=_logreg_oracle())
+def q258_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter: full-batch logistic regression TRAINED
+    IN-ENGINE (3 GD steps, lr folded into the 0.5 gradient scale) on
+    three cheap text features (length, 'th'-digram rate, mean word
+    length) against the lang=='en' pseudo-label — the trainable tier
+    above the heuristic quality score (q36), the fastText/CCNet-style
+    filter of LLM curation run as pure DataFrame aggregations.
+
+    Scale shape: each GD step is ONE map-side-combined aggregation over
+    the corpus (4 decimal sums) collected to the driver — the model (4
+    doubles) is literal-broadcast back into the next step's expressions
+    exactly like kmeans' centroids; no shuffle grows with the corpus,
+    and the step count is fixed. Determinism: features are integer
+    ratios (bit-identical doubles), gradient terms go through dterm(9),
+    means through the integer-side HALF_UP division, so both engines
+    walk the same weight trajectory; the only cross-engine surface is
+    exp's ulp (q241's accepted class), buffered by the 9dp term
+    rounding.
+
+    Output: the trained weights + training accuracy, (feature, value)
+    rows."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            (
+                F.least(F.length("text"), F.lit(2000)).cast("double")
+                / F.lit(1000.0)
+            ).alias("x1"),
+            (
+                (
+                    F.length("text")
+                    - F.length(F.expr("replace(text, 'th', '')"))
+                ).cast("double")
+                / F.lit(2.0)
+                / F.greatest(F.length("text"), F.lit(1))
+                * F.lit(100.0)
+            ).alias("x2"),
+            (
+                F.length("text").cast("double")
+                / F.size(F.split(F.col("text"), " "))
+                / F.lit(10.0)
+            ).alias("x3"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        )
+    )
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_LOGREG_ITERS):
+        if all(v == 0.0 for v in w):
+            p = F.lit(0.5)
+        else:
+            z = (
+                F.lit(w[0])
+                + F.lit(w[1]) * F.col("x1")
+                + F.lit(w[2]) * F.col("x2")
+                + F.lit(w[3]) * F.col("x3")
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = d.agg(
+            *[
+                F.sum(dterm(F.lit(0.5) * (F.col("y") - p) * x, 9)).alias(
+                    f"s{j}"
+                )
+                for j, x in enumerate(xs)
+            ],
+            F.count("*").alias("n"),
+        ).collect()[0]
+        n = int(row["n"])
+        for j in range(4):
+            si = int(row[f"s{j}"].scaleb(9))  # exact scaled integer
+            hu = (
+                (2 * si + n) // (2 * n)
+                if si >= 0
+                else -((2 * -si + n) // (2 * n))
+            )
+            w[j] = w[j] + hu / 1e9
+    zf = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    acc = d.agg(
+        F.round(
+            F.avg(
+                F.when((zf >= 0) == (F.col("y") == 1.0), 1.0).otherwise(
+                    0.0
+                )
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("value")
+    ).select(F.lit("train_acc").alias("feature"), "value")
+    weights = spark.createDataFrame(
+        list(zip(_LOGREG_FEATS, [float(v) for v in w])),
+        "feature string, value double",
+    )
+    return weights.unionAll(acc).orderBy("feature")

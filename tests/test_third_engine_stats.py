@@ -3611,3 +3611,71 @@ def test_ivfpq_residual_ann_matches_pure_python(spark, smoke_dir):
             )
     got = _rows(spark, smoke_dir, "q256_ivfpq_residual_ann")
     assert got == expect
+
+
+def test_quality_logreg_matches_pure_python_gd(spark, smoke_dir):
+    """q258 re-derived in pure Python: the same 3-step full-batch GD —
+    integer-ratio features, sigmoid from math.exp (the engine's
+    accepted exp-ulp class, buffered by the 9dp term rounding),
+    gradient terms HALF_UP at 9dp, means by the exact integer-side
+    HALF_UP division, weights as exact 1e-9 multiples."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    docs = _df(
+        f"select doc_id, text, lang from "
+        f"read_parquet('{smoke_dir}/documents.parquet') "
+        f"where text is not null order by doc_id"
+    )
+    rows = []
+    for _, r in docs.iterrows():
+        t = r["text"]
+        n = len(t)
+        x1 = min(n, 2000) / 1000.0
+        x2 = (n - len(t.replace("th", ""))) / 2.0 / max(n, 1) * 100.0
+        x3 = n / len(t.split(" ")) / 10.0
+        y = 1.0 if r["lang"] == "en" else 0.0
+        rows.append((1.0, x1, x2, x3, y))
+
+    def t9(x):
+        return int(
+            Decimal(repr(x))
+            .quantize(Decimal("0.000000001"), ROUND_HALF_UP)
+            .scaleb(9)
+        )
+
+    def half_up(si, n):
+        return (
+            (2 * si + n) // (2 * n)
+            if si >= 0
+            else -((2 * -si + n) // (2 * n))
+        )
+
+    w = [0.0, 0.0, 0.0, 0.0]
+    n = len(rows)
+    for it in range(3):
+        sums = [0, 0, 0, 0]
+        for x0, x1, x2, x3, y in rows:
+            if it == 0:
+                p = 0.5
+            else:
+                z = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3
+                p = 1.0 / (1.0 + math.exp(-z))
+            for j, x in enumerate((x0, x1, x2, x3)):
+                sums[j] += t9(0.5 * (y - p) * x)
+        w = [w[j] + half_up(sums[j], n) / 1e9 for j in range(4)]
+    zf = lambda r: w[0] + w[1] * r[1] + w[2] * r[2] + w[3] * r[3]  # noqa: E731
+    acc = sum(1.0 for r in rows if (zf(r) >= 0) == (r[4] == 1.0)) / n
+    expect = [
+        {"feature": "b", "value": w[0]},
+        {"feature": "train_acc", "value": float(
+            Decimal(repr(acc)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )},
+        {"feature": "x1_len", "value": w[1]},
+        {"feature": "x2_thrate", "value": w[2]},
+        {"feature": "x3_wordlen", "value": w[3]},
+    ]
+    got = [
+        r.asDict()
+        for r in QUERIES["q258_quality_logreg"](spark, smoke_dir).collect()
+    ]
+    assert got == expect
