@@ -876,7 +876,8 @@ _LOGREG_FEATS = ["b", "x1_len", "x2_thrate", "x3_wordlen"]
 
 def _logreg_feature_sql() -> str:
     return """
-      SELECT CAST(LEAST(len(text), 2000) AS DOUBLE) / 1000.0 AS x1,
+      SELECT doc_id, lang,
+             CAST(LEAST(len(text), 2000) AS DOUBLE) / 1000.0 AS x1,
              CAST(len(text) - len(replace(text, 'th', '')) AS DOUBLE)
                   / 2.0 / GREATEST(len(text), 1) * 100.0 AS x2,
              CAST(len(text) AS DOUBLE)
@@ -905,11 +906,12 @@ def _logreg_m9(expr: str) -> str:
     return f"(CAST({hu} AS DOUBLE) / 1000000000)"
 
 
-def _logreg_oracle() -> str:
-    """Unrolled GD: iteration k computes z from the running weights,
-    p = 1/(1+exp(-z)) (identical input double -> exp ulp class, the
-    q241 convention), per-doc terms 0.5*(y-p)*x_j, and adds their
-    exact mean to each weight."""
+def _logreg_train_ctes() -> tuple[str, str]:
+    """Unrolled GD CTE chain: iteration k computes z from the running
+    weights, p = 1/(1+exp(-z)) (identical input double -> exp ulp
+    class, the q241 convention), per-doc terms 0.5*(y-p)*x_j, and adds
+    their exact mean to each weight. Returns (ctes_sql, final_cte) so
+    q258 (report) and q259 (apply) share the trained weights."""
     xs = ["1.0", "x1", "x2", "x3"]
     ctes = [f"d AS ({_logreg_feature_sql()})"]
     prev = None
@@ -938,10 +940,15 @@ def _logreg_oracle() -> str:
             f"i{k} AS (SELECT {', '.join(cols)} FROM {src}{group})"
         )
         prev = f"i{k}"
+    return ",\n".join(ctes), prev
+
+
+def _logreg_oracle() -> str:
+    ctes, prev = _logreg_train_ctes()
     zf = f"({prev}.w0 + {prev}.w1*x1 + {prev}.w2*x2 + {prev}.w3*x3)"
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ctes
         + f""",
     acc AS (
       SELECT CAST(ROUND(AVG(CASE WHEN ({zf} >= 0) = (y = 1.0)
@@ -982,10 +989,42 @@ def q258_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: the trained weights + training accuracy, (feature, value)
     rows."""
-    d = (
+    d = _logreg_features(spark, sf_dir)
+    w = _logreg_train(d)
+    zf = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    acc = d.agg(
+        F.round(
+            F.avg(
+                F.when((zf >= 0) == (F.col("y") == 1.0), 1.0).otherwise(
+                    0.0
+                )
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("value")
+    ).select(F.lit("train_acc").alias("feature"), "value")
+    weights = spark.createDataFrame(
+        list(zip(_LOGREG_FEATS, [float(v) for v in w])),
+        "feature string, value double",
+    )
+    return weights.unionAll(acc).orderBy("feature")
+
+
+def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, x1, x2, x3, y) — the exact twin of
+    _logreg_feature_sql's projection."""
+    return (
         table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select(
+            "doc_id",
+            "lang",
             (
                 F.least(F.length("text"), F.lit(2000)).cast("double")
                 / F.lit(1000.0)
@@ -1007,6 +1046,11 @@ def q258_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
         )
     )
+
+
+def _logreg_train(d: DataFrame) -> list[float]:
+    """The 3-step GD loop over a feature frame; returns the weights as
+    exact 1e-9-multiple floats (see q258's determinism notes)."""
     xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
     w = [0.0, 0.0, 0.0, 0.0]
     for _ in range(_LOGREG_ITERS):
@@ -1038,26 +1082,80 @@ def q258_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else -((2 * -si + n) // (2 * n))
             )
             w[j] = w[j] + hu / 1e9
+    return w
+
+
+def _logreg_apply_oracle() -> str:
+    ctes, prev = _logreg_train_ctes()
+    zf = f"({prev}.w0 + {prev}.w1*x1 + {prev}.w2*x2 + {prev}.w3*x3)"
+    return (
+        "WITH "
+        + ctes
+        + f""",
+    scored AS (
+      SELECT doc_id, lang,
+             ROUND(1.0 / (1.0 + exp(-{zf})), 6) AS score
+      FROM d CROSS JOIN {prev}
+    ),
+    med AS (SELECT quantile_cont(score, 0.5) AS m FROM scored)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score > med.m THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(ROUND(AVG(CASE WHEN score > med.m THEN 1.0 ELSE 0.0 END),
+                6) AS DOUBLE) AS kept_rate
+    FROM scored CROSS JOIN med
+    GROUP BY lang, med.m
+    ORDER BY lang
+    """
+    )
+
+
+@query("q259_quality_filter_apply", oracle=_logreg_apply_oracle())
+def q259_quality_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the learned quality filter: train (q258's GD
+    walk), score every document with the model as literal expressions,
+    keep everything above the corpus median score, and report the
+    per-language funnel. This is the filter as it runs at 100 TB —
+    scoring is a pure projection (4 multiplies + a sigmoid per row, no
+    shuffle; the model rides the closure exactly like kmeans
+    centroids), the median is one exact-interpolated percentile over
+    the 6dp-rounded scores (both engines interpolate the same sorted
+    6dp values, so the threshold is bit-identical), and the funnel is
+    one hash agg on lang. Median-thresholding (rather than p>=0.5)
+    keeps the contract meaningful on a weak-signal corpus: the filter
+    always yields the top half by learned quality."""
+    d = _logreg_features(spark, sf_dir)
+    w = _logreg_train(d)
     zf = (
         F.lit(w[0])
         + F.lit(w[1]) * F.col("x1")
         + F.lit(w[2]) * F.col("x2")
         + F.lit(w[3]) * F.col("x3")
     )
-    acc = d.agg(
-        F.round(
-            F.avg(
-                F.when((zf >= 0) == (F.col("y") == 1.0), 1.0).otherwise(
-                    0.0
-                )
-            ),
-            6,
-        )
-        .cast("double")
-        .alias("value")
-    ).select(F.lit("train_acc").alias("feature"), "value")
-    weights = spark.createDataFrame(
-        list(zip(_LOGREG_FEATS, [float(v) for v in w])),
-        "feature string, value double",
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zf)), 6).alias("score"),
     )
-    return weights.unionAll(acc).orderBy("feature")
+    med = scored.agg(F.expr("percentile(score, 0.5)").alias("m"))
+    return (
+        scored.crossJoin(F.broadcast(med))
+        .groupBy("lang", "m")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("score") > F.col("m"), 1).otherwise(0)
+            ).alias("n_kept"),
+            F.round(
+                F.avg(
+                    F.when(F.col("score") > F.col("m"), 1.0).otherwise(0.0)
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("kept_rate"),
+        )
+        .select("lang", "n_docs", "n_kept", "kept_rate")
+        .orderBy("lang")
+    )
