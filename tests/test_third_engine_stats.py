@@ -3679,3 +3679,97 @@ def test_quality_logreg_matches_pure_python_gd(spark, smoke_dir):
         for r in QUERIES["q258_quality_logreg"](spark, smoke_dir).collect()
     ]
     assert got == expect
+
+
+def test_quality_filter_apply_matches_pure_python(spark, smoke_dir):
+    """q259 re-derived in pure Python: the q258 GD walk, per-doc sigmoid
+    scores HALF_UP at 6dp, the linear-interpolated median as the keep
+    threshold, and the per-language kept funnel."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    docs = _df(
+        f"select doc_id, text, lang from "
+        f"read_parquet('{smoke_dir}/documents.parquet') "
+        f"where text is not null order by doc_id"
+    )
+
+    def rnd(x, q):
+        return float(Decimal(repr(x)).quantize(Decimal(q), ROUND_HALF_UP))
+
+    rows = []
+    for _, r in docs.iterrows():
+        t = r["text"]
+        n = len(t)
+        x1 = min(n, 2000) / 1000.0
+        x2 = (n - len(t.replace("th", ""))) / 2.0 / max(n, 1) * 100.0
+        x3 = n / len(t.split(" ")) / 10.0
+        y = 1.0 if r["lang"] == "en" else 0.0
+        rows.append((r["lang"], x1, x2, x3, y))
+
+    def t9(x):
+        return int(
+            Decimal(repr(x))
+            .quantize(Decimal("0.000000001"), ROUND_HALF_UP)
+            .scaleb(9)
+        )
+
+    def half_up(si, n):
+        return (
+            (2 * si + n) // (2 * n)
+            if si >= 0
+            else -((2 * -si + n) // (2 * n))
+        )
+
+    w = [0.0, 0.0, 0.0, 0.0]
+    n = len(rows)
+    for it in range(3):
+        sums = [0, 0, 0, 0]
+        for lang, x1, x2, x3, y in rows:
+            if it == 0:
+                p = 0.5
+            else:
+                z = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3
+                p = 1.0 / (1.0 + math.exp(-z))
+            for j, x in enumerate((1.0, x1, x2, x3)):
+                sums[j] += t9(0.5 * (y - p) * x)
+        w = [w[j] + half_up(sums[j], n) / 1e9 for j in range(4)]
+
+    scored = [
+        (
+            lang,
+            rnd(
+                1.0
+                / (1.0 + math.exp(-(w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3))),
+                "0.000001",
+            ),
+        )
+        for lang, x1, x2, x3, _ in rows
+    ]
+    vals = sorted(s for _, s in scored)
+    # Linear-interpolated median, the percentile/quantile_cont formula.
+    idx = (len(vals) - 1) * 0.5
+    lo, hi = int(idx), min(int(idx) + 1, len(vals) - 1)
+    med = vals[lo] + (idx - lo) * (vals[hi] - vals[lo])
+    from collections import defaultdict
+
+    tot, kept = defaultdict(int), defaultdict(int)
+    for lang, s in scored:
+        tot[lang] += 1
+        if s > med:
+            kept[lang] += 1
+    expect = [
+        {
+            "lang": lang,
+            "n_docs": tot[lang],
+            "n_kept": kept[lang],
+            "kept_rate": rnd(kept[lang] / tot[lang], "0.000001"),
+        }
+        for lang in sorted(tot)
+    ]
+    got = [
+        r.asDict()
+        for r in QUERIES["q259_quality_filter_apply"](
+            spark, smoke_dir
+        ).collect()
+    ]
+    assert got == expect
