@@ -45,7 +45,11 @@ def vec_usable(col="embedding"):
 def init_centroids(
     df: DataFrame, k: int, vec: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """First-k-by-id init: (cluster, c, c_sq). Deterministic, seedless."""
+    """First-k-by-id init: (cluster, c, c_sq). Deterministic, seedless.
+
+    The unpartitioned window (Spark warns "No Partition Defined") is
+    over the limit(k) frame — k rows total, never the corpus — so the
+    single partition it forces is k-bounded by construction."""
     first_k = df.orderBy(id_col).limit(k).select(id_col, vec)
     w = Window.orderBy(id_col)
     v = _dbl(F.col(vec))
