@@ -880,7 +880,7 @@ def _logreg_feature_sql() -> str:
              CAST(LEAST(len(text), 2000) AS DOUBLE) / 1000.0 AS x1,
              CAST(len(text) - len(replace(text, 'th', '')) AS DOUBLE)
                   / 2.0 / GREATEST(len(text), 1) * 100.0 AS x2,
-             CAST(len(text) AS DOUBLE)
+             CAST(LEAST(len(text), 2000) AS DOUBLE)
                   / len(string_split(text, ' ')) / 10.0 AS x3,
              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
       FROM documents WHERE text IS NOT NULL"""
@@ -889,7 +889,6 @@ def _logreg_feature_sql() -> str:
 def _logreg_m9(expr: str) -> str:
     """Exact HALF_UP mean of ROUND(expr, 9) at scale 9, integer-side
     (o_davg's formula at 9dp term grain), emitted as DOUBLE."""
-    s_ = f"SUM({{pre}}{expr})".replace("{pre}", "")
     s_ = (
         f"SUM(CASE WHEN ABS({expr}) < 1000000.0 THEN "
         f"CAST(ROUND({expr}, 9) AS DECIMAL(38,9)) END)"
@@ -1039,7 +1038,10 @@ def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.lit(100.0)
             ).alias("x2"),
             (
-                F.length("text").cast("double")
+                # LEAST caps like x1: keeps every gradient term far
+                # inside dterm's 1e6 branch cap, where the Spark and
+                # oracle rounding paths are the identical one.
+                F.least(F.length("text"), F.lit(2000)).cast("double")
                 / F.size(F.split(F.col("text"), " "))
                 / F.lit(10.0)
             ).alias("x3"),

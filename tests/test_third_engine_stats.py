@@ -3632,7 +3632,7 @@ def test_quality_logreg_matches_pure_python_gd(spark, smoke_dir):
         n = len(t)
         x1 = min(n, 2000) / 1000.0
         x2 = (n - len(t.replace("th", ""))) / 2.0 / max(n, 1) * 100.0
-        x3 = n / len(t.split(" ")) / 10.0
+        x3 = min(n, 2000) / len(t.split(" ")) / 10.0
         y = 1.0 if r["lang"] == "en" else 0.0
         rows.append((1.0, x1, x2, x3, y))
 
@@ -3702,7 +3702,7 @@ def test_quality_filter_apply_matches_pure_python(spark, smoke_dir):
         n = len(t)
         x1 = min(n, 2000) / 1000.0
         x2 = (n - len(t.replace("th", ""))) / 2.0 / max(n, 1) * 100.0
-        x3 = n / len(t.split(" ")) / 10.0
+        x3 = min(n, 2000) / len(t.split(" ")) / 10.0
         y = 1.0 if r["lang"] == "en" else 0.0
         rows.append((r["lang"], x1, x2, x3, y))
 
