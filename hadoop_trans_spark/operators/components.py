@@ -71,6 +71,11 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("nbr_comp").alias("nbr_min"))
         )
+        # r14 (guide §2.4): the previous label rides the materialized
+        # row as `prev`, so the convergence check is a filter+count over
+        # the checkpoint just written — the old shape re-joined
+        # new_labels against old labels (a second O(nodes) shuffle join
+        # per round) for the same answer.
         new_labels = materialize_stage(
             labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left")
             .select(
@@ -78,15 +83,13 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce("nbr_min", "comp")
                 ).alias("comp"),
+                F.col("comp").alias("prev"),
             )
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
+            new_labels.where(F.col("comp") != F.col("prev")).count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     return labels

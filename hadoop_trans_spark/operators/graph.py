@@ -62,8 +62,16 @@ def pagerank(
     # "build the edge list once, co-partitioned on src" step.
     if not prematerialized:
         edges = materialize_stage(edges)
-    out = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    nodes = (
+    # r14 (guide §2.4): `out` and `nodes` are O(nodes) aggregates of the
+    # edge list that the loop body references every iteration (nodes in
+    # each new rank table, out via the pre-joined edge table below) —
+    # materialized ONCE so no iteration re-scans the edge list to
+    # re-derive them (the iteration plans' leaves become tiny
+    # checkpoint scans instead of edge-list aggregations).
+    out = materialize_stage(
+        edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    )
+    nodes = materialize_stage(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
@@ -89,11 +97,19 @@ def pagerank(
             "dangling-mass redistribution before calling."
         )
     jump = (1.0 - damping) / n  # IEEE double, same op the oracle runs
+    # r14 (guide §2.4, §3): attach outdeg to the edge list ONCE instead
+    # of re-joining `out` inside every iteration — iters joins removed
+    # from the loop for one up-front equi-join + materialization. The
+    # division still happens per edge with the identical operands
+    # (round(pr/outdeg, 12)), so ranks are bit-identical. At 100 TB the
+    # materialized (src, dst, outdeg) table is the co-partitioned edge
+    # input the module docstring calls for; per iteration only the
+    # O(nodes) rank table moves (AQE broadcasts it when it fits).
+    ed = materialize_stage(edges.join(out, "src"))
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
     for i in range(iters):
         contrib = (
-            edges.join(pr, edges["src"] == pr["node"])
-            .join(out, "src")
+            ed.join(pr, ed["src"] == pr["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.round(F.col("pr") / F.col("outdeg"), 12)

@@ -1072,13 +1072,29 @@ def q205_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     share the same scan. No orphan scan reads more than the key
     column; the whole audit is ONE lazy plan (no driver-side counts —
     each FK edge is a left join preserving child rows plus a
-    conditional agg, and the five 1-row results union)."""
+    conditional agg, and the 1-row results union).
+
+    r14 optimization (guide §1.2 "fewer passes", §2.4): the three
+    lineitem FK edges previously ran as three independent branches —
+    three scans of the FACT table and three join pipelines. They now
+    fold into ONE lineitem pass: one scan of the three key columns,
+    three successive left joins against the (distinct) parent key sets
+    — each 1:≤1, so row count is preserved and every orphan flag is
+    exactly what the standalone check computed — and ONE aggregate
+    emitting all three (child_rows, orphans) pairs, unpivoted to rows
+    with stack(). At 100 TB this is 1 fact-table read instead of 3;
+    locally it cut the query from 24 jobs / 34 stages to single-digit
+    jobs. Orders/customer children are separate tables and keep their
+    own single-pass checks."""
+    def keyset(parent: DataFrame, pkey: str, alias: str) -> DataFrame:
+        return parent.select(F.col(pkey).alias(alias)).distinct()
+
     def check(fk: str, child: DataFrame, key: str, parent: DataFrame,
               pkey: str) -> DataFrame:
-        parent_keys = parent.select(F.col(pkey).alias("pk")).distinct()
         return (
             child.select(F.col(key).alias("k"))
-            .join(parent_keys, F.col("k") == F.col("pk"), "left")
+            .join(keyset(parent, pkey, "pk"), F.col("k") == F.col("pk"),
+                  "left")
             .agg(
                 F.lit(fk).alias("fk"),
                 F.count("*").alias("child_rows"),
@@ -1087,13 +1103,30 @@ def q205_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     li = table(spark, sf_dir, "lineitem")
+    li_folded = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(keyset(table(spark, sf_dir, "orders"), "o_orderkey", "pk_o"),
+              F.col("l_orderkey") == F.col("pk_o"), "left")
+        .join(keyset(table(spark, sf_dir, "part"), "p_partkey", "pk_p"),
+              F.col("l_partkey") == F.col("pk_p"), "left")
+        .join(keyset(table(spark, sf_dir, "supplier"), "s_suppkey", "pk_s"),
+              F.col("l_suppkey") == F.col("pk_s"), "left")
+        .agg(
+            F.count("*").alias("child_rows"),
+            F.count_if(F.col("pk_o").isNull()).alias("orph_o"),
+            F.count_if(F.col("pk_p").isNull()).alias("orph_p"),
+            F.count_if(F.col("pk_s").isNull()).alias("orph_s"),
+        )
+        .selectExpr(
+            """stack(3,
+               'lineitem.l_orderkey->orders', child_rows, orph_o,
+               'lineitem.l_partkey->part', child_rows, orph_p,
+               'lineitem.l_suppkey->supplier', child_rows, orph_s
+            ) AS (fk, child_rows, orphans)"""
+        )
+    )
     checks = [
-        check("lineitem.l_orderkey->orders", li, "l_orderkey",
-              table(spark, sf_dir, "orders"), "o_orderkey"),
-        check("lineitem.l_partkey->part", li, "l_partkey",
-              table(spark, sf_dir, "part"), "p_partkey"),
-        check("lineitem.l_suppkey->supplier", li, "l_suppkey",
-              table(spark, sf_dir, "supplier"), "s_suppkey"),
+        li_folded,
         check("orders.o_custkey->customer", table(spark, sf_dir, "orders"),
               "o_custkey", table(spark, sf_dir, "customer"), "c_custkey"),
         check("customer.c_nationkey->nation",

@@ -96,6 +96,15 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/htspark_warehouse"),
         )
     )
+    # Shuffle/blockmgr scratch on the fast ephemeral base (r14, guide §6:
+    # tmputil.staging_base — /dev/shm locally unless $SPARK_GRAFT_TMPDIR
+    # overrides; a cluster points this at fast local disks). Shuffle files
+    # are per-job ephemeral; Spark removes them via its own shutdown hook.
+    from .tmputil import staging_base
+
+    scratch = staging_base()
+    if scratch:
+        builder = builder.config("spark.local.dir", scratch)
     merged = dict(_PROFILES[profile])
     merged.pop("spark.sql.shuffle.partitions", None)  # applied above
     merged.update(extra_conf or {})

@@ -20,10 +20,37 @@ eager cleanup where it is possible.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
 _STAGED: list[str] = []
+
+
+def staging_base() -> str | None:
+    """Base directory for ephemeral staging (r14, guide §6).
+
+    Staged fixtures, streaming checkpoints and state stores are
+    PER-PROCESS ephemeral (created, read and deleted within one run),
+    yet Structured Streaming fsyncs its offset/commit logs and
+    state-store delta files on every micro-batch commit — measured
+    3.4 ms per fsync on this sandbox's /tmp (virtio disk) vs 0.01 ms on
+    /dev/shm, which inflated every stateful streaming query 5-20x
+    (q202: 2.5 s → 43.8 s at sf0.1). RAM-backed staging is the right
+    LOCAL layout for ephemeral state; a cluster deployment instead sets
+    ``$SPARK_GRAFT_TMPDIR`` to fast local disk and configures a
+    RELIABLE checkpoint dir for anything that must survive the process
+    (see operators/stage.py). Explicit env var wins; /dev/shm is used
+    when present and writable; otherwise the tempfile default (honors
+    $TMPDIR) stands.
+    """
+    base = os.environ.get("SPARK_GRAFT_TMPDIR")
+    if base:
+        return base
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    return None
 
 
 def _cleanup() -> None:
@@ -32,8 +59,8 @@ def _cleanup() -> None:
 
 
 def staging_dir(prefix: str) -> str:
-    """mkdtemp registered for removal at interpreter exit."""
-    path = tempfile.mkdtemp(prefix=prefix)
+    """mkdtemp under :func:`staging_base`, removed at interpreter exit."""
+    path = tempfile.mkdtemp(prefix=prefix, dir=staging_base())
     if not _STAGED:
         atexit.register(_cleanup)
     _STAGED.append(path)
