@@ -257,8 +257,14 @@ def q246_footer_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             start="1996-01-01", end="1996-06-30",
         ),
     )
-    # quarantine count per month, from the report (metadata-sized)
-    months = [r.par_dt for r in li.select("par_dt").distinct().collect()]
+    # quarantine count per month, from the report (metadata-sized).
+    # r14 (guide §1.2): the month list IS report.copied — the staged
+    # layout writes a par_dt dir iff the month has rows, and the migrate
+    # covered every existing month of the requested range (quarantined
+    # months stay in the copy set; their partitions arrive empty) — so
+    # re-scanning lineitem for DISTINCT par_dt was a redundant pass over
+    # the fact table.
+    months = list(report.copied)
     qcount = {
         m: sum(1 for q in report.quarantined if f"/par_dt={m}/" in q["path"])
         for m in months

@@ -911,18 +911,35 @@ def _pq_encode(
     every vector. Also returns the fitted per-subspace codebook
     DataFrames (cluster, c, c_sq) so residual variants (q256) can build
     their own (query, cell)-keyed LUTs."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.kmeans import kmeans_fit
 
     codes = None
     luts = []
     books = []
-    for s, (lo, n) in enumerate(subspaces):
-        sub = base.select(
-            "vec_id", F.slice("v", lo, n).alias("embedding")
+    subs = [
+        base.select("vec_id", F.slice("v", lo, n).alias("embedding"))
+        for (lo, n) in subspaces
+    ]
+    # r14 (guide §2.6): the per-subspace codebook fits are fully
+    # independent Lloyd runs (each iterates its own slice and collects
+    # its own k centroids) that were executing sequentially — run them
+    # from a small driver thread pool so one subspace's iteration jobs
+    # back-fill the executor slots the other's collects leave idle.
+    # Each fit is deterministic, so results are unchanged; the zip below
+    # consumes them in subspace order.
+    with ThreadPoolExecutor(max_workers=len(subs)) as pool:
+        fits = list(
+            pool.map(
+                lambda sub: kmeans_fit(
+                    sub, k=k, iters=2, fit_sample_frac=fit_sample_frac
+                ),
+                subs,
+            )
         )
-        assigned, cents = kmeans_fit(
-            sub, k=k, iters=2, fit_sample_frac=fit_sample_frac
-        )
+    for s, ((assigned, cents), (lo, n)) in enumerate(zip(fits, subspaces)):
+        sub = subs[s]
         c_s = assigned.select(
             F.col("id").alias("vec_id"), F.col("cluster").alias(f"code{s}")
         )
