@@ -62,40 +62,34 @@ def pagerank(
     # "build the edge list once, co-partitioned on src" step.
     if not prematerialized:
         edges = materialize_stage(edges)
-    # r14 (guide §2.4): `out` and `nodes` are O(nodes) aggregates of the
-    # edge list that the loop body references every iteration (nodes in
-    # each new rank table, out via the pre-joined edge table below) —
-    # materialized ONCE so no iteration re-scans the edge list to
-    # re-derive them (the iteration plans' leaves become tiny
-    # checkpoint scans instead of edge-list aggregations).
+    # r14 (guide §2.4): `out` is the ONE O(nodes) aggregate the loop
+    # body needs every iteration — materialized once so no iteration
+    # re-scans the edge list to re-derive it. For every graph this
+    # operator ACCEPTS (outdeg >= 1 enforced below), the node table IS
+    # out's key set, so `nodes` is a free projection of that checkpoint
+    # instead of a second edge-list pass (union + distinct + its own
+    # checkpoint, the pre-r14 shape); the precondition check reduces to
+    # "no dst is missing from out" (one dst-only anti-join).
     out = materialize_stage(
         edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     )
-    nodes = materialize_stage(
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
+    nodes = out.select(F.col("src").alias("node"))
+    sinks = (
+        edges.select(F.col("dst").alias("node"))
         .distinct()
+        .join(nodes, "node", "left_anti")
+        .count()
     )
-    tally = (
-        nodes.join(out, nodes["node"] == out["src"], "left")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("outdeg").isNull(), 1).otherwise(0)).alias(
-                "sinks"
-            ),
-        )
-        .first()
-    )
-    n = tally["n"]
-    if n == 0:
-        return nodes.withColumn("pr", F.lit(0.0))
-    if tally["sinks"]:
+    n = out.count()  # O(nodes) checkpoint scan, metadata-sized action
+    if sinks:
         raise ValueError(
-            f"pagerank: {tally['sinks']} of {n} nodes have out-degree 0 "
+            f"pagerank: {sinks} of {n + sinks} nodes have out-degree 0 "
             "(dst-only sinks); their inbound mass would vanish each "
             "iteration. Symmetrize the edge list or add self-loops/"
             "dangling-mass redistribution before calling."
         )
+    if n == 0:
+        return nodes.withColumn("pr", F.lit(0.0))
     jump = (1.0 - damping) / n  # IEEE double, same op the oracle runs
     # r14 (guide §2.4, §3): attach outdeg to the edge list ONCE instead
     # of re-joining `out` inside every iteration — iters joins removed
