@@ -766,27 +766,81 @@ def validate_media(df: DataFrame) -> DataFrame:
                         f"no validator for {meta['mime']!r}"
                     )
                 raw = bytes(payload) if payload is not None else b""
-                try:
-                    with wave.open(io.BytesIO(raw)) as w:
-                        n = w.getnframes()
-                        sampwidth = w.getsampwidth()
-                        channels = w.getnchannels()
-                        got = len(w.readframes(n))
-                    if got < n * sampwidth * channels:
-                        status = "payload"
-                    elif sampwidth != 2 or channels != 1:
-                        status = "unsupported"
-                    else:
-                        status = "ok"
-                except Exception:
-                    status = "header"
                 rows["doc_id"].append(int(doc_id))
                 rows["n_bytes"].append(len(raw))
-                rows["status"].append(status)
+                rows["status"].append(_triage_wav_raw(raw))
             if rows["doc_id"]:
                 yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
     return df.mapInPandas(_validate, QUARANTINE_SCHEMA)
+
+
+def _triage_wav_raw(raw: bytes) -> str:
+    """validate_media's per-payload classification rule (one place, so
+    the fused triage pipeline below cannot drift from the operator)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(raw)) as w:
+            n = w.getnframes()
+            sampwidth = w.getsampwidth()
+            channels = w.getnchannels()
+            got = len(w.readframes(n))
+        if got < n * sampwidth * channels:
+            return "payload"
+        if sampwidth != 2 or channels != 1:
+            return "unsupported"
+        return "ok"
+    except Exception:
+        return "header"
+
+
+def _corrupt_wav_raw(doc_id: int, raw: bytes) -> bytes:
+    """corrupt_tone_wavs' per-payload rule (shared with the fused
+    pipeline): doc_id % 4 → 0 intact, 1 magic-flip, 2 data halved,
+    3 truncated to 6 bytes."""
+    k = int(doc_id) % 4
+    if k == 1:
+        return b"JUNK" + raw[4:]
+    if k == 2:
+        return raw[: 44 + (len(raw) - 44) // 2]
+    if k == 3:
+        return raw[:6]
+    return raw
+
+
+def tone_corruption_triage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synthesize → corrupt → triage in ONE Python crossing
+    (r14, guide §4.1): the q244 pipeline previously chained three
+    mapInPandas operators (attach_tone_wav → corrupt_tone_wavs →
+    validate_media), so every payload byte crossed the JVM↔Python
+    boundary three times and each task ran three Python runners. The
+    logic is three pure per-row functions, so one batch loop applies
+    them in sequence and only the (doc_id, n_bytes, status) triage rows
+    ever return to the JVM — the payload never crosses at all. Uses the
+    SAME per-row rules as the standalone operators (shared helpers
+    above), so the classification is identical by construction."""
+    from .stage import parallelize_stage
+
+    df = parallelize_stage(df)  # Python-side encode is the CPU stage
+
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k.name: [] for k in QUARANTINE_SCHEMA.fields
+            }
+            for doc_id in pdf[id_col]:
+                raw = _corrupt_wav_raw(
+                    int(doc_id), encode_wav_tone(int(doc_id))
+                )
+                rows["doc_id"].append(int(doc_id))
+                rows["n_bytes"].append(len(raw))
+                rows["status"].append(_triage_wav_raw(raw))
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
+
+    return df.select(F.col(id_col)).mapInPandas(_fused, QUARANTINE_SCHEMA)
 
 
 def corrupt_tone_wavs(df: DataFrame) -> DataFrame:
@@ -800,18 +854,10 @@ def corrupt_tone_wavs(df: DataFrame) -> DataFrame:
     def _corrupt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            payloads = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
-                k = int(doc_id) % 4
-                if k == 1:
-                    raw = b"JUNK" + raw[4:]
-                elif k == 2:
-                    raw = raw[: 44 + (len(raw) - 44) // 2]
-                elif k == 3:
-                    raw = raw[:6]
-                payloads.append(raw)
-            out["payload"] = payloads
+            out["payload"] = [
+                _corrupt_wav_raw(int(doc_id), bytes(payload))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield out
 
     return df.mapInPandas(_corrupt, MEDIA_SCHEMA)

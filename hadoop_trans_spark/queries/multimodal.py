@@ -426,15 +426,19 @@ def q244_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload (RIFF grammar parse + declared-vs-actual byte accounting,
     pure map) → aggregate per status. The decode operators themselves
     dead-letter whatever slips past triage (same rule as NULL
-    payloads), so the quarantine counts reconcile the pipeline."""
-    from ..operators.multimodal import (
-        attach_tone_wav,
-        corrupt_tone_wavs,
-        validate_media,
-    )
+    payloads), so the quarantine counts reconcile the pipeline.
+
+    r14 (guide §4.1): the three stages are pure per-row Python, so the
+    query runs them FUSED in one mapInPandas
+    (operators.multimodal.tone_corruption_triage) — one JVM↔Python
+    crossing instead of three, and the payload bytes never cross back;
+    the standalone operators share the same per-row rules (and remain
+    the composition points for the decode-family queries), so the
+    triage is identical by construction."""
+    from ..operators.multimodal import tone_corruption_triage
 
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    triage = validate_media(corrupt_tone_wavs(attach_tone_wav(docs)))
+    triage = tone_corruption_triage(docs)
     return (
         triage.groupBy("status")
         .agg(
