@@ -69,6 +69,22 @@ RESHAPED: dict[str, int] = {
     # _pq_encode (shared with the new q253 IVF+PQ composition); its r13
     # driver row proves the pre-refactor inline loop.
     "q251": 14,
+    # round-14 OPTIMIZATION reshapes (OPTIMIZATION_r14.md): q205 FK
+    # checks folded into one fact scan; q123 pagerank loop invariants
+    # hoisted + node table derived from the outdeg checkpoint;
+    # q68/q85/q70 connected_components convergence check restructured;
+    # q244 triage fused into one mapInPandas; q246 month list taken
+    # from the migrate report; q253/q256 (with q251 above) share the
+    # thread-pooled _pq_encode. Latest driver rows predate these.
+    "q205": 14,
+    "q123": 14,
+    "q68": 14,
+    "q85": 14,
+    "q70": 14,
+    "q244": 14,
+    "q246": 14,
+    "q253": 14,
+    "q256": 14,
 }
 
 
