@@ -660,6 +660,18 @@ def main() -> None:
     detail["movers"] = movers
     with open(os.path.join(here, "bench_results.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
+    # Per-round snapshot of the FULL per-query map (VERDICT r14 item 5,
+    # additions-only): the stdout line fits ~40 of 259 queries and
+    # bench_results.json is overwritten by every local run, so committed
+    # cross-round PERF comparisons were limited to the headline subset.
+    # bench_results_r{N}.json (N = latest BENCH round + 1, i.e. the round
+    # this run belongs to) persists the whole map; sf rides inside, so a
+    # same-SF comparison can check it. Commit the file at round close.
+    rounds = _bench_rounds(here)
+    cur_round = (rounds[-1][0] + 1) if rounds else 1
+    snap = os.path.join(here, f"bench_results_r{cur_round}.json")
+    with open(snap, "w") as fh:
+        json.dump(detail, fh, indent=1)
 
     print(
         json.dumps(

@@ -217,3 +217,192 @@ def kmeans_fit(
     if fit_corpus is not corpus:
         assigned = assign(corpus, cents)
     return assigned.select("id", "cluster", "d2"), cents
+
+
+def _assign_fused(corpus: DataFrame, centroid_rows) -> DataFrame:
+    """assign() generalized to the (s)-keyed fused corpus: per-subspace
+    centroid literals selected by the row's subspace ordinal. Arithmetic
+    per row is exactly assign()'s (distances rounded to 6 decimals
+    before the argmin, ties broken on cluster ordinal, label read from
+    the winning struct), so per-subspace results are bit-identical."""
+    by_s: dict[int, list] = {}
+    for r in centroid_rows:
+        by_s.setdefault(int(r["s"]), []).append(r)
+    ok_s = sorted(by_s)
+    all_cents = F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(r["cluster"])).alias("cluster"),
+                        lit_doubles(r["c"]).alias("c"),
+                        F.lit(float(r["c_sq"])).alias("c_sq"),
+                    )
+                    for r in sorted(by_s[s], key=lambda r: r["cluster"])
+                ]
+            )
+            for s in ok_s
+        ]
+    )
+    # 1-based index of this row's subspace in ok_s (rows of subspaces
+    # with no centroids — empty shards — are filtered out; the caller
+    # emits their empty typed assignment separately, like kmeans_fit).
+    idx = F.array_position(
+        F.array(*[F.lit(int(s)) for s in ok_s]), F.col("s")
+    ).cast("int")
+    cents_row = F.element_at(all_cents, idx)
+    d2s = F.transform(
+        cents_row,
+        lambda st: F.round(
+            F.col("v_sq") + st["c_sq"] - 2 * dot(F.col("v"), st["c"]), 6
+        ),
+    )
+    return (
+        corpus.where(F.col("s").isin([int(s) for s in ok_s]))
+        .withColumn("_cents", cents_row)
+        .withColumn("d2s", d2s)
+        .withColumn("d2", F.array_min("d2s"))
+        .withColumn(
+            "cluster",
+            F.element_at(
+                F.col("_cents"),
+                F.array_position(F.col("d2s"), F.col("d2")).cast("int"),
+            )["cluster"],
+        )
+        .select("id", "s", "v", "v_sq", "cluster", "d2")
+    )
+
+
+def _update_centroids_fused(assigned: DataFrame) -> DataFrame:
+    """update_centroids() with the subspace key carried through the
+    (s, cluster, dim) aggregation — per-(s, cluster) means are the
+    identical decimal-staged values (order-free under any partitioning)."""
+    by_dim = assigned.select(
+        "s", "cluster", F.posexplode("v").alias("pos", "val")
+    )
+    means = by_dim.groupBy("s", "cluster", "pos").agg(
+        F.round(F.sum(F.col("val").cast(DEC)) / F.count("val"), 6)
+        .cast("double")
+        .alias("m")
+    )
+    packed = means.groupBy("s", "cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda st: st["m"],
+        ).alias("c")
+    )
+    return packed.select(
+        "s", "cluster", "c", dot(F.col("c"), F.col("c")).alias("c_sq")
+    )
+
+
+def kmeans_fit_fused(
+    df: DataFrame,
+    slices,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    fit_sample_frac: float | None = None,
+):
+    """S independent per-subspace Lloyd fits fused into ONE (s)-keyed
+    run (r15, guide §2.4): ``slices`` is a list of array<double> Columns
+    over ``df`` (e.g. ``F.slice("v", lo, n)`` per PQ subspace); returns
+    ``[(assignments_df, centroid_rows), ...]`` in slice order, each
+    BIT-IDENTICAL to ``kmeans_fit(df.select(id, slice_s), ...)`` on the
+    same slice (differential-tested in tests/test_analytics_ops.py).
+
+    Why fuse: each separate fit scans the corpus once per action (init,
+    per-iteration centroid update, final assignment) — S fits = S scans
+    per action plus S materializations and S driver round-trips per
+    iteration, even when thread-pooled. Fused, the exploded
+    (id, s, v, v_sq) working set is materialized ONCE from one scan of
+    ``df``, every iteration runs ONE (s, cluster, dim) aggregation and
+    ONE k·S-row collect for all subspaces, and the per-subspace results
+    are narrow projections of the shared checkpoint. Per-(s, cluster)
+    arithmetic is exactly kmeans_fit's: first-k-by-id init per
+    subspace, distances rounded before the argmin, decimal-staged mean
+    updates — all order-free, so fusing the grouping key changes
+    nothing about the values.
+
+    Per-subspace usability filtering matches kmeans_fit: a vector can
+    be usable in one subspace and not another; rows are filtered per
+    (id, s) after the slice explode. ``fit_sample_frac`` is honored
+    per subspace (a subspace whose sample holds < k vectors falls back
+    to its full corpus, exactly like kmeans_fit)."""
+    from .stage import materialize_stage
+
+    S = len(slices)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*list(slices))).alias("s", "embedding"),
+    ).where(vec_usable("embedding"))
+    v = _dbl(F.col("embedding"))
+    corpus = materialize_stage(
+        exploded.select("id", "s", v.alias("v"), dot(v, v).alias("v_sq"))
+    )
+    fit_corpus, sampled = corpus, False
+    if fit_sample_frac is not None and fit_sample_frac < 1.0:
+        cut = int(fit_sample_frac * (1 << 20))
+        keep = F.pmod(F.xxhash64(F.col("id")), F.lit(1 << 20)) < cut
+        sample = corpus.where(keep)
+        counts = {
+            int(r["s"]): r["n"]
+            for r in sample.groupBy("s").agg(F.count("*").alias("n")).collect()
+        }
+        ok = [s for s in range(S) if counts.get(s, 0) >= k]
+        if ok:
+            in_ok = F.col("s").isin(ok)
+            fit_corpus = materialize_stage(
+                corpus.where((in_ok & keep) | ~in_ok)
+            )
+            sampled = True
+    # First-k-by-id init PER SUBSPACE (ids are unique per s, so the
+    # windowed rank equals init_centroids' orderBy(id).limit(k)).
+    w = Window.partitionBy("s").orderBy("id")
+    cents = (
+        fit_corpus.select(
+            "s",
+            "id",
+            "v",
+            F.col("v_sq").alias("c_sq"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= k)
+        .select(
+            "s", (F.col("rn") - 1).alias("cluster"), F.col("v").alias("c"),
+            "c_sq",
+        )
+        .collect()
+    )
+    present = {int(r["s"]) for r in cents}
+
+    def _empty(s: int) -> DataFrame:
+        return corpus.where(F.col("s") == s).select(
+            "id",
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("double").alias("d2"),
+        )
+
+    if not present:
+        return [(_empty(s), []) for s in range(S)]
+    assigned = _assign_fused(fit_corpus, cents)
+    for _ in range(iters - 1):
+        cents = _update_centroids_fused(assigned).collect()
+        assigned = _assign_fused(fit_corpus, cents)
+    if sampled:
+        assigned = _assign_fused(corpus, cents)
+    by_s: dict[int, list] = {}
+    for r in cents:
+        by_s.setdefault(int(r["s"]), []).append(r)
+    out = []
+    for s in range(S):
+        if s not in present:
+            out.append((_empty(s), []))
+            continue
+        out.append(
+            (
+                assigned.where(F.col("s") == s).select("id", "cluster", "d2"),
+                sorted(by_s.get(s, []), key=lambda r: r["cluster"]),
+            )
+        )
+    return out

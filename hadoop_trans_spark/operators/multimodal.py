@@ -73,6 +73,97 @@ def attach_binary(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _encode_media_batches(encode_row, mime: str, id_col: str = "doc_id"):
+    """Batch-function factory behind every synthesizer (attach_*):
+    per-row ``encode_row(doc_id) -> bytes`` wrapped into MEDIA_SCHEMA
+    frames (payload + mime/n_bytes/sha256 meta). ONE definition shared
+    by the standalone attach operators and the fused synth→decode
+    pipelines below, so fusion cannot drift from the operators —
+    composition of the identical batch functions (r15, guide §4.1; the
+    q244 shared-helper rule generalized)."""
+    import hashlib
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf[id_col]:
+                payload = encode_row(int(doc_id))
+                rows["doc_id"].append(int(doc_id))
+                rows["payload"].append(payload)
+                rows["meta"].append(
+                    {
+                        "mime": mime,
+                        "n_bytes": len(payload),
+                        "checksum": hashlib.sha256(payload).hexdigest(),
+                    }
+                )
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
+
+    return _encode
+
+
+def _synth_media(df: DataFrame, encode_row, mime: str, id_col: str) -> DataFrame:
+    """The standalone synthesizer shape: parallelize (Python-side encode
+    is the CPU stage), prune to the id column, one mapInPandas."""
+    from .stage import parallelize_stage
+
+    df = parallelize_stage(df)
+    return df.select(F.col(id_col)).mapInPandas(
+        _encode_media_batches(encode_row, mime, id_col), MEDIA_SCHEMA
+    )
+
+
+def fuse_synth_decode(
+    df: DataFrame,
+    encode_row,
+    mime: str,
+    decode_batches,
+    schema: T.StructType,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fused synthesize→decode in ONE Python crossing (r15, guide §4.1
+    — the q244 fusion generalized to the whole media-decode family).
+
+    The chained form (attach_* → decode_*) runs TWO mapInPandas
+    operators: every payload byte crosses Python→JVM after the encode
+    and JVM→Python again before the decode, and each task runs two
+    Python runners. Both stages are pure per-row functions over the
+    same rows, so the fused operator composes the SAME batch functions
+    (the encode factory above + the decode operator's module-level
+    batch function) inside one mapInPandas: payloads are born and
+    consumed in the same Python worker and never cross the boundary at
+    all; only the decoded feature rows return to the JVM. Results are
+    identical by construction — it is literal function composition of
+    the operators' own batch functions."""
+    from .stage import parallelize_stage
+
+    df = parallelize_stage(df)
+    enc = _encode_media_batches(encode_row, mime, id_col)
+
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return decode_batches(enc(batches))
+
+    return df.select(F.col(id_col)).mapInPandas(_fused, schema)
+
+
+def _maybe_fuse(
+    df: DataFrame,
+    decode_batches,
+    schema: T.StructType,
+    encode_row,
+    mime: str,
+    id_col: str,
+) -> DataFrame:
+    """Every decode operator's exit point: plain mapInPandas when fed an
+    already-materialized media table (``encode_row=None``), or the fused
+    single-crossing pipeline when the caller passes the synthesizer's
+    per-row encode rule (see fuse_synth_decode)."""
+    if encode_row is None:
+        return df.mapInPandas(decode_batches, schema)
+    return fuse_synth_decode(df, encode_row, mime, decode_batches, schema, id_col)
+
+
 RAW_RGB_MIME = "image/x-raw-rgb"
 _RAW_MAGIC = b"RAW1"  # 8-byte header: magic + width:u16be + height:u16be
 
@@ -85,47 +176,59 @@ def encode_raw_rgb(width: int, height: int, pixel_of_index) -> bytes:
     return head + bytes(pixel_of_index(i) & 0xFF for i in range(width * height * 3))
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def _raw_rgb_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """decode_media's batch function (module-level so the fused
+    pipeline composes the identical code)."""
+    import numpy as np
+
+    for pdf in batches:
+        rows: dict[str, list] = {k.name: [] for k in FEATURE_SCHEMA.fields}
+        for doc_id, payload, meta in zip(
+            pdf["doc_id"], pdf["payload"], pdf["meta"]
+        ):
+            if meta["mime"] != RAW_RGB_MIME:
+                raise NotImplementedError(
+                    f"no decoder for {meta['mime']!r} in this "
+                    "container (image/audio libs absent); raw-RGB is "
+                    "the executable path"
+                )
+            buf = bytes(payload)
+            if buf[:4] != _RAW_MAGIC:
+                raise ValueError(f"bad raw-RGB magic in doc {doc_id}")
+            w = int.from_bytes(buf[4:6], "big")
+            h = int.from_bytes(buf[6:8], "big")
+            px = np.frombuffer(buf, dtype=np.uint8, offset=8)
+            if px.size != w * h * 3:
+                raise ValueError(f"truncated raw-RGB in doc {doc_id}")
+            sums = px.astype(np.float64).reshape(-1, 3).sum(axis=0)
+            n_px = float(w * h)
+            rows["doc_id"].append(int(doc_id))
+            rows["n_bytes"].append(len(buf))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["features"].append([float(s) / n_px for s in sums])
+        if rows["doc_id"]:
+            yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
+
+
+
+def decode_media(
+    df: DataFrame, encode_row=None, id_col: str = "doc_id"
+) -> DataFrame:
     """Decode entry point, Arrow-batched mapInPandas (the production
     shape). EXECUTABLE for the documented raw-RGB format (numpy only —
     header parse, frombuffer, per-channel means as features); real
     codecs (JPEG/PNG/audio) raise NotImplementedError because their
     libraries are not in this container — swap the mime dispatch body
     for PIL/libav calls in production. Means are exact: integer sums in
-    float64, one division."""
-    import numpy as np
-
-    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: dict[str, list] = {k.name: [] for k in FEATURE_SCHEMA.fields}
-            for doc_id, payload, meta in zip(
-                pdf["doc_id"], pdf["payload"], pdf["meta"]
-            ):
-                if meta["mime"] != RAW_RGB_MIME:
-                    raise NotImplementedError(
-                        f"no decoder for {meta['mime']!r} in this "
-                        "container (image/audio libs absent); raw-RGB is "
-                        "the executable path"
-                    )
-                buf = bytes(payload)
-                if buf[:4] != _RAW_MAGIC:
-                    raise ValueError(f"bad raw-RGB magic in doc {doc_id}")
-                w = int.from_bytes(buf[4:6], "big")
-                h = int.from_bytes(buf[6:8], "big")
-                px = np.frombuffer(buf, dtype=np.uint8, offset=8)
-                if px.size != w * h * 3:
-                    raise ValueError(f"truncated raw-RGB in doc {doc_id}")
-                sums = px.astype(np.float64).reshape(-1, 3).sum(axis=0)
-                n_px = float(w * h)
-                rows["doc_id"].append(int(doc_id))
-                rows["n_bytes"].append(len(buf))
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["features"].append([float(s) / n_px for s in sums])
-            if rows["doc_id"]:
-                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
-
-    return df.mapInPandas(_decode_batch, FEATURE_SCHEMA)
+    float64, one division. ``encode_row`` switches to the fused
+    synthesize→decode single-crossing pipeline (fuse_synth_decode)."""
+    return _maybe_fuse(
+        df, _raw_rgb_feature_batches, FEATURE_SCHEMA, encode_row,
+        RAW_RGB_MIME, id_col,
+    )
 
 
 def fake_features(df: DataFrame, n_features: int = 4) -> DataFrame:
@@ -213,36 +316,18 @@ def frame_sample(df: DataFrame, fps_us: int = 40_000) -> DataFrame:
     return df.mapInPandas(_sample, FRAME_SCHEMA)
 
 
+def encode_raw_rgb_row(doc_id: int) -> bytes:
+    """attach_raw_rgb's per-row rule: width = 8 + id%5, height = 6,
+    pixel byte i = (id + i) mod 256."""
+    return encode_raw_rgb(8 + doc_id % 5, 6, lambda i: doc_id + i)
+
+
 def attach_raw_rgb(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic raw-RGB fixture encoder: each row becomes a decodable
     media row (payload = raw-RGB bytes with pixel i = (id + i) mod 256,
     width = 8 + id mod 5, height = 6). The arithmetic pixel rule is what
     lets a SQL oracle reproduce the decoded statistics exactly."""
-    from .stage import parallelize_stage
-
-    df = parallelize_stage(df)  # Python-side encode is the CPU stage
-    import hashlib
-
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
-            for doc_id in pdf[id_col]:
-                i_d = int(doc_id)
-                w, h = 8 + i_d % 5, 6
-                payload = encode_raw_rgb(w, h, lambda i: i_d + i)
-                rows["doc_id"].append(i_d)
-                rows["payload"].append(payload)
-                rows["meta"].append(
-                    {
-                        "mime": RAW_RGB_MIME,
-                        "n_bytes": len(payload),
-                        "checksum": hashlib.sha256(payload).hexdigest(),
-                    }
-                )
-            if rows["doc_id"]:
-                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
-
-    return df.select(F.col(id_col)).mapInPandas(_encode, MEDIA_SCHEMA)
+    return _synth_media(df, encode_raw_rgb_row, RAW_RGB_MIME, id_col)
 
 
 # --- REAL codecs (stdlib/numpy only): WAV audio and PPM images ---------------
@@ -290,32 +375,12 @@ def encode_wav_square(doc_id: int, sr: int = 8000) -> bytes:
 
 def attach_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Rows → decodable WAV media rows (MEDIA_SCHEMA)."""
-    from .stage import parallelize_stage
-
-    df = parallelize_stage(df)  # Python-side encode is the CPU stage
-    import hashlib
-
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
-            for doc_id in pdf[id_col]:
-                payload = encode_wav_square(int(doc_id))
-                rows["doc_id"].append(int(doc_id))
-                rows["payload"].append(payload)
-                rows["meta"].append(
-                    {
-                        "mime": WAV_MIME,
-                        "n_bytes": len(payload),
-                        "checksum": hashlib.sha256(payload).hexdigest(),
-                    }
-                )
-            if rows["doc_id"]:
-                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
-
-    return df.select(F.col(id_col)).mapInPandas(_encode, MEDIA_SCHEMA)
+    return _synth_media(df, encode_wav_square, WAV_MIME, id_col)
 
 
-def decode_wav_features(df: DataFrame) -> DataFrame:
+def decode_wav_features(
+    df: DataFrame, encode_row=None, id_col: str = "doc_id"
+) -> DataFrame:
     """REAL audio decode (no stub): the stdlib `wave` parser reads each
     payload's RIFF header and PCM frames inside Arrow-batched
     mapInPandas; numpy computes peak / RMS / zero-crossing count — the
@@ -382,7 +447,9 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
             if rows["doc_id"]:
                 yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
-    return df.mapInPandas(_decode, WAV_FEATURE_SCHEMA)
+    return _maybe_fuse(
+        df, _decode, WAV_FEATURE_SCHEMA, encode_row, WAV_MIME, id_col
+    )
 
 
 def encode_ppm(doc_id: int) -> bytes:
@@ -404,32 +471,12 @@ def encode_ppm(doc_id: int) -> bytes:
 
 def attach_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Rows → decodable PPM media rows (MEDIA_SCHEMA)."""
-    from .stage import parallelize_stage
-
-    df = parallelize_stage(df)  # Python-side encode is the CPU stage
-    import hashlib
-
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
-            for doc_id in pdf[id_col]:
-                payload = encode_ppm(int(doc_id))
-                rows["doc_id"].append(int(doc_id))
-                rows["payload"].append(payload)
-                rows["meta"].append(
-                    {
-                        "mime": PPM_MIME,
-                        "n_bytes": len(payload),
-                        "checksum": hashlib.sha256(payload).hexdigest(),
-                    }
-                )
-            if rows["doc_id"]:
-                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
-
-    return df.select(F.col(id_col)).mapInPandas(_encode, MEDIA_SCHEMA)
+    return _synth_media(df, encode_ppm, PPM_MIME, id_col)
 
 
-def decode_ppm_features(df: DataFrame) -> DataFrame:
+def decode_ppm_features(
+    df: DataFrame, encode_row=None, id_col: str = "doc_id"
+) -> DataFrame:
     """REAL image decode of a REAL standard format (netpbm P6): header
     grammar parse + numpy frombuffer/reshape + per-channel means —
     byte-level image decoding with no external codec library. JPEG/PNG
@@ -475,7 +522,9 @@ def decode_ppm_features(df: DataFrame) -> DataFrame:
             if rows["doc_id"]:
                 yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
-    return df.mapInPandas(_decode, FEATURE_SCHEMA)
+    return _maybe_fuse(
+        df, _decode, FEATURE_SCHEMA, encode_row, PPM_MIME, id_col
+    )
 
 
 AHASH_SCHEMA = T.StructType(
@@ -487,6 +536,22 @@ AHASH_SCHEMA = T.StructType(
 )
 
 
+def encode_banded_ppm(doc_id: int) -> bytes:
+    """attach_banded_ppm's per-row rule: 16×8 P6 PPM, white 2-row band
+    at row 2·(id%4) over a solid (id%200, id·7%256, id·13%256) fill."""
+    w, h = 16, 8
+    r, g, b = doc_id % 200, (doc_id * 7) % 256, (doc_id * 13) % 256
+    band = 2 * (doc_id % 4)
+    px = bytearray()
+    for y in range(h):
+        px += (
+            b"\xff\xff\xff" * w
+            if y in (band, band + 1)
+            else bytes((r, g, b)) * w
+        )
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + bytes(px)
+
+
 def attach_banded_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Rows → 16×8 P6 PPM media rows with a white 2-row band at row
     2·(id%4) over a per-doc solid fill (id%200, id·7%256, id·13%256).
@@ -496,44 +561,12 @@ def attach_banded_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     threshold keeps exactly the band cells — so images with the same
     band position are visual near-duplicates with DIFFERENT bytes,
     the ground truth the perceptual-hash query verifies against."""
-    from .stage import parallelize_stage
-
-    df = parallelize_stage(df)  # Python-side encode is the CPU stage
-    import hashlib
-
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
-            for doc_id in pdf[id_col]:
-                i_d = int(doc_id)
-                w, h = 16, 8
-                r, g, b = i_d % 200, (i_d * 7) % 256, (i_d * 13) % 256
-                band = 2 * (i_d % 4)
-                px = bytearray()
-                for y in range(h):
-                    row = (
-                        b"\xff\xff\xff" * w
-                        if y in (band, band + 1)
-                        else bytes((r, g, b)) * w
-                    )
-                    px += row
-                payload = f"P6\n{w} {h}\n255\n".encode("ascii") + bytes(px)
-                rows["doc_id"].append(i_d)
-                rows["payload"].append(payload)
-                rows["meta"].append(
-                    {
-                        "mime": PPM_MIME,
-                        "n_bytes": len(payload),
-                        "checksum": hashlib.sha256(payload).hexdigest(),
-                    }
-                )
-            if rows["doc_id"]:
-                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
-
-    return df.select(F.col(id_col)).mapInPandas(_encode, MEDIA_SCHEMA)
+    return _synth_media(df, encode_banded_ppm, PPM_MIME, id_col)
 
 
-def ahash_ppm(df: DataFrame) -> DataFrame:
+def ahash_ppm(
+    df: DataFrame, encode_row=None, id_col: str = "doc_id"
+) -> DataFrame:
     """Perceptual average-hash (aHash) over decoded P6 PPM payloads:
     grayscale → 8×8 block-mean downsample → threshold each cell against
     the mean of cell means → 64-bit hash (16 hex chars). Byte-different
@@ -590,7 +623,7 @@ def ahash_ppm(df: DataFrame) -> DataFrame:
             if rows["doc_id"]:
                 yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
-    return df.mapInPandas(_hash, AHASH_SCHEMA)
+    return _maybe_fuse(df, _hash, AHASH_SCHEMA, encode_row, PPM_MIME, id_col)
 
 
 SPECTRAL_SCHEMA = T.StructType(
@@ -634,32 +667,12 @@ def encode_wav_tone(doc_id: int, sr: int = 8000, n: int = 512) -> bytes:
 
 def attach_tone_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Rows → decodable pure-tone WAV media rows (MEDIA_SCHEMA)."""
-    from .stage import parallelize_stage
-
-    df = parallelize_stage(df)  # Python-side encode is the CPU stage
-    import hashlib
-
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
-            for doc_id in pdf[id_col]:
-                payload = encode_wav_tone(int(doc_id))
-                rows["doc_id"].append(int(doc_id))
-                rows["payload"].append(payload)
-                rows["meta"].append(
-                    {
-                        "mime": WAV_MIME,
-                        "n_bytes": len(payload),
-                        "checksum": hashlib.sha256(payload).hexdigest(),
-                    }
-                )
-            if rows["doc_id"]:
-                yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
-
-    return df.select(F.col(id_col)).mapInPandas(_encode, MEDIA_SCHEMA)
+    return _synth_media(df, encode_wav_tone, WAV_MIME, id_col)
 
 
-def decode_spectral(df: DataFrame) -> DataFrame:
+def decode_spectral(
+    df: DataFrame, encode_row=None, id_col: str = "doc_id"
+) -> DataFrame:
     """REAL frequency-domain decode: RIFF-parse each payload and run a
     numpy rFFT inside Arrow-batched mapInPandas, reporting the dominant
     non-DC bin and its frequency — the pitch/bandwidth screening step
@@ -711,7 +724,9 @@ def decode_spectral(df: DataFrame) -> DataFrame:
             if rows["doc_id"]:
                 yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
-    return df.mapInPandas(_decode, SPECTRAL_SCHEMA)
+    return _maybe_fuse(
+        df, _decode, SPECTRAL_SCHEMA, encode_row, WAV_MIME, id_col
+    )
 
 
 # --- corruption quarantine (round 12) ----------------------------------------
@@ -877,7 +892,9 @@ THUMBNAIL_SCHEMA = T.StructType(
 )
 
 
-def resize_ppm_thumbnail(df: DataFrame, size: int = 8) -> DataFrame:
+def resize_ppm_thumbnail(
+    df: DataFrame, size: int = 8, encode_row=None, id_col: str = "doc_id"
+) -> DataFrame:
     """REAL image resize: P6 decode → nearest-neighbor resample to
     size×size (numpy fancy indexing, no codec library) → P6 re-encode →
     feature row from the RE-ENCODED bytes. The thumbnail/preview step of
@@ -940,4 +957,6 @@ def resize_ppm_thumbnail(df: DataFrame, size: int = 8) -> DataFrame:
             if rows["doc_id"]:
                 yield pd.DataFrame(rows)  # empty dict-frame is untyped -> Arrow error
 
-    return df.mapInPandas(_resize, THUMBNAIL_SCHEMA)
+    return _maybe_fuse(
+        df, _resize, THUMBNAIL_SCHEMA, encode_row, PPM_MIME, id_col
+    )

@@ -116,6 +116,12 @@ class MigrateReport:
     # corrupt source files excluded from the copy: {path, reason} each
     # (pipelines/health.py contract — reported, never silently skipped)
     quarantined: list[dict] = field(default_factory=list)
+    # the partition keys the copy ATTEMPTED (post conflict policy, before
+    # quarantine): unlike `copied`, this survives the every-candidate-
+    # file-quarantined edge where src_df is None and copied resets to []
+    # (ADVICE r14 — consumers enumerating "months the migrate covered"
+    # must read this, not `copied`)
+    to_copy: list[str] = field(default_factory=list)
 
     @property
     def ok(self) -> bool:
@@ -192,6 +198,7 @@ def migrate(spark: SparkSession, job: MigrateJob, sink: AlertSink | None = None)
                 sink.emit(Alert("error", "conflict", job.table, k, "exists at destination; skipped"))
 
     to_copy = present if job.mode == "overwrite" else [k for k in present if k not in dst_existing]
+    report.to_copy = sorted(to_copy)
     if to_copy:
         # 4. ONE distributed copy job. The isin filter prunes source
         #    partitions at planning time (PartitionFilters in the scan);

@@ -1710,26 +1710,13 @@ def q220_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # metadata-sized windows stay (band_width None), saving two
         # band-stage checkpoints per run.
         hist = m.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
-        if band_width is None:
-            cum = hist.select(
-                "v",
-                F.sum("cnt")
-                .over(
-                    Window.orderBy("v").rowsBetween(
-                        Window.unboundedPreceding, Window.currentRow
-                    )
-                )
-                .alias("c"),
-                F.sum("cnt").over(Window.partitionBy()).alias("n"),
-            )
-        else:
-            cum = banded_cumsum(
-                hist,
-                "v",
-                F.floor(F.col("v") / band_width),
-                {"c": "cnt"},
-                totals={"n": "c"},
-            ).select("v", "c", "n")
+        cum = banded_cumsum(
+            hist,
+            "v",
+            F.floor(F.col("v") / band_width),
+            {"c": "cnt"},
+            totals={"n": "c"},
+        ).select("v", "c", "n")
         js = m.sparkSession.range(1, 5).select(
             F.col("id").cast("long").alias("j")
         )
@@ -1746,13 +1733,63 @@ def q220_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    def cuts_rec_freq():
+        # r15 (VERDICT r14 item 7, guide §2.4): the rec and freq cutoff
+        # legs each scanned the per-customer checkpoint and ran their
+        # own metadata-sized window. Both metrics are longs over the
+        # same rows, so ONE metric-tagged pass (explode of two structs
+        # per customer — one checkpoint scan, not two) feeds ONE window
+        # partitioned by metric; per-metric cumsum/total and the
+        # j-cutoff min are computed exactly as the per-leg windows did
+        # (partitionBy(metric) == the old per-leg global frame), so the
+        # cutoff values are identical. The monetary leg stays separate:
+        # its values are decimals and corpus-scaled (banded).
+        tagged = m.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("rec").alias("metric"),
+                        F.col("rec").cast("long").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("freq").alias("metric"),
+                        F.col("freq").cast("long").alias("v"),
+                    ),
+                )
+            ).alias("x")
+        ).select("x.metric", "x.v")
+        hist = tagged.groupBy("metric", "v").agg(F.count("*").alias("cnt"))
+        wcum = (
+            Window.partitionBy("metric")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = hist.select(
+            "metric",
+            "v",
+            F.sum("cnt").over(wcum).alias("c"),
+            F.sum("cnt").over(Window.partitionBy("metric")).alias("n"),
+        )
+        js = m.sparkSession.range(1, 5).select(
+            F.col("id").cast("long").alias("j")
+        )
+        hit = F.col("c") >= F.ceil(F.col("j") * F.col("n") / 5.0)
+        return (
+            cum.crossJoin(F.broadcast(js))
+            .groupBy("j")
+            .agg(
+                F.min(
+                    F.when((F.col("metric") == "rec") & hit, F.col("v"))
+                ).alias("rec_cut"),
+                F.min(
+                    F.when((F.col("metric") == "freq") & hit, F.col("v"))
+                ).alias("freq_cut"),
+            )
+        )
+
     binned = (
         m.crossJoin(
-            F.broadcast(
-                cuts("rec", None)
-                .join(cuts("freq", None), "j")
-                .join(cuts("mon", 10000), "j")
-            )
+            F.broadcast(cuts_rec_freq().join(cuts("mon", 10000), "j"))
         )
         .groupBy("o_custkey", "mon")
         .agg(

@@ -437,29 +437,48 @@ def q204_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors job applies); existing edges are removed by anti-join.
     Degree-1 intermediates are excluded (ln(1)=0 would divide by
     zero — they form no wedge anyway)."""
-    pairs = _part_pairs(spark, sf_dir)
+    from ..operators.stage import materialize_stage
+
+    # r15 (guide §1.2/§2.4): the r14 driver plan showed the pair-table
+    # subtree replicated under EVERY broadcast branch (18 lineitem
+    # scans, 50 Exchanges — broadcast exchanges are never reused across
+    # different build sides). Materialize the pair table once; und, the
+    # wedge expansion and the final anti-join all read the checkpoint —
+    # one fact scan total. (The r13 warning in _part_pairs was about
+    # memo_stage CROSS-QUERY residency plus the wedge self-join losing
+    # AQE; this is per-query materialization and the self-join is gone.)
+    pairs = materialize_stage(_part_pairs(spark, sf_dir))
     und = pairs.selectExpr("u AS node", "v AS nbr").unionAll(
         pairs.selectExpr("v AS node", "u AS nbr")
     )
-    deg = und.groupBy("node").agg(F.count("*").alias("degree"))
-    thin = und.join(deg, "node").where(F.col("degree") <= 64)
-    ta, tb = thin.alias("ta"), thin.alias("tb")
+    # One groupBy(node) replaces deg + the und⋈deg join + the wedge
+    # self-join (the cooccur operator's measured pattern): each center's
+    # sorted neighbor set is collected once — und rows are distinct by
+    # construction, so degree == size of the set — hub centers
+    # (degree > 64) and degree-1 centers drop exactly as `thin` and the
+    # `ta.degree > 1` filter did, and the C(k,2) wedge fan-out happens
+    # INSIDE the array (capped at C(64,2) = 2016 structs/center by the
+    # hub prune, far under the cooccur MAX_BASKET hazard bound). The
+    # neighbor rows shuffle ONCE and there is no self-join. Per-wedge
+    # weights/counts are identical by construction, and the decimal sum
+    # is order-free — results bit-identical (oracle unchanged).
+    centers = (
+        und.groupBy("node")
+        .agg(F.array_sort(F.collect_set("nbr")).alias("ps"))
+        .where((F.size("ps") <= 64) & (F.size("ps") > 1))
+        .select(F.size("ps").cast("long").alias("degree"), "ps")
+    )
+    from ..operators.cooccur import _COMBOS
+
     cand = (
-        ta.join(
-            tb,
-            (F.col("ta.node") == F.col("tb.node"))
-            & (F.col("ta.nbr") < F.col("tb.nbr")),
+        centers.select(
+            F.round(F.lit(1.0) / F.log(F.col("degree")), 9)
+            .cast("decimal(38,9)")
+            .alias("w"),
+            F.explode(F.expr(_COMBOS)).alias("p"),
         )
-        .where(F.col("ta.degree") > 1)
-        .groupBy(F.col("ta.nbr").alias("u"), F.col("tb.nbr").alias("v"))
-        .agg(
-            F.sum(
-                F.round(F.lit(1.0) / F.log(F.col("ta.degree")), 9).cast(
-                    "decimal(38,9)"
-                )
-            ).alias("aa"),
-            F.count("*").alias("common"),
-        )
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.sum("w").alias("aa"), F.count("*").alias("common"))
     )
     return (
         cand.join(pairs, ["u", "v"], "left_anti")

@@ -199,12 +199,16 @@ def q121_raw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-channel means with numpy inside Arrow-batched mapInPandas, and
     the oracle re-derives the same statistics from the pixel rule. This
     is the real decode wiring a production pipeline swaps PIL/libav
-    into; only non-synthetic codecs remain stubbed."""
-    from ..operators.multimodal import attach_raw_rgb, decode_media
+    into; only non-synthetic codecs remain stubbed.
+
+    r15 (guide §4.1): synthesize→decode runs FUSED in one mapInPandas
+    (the q244 pattern) — payload bytes never cross the JVM↔Python
+    boundary; the fused operator composes the standalone operators' own
+    batch functions, so the decode is identical by construction."""
+    from ..operators.multimodal import decode_media, encode_raw_rgb_row
 
     docs = table(spark, sf_dir, "documents")
-    media = attach_raw_rgb(docs)
-    feats = decode_media(media)
+    feats = decode_media(docs, encode_row=encode_raw_rgb_row)
     return feats.select(
         "doc_id",
         "n_bytes",
@@ -248,11 +252,16 @@ def q151_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline filters on. The synthesis is parametric square
     waves, so every decoded feature has a closed form the SQL oracle
     states independently: the decode path itself is what's under test,
-    byte level, no stub."""
-    from ..operators.multimodal import attach_wav, decode_wav_features
+    byte level, no stub.
+
+    r15 (guide §4.1): synthesize→decode runs FUSED in one mapInPandas
+    (payloads never cross the boundary; identical batch functions)."""
+    from ..operators.multimodal import decode_wav_features, encode_wav_square
 
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
-    return decode_wav_features(attach_wav(docs)).orderBy("doc_id")
+    return decode_wav_features(docs, encode_row=encode_wav_square).orderBy(
+        "doc_id"
+    )
 
 
 @query(
@@ -287,11 +296,14 @@ def q152_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagonal, so channel means have a closed form the oracle states
     independently. JPEG/PNG drop into the same mime dispatch when codec
     libs exist; everything else (schema, batching, feature math, column
-    pruning of the payload) is exercised here for real."""
-    from ..operators.multimodal import attach_ppm, decode_ppm_features
+    pruning of the payload) is exercised here for real.
+
+    r15 (guide §4.1): synthesize→decode runs FUSED in one mapInPandas
+    (payloads never cross the boundary; identical batch functions)."""
+    from ..operators.multimodal import decode_ppm_features, encode_ppm
 
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
-    feats = decode_ppm_features(attach_ppm(docs))
+    feats = decode_ppm_features(docs, encode_row=encode_ppm)
     return feats.select(
         "doc_id",
         "n_bytes",
@@ -337,11 +349,17 @@ def q163_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reports group structure: sizes, distinct-payload counts (proving
     members differ in bytes), and min doc id as the group key. At 100 TB
     the hash groupBy is a 16-byte-key shuffle after payloads are pruned
-    executor-side — nothing image-sized ever moves."""
-    from ..operators.multimodal import ahash_ppm, attach_banded_ppm
+    executor-side — nothing image-sized ever moves.
+
+    r15 (guide §4.1): synthesize→hash runs FUSED in one mapInPandas
+    (the q244 pattern) — payload bytes never cross the JVM↔Python
+    boundary at all; the fused operator composes the standalone
+    operators' own batch functions, so the hashes are identical by
+    construction."""
+    from ..operators.multimodal import ahash_ppm, encode_banded_ppm
 
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    hashed = ahash_ppm(attach_banded_ppm(docs))
+    hashed = ahash_ppm(docs, encode_row=encode_banded_ppm)
     return (
         hashed.groupBy("ahash")
         .agg(
@@ -384,11 +402,14 @@ def q229_spectral_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio curation pipeline, and the proof that REAL numerical kernels
     (FFT) run vectorized in the Python lane without touching per-row
     UDFs. Every output has a closed form in doc_id (see operator
-    docstring), so the byte-level decode + transform is SQL-checkable."""
-    from ..operators.multimodal import attach_tone_wav, decode_spectral
+    docstring), so the byte-level decode + transform is SQL-checkable.
+
+    r15 (guide §4.1): synthesize→rFFT runs FUSED in one mapInPandas
+    (payloads never cross the boundary; identical batch functions)."""
+    from ..operators.multimodal import decode_spectral, encode_wav_tone
 
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
-    return decode_spectral(attach_tone_wav(docs)).orderBy("doc_id")
+    return decode_spectral(docs, encode_row=encode_wav_tone).orderBy("doc_id")
 
 
 @query(
@@ -501,11 +522,14 @@ def q247_ppm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     white-diagonal geometry gives every output a closed form the oracle
     states independently — the engine must arrive at it via a real
     decode/resample/re-encode of the bytes. At 100 TB: pure map-side
-    Arrow work, fixed 203-byte outputs regardless of input resolution."""
-    from ..operators.multimodal import attach_ppm, resize_ppm_thumbnail
+    Arrow work, fixed 203-byte outputs regardless of input resolution.
+
+    r15 (guide §4.1): synthesize→resample runs FUSED in one mapInPandas
+    (payloads never cross the boundary; identical batch functions)."""
+    from ..operators.multimodal import encode_ppm, resize_ppm_thumbnail
 
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
-    thumbs = resize_ppm_thumbnail(attach_ppm(docs), size=8)
+    thumbs = resize_ppm_thumbnail(docs, size=8, encode_row=encode_ppm)
     return thumbs.select(
         "doc_id",
         "out_w",

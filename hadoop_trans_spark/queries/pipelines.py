@@ -258,13 +258,18 @@ def q246_footer_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # quarantine count per month, from the report (metadata-sized).
-    # r14 (guide §1.2): the month list IS report.copied — the staged
-    # layout writes a par_dt dir iff the month has rows, and the migrate
-    # covered every existing month of the requested range (quarantined
-    # months stay in the copy set; their partitions arrive empty) — so
-    # re-scanning lineitem for DISTINCT par_dt was a redundant pass over
-    # the fact table.
-    months = list(report.copied)
+    # r14 (guide §1.2): the month list IS the migrate's copy set — the
+    # staged layout writes a par_dt dir iff the month has rows, and the
+    # migrate covered every existing month of the requested range
+    # (quarantined months stay in the copy set; their partitions arrive
+    # empty) — so re-scanning lineitem for DISTINCT par_dt was a
+    # redundant pass over the fact table. r15 (ADVICE r14): read
+    # report.to_copy, not report.copied — copied resets to [] when EVERY
+    # candidate file is quarantined, and in that edge the query must
+    # still list each month with its quarantine count (as the old
+    # DISTINCT par_dt scan did). For the current 2-of-6 injection the
+    # two lists are identical.
+    months = list(report.to_copy)
     qcount = {
         m: sum(1 for q in report.quarantined if f"/par_dt={m}/" in q["path"])
         for m in months

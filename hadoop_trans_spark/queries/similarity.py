@@ -911,9 +911,7 @@ def _pq_encode(
     every vector. Also returns the fitted per-subspace codebook
     DataFrames (cluster, c, c_sq) so residual variants (q256) can build
     their own (query, cell)-keyed LUTs."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    from ..operators.kmeans import kmeans_fit
+    from ..operators.kmeans import kmeans_fit_fused
 
     codes = None
     luts = []
@@ -922,22 +920,21 @@ def _pq_encode(
         base.select("vec_id", F.slice("v", lo, n).alias("embedding"))
         for (lo, n) in subspaces
     ]
-    # r14 (guide §2.6): the per-subspace codebook fits are fully
-    # independent Lloyd runs (each iterates its own slice and collects
-    # its own k centroids) that were executing sequentially — run them
-    # from a small driver thread pool so one subspace's iteration jobs
-    # back-fill the executor slots the other's collects leave idle.
-    # Each fit is deterministic, so results are unchanged; the zip below
-    # consumes them in subspace order.
-    with ThreadPoolExecutor(max_workers=len(subs)) as pool:
-        fits = list(
-            pool.map(
-                lambda sub: kmeans_fit(
-                    sub, k=k, iters=2, fit_sample_frac=fit_sample_frac
-                ),
-                subs,
-            )
-        )
+    # r15 (VERDICT r14 item 8, guide §2.4): the per-subspace Lloyd fits
+    # are FUSED into one (subspace)-keyed run — one corpus scan and one
+    # centroid collect per iteration for ALL subspaces, instead of one
+    # per subspace (the r14 thread pool overlapped the separate fits'
+    # round-trips but still paid S scans and S materializations).
+    # Per-subspace results are bit-identical to the separate fits
+    # (kmeans_fit_fused's contract, differential-tested); the zip below
+    # consumes them in subspace order exactly as before.
+    fits = kmeans_fit_fused(
+        base,
+        [F.slice("v", lo, n) for (lo, n) in subspaces],
+        k=k,
+        iters=2,
+        fit_sample_frac=fit_sample_frac,
+    )
     for s, ((assigned, cents), (lo, n)) in enumerate(zip(fits, subspaces)):
         sub = subs[s]
         c_s = assigned.select(

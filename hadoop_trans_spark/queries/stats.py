@@ -552,6 +552,16 @@ def q216_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"c": "cnt"},
         totals={"n": "c"},
     ).select("v", "c", "n")
+    # r15 (guide §2.4/§5): TWO branches consume the cumulative table —
+    # the boundary pick `b` and the boundary-population re-join `cum_at`
+    # — and the non-equi join between them cannot reuse exchanges, so
+    # the whole scan→histogram→banded-window subtree executed twice
+    # (r14 driver plan: 2 orders scans, 16 Exchanges). Materialize it
+    # once; both branches read the checkpoint (the q133/q178/q220
+    # multi-consumer stage rule).
+    from ..operators.stage import materialize_stage
+
+    cum = materialize_stage(cum)
     js = spark.range(1, 11).select(F.col("id").cast("long").alias("j"))
     b = (
         cum.crossJoin(F.broadcast(js))

@@ -46,10 +46,31 @@ def staging_base() -> str | None:
     """
     base = os.environ.get("SPARK_GRAFT_TMPDIR")
     if base:
-        return base
+        # Fail fast on a typo'd path (ADVICE r14): a bad value would
+        # otherwise surface later as an opaque FileNotFoundError from
+        # tempfile.mkdtemp and a silently broken spark.local.dir.
+        if os.path.isdir(base) and os.access(base, os.W_OK):
+            return base
+        import warnings
+
+        warnings.warn(
+            f"$SPARK_GRAFT_TMPDIR={base!r} is not an existing writable "
+            "directory; falling back to the default staging base",
+            stacklevel=2,
+        )
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return shm
+        # Capacity gate (ADVICE r14): Docker's default /dev/shm is 64 MB
+        # — writable, but one staged fixture fills it and every write
+        # after that dies with ENOSPC. Only claim a RAM-backed base that
+        # actually has room (>= 4 GiB free; this sandbox's tmpfs is
+        # sized at half of RAM).
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= 4 * 1024**3:
+                return shm
+        except OSError:
+            pass
     return None
 
 

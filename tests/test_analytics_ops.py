@@ -454,3 +454,53 @@ def test_kmeans_sampled_fit_falls_back_when_sample_under_k(spark):
     a, cents = kmeans_fit(e, k=3, iters=2, fit_sample_frac=1e-6)
     assert len(cents) == 3
     assert a.count() == 6
+
+
+def test_kmeans_fused_fit_matches_per_subspace_fits(spark):
+    """kmeans_fit_fused's contract (r15, VERDICT r14 item 8): per-
+    subspace assignments AND centroids bit-identical to separate
+    kmeans_fit runs over the same slices — full and sampled paths,
+    including a vector usable in one subspace but not the other (the
+    per-(id, s) filter edge)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_trans_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_fit_fused,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j) % 13) - 6.0 for j in range(8)])
+        for i in range(200)
+    ]
+    # poison one vector's SECOND half: usable in subspace 0 only
+    rows[17] = (17, rows[17][1][:4] + [float("nan")] + rows[17][1][5:])
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    spans = [(1, 4), (5, 4)]
+    slices = [F.slice("v", lo, n) for lo, n in spans]
+
+    def canon(cents):
+        return sorted(
+            (int(r["cluster"]), list(r["c"]), float(r["c_sq"]))
+            for r in cents
+        )
+
+    for frac in (None, 0.5):
+        fused = kmeans_fit_fused(
+            df, slices, k=3, iters=2, fit_sample_frac=frac
+        )
+        for s, (lo, n) in enumerate(spans):
+            sub = df.select(
+                "vec_id", F.slice("v", lo, n).alias("embedding")
+            )
+            a_ref, c_ref = kmeans_fit(
+                sub, k=3, iters=2, fit_sample_frac=frac
+            )
+            a_f, c_f = fused[s]
+            assert sorted(map(tuple, a_ref.collect())) == sorted(
+                map(tuple, a_f.collect())
+            ), (frac, s)
+            assert canon(c_ref) == canon(c_f), (frac, s)
+    # subspace-0-only row really was excluded from subspace 1
+    assert fused[1][0].where(F.col("id") == 17).count() == 0
+    assert fused[0][0].where(F.col("id") == 17).count() == 1

@@ -1,8 +1,10 @@
-"""Capture .explain("formatted") for declared queries into plans/r14/.
+"""Capture .explain("formatted") for declared queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> q123 q204 ...
-Writes plans/r14/<query>_<suffix>.txt for each named query (prefix match
+Writes plans/r{N}/<query>_<suffix>.txt for each named query (prefix match
 on the registry), using the engine session (same confs as bench.py).
+The round dir defaults to the CURRENT round (latest BENCH_r*.json + 1);
+override with $SPARK_GRAFT_PLANS_DIR.
 
 The optimization-round judge cannot run Spark: these files are the
 evidence for every plan claim in OPTIMIZATION_r14.md (Exchange counts,
@@ -33,7 +35,13 @@ def main() -> None:
     suffix = sys.argv[1]
     prefixes = tuple(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR")
+    if not out_dir:
+        from bench import _bench_rounds
+
+        rounds = _bench_rounds(REPO)
+        cur = (rounds[-1][0] + 1) if rounds else 1
+        out_dir = os.path.join(REPO, "plans", f"r{cur}")
     os.makedirs(out_dir, exist_ok=True)
     names = [n for n in QUERIES if n.startswith(prefixes)]
     if not names:

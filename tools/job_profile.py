@@ -34,7 +34,11 @@ def profile_once(spark, name: str, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     execute(QUERIES[name](spark, sf_dir))
     wall = time.perf_counter() - t0
-    sc.setJobGroup(None, None)
+    # Clear via setLocalProperty (ADVICE r14): setJobGroup(None, None)
+    # passes None where PySpark declares str and only works because py4j
+    # forwards null today.
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    sc.setLocalProperty("spark.job.description", None)
     tracker = sc.statusTracker()
     job_ids = tracker.getJobIdsForGroup(group)
     stages = tasks = 0

@@ -85,6 +85,35 @@ RESHAPED: dict[str, int] = {
     "q246": 14,
     "q253": 14,
     "q256": 14,
+    # r14 pin-rule misses flagged by VERDICT r14 (item 4): q64 consumes
+    # the r14-changed connected_components (operators/components.py) but
+    # was left outside the r14 window; q202 exercises the r14 staging/
+    # local-dir relayout (tmputil) whose 43.8→3 s claim the driver must
+    # confirm cold.
+    "q64": 14,
+    "q202": 14,
+    # round-15 OPTIMIZATION reshapes (OPTIMIZATION_r15.md): the media
+    # synth→decode family fused into one Python crossing (q121, q151,
+    # q152, q163, q229, q247); q204's wedge self-join replaced by the
+    # in-array C(k,2) expansion over a materialized pair table; q216's
+    # cumulative histogram materialized for its two consumers; q220's
+    # rec/freq cutoff legs fused into one metric-tagged window; the
+    # q251/q253/q256 per-subspace codebook fits fused into one
+    # (subspace)-keyed Lloyd run; q246's month list now reads
+    # report.to_copy.
+    "q121": 15,
+    "q151": 15,
+    "q152": 15,
+    "q163": 15,
+    "q229": 15,
+    "q247": 15,
+    "q204": 15,
+    "q216": 15,
+    "q220": 15,
+    "q251": 15,
+    "q253": 15,
+    "q256": 15,
+    "q246": 15,
 }
 
 
