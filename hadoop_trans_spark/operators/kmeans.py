@@ -356,24 +356,27 @@ def kmeans_fit_fused(
                 corpus.where((in_ok & keep) | ~in_ok)
             )
             sampled = True
-    # First-k-by-id init PER SUBSPACE (ids are unique per s, so the
-    # windowed rank equals init_centroids' orderBy(id).limit(k)).
-    w = Window.partitionBy("s").orderBy("id")
-    cents = (
-        fit_corpus.select(
-            "s",
-            "id",
-            "v",
-            F.col("v_sq").alias("c_sq"),
-            F.row_number().over(w).alias("rn"),
+    # First-k-by-id init PER SUBSPACE. NOT a Window.partitionBy("s")
+    # rank: that funnels each subspace's whole corpus through ONE sort
+    # task (the single-partition-window scale-killer this repo bans).
+    # orderBy(id).limit(k) per subspace lowers to TakeOrderedAndProject
+    # — a parallel partial top-k over the checkpoint, exactly what
+    # init_centroids runs — at the cost of S tiny driver actions (k
+    # rows each), which only happen once per fit.
+    cents = []
+    for s in range(S):
+        rows = sorted(
+            fit_corpus.where(F.col("s") == s)
+            .orderBy("id")
+            .limit(k)
+            .select("id", "v", F.col("v_sq").alias("c_sq"))
+            .collect(),
+            key=lambda r: r["id"],
         )
-        .where(F.col("rn") <= k)
-        .select(
-            "s", (F.col("rn") - 1).alias("cluster"), F.col("v").alias("c"),
-            "c_sq",
+        cents.extend(
+            {"s": s, "cluster": i, "c": r["v"], "c_sq": r["c_sq"]}
+            for i, r in enumerate(rows)
         )
-        .collect()
-    )
     present = {int(r["s"]) for r in cents}
 
     def _empty(s: int) -> DataFrame:

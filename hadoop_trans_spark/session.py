@@ -113,13 +113,16 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/htspark_warehouse"),
         )
     )
-    # Shuffle/blockmgr scratch on the fast ephemeral base (r14, guide §6:
-    # tmputil.staging_base — /dev/shm locally unless $SPARK_GRAFT_TMPDIR
-    # overrides; a cluster points this at fast local disks). Shuffle files
-    # are per-job ephemeral; Spark removes them via its own shutdown hook.
-    from .tmputil import staging_base
+    # Shuffle/blockmgr scratch SPLIT from ephemeral staging (r15,
+    # VERDICT r14 item 2): staging/checkpoints stay on the RAM-backed
+    # staging_base (fsync-bound, measured — see tmputil), but shuffle
+    # scratch defaults to Spark's own disk-backed default; tmpfs spill
+    # would consume the RAM that spilling exists to relieve (guide §5),
+    # and the r15 cold A/B measured disk scratch at parity locally.
+    # $SPARK_GRAFT_LOCAL_DIR points clusters at dedicated scratch disks.
+    from .tmputil import shuffle_scratch_base
 
-    scratch = staging_base()
+    scratch = shuffle_scratch_base()
     if scratch:
         builder = builder.config("spark.local.dir", scratch)
     merged = dict(_PROFILES[profile])

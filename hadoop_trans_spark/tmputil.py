@@ -74,6 +74,37 @@ def staging_base() -> str | None:
     return None
 
 
+def shuffle_scratch_base() -> str | None:
+    """Base for ``spark.local.dir`` (shuffle/blockmgr scratch) — SPLIT
+    from :func:`staging_base` (r15, VERDICT r14 item 2 + ADVICE).
+
+    The r14 fsync measurement justified RAM-backing the STAGING path
+    (streaming offset/commit logs and state-store deltas fsync per
+    micro-batch; /dev/shm took q202 43.8 s → 3.0 s). Shuffle scratch is
+    different: Spark never fsyncs shuffle files, and pointing spills at
+    tmpfs makes memory-pressure spills consume the very RAM they exist
+    to relieve (guide §5) — fine in this 126 GiB sandbox, a production
+    hazard anywhere real. The r15 cold A/B (OPTIMIZATION_r15.md) of the
+    five join-shape queries measured shm-vs-disk shuffle scratch at
+    parity (8.31 vs 8.62 s over q204/q209/q216/q229/q163, inside the
+    cold noise band), so RAM buys nothing here. Default: Spark's own
+    disk-backed default (None — spark.local.dir unset);
+    ``$SPARK_GRAFT_LOCAL_DIR`` overrides for clusters with dedicated
+    fast scratch disks."""
+    base = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if base:
+        if os.path.isdir(base) and os.access(base, os.W_OK):
+            return base
+        import warnings
+
+        warnings.warn(
+            f"$SPARK_GRAFT_LOCAL_DIR={base!r} is not an existing writable "
+            "directory; leaving spark.local.dir at Spark's default",
+            stacklevel=2,
+        )
+    return None
+
+
 def _cleanup() -> None:
     while _STAGED:
         shutil.rmtree(_STAGED.pop(), ignore_errors=True)

@@ -68,7 +68,12 @@ def latest_bench() -> tuple[int, float | None]:
     total only feeds the informational drift_factor, which goes null."""
     best = None
     for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
-        n = int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m is None:
+            # side artifacts like BENCH_r14_c8.json (the driver's 8-core
+            # scaling run) are not round benches — skip, don't crash.
+            continue
+        n = int(m.group(1))
         if best is None or n > best[0]:
             with open(p) as fh:
                 data = json.load(fh)
