@@ -1140,8 +1140,14 @@ def q181_spearman_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(p, li.l_partkey == p.p_partkey).select("p_brand", "q", "e")
     wq = Window.partitionBy("p_brand").orderBy("q")
     we = Window.partitionBy("p_brand").orderBy("e")
-    cq = Window.partitionBy("p_brand", "q")
-    ce = Window.partitionBy("p_brand", "e")
+    # r15 (guide §2.4): tie counts via RANGE(currentRow, currentRow)
+    # frames on the SAME (brand, orderBy value) windows as the ranks —
+    # count of rows with an equal value, identical to the former
+    # partitionBy(brand, value) count, but sharing the rank window's
+    # exchange + sort instead of adding a second hash exchange per
+    # measure (plan: 4 exchange+sort pipelines → 1 exchange + 2 sorts).
+    cq = wq.rangeBetween(Window.currentRow, Window.currentRow)
+    ce = we.rangeBetween(Window.currentRow, Window.currentRow)
     r = j.select(
         "p_brand",
         (

@@ -114,6 +114,9 @@ RESHAPED: dict[str, int] = {
     "q253": 15,
     "q256": 15,
     "q246": 15,
+    # q181's tie-count windows re-framed onto the rank windows (same
+    # exchange); q181's latest driver row predates the reshape.
+    "q181": 15,
 }
 
 
